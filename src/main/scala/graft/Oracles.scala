@@ -1,0 +1,319 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** DuckDB oracle SQL for every SQL-expressible query in
+  * SparkEntry.queries. Each statement mirrors its Spark twin
+  * expression-for-expression (same arithmetic order, same rounding,
+  * same tie-breaks) per the determinism rules in SURVEY.md §4:
+  *  - total-order ORDER BY on both sides;
+  *  - doubles rounded at the end, ratios fixed-point floored
+  *    (floor(r·10^k) — floor of identical doubles is engine-proof,
+  *    unlike round's half-way mode);
+  *  - timestamps truncated (second/hour) before use so parquet
+  *    ns-vs-µs precision can't leak;
+  *  - k-means: deterministic init (k lowest ids), ties to lowest cid,
+  *    centroids rounded to 6 dp per iteration in BOTH engines so the
+  *    iterations stay in lockstep.
+  */
+object Oracles {
+
+  val q1: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q2: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+      | l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      | AND l_discount > 0.06 AND l_quantity < 5.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val q3: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s
+      |FROM customer
+      |JOIN orders ON c_custkey=o_custkey
+      |JOIN lineitem ON l_orderkey=o_orderkey
+      |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  val q4: String =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey=n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val q5: String =
+    """SELECT n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey=r_regionkey
+      |JOIN customer ON c_nationkey=n_nationkey
+      |JOIN orders ON o_custkey=c_custkey
+      |JOIN lineitem ON l_orderkey=o_orderkey
+      |JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+      |WHERE r_name='ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val q6: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+      | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS run_spend
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q7: String =
+    """SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      | count(*) AS n_ord, round(sum(o_totalprice),2) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val q8: String =
+    """SELECT c_mktsegment,
+      | CAST(count(CASE WHEN ex THEN 1 END) AS BIGINT) AS n_with,
+      | CAST(count(CASE WHEN NOT ex THEN 1 END) AS BIGINT) AS n_without
+      |FROM (SELECT c_mktsegment,
+      |        EXISTS(SELECT 1 FROM orders WHERE o_custkey=c_custkey) AS ex
+      |      FROM customer) t
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q9: String =
+    """SELECT coalesce(r_name,'ALL') AS region_name, coalesce(n_name,'ALL') AS nation_name,
+      | count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey=n_nationkey
+      |JOIN region ON n_regionkey=r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin
+
+  val q10: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  val q11: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+      | count(*) AS n_events, round(sum(value),2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val q12: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x),
+      |z AS (SELECT user_id, ts_s,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS session_id
+      |      FROM y)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | min(ts_s) AS start_s, max(ts_s) AS end_s, max(ts_s)-min(ts_s) AS dur_s
+      |FROM z GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val q13: String =
+    """SELECT user_id, count(*) AS n_events,
+      | CAST(count(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS n_click,
+      | CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+      | round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0.0 END),2) AS purchase_value,
+      | round(sum(CASE WHEN event_type='error' THEN value ELSE 0.0 END),2) AS error_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val q14: String =
+    """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal
+      |FROM customer
+      |WHERE EXISTS(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------- A-suite: k-means ----------------
+
+  /** Shared 2-D point set + deterministic init (5 lowest ids). */
+  private val pts2d =
+    """pts AS (SELECT c_custkey AS id, c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y FROM customer),
+      |init AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, x AS cx, y AS cy
+      |         FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT 5))""".stripMargin
+
+  /** One 2-D assign round vs centroid CTE `c`: nearest centroid,
+    * ties to lowest cid via (d, cid) row_number.
+    */
+  private def assign2d(aName: String, mName: String, centCte: String): String =
+    s"""$aName AS (SELECT p.id, p.x, p.y, c.cid,
+       |  (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy) AS d,
+       |  row_number() OVER (PARTITION BY p.id
+       |    ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+       |  FROM pts p CROSS JOIN $centCte c),
+       |$mName AS (SELECT id, x, y, cid, d FROM $aName WHERE rn=1)""".stripMargin
+
+  private def update2d(cName: String, mName: String): String =
+    s"$cName AS (SELECT cid, round(avg(x),6) AS cx, round(avg(y),6) AS cy FROM $mName GROUP BY cid)"
+
+  val kmeansAssign2d: String =
+    s"""WITH $pts2d,
+       |${assign2d("a1", "m1", "init")}
+       |SELECT id, cid AS cluster, round(d,4) AS d2 FROM m1 ORDER BY id""".stripMargin
+
+  val kmeansMetrics: String =
+    s"""WITH $pts2d,
+       |${assign2d("a1", "m1", "init")}
+       |SELECT cid AS cluster, count(*) AS n, round(sum(d),2) AS wcss, round(avg(d),4) AS avg_d2
+       |FROM m1 GROUP BY cid ORDER BY cluster""".stripMargin
+
+  val kmeansLloyd2d: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "init" else s"c${i - 1}"
+      assign2d(s"a$i", s"m$i", prev) + ",\n" + update2d(s"c$i", s"m$i")
+    }.mkString(",\n")
+    s"""WITH $pts2d,
+       |$iters
+       |SELECT c3.cid AS cluster, s.n, s.wcss, c3.cx AS cx, c3.cy AS cy
+       |FROM c3 JOIN (SELECT cid, count(*) AS n, round(sum(d),2) AS wcss FROM m3 GROUP BY cid) s
+       |  ON s.cid = c3.cid
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** Shared flattened embeddings + k=10 lowest-id init. */
+  private val embFlat =
+    """f AS (SELECT vec_id, CAST(generate_subscripts(embedding,1) AS BIGINT) AS i,
+      |        CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |ids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+      |init AS (SELECT ids.cid, f.i, f.v AS cv FROM ids JOIN f ON f.vec_id=ids.vec_id)""".stripMargin
+
+  private def assignEmb(dName: String, mName: String, centCte: String): String =
+    s"""$dName AS (SELECT f.vec_id, c.cid, sum((f.v-c.cv)*(f.v-c.cv)) AS d
+       |  FROM f JOIN $centCte c ON f.i=c.i GROUP BY f.vec_id, c.cid),
+       |$mName AS (SELECT vec_id, cid, d FROM (
+       |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM $dName) WHERE rn=1)""".stripMargin
+
+  private def updateEmb(cName: String, mName: String): String =
+    s"""$cName AS (SELECT m.cid, f.i, round(avg(f.v),6) AS cv
+       |  FROM $mName m JOIN f ON f.vec_id=m.vec_id GROUP BY m.cid, f.i)""".stripMargin
+
+  val kmeansAssignEmbed: String =
+    s"""WITH $embFlat,
+       |${assignEmb("d1", "m1", "init")}
+       |SELECT vec_id, cid AS cluster, round(d,4) AS d2 FROM m1 ORDER BY vec_id""".stripMargin
+
+  val kmeansLloydEmbed: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "init" else s"c${i - 1}"
+      assignEmb(s"d$i", s"m$i", prev) + ",\n" + updateEmb(s"c$i", s"m$i")
+    }.mkString(",\n")
+    s"""WITH $embFlat,
+       |$iters
+       |SELECT cid AS cluster, count(*) AS n, round(sum(d),2) AS wcss, round(avg(d),4) AS avg_d2
+       |FROM m3 GROUP BY cid ORDER BY cluster""".stripMargin
+  }
+
+  val featureScale: String =
+    """WITH s AS (SELECT CAST(min(c_acctbal) AS DOUBLE) AS mn, CAST(max(c_acctbal) AS DOUBLE) AS mx,
+      |             round(avg(c_acctbal),6) AS mu, round(stddev_samp(c_acctbal),6) AS sigma
+      |           FROM customer)
+      |SELECT c_custkey, round(c_acctbal,2) AS value,
+      | CAST(floor(1000000.0*((c_acctbal-s.mn)/(s.mx-s.mn))) AS BIGINT) AS minmax_fs,
+      | CAST(floor(10000.0*((c_acctbal-s.mu)/s.sigma)) AS BIGINT) AS z_fs
+      |FROM customer, s ORDER BY c_custkey""".stripMargin
+
+  // ---------------- C-suite ----------------
+
+  val dedupExact: String =
+    """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  val dedupNgramJaccard: String =
+    """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
+      |             list_distinct(string_split(text,' ')) AS toks FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
+      |   / len(list_distinct(a.toks || b.toks)))) AS BIGINT) AS jac_fs
+      |FROM d a JOIN d b ON a.lang=b.lang AND a.lb=b.lb AND a.doc_id<b.doc_id
+      |WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
+      |   / len(list_distinct(a.toks || b.toks)))) AS BIGINT) >= 9000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val dedupEmbedCosine: String =
+    """WITH f AS (SELECT vec_id, label, CAST(generate_subscripts(embedding,1) AS BIGINT) AS i,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+      |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v*b.v) AS dp
+      |      FROM f a JOIN f b ON a.i=b.i AND a.label=b.label AND a.vec_id<b.vec_id
+      |      GROUP BY a.vec_id, b.vec_id)
+      |SELECT ia AS id_a, ib AS id_b,
+      | CAST(floor(10000.0*(dp/(na.nrm*nb.nrm))) AS BIGINT) AS cos_fs
+      |FROM p JOIN n na ON na.vec_id=p.ia JOIN n nb ON nb.vec_id=p.ib
+      |WHERE CAST(floor(10000.0*(dp/(na.nrm*nb.nrm))) AS BIGINT) >= 3000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val simTopkCosine: String =
+    """WITH f AS (SELECT vec_id, CAST(generate_subscripts(embedding,1) AS BIGINT) AS i,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+      |p AS (SELECT q.vec_id AS qi, c.vec_id AS ci, sum(q.v*c.v) AS dp
+      |      FROM f q JOIN f c ON q.i=c.i AND q.vec_id < 10 AND c.vec_id != q.vec_id
+      |      GROUP BY q.vec_id, c.vec_id),
+      |s AS (SELECT qi AS q_id, ci AS c_id,
+      |        CAST(floor(1000000.0*(dp/(nq.nrm*nc.nrm))) AS BIGINT) AS cos_fs
+      |      FROM p JOIN n nq ON nq.vec_id=p.qi JOIN n nc ON nc.vec_id=p.ci),
+      |r AS (SELECT q_id, c_id, cos_fs,
+      |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_fs DESC, c_id) AS BIGINT) AS rnk
+      |      FROM s)
+      |SELECT q_id, rnk, c_id, cos_fs FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  val textTokens: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def sqlWordList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val textQuality: String = {
+    val en = sqlWordList(TextFunctions.stopwords.toMap.apply("en"))
+    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+       |        CAST(len(list_filter(toks, x -> x IN $en)) AS BIGINT) AS n_stop FROM t)
+       |SELECT doc_id, n_tok, n_uniq, n_stop,
+       | CAST(floor(10000.0 * (0.5*(CAST(n_uniq AS DOUBLE)/n_tok)
+       |   + 0.3*(1.0 - CAST(n_stop AS DOUBLE)/n_tok)
+       |   + 0.2*least(1.0, CAST(n_tok AS DOUBLE)/100.0))) AS BIGINT) AS score_fs
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  val textLangid: String = {
+    val langs = TextFunctions.stopwords
+    val scoreCols = langs.map { case (l, words) =>
+      s"len(list_filter(toks, x -> x IN ${sqlWordList(words)})) AS s_$l"
+    }.mkString(",\n        ")
+    val cases = langs.map { case (l, _) =>
+      val ge = langs.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'"
+    }.mkString("\n   ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |        $scoreCols
+       |      FROM t)
+       |SELECT doc_id,
+       | CASE $cases
+       |   ELSE 'unk' END AS pred_lang,
+       | lang AS actual_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch primitives for dedup at scale: MinHash signatures,
+  * SimHash fingerprints, rolling polynomial fingerprints.
+  *
+  * All pure `Column` expressions built on Spark's codegen'd
+  * `xxhash64`. Arithmetic is kept inside a Mersenne-ish prime modulus
+  * so it never overflows Long (safe under ANSI mode) and needs no
+  * bigint tricks in the oracle.
+  */
+object HashFunctions {
+
+  val Prime: Long = 1000000007L
+
+  /** Per-element positive hash in [0, Prime) with a seed namespace.
+    * Different `seed` strings give (practically) independent hash
+    * families — this is how we get k MinHash permutations from one
+    * base hash without shuffling anything.
+    */
+  def seededHash(e: Column, seed: String): Column =
+    pmod(xxhash64(concat(lit(seed + "#"), e)), lit(Prime))
+
+  /** MinHash signature: array of `perms` min-hashes over the shingle
+    * array. One pass over the shingles per permutation, all inside
+    * codegen; for a 100 TB corpus this is a narrow map — the only
+    * shuffle in MinHash-LSH dedup is the band-key groupBy.
+    */
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    array((0 until perms).map(i => array_min(transform(shingles, s => seededHash(s, s"mh$i")))): _*)
+
+  /** LSH band keys: hash each band (contiguous slice of the
+    * signature) to one bucket key. Join key = (band_index, band_hash)
+    * — candidate pairs only ever meet inside a bucket, never via a
+    * cross join.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("bucket")
+      )
+    }: _*)
+
+  /** 64-bit SimHash of a token array: per bit, sum +1/-1 votes of
+    * each token's hash bit, sign of the sum becomes the bit.
+    * Single aggregate fold over tokens carrying a 64-counter array.
+    */
+  def simhash64(toks: Column): Column = {
+    val bitVotes: Column => Column = t => {
+      val h = xxhash64(t)
+      array((0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))): _*)
+    }
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, bitVotes(t), (a, b) => a + b)
+    )
+    // fold bits into one BIGINT: bit i set iff votes(i) > 0
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b)
+    )
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit fingerprint into `chunks` equal bit-chunks.
+    * Pigeonhole: two fingerprints within hamming distance < chunks
+    * share at least one exact chunk — that chunk is the dedup join
+    * key (bucketed candidate generation, no cross join).
+    */
+  def fingerprintChunks(fp: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk"), shiftright(fp, c * width).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
+  /** Rolling polynomial fingerprint of a token array:
+    * fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod P).
+    * Order-sensitive (unlike set hashes) — two docs with the same
+    * token multiset but different order fingerprint differently.
+    */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + seededHash(t, "fp"), lit(Prime)))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{filter => array_filter, _}
+
+/** Text analysis as pure `Column` expressions (no UDFs): tokenize,
+  * n-grams, quality ratios, stopword-heuristic language ID.
+  *
+  * All arithmetic is int-derived (counts and ratios of counts), so
+  * results are bit-deterministic across engines — the DuckDB oracle
+  * computes the same rationals. Ratio outputs are fixed-point scaled
+  * (`floor(r * 10^k)` as BIGINT) to dodge cross-engine rounding-mode
+  * differences entirely.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space corpus; split keeps it exact). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (order preserved by first occurrence). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-grams as "w1 w2 .. wn" strings — the shingle unit for
+    * MinHash / Jaccard dedup. Implemented with transform over index
+    * sequence so it stays codegen'd.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of regex-token matches (BPE-ish alnum runs). */
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
+
+  /** Count of tokens found in `words`. */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(array_filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Tiny per-language stopword lists for the heuristic language ID.
+    * Public-knowledge function-word lists; tie-break = alphabetical
+    * language code, zero evidence = "unk".
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2") // pinyin-romanized
+  )
+
+  /** Predicted language: argmax of stopword hits, alphabetical
+    * tie-break, "unk" if no list scores > 0. Written as a CASE chain
+    * evaluated in alphabetical order so the oracle SQL can replicate
+    * the exact tie-break.
+    */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> countIn(toks, words) }
+    val cases = scores.map { case (lang, s) =>
+      val geAll = scores.filter(_._1 != lang).map { case (_, o) => s >= o }.reduce(_ && _)
+      (geAll && s > 0, lit(lang))
+    }
+    cases.foldRight(lit("unk")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+  }
+
+  /** Quality score in fixed-point (floor(score * 1e4) as BIGINT):
+    * 0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * min(1, n_tok/100).
+    * Expression order matters for bit parity with the oracle — keep in
+    * sync with Oracles.textQuality.
+    */
+  def qualityScoreFs(nTok: Column, nUniq: Column, nStop: Column): Column =
+    floor(lit(10000.0) * (lit(0.5) * (nUniq.cast("double") / nTok)
+      + lit(0.3) * (lit(1.0) - nStop.cast("double") / nTok)
+      + lit(0.2) * least(lit(1.0), nTok.cast("double") / lit(100.0))))
+}

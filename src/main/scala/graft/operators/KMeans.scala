@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Batch + metric surface of the reference engine's k-means
+  * (ScaleUnlimited/flink-streaming-kmeans: Euclidean nearest-centroid
+  * assignment, incremental/Lloyd centroid updates, per-cluster
+  * size/WCSS metrics). The streaming analogue lives in
+  * streaming/StreamingKMeans.scala.
+  *
+  * Scale design: centroids are k×dim doubles — always a broadcast
+  * literal, never a join side. One Lloyd iteration =
+  *   1 narrow assign pass (pure codegen'd expressions over the scan)
+  * + 1 partial-agg shuffle carrying k rows per partition.
+  * Nothing else moves. This holds at 100 TB because per-iteration
+  * network cost is O(k·dim·partitions), independent of row count.
+  *
+  * Determinism (oracle parity): init = k lowest-id points; ties in
+  * assignment break to the lowest cluster id (array_position returns
+  * the FIRST index of the min, and centroids are kept sorted by cid);
+  * centroid coordinates round to 6 dp after every update so both
+  * engines iterate from identical doubles. Empty clusters drop out
+  * but surviving cids are preserved (no renumbering).
+  */
+object KMeans {
+
+  /** (cid, centroid-vector) list, kept sorted by cid. */
+  type Centroids = Seq[(Long, Array[Double])]
+  type Centroids2d = Seq[(Long, Double, Double)]
+
+  /** Squared-distance to each centroid; cluster = cid of the first
+    * minimum (lowest cid wins ties); dist2 = that minimum.
+    */
+  def assignExpr(vec: Column, centroids: Centroids): (Column, Column) = {
+    val dists = array(centroids.map { case (_, c) => l2sq(vec, typedlit(c)) }: _*)
+    val cids = typedlit(centroids.map(_._1).toArray)
+    val d = array_min(dists)
+    (element_at(cids, array_position(dists, d).cast("int")), d)
+  }
+
+  /** 2-D specialisation: scalar expressions so the assign pass is a
+    * flat codegen'd projection.
+    */
+  def assignExpr2d(x: Column, y: Column, centroids: Centroids2d): (Column, Column) = {
+    val dists = array(centroids.map { case (_, cx, cy) =>
+      (x - cx) * (x - cx) + (y - cy) * (y - cy)
+    }: _*)
+    val cids = typedlit(centroids.map(_._1).toArray)
+    val d = array_min(dists)
+    (element_at(cids, array_position(dists, d).cast("int")), d)
+  }
+
+  /** Deterministic init: the k points with the lowest ids, cid = rank
+    * 0..k-1 (reference seeds clusters from the first arriving points;
+    * this is the batch equivalent with a total order).
+    */
+  def initCentroids(points: DataFrame, idCol: String, vecCol: String, k: Int): Centroids =
+    points.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), toDoubleArray(col(vecCol)))
+      .collect().sortBy(_.getLong(0))
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }.toSeq
+
+  def initCentroids2d(points: DataFrame, idCol: String, xCol: String, yCol: String, k: Int): Centroids2d =
+    points.orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(xCol).cast("double"), col(yCol).cast("double"))
+      .collect().sortBy(_.getLong(0))
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getDouble(1), r.getDouble(2)) }.toSeq
+
+  /** One Lloyd update: per-cluster mean rounded to 6 dp. The agg
+    * ships k×dim partials per partition — broadcast-scale.
+    */
+  def updateCentroids(assigned: DataFrame, vecCol: String, dim: Int): Centroids = {
+    val avgs = (1 to dim).map(i => round(avg(element_at(col(vecCol), i)), 6).as(s"c$i"))
+    assigned.groupBy(col("cluster")).agg(avgs.head, avgs.tail: _*)
+      .orderBy(col("cluster"))
+      .collect().map(r => (r.getLong(0), (1 to dim).map(i => r.getDouble(i)).toArray)).toSeq
+  }
+
+  /** Batch Lloyd's: `iters` rounds of assign + update from the
+    * deterministic init. Returns the final assignment (against the
+    * pre-update centroids of the last round) plus the updated
+    * centroids — exactly `iters` assign passes and `iters` updates,
+    * matching the unrolled oracle SQL.
+    */
+  def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int, dim: Int)
+  : (DataFrame, Centroids) = {
+    val pts = points.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+    var centroids = initCentroids(pts, "id", "v", k)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val (cl, d) = assignExpr(col("v"), centroids)
+      assigned = pts.select(col("id"), col("v"), cl.as("cluster"), d.as("d"))
+      centroids = updateCentroids(assigned, "v", dim)
+    }
+    (assigned, centroids)
+  }
+
+  /** 2-D Lloyd's with scalar-expression assignment. */
+  def lloyd2d(points: DataFrame, idCol: String, xCol: String, yCol: String, k: Int, iters: Int)
+  : (DataFrame, Centroids2d) = {
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    var centroids = initCentroids2d(pts, "id", "x", "y", k)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val (cl, d) = assignExpr2d(col("x"), col("y"), centroids)
+      assigned = pts.select(col("id"), col("x"), col("y"), cl.as("cluster"), d.as("d"))
+      centroids = assigned.groupBy(col("cluster"))
+        .agg(round(avg(col("x")), 6).as("cx"), round(avg(col("y")), 6).as("cy"))
+        .orderBy(col("cluster"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    }
+    (assigned, centroids)
+  }
+
+  /** Per-cluster metrics of an assignment: size, WCSS, mean squared
+    * distance — the reference's cluster-snapshot surface.
+    */
+  def metrics(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("d")), 2).as("wcss"),
+        round(avg(col("d")), 4).as("avg_d2"))
+      .orderBy(col("cluster"))
+}

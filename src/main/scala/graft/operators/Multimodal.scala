@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed
+  * metadata, with a per-partition batch "decode" stage.
+  *
+  * The decode step is a STUB (this container has no image/audio
+  * codecs): it derives a deterministic fake feature vector from the
+  * payload bytes. Everything around it is the real 100-TB design:
+  *  - payloads travel as parquet `binary` columns (columnar, chunked,
+  *    never materialized as strings);
+  *  - metadata is a typed struct column so planners can prune/filter
+  *    on it WITHOUT touching payload bytes (parquet column pruning);
+  *  - decode runs via `mapPartitions` so a real codec would amortize
+  *    model/codec init once per partition — the same batch shape a
+  *    Pandas-UDF / mapInPandas decode uses on a real cluster.
+  */
+object Multimodal {
+
+  /** Wrap documents into a multimodal layout: binary payload + typed
+    * metadata struct (mime, n_bytes, fake width/height).
+    */
+  def asMultimodal(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        (pmod(xxhash64(col("text")), lit(1280L)) + 64L).as("width"),
+        (pmod(xxhash64(col("text"), lit(1L)), lit(720L)) + 64L).as("height")).as("meta"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("mime", StringType),
+    StructField("feat_dim", LongType),
+    StructField("feat_checksum", LongType)))
+
+  /** Batch "decode": per partition, read payload bytes and emit a
+    * feature summary. A real implementation would replace
+    * `fakeDecode` with a codec/model call; the partition-batched
+    * iterator shape, schema handling, and downstream columns stay
+    * identical.
+    */
+  def decodeFeatures(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    val rdd = mm.select(col("doc_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val (dim, checksum) = fakeDecode(bytes)
+          Row(r.getLong(0), r.getLong(3), r.getString(2), dim, checksum)
+        }
+      }
+    spark.createDataFrame(rdd, decodedSchema).orderBy(col("doc_id"))
+  }
+
+  /** Deterministic decode stub: feature dim from payload size, checksum
+    * = rolling byte hash mod 1e9+7. Replace with real codec on a
+    * cluster with codecs installed.
+    */
+  private def fakeDecode(bytes: Array[Byte]): (Long, Long) = {
+    val p = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % p; i += 1 }
+    (64L, acc)
+  }
+}

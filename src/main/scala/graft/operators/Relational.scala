@@ -1,0 +1,240 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.Tables
+
+/** The relational analytics core (SURVEY.md §2 B-suite): 14 query
+  * shapes covering scan/filter/agg, shuffle + broadcast joins, star
+  * joins, windows, rollup, semi/anti, sessionization.
+  *
+  * Scale notes (100 TB design intent):
+  *  - every query is declarative DataFrame API → Catalyst pushes
+  *    filters/projections into the parquet scan (verified via
+  *    `.explain` → PushedFilters / ReadSchema, see PERF.md);
+  *  - dimension tables (region/nation/supplier/customer-at-dim-size)
+  *    are joined with explicit `broadcast()` hints so fact scans never
+  *    shuffle for them;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - all money sums round at the END, never inside the aggregation.
+  *
+  * Determinism-for-oracle rules (SURVEY.md §4): every query ends in a
+  * total-order ORDER BY; doubles rounded; timestamps truncated and
+  * emitted as strings or epoch BIGINTs.
+  */
+object Relational {
+
+  private def ntz(y: Int, m: Int, d: Int): Column =
+    lit(LocalDateTime.of(y, m, d, 0, 0, 0))
+
+  /** Epoch seconds of a (NTZ) timestamp truncated to whole seconds —
+    * emitted as BIGINT so the ns-vs-µs parquet precision gap between
+    * engines can never surface.
+    */
+  private def epochSeconds(ts: Column): Column =
+    unix_timestamp(date_trunc("second", ts).cast(TimestampType))
+
+  /** q1: TPC-H Q1-style pricing summary — scan → filter → groupBy
+    * aggregate. The canonical partial-agg shape: 6 aggregates over 2
+    * low-cardinality keys means the shuffle carries ~8 rows per task.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ntz(1998, 9, 1))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2: highly selective filter + narrow projection — exists to prove
+    * predicate + column pushdown reach the scan (PushedFilters on
+    * l_shipdate/l_discount/l_quantity, ReadSchema of 6 of 11 cols).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ntz(1997, 1, 1) && col("l_shipdate") < ntz(1998, 1, 1)
+        && col("l_discount") > lit(0.06) && col("l_quantity") < lit(5.0))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q3: TPC-H Q3-style 3-table join + agg + top-N. customer is the
+    * small side at dim scale → broadcast; orders⨝lineitem is the real
+    * shuffle join on orderkey.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir).filter(col("o_orderdate") < ntz(1998, 1, 1)),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate_s"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+
+  /** q4: broadcast (map-side) join of a 25-row dim onto the fact —
+    * zero shuffle for the join itself; only the 25-group agg shuffles.
+    */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("n_name"))
+
+  /** q5: TPC-H Q5-style 6-table star join — region/nation broadcast,
+    * customer⨝orders⨝lineitem shuffle on their keys, supplier joined
+    * with the local-supplier constraint (s_nationkey = c_nationkey).
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    Tables.customer(spark, dir)
+      .join(broadcast(nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q6: window functions — rank + running sum per customer. Both
+    * windows share one partitioning (custkey) so Spark plans a single
+    * shuffle + sort for both.
+    */
+  def q6Window(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        rank().over(byPrice).cast("long").as("rnk"),
+        round(sum(col("o_totalprice")).over(byDate), 2).as("run_spend"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q7: exact distinct aggregation (count distinct custkey per
+    * priority). The approx (HLL) variant lives in
+    * `approxDistinct` below — spec-checked, not oracle-checked,
+    * since HLL sketches aren't cross-engine comparable.
+    */
+  def q7DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_ord"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** approx_count_distinct companion to q7 (2% rsd HLL). At 100 TB the
+    * exact distinct is a full shuffle of the key; the sketch is a
+    * constant-size partial aggregate — this is the scale path.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q8: left-semi (EXISTS) + left-anti (NOT EXISTS) in one result:
+    * customers with vs without orders per market segment.
+    */
+  def q8SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrd = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val without = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withOrd.join(without, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0L, Seq("n_with", "n_without"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q9: GROUP BY ROLLUP(region, nation) hierarchy aggregate; NULL
+    * grouping keys rewritten to 'ALL' for a stable total order.
+    */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  /** q10: global top-k — Spark plans this as per-partition top-k then
+    * a single k-row merge on the driver side of the exchange
+    * (TakeOrderedAndProject), i.e. no full sort of 100 TB.
+    */
+  def q10TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** q11: tumbling-window event aggregation — the batch analogue of
+    * the streaming windowed agg (streaming/StreamingAgg.scala), using
+    * the same `window()` semantics.
+    */
+  def q11EventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** q12: gap-based sessionization (30-min inactivity gap) via
+    * lag + cumulative-sum of session-start flags — one shuffle on
+    * user_id, everything after is within-partition window work.
+    */
+  def q12Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir), gapSeconds = 1800)
+
+  /** q13: conditional (pivot-style) aggregation per user. */
+  def q13CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", lit(1))).as("n_click"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2)
+          .as("purchase_value"),
+        round(sum(when(col("event_type") === "error", col("value")).otherwise(lit(0.0))), 2)
+          .as("error_value"))
+      .orderBy(col("user_id"))
+
+  /** q14: correlated EXISTS predicate (customers having a >300k
+    * order) — rewritten as a left-semi join, which is exactly what
+    * Catalyst does to a correlated EXISTS subquery.
+    */
+  def q14ExistsSubquery(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > lit(300000.0))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+}

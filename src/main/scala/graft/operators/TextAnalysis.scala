@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+
+/** Per-document text analysis: token counts, quality scoring,
+  * language ID, rolling-hash fingerprints.
+  *
+  * Everything is a narrow projection of codegen'd Column expressions
+  * — at 100 TB these run at scan speed with zero shuffle; the only
+  * wide stage any caller adds is their own aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace / regex / distinct token counts per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexTokenCount(col("text")).cast("long").as("re_tokens"),
+      size(tokenSet(col("text"))).cast("long").as("uniq_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality signals + composite score (fixed-point). Formula must
+    * stay in sync with Oracles.textQuality.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = stopwords.toMap.apply("en")
+    docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        countIn(toks, en).cast("long").as("n_stop"))
+      .withColumn("score_fs", qualityScoreFs(col("n_tok"), col("n_uniq"), col("n_stop")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-heuristic language ID vs the labeled lang column. */
+  def langIdPredictions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langId(tokens(col("text"))).as("pred_lang"),
+        col("lang").as("actual_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive rolling polynomial fingerprint per doc (exact
+    * near-prefix dedup primitive), plus the count of docs sharing the
+    * fingerprint — rows-only checked + spec-verified.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    fp.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("n_docs"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VectorFunctions._
+import graft.operators.KMeans
+
+/** Incremental streaming k-means — the core semantic of the reference
+  * engine (ScaleUnlimited/flink-streaming-kmeans: each arriving point
+  * pulls its nearest centroid toward it, `c' = c + (p - c)/n`, with
+  * older points decaying).
+  *
+  * Spark-first re-expression: Structured Streaming micro-batches +
+  * `foreachBatch`. Per batch:
+  *   1. assign every point to its nearest centroid — a narrow,
+  *      codegen'd pass (centroids are a broadcast literal);
+  *   2. one partial-agg shuffle of k rows (per-cluster count + mean);
+  *   3. driver-side decayed merge, the batch generalization of the
+  *      reference's per-point rule:
+  *        n' = α·n + m
+  *        c' = (α·n·c + m·mean_batch) / n'
+  *      (α = decayFactor; α=1 → exact running mean, the reference's
+  *      `c + (p-c)/n` applied m times; α<1 forgets old data.)
+  *
+  * State is k×dim doubles on the driver — no executor state store
+  * needed, restart-safe if the caller checkpoints `centroids`.
+  * Identical update math at any scale: the only data-sized work is
+  * the assign scan.
+  */
+class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
+                      init: Seq[(Long, Array[Double])]) extends Serializable {
+
+  @volatile private var state: Vector[(Long, Array[Double], Double)] =
+    init.map { case (cid, c) => (cid, c.clone(), 0.0) }.toVector
+
+  def centroids: Seq[(Long, Array[Double])] = state.map { case (cid, c, _) => (cid, c.clone()) }
+  def weights: Seq[(Long, Double)] = state.map { case (cid, _, n) => (cid, n) }
+
+  /** Merge one micro-batch (a static DataFrame with an array<double>
+    * column `vecCol`) into the model.
+    */
+  def update(batch: DataFrame, vecCol: String): Unit = {
+    val (cl, _) = KMeans.assignExpr(toDoubleArray(col(vecCol)).as("v"), centroids)
+    val avgs = (1 to dim).map(i => avg(element_at(toDoubleArray(col(vecCol)), i)).as(s"m$i"))
+    val stats = batch
+      .select(toDoubleArray(col(vecCol)).as(vecCol), cl.as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("double").as("m"), avgs: _*)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> ((r.getDouble(1), (1 to dim).map(i => r.getDouble(i + 1)).toArray))
+      }.toMap
+    state = state.map { case (cid, c, n) =>
+      stats.get(cid) match {
+        case Some((m, mean)) =>
+          val decayed = decayFactor * n
+          val total = decayed + m
+          val merged = c.indices.map(i => (decayed * c(i) + m * mean(i)) / total).toArray
+          (cid, merged, total)
+        case None => (cid, c, decayFactor * n)
+      }
+    }
+  }
+
+  /** Attach to a streaming Dataset: every micro-batch folds into the
+    * model via foreachBatch.
+    */
+  def run(stream: DataFrame, vecCol: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        update(batch.toDF(), vecCol)
+      }
+      .start()
+}
+
+object StreamingKMeans {
+  /** Seed from the k lowest-id points of a static frame (same
+    * deterministic init as batch Lloyd's).
+    */
+  def seeded(points: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+             decayFactor: Double = 1.0): StreamingKMeans = {
+    val init = KMeans.initCentroids(
+      points.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v")),
+      "id", "v", k)
+    new StreamingKMeans(k, dim, decayFactor, init)
+  }
+}
