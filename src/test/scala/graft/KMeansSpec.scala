@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FeatureScale, KMeans}
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyPoints = Seq(
+    (0L, 0.0, 0.0), (1L, 0.0, 1.0), (2L, 1.0, 0.0),
+    (3L, 10.0, 10.0), (4L, 10.0, 11.0), (5L, 11.0, 10.0)
+  ).toDF("id", "x", "y")
+
+  test("lloyd2d separates two obvious clusters") {
+    val (assigned, cents) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 3)
+    val m = assigned.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(m(0), m(1), m(2)).size == 1, "low cluster should be coherent")
+    assert(Set(m(3), m(4), m(5)).size == 1, "high cluster should be coherent")
+    assert(m(0) != m(3), "the two blobs must land in different clusters")
+    assert(cents.size == 2)
+  }
+
+  test("assignment ties break to the lowest cluster id") {
+    // point (5,5) is equidistant from (0,0)-ish and (10,10)-ish inits
+    val pts = Seq((0L, 0.0, 0.0), (1L, 10.0, 0.0), (2L, 5.0, 0.0)).toDF("id", "x", "y")
+    val cents = KMeans.initCentroids2d(pts, "id", "x", "y", 2)
+    val (cl, _) = KMeans.assignExpr2d(col("x"), col("y"), cents)
+    val m = pts.select(col("id"), cl.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2) == 0L, "equidistant point must take the lowest cid")
+  }
+
+  test("lloyd on 64-dim embeddings is deterministic across runs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (a1, c1) = KMeans.lloyd(emb, "vec_id", "embedding", 5, 2, 64)
+    val (a2, c2) = KMeans.lloyd(emb, "vec_id", "embedding", 5, 2, 64)
+    assert(c1.map(_._2.toSeq) == c2.map(_._2.toSeq), "centroids must be run-deterministic")
+    assert(KMeans.metrics(a1).collect().map(_.toSeq).toSeq ==
+      KMeans.metrics(a2).collect().map(_.toSeq).toSeq)
+  }
+
+  test("metrics sizes sum to the point count and wcss is nonnegative") {
+    val (assigned, _) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 2)
+    val m = KMeans.metrics(assigned).collect()
+    assert(m.map(_.getAs[Long]("n")).sum == 6)
+    assert(m.forall(_.getAs[Double]("wcss") >= 0))
+  }
+
+  test("feature scaling: minmax hits [0, 1e6] bounds and z is centered") {
+    val df = Seq((0L, 0.0), (1L, 5.0), (2L, 10.0)).toDF("id", "v")
+    val out = FeatureScale.scaled(df, "id", "v").collect()
+    val mm = out.map(_.getAs[Long]("minmax_fs"))
+    assert(mm.min == 0L && mm.max == 1000000L)
+    val z = out.map(_.getAs[Long]("z_fs"))
+    assert(z.sum < 100 && z.sum > -100, "z-scores should be ~centered on 0")
+  }
+}

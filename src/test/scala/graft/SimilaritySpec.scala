@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute top-k ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(emb, nQueries = 1, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Long]("c_id") == 3L, "identical vector must rank 1st")
+    val fs = out.map(_.getAs[Long]("cos_fs"))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lsh top-k results are a subset of brute-force candidates with same scores") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteTopK(emb, nQueries = 10, k = 500).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("cos_fs")).toMap
+    val lsh = Similarity.lshTopK(emb, dim = 64, planes = 6, nQueries = 10, k = 5).collect()
+    assert(lsh.nonEmpty, "every query should find same-bucket candidates")
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      assert(brute.contains(key), s"lsh pair $key not in brute-force universe")
+      assert(brute(key) == r.getAs[Long]("cos_fs"), s"score mismatch for $key")
+    }
+  }
+
+  test("lsh bucket recall at coarse planes is nontrivial") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, dim = 64, planes = 3, nQueries = 5, k = 50).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.2, f"3-plane LSH recall $recall%.2f unexpectedly low")
+  }
+}

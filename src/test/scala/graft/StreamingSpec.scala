@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingAgg, StreamingKMeans}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming k-means pulls centroids toward the incoming blobs") {
+    implicit val ctx = spark.sqlContext
+    val model = new StreamingKMeans(k = 2, dim = 2, decayFactor = 1.0,
+      init = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0))))
+    val ms = MemoryStream[(Double, Double)]
+    val stream = ms.toDF().select(array(col("_1"), col("_2")).as("vec"))
+    val q = model.run(stream, "vec")
+    try {
+      ms.addData((1.0, 1.0), (1.0, 3.0), (9.0, 9.0), (9.0, 11.0))
+      q.processAllAvailable()
+      val c = model.centroids.toMap
+      assert(math.abs(c(0L)(0) - 1.0) < 1e-9 && math.abs(c(0L)(1) - 2.0) < 1e-9,
+        s"low centroid should move to the batch mean, got ${c(0L).toSeq}")
+      assert(math.abs(c(1L)(0) - 9.0) < 1e-9 && math.abs(c(1L)(1) - 10.0) < 1e-9)
+
+      // second batch: running mean with decay=1 weights all points equally
+      ms.addData((3.0, 3.0), (3.0, 5.0))
+      q.processAllAvailable()
+      val c2 = model.centroids.toMap
+      assert(math.abs(c2(0L)(0) - 2.0) < 1e-9, s"running mean of 4 low points, got ${c2(0L).toSeq}")
+      assert(model.weights.toMap.apply(0L) == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming k-means decay forgets old batches") {
+    implicit val ctx = spark.sqlContext
+    val model = new StreamingKMeans(k = 1, dim = 1, decayFactor = 0.5,
+      init = Seq((0L, Array(0.0))))
+    val ms = MemoryStream[Double]
+    val q = model.run(ms.toDF().select(array(col("value")).as("vec")), "vec")
+    try {
+      ms.addData(10.0); q.processAllAvailable()
+      ms.addData(20.0); q.processAllAvailable()
+      val c = model.centroids.head._2(0)
+      // weights: old 0.5·1 vs new 1 → (0.5·10 + 20)/1.5 = 16.67 > plain mean 15
+      assert(c > 15.0 && c < 20.0, s"decayed mean should lean to the new batch, got $c")
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg matches batch window semantics") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingAgg.windowAgg(events, "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:50:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 01:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_agg ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2 && rows(0).getAs[Double]("sum_value") == 3.0)
+      assert(rows(1).getAs[Long]("n_events") == 1 && rows(1).getAs[Double]("sum_value") == 4.0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace, regex, and distinct") {
+    val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 6L)
+    assert(r.getAs[Long]("re_tokens") == 6L)
+    assert(r.getAs[Long]("uniq_tokens") == 5L)
+  }
+
+  test("quality score matches the hand-computed formula") {
+    val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(d).collect()(0)
+    val (nTok, nUniq, nStop) = (6.0, 5.0, 2.0)
+    val expected = math.floor(10000.0 * (0.5 * (nUniq / nTok)
+      + 0.3 * (1.0 - nStop / nTok) + 0.2 * math.min(1.0, nTok / 100.0))).toLong
+    assert(r.getAs[Long]("n_stop") == 2L)
+    assert(r.getAs[Long]("score_fs") == expected)
+  }
+
+  test("language id picks the list with most stopword hits, unk on none") {
+    val d = Seq(
+      (1L, "the dog and the cat of a house", "en"),
+      (2L, "el perro y la casa de que y el", "es"),
+      (3L, "der hund und die katze ist da", "de"),
+      (4L, "xyzzy plugh foobar", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langIdPredictions(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+    assert(out(4L) == "unk")
+  }
+
+  test("fingerprints: dup docs share fp and n_docs reflects the group size") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("fp"), r.getAs[Long]("n_docs")))).toMap
+    assert(out(1L)._1 == out(2L)._1 && out(1L)._2 == 2L)
+    assert(out(3L)._1 != out(1L)._1 && out(3L)._2 == 1L)
+  }
+}
