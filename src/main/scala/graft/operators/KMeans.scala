@@ -87,7 +87,11 @@ object KMeans {
     */
   def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int, dim: Int)
   : (DataFrame, Centroids) = {
+    // cache the projected points: every iteration re-reads them (same
+    // reason MLlib KMeans caches its input — without this each of the
+    // iters+1 jobs rescans the source)
     val pts = points.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .cache()
     var centroids = initCentroids(pts, "id", "v", k)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
@@ -103,6 +107,7 @@ object KMeans {
   : (DataFrame, Centroids2d) = {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .cache()
     var centroids = initCentroids2d(pts, "id", "x", "y", k)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {

@@ -23,7 +23,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash-LSH finds the exact and near dup pairs, not the unrelated doc") {
-    val pairs = Dedup.minhashLsh(docs, minJaccardFs = 5000L).collect()
+    // 8 bands × 4 rows: high collision probability for the J=0.667 toy pair
+    val pairs = Dedup.minhashLsh(docs, bands = 8, minJaccardFs = 5000L).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
@@ -32,7 +33,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash jac_fs matches the exact jaccard of the token sets") {
-    val out = Dedup.minhashLsh(docs, minJaccardFs = 0L).collect()
+    val out = Dedup.minhashLsh(docs, bands = 8, minJaccardFs = 0L).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_fs")).toMap
     assert(out((1L, 2L)) == 10000L)
     assert(out((1L, 3L)) == math.floor(10000.0 * 4.0 / 6.0).toLong)
