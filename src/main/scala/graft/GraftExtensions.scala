@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.SimHash64
+
+/** Session extensions: registers graft's native Catalyst expressions
+  * as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — then
+  * `SELECT graft_simhash64(split(text, ' ')) FROM docs` works in
+  * plain SQL, and operators pick the codegen'd implementation over
+  * the Column-expression fallback automatically.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+}

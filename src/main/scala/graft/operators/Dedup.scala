@@ -43,14 +43,19 @@ object Dedup {
     * collides at <2% — candidate volume stays near the true-dup count
     * rather than the pair count.
     */
-  def minhashLsh(docs: DataFrame, perms: Int = 32, bands: Int = 4,
+  def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                  shingleN: Int = 1, minJaccardFs: Long = 5000L): DataFrame = {
+    val docs = Par.spread(docs0)
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
+    // persist: this frame feeds BOTH legs of the band self-join and
+    // BOTH sides of the verify join — without it the signature pass
+    // runs 2× and the token pass 2× more (4 scan legs in the plan)
     val shingled = docs.select(
       col("doc_id"), toks.as("toks"),
       minhashSignature(if (shingleN == 1) toks else wordNgrams(tokens(col("text")), shingleN), perms)
         .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows are SLIM (doc_id, band, bucket) — token arrays never
     // ride through the 8-way explode or the bucket shuffle
     val banded = shingled
@@ -76,17 +81,29 @@ object Dedup {
   /** SimHash fingerprints: 64-bit sketch per doc + the chunk keys used
     * for hamming-bucketed candidate joins (pigeonhole: hamming < 4 ⇒
     * some 16-bit chunk matches exactly).
+    *
+    * Uses the native codegen'd Catalyst expression when the session
+    * has GraftExtensions (bit-identical, ~100× smaller expression
+    * tree); falls back to the pure-Column formulation otherwise.
     */
-  def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("simhash"))
+  def simhashFingerprints(docs0: DataFrame): DataFrame = {
+    val docs = Par.spread(docs0)
+    val sh =
+      if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
+        call_function("graft_simhash64", tokens(col("text")))
+      else simhash64(tokens(col("text")))
+    docs.select(col("doc_id"), sh.as("simhash"))
+  }
 
   /** SimHash near-dup candidate pairs within hamming ≤ maxHamming,
     * generated via the 4-chunk pigeonhole join.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    // persist: both legs of the chunk self-join need the fingerprints
     val fp = simhashFingerprints(docs)
       .select(col("doc_id"), col("simhash"), explode(fingerprintChunks(col("simhash"), 4)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = fp.as("a")
     val b = fp.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
@@ -103,7 +120,7 @@ object Dedup {
     * Jaccard computed only within blocks. jac_fs = floor(1e4·J).
     */
   def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame = {
-    val d = docs.select(col("doc_id"), col("lang"),
+    val d = Par.spread(docs).select(col("doc_id"), col("lang"),
       floor(col("n_chars") / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")
@@ -124,7 +141,7 @@ object Dedup {
     * cos_fs = floor(1e4·cos).
     */
   def embedCosine(embeddings: DataFrame, thresholdFs: Long = 3000L): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
+    val e = Par.spread(embeddings).select(col("vec_id"), col("label"),
       toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val a = e.as("a")

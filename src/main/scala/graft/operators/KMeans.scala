@@ -90,7 +90,8 @@ object KMeans {
     // cache the projected points: every iteration re-reads them (same
     // reason MLlib KMeans caches its input — without this each of the
     // iters+1 jobs rescans the source)
-    val pts = points.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+    val pts = Par.spread(points)
+      .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
       .cache()
     var centroids = initCentroids(pts, "id", "v", k)
     var assigned: DataFrame = null
@@ -105,8 +106,9 @@ object KMeans {
   /** 2-D Lloyd's with scalar-expression assignment. */
   def lloyd2d(points: DataFrame, idCol: String, xCol: String, yCol: String, k: Int, iters: Int)
   : (DataFrame, Centroids2d) = {
-    val pts = points.select(col(idCol).cast("long").as("id"),
-      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val pts = Par.spread(points)
+      .select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .cache()
     var centroids = initCentroids2d(pts, "id", "x", "y", k)
     var assigned: DataFrame = null

@@ -32,7 +32,7 @@ object Similarity {
   private def cosFs(cos: Column): Column = floor(lit(1000000.0) * cos)
 
   def bruteTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -69,7 +69,7 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = embeddings.select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("bucket", srpBucket(col("v"), dim, planes))
     val q = e.filter(col("vec_id") < nQueries)

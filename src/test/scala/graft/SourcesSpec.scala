@@ -33,6 +33,30 @@ class SourcesSpec extends SparkSpec {
     assert(out.getAs[Long]("feat_checksum") == expected)
   }
 
+  test("partitioned sink: downstream scans prune non-matching partitions") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_part").toString + "/docs"
+    graft.sources.Sinks.writePartitioned(Tables.documents(spark, sfDir), out, Seq("lang"))
+    val langs = new java.io.File(out).list().filter(_.startsWith("lang=")).sorted
+    assert(langs.length == 5, s"expected 5 lang partitions, got ${langs.toSeq}")
+    val scan = spark.read.parquet(out).filter(col("lang") === "en")
+    val leaf = scan.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaf.contains("PartitionFilters") && leaf.contains("lang"),
+      s"partition pruning missing from scan:\n$leaf")
+    assert(scan.count() > 0)
+  }
+
+  test("bucketed sink: joins on the bucket key need no shuffle on the bucketed side") {
+    import org.apache.spark.sql.functions.col
+    graft.sources.Sinks.writeBucketed(Tables.documents(spark, sfDir), "docs_bucketed", "doc_id", 8)
+    val t = spark.table("docs_bucketed")
+    val joined = t.as("a").join(t.as("b"), "doc_id")
+    val exchanges = joined.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, "bucket-key self-join should reuse the bucketed layout, no shuffle")
+    assert(joined.count() == 500)
+  }
+
   test("multimodal metadata allows pruned filtering without touching payloads") {
     val docs = Tables.documents(spark, sfDir)
     val mm = Multimodal.asMultimodal(docs)
