@@ -72,9 +72,13 @@ object Dedup {
     val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
     val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
       size(array_union(col("toks_a"), col("toks_b")))
+    // persist before the global sort: range-partitioned ORDER BY runs
+    // a sampling pass over its input — without the persist the whole
+    // pair-verify map stage executes twice
     candidates.join(ta, "id_a").join(tb, "id_b")
       .select(col("id_a"), col("id_b"), floor(lit(10000.0) * jac).as("jac_fs"))
       .filter(col("jac_fs") >= minJaccardFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col("id_a"), col("id_b"))
   }
 
