@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.SimHash64
+import graft.functions.expressions.{ArrayJaccardFs, SimHash64}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -19,8 +19,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+  : Seq[Expression] => Expression = { children =>
+    require(children.length == n,
+      s"$name requires exactly $n argument(s), got ${children.length}")
+    build(children)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      arity("graft_simhash64", 1)(c => SimHash64(c.head))),
+    (FunctionIdentifier("graft_jaccard_fs"),
+      new ExpressionInfo(classOf[ArrayJaccardFs].getCanonicalName, "graft_jaccard_fs"),
+      arity("graft_jaccard_fs", 2)(c => ArrayJaccardFs(c(0), c(1)))))
 }

@@ -20,6 +20,16 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Fixed-point Jaccard column: native one-pass expression when the
+    * session has GraftExtensions, Column-pair fallback otherwise.
+    * Both compute floor(10000.0 * (|A∩B| / |A∪B|)) bit-identically.
+    */
+  private def jaccardFs(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_jaccard_fs"))
+      call_function("graft_jaccard_fs", a, b)
+    else
+      floor(lit(10000.0) * (size(array_intersect(a, b)).cast("double") / size(array_union(a, b))))
+
   /** Exact dedup via content hash: one hash-partitioned groupBy, the
     * cheapest possible shuffle (key = 32-byte digest, payload = count
     * + min id). `keep_id` = lowest doc_id is the canonical survivor.
@@ -70,13 +80,12 @@ object Dedup {
     // exact-Jaccard verify: one set-intersection per UNIQUE candidate
     val ta = shingled.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
-    val jac = size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-      size(array_union(col("toks_a"), col("toks_b")))
     // persist before the global sort: range-partitioned ORDER BY runs
     // a sampling pass over its input — without the persist the whole
     // pair-verify map stage executes twice
     candidates.join(ta, "id_a").join(tb, "id_b")
-      .select(col("id_a"), col("id_b"), floor(lit(10000.0) * jac).as("jac_fs"))
+      .select(col("id_a"), col("id_b"),
+        jaccardFs(docs0.sparkSession, col("toks_a"), col("toks_b")).as("jac_fs"))
       .filter(col("jac_fs") >= minJaccardFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col("id_a"), col("id_b"))
@@ -129,12 +138,10 @@ object Dedup {
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")
     val b = d.as("b")
-    val jac = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-      size(array_union(col("a.toks"), col("b.toks")))
     a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        floor(lit(10000.0) * jac).as("jac_fs"))
+        jaccardFs(docs.sparkSession, col("a.toks"), col("b.toks")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
       .orderBy(col("id_a"), col("id_b"))
   }
