@@ -297,6 +297,27 @@ object Oracles {
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
+  /** Greedy dedup application: survivors after dropping the higher id
+    * of every blocked-Jaccard near-dup pair (mirrors Dedup.applyPairs
+    * over Dedup.ngramJaccard).
+    */
+  val dedupApply: String =
+    """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
+      |             list_distinct(string_split(text,' ')) AS toks FROM documents),
+      |p AS (SELECT b.doc_id AS id_b
+      |      FROM d a JOIN d b ON a.lang=b.lang AND a.lb=b.lb AND a.doc_id<b.doc_id
+      |      WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
+      |        / len(list_distinct(a.toks || b.toks)))) AS BIGINT) >= 9000)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id_b FROM p)
+      |ORDER BY doc_id""".stripMargin
+
+  val textVocabulary: String =
+    """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      | count(*) AS total_count
+      |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY token""".stripMargin
+
   val textLangid: String = {
     val langs = TextFunctions.stopwords
     val scoreCols = langs.map { case (l, words) =>

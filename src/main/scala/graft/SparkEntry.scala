@@ -97,7 +97,16 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.asMultimodal(Tables.documents(s, dir))))
+      Multimodal.decodeFeatures(Multimodal.asMultimodal(Tables.documents(s, dir)))),
+
+    // ---- beyond §2: corpus-level pipeline ops ----
+    "dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyPairs(docs, Dedup.ngramJaccard(docs))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir)))
   )
 
   /** DuckDB twins (see Oracles.scala). Keys absent here are rows-only
@@ -130,6 +139,8 @@ object SparkEntry {
     "sim_topk_cosine" -> Oracles.simTopkCosine,
     "text_tokens" -> Oracles.textTokens,
     "text_quality" -> Oracles.textQuality,
-    "text_langid" -> Oracles.textLangid
+    "text_langid" -> Oracles.textLangid,
+    "dedup_apply" -> Oracles.dedupApply,
+    "text_vocabulary" -> Oracles.textVocabulary
   )
 }

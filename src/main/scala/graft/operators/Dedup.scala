@@ -146,6 +146,20 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
+    * every doc that appears as the HIGHER id of any pair is dropped.
+    * (Connected-component canonicalization would chain A-B-C through
+    * an iterative join; greedy is the standard single-pass policy for
+    * training-data dedup and needs exactly one anti-join.)
+    *
+    * At scale: `pairs` carries only ids (slim), the anti-join shuffles
+    * on doc_id — no text moves except the survivors' single pass.
+    */
+  def applyPairs(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Blocked embedding-cosine near-dup pairs: block key = label
     * metadata (any partition/source key works); norms precomputed once
     * per side so the pair expression is a single dot product.

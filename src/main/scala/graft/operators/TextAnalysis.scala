@@ -43,6 +43,20 @@ object TextAnalysis {
         col("lang").as("actual_lang"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary statistics: per-token document frequency and
+    * total occurrence count — the inputs to IDF weighting, stopword
+    * discovery, and tokenizer-vocab construction.
+    *
+    * One explode + one groupBy: the shuffle carries (token, partial
+    * counts) — partial aggregation bounds it at |vocab| × partitions
+    * rows regardless of corpus size.
+    */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_count"))
+      .orderBy(col("token"))
+
   /** Order-sensitive rolling polynomial fingerprint per doc (exact
     * near-prefix dedup primitive), plus the count of docs sharing the
     * fingerprint — rows-only checked + spec-verified.

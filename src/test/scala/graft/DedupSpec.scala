@@ -69,6 +69,13 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) >= 9999L)
   }
 
+  test("applyPairs drops exactly the higher-id members of dup pairs") {
+    val pairs = Dedup.ngramJaccard(docs, thresholdFs = 9000L)
+    val survivors = Dedup.applyPairs(docs, pairs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(1L) && !survivors.contains(2L), "doc 2 is the higher-id exact dup")
+    assert(survivors.contains(4L), "non-dup doc must survive")
+  }
+
   test("rolling fingerprint is order-sensitive where set hashes are not") {
     val d2 = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = d2.select(HashFunctions.rollingFingerprint(split(col("text"), " ")).as("fp"))

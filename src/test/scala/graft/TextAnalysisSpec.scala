@@ -38,6 +38,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "unk")
   }
 
+  test("vocabulary: doc frequency vs total count distinguish repeats") {
+    val d = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("doc_freq"), r.getAs[Long]("total_count")))).toMap
+    assert(v("a") == ((2L, 3L)), "a: in 2 docs, 3 occurrences")
+    assert(v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
+  }
+
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprints(d).collect()
