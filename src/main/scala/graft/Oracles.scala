@@ -39,7 +39,7 @@ object Oracles {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       | AND l_discount > 0.06 AND l_quantity < 5.0
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount""".stripMargin
 
   val q3: String =
     """SELECT l_orderkey, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
@@ -101,7 +101,7 @@ object Oracles {
   val q10: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem
-      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
       |LIMIT 100""".stripMargin
 
   val q11: String =
@@ -138,6 +138,22 @@ object Oracles {
       |FROM customer
       |WHERE EXISTS(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
+
+  val q15: String =
+    """WITH w AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |             l_partkey, l_quantity,
+      |             round(avg(l_quantity) OVER (PARTITION BY l_partkey), 6) AS avg_qty
+      |           FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, avg_qty
+      |FROM w WHERE l_quantity > 1.8*avg_qty
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
+  val q16: String =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | count(*) AS n_ord
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------- A-suite: k-means ----------------
 

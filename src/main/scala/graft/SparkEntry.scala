@@ -47,6 +47,8 @@ object SparkEntry {
     "q12_sessionize" -> (Relational.q12Sessionize _),
     "q13_case_agg" -> (Relational.q13CaseAgg _),
     "q14_exists_subquery" -> (Relational.q14ExistsSubquery _),
+    "q15_scalar_subquery" -> (Relational.q15ScalarSubquery _),
+    "q16_percentile" -> (Relational.q16Percentile _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -127,6 +129,8 @@ object SparkEntry {
     "q12_sessionize" -> Oracles.q12,
     "q13_case_agg" -> Oracles.q13,
     "q14_exists_subquery" -> Oracles.q14,
+    "q15_scalar_subquery" -> Oracles.q15,
+    "q16_percentile" -> Oracles.q16,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -67,7 +67,12 @@ object Relational {
         && col("l_discount") > lit(0.06) && col("l_quantity") < lit(5.0))
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // lineitem has NO unique key in this dataset ((orderkey,
+      // linenumber) repeats) — order by every output column so the
+      // row order is total up to full-duplicate rows (which hash
+      // identically anyway). Same rule in the oracle SQL.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
 
   /** q3: TPC-H Q3-style 3-table join + agg + top-N. customer is the
     * small side at dim scale → broadcast; orders⨝lineitem is the real
@@ -190,7 +195,8 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_extendedprice"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
       .limit(100)
 
   /** q11: tumbling-window event aggregation — the batch analogue of
@@ -225,6 +231,34 @@ object Relational {
         round(sum(when(col("event_type") === "error", col("value")).otherwise(lit(0.0))), 2)
           .as("error_value"))
       .orderBy(col("user_id"))
+
+  /** q15: correlated scalar subquery (items well above their part's
+    * average quantity — TPC-H Q17 family), rewritten as a window
+    * aggregate: one shuffle on partkey, no self-join, which is the
+    * plan Catalyst's DecorrelateInnerQuery ultimately wants anyway.
+    */
+  def q15ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_quantity"),
+        round(avg(col("l_quantity")).over(byPart), 6).as("avg_qty"))
+      .filter(col("l_quantity") > lit(1.8) * col("avg_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+  }
+
+  /** q16: interpolated percentiles per group (median + p90 order
+    * value) — exact `percentile` here; the 100 TB path is
+    * approx_percentile (t-digest sketch partials), same API shape.
+    */
+  def q16Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_ord"))
+      .orderBy(col("o_orderpriority"))
 
   /** q14: correlated EXISTS predicate (customers having a >300k
     * order) — rewritten as a left-semi join, which is exactly what
