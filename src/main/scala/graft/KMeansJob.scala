@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeans
+import graft.sources.FeatureSource
+import graft.streaming.StreamingKMeans
+
+/** CLI entry point mirroring the reference engine's tooling surface
+  * (ScaleUnlimited/flink-streaming-kmeans: load feature points from
+  * CSV, cluster them, emit per-point assignments + periodic centroid
+  * snapshots).
+  *
+  * Usage:
+  *   tools/run.sh graft.KMeansJob batch  <csvPathOrDir> <k> <iters>
+  *   tools/run.sh graft.KMeansJob stream <csvDir> <k> [decay]
+  *
+  * batch: Lloyd's over the full file, prints per-cluster metrics and
+  *   final centroids.
+  * stream: watches `csvDir` as a file stream (the Spark analogue of
+  *   the reference's point stream); each arriving file is a
+  *   micro-batch; prints a centroid snapshot per batch. Seeds from
+  *   whatever CSV is already present.
+  */
+object KMeansJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: KMeansJob batch|stream <path> <k> [iters|decay]")
+    val Array(mode, path, kStr) = args.take(3)
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    mode match {
+      case "batch" =>
+        val iters = if (args.length > 3) args(3).toInt else 3
+        val pts = FeatureSource.csv2d(spark, path).toDF()
+        val (assigned, cents) = KMeans.lloyd(pts, "id", "vec", k, iters, dim = 2)
+        println("== per-cluster metrics ==")
+        KMeans.metrics(assigned).show(k, truncate = false)
+        println("== centroids ==")
+        cents.foreach { case (cid, c) => println(s"  cluster $cid: ${c.mkString("(", ", ", ")")}") }
+
+      case "stream" =>
+        val decay = if (args.length > 3) args(3).toDouble else 1.0
+        val seed = FeatureSource.csv2d(spark, path).toDF()
+        val model = StreamingKMeans.seeded(seed, "id", "vec", k, dim = 2, decay)
+        val stream = spark.readStream.schema(FeatureSource.csvSchema).csv(path)
+          .select(array(col("x"), col("y")).as("vec"))
+        val q = model.run(stream, "vec", (batchId, cents) => {
+          println(s"== snapshot after batch $batchId ==")
+          cents.foreach { case (cid, c) =>
+            println(f"  cluster $cid: (${c(0)}%.4f, ${c(1)}%.4f) n=${model.weights.toMap.apply(cid)}%.1f")
+          }
+        })
+        q.awaitTermination(sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "15000").toLong)
+        q.stop()
+
+      case other => sys.error(s"unknown mode: $other (use batch|stream)")
+    }
+    spark.stop()
+  }
+}

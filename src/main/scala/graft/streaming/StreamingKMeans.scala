@@ -65,13 +65,17 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
   }
 
   /** Attach to a streaming Dataset: every micro-batch folds into the
-    * model via foreachBatch.
+    * model via foreachBatch. `onSnapshot` fires after each batch with
+    * the updated centroids — the reference engine's periodic
+    * cluster-snapshot surface (for monitoring/visualization).
     */
-  def run(stream: DataFrame, vecCol: String): StreamingQuery =
+  def run(stream: DataFrame, vecCol: String,
+          onSnapshot: (Long, Seq[(Long, Array[Double])]) => Unit = (_, _) => ()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         update(batch.toDF(), vecCol)
+        onSnapshot(batchId, centroids)
       }
       .start()
 }
