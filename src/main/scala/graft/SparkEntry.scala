@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
     "sim_topk_cosine" -> ((s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "sim_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),

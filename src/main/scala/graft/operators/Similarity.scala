@@ -63,6 +63,46 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * quantized by OUR k-means (operators.KMeans — the reference
+    * engine's clustering doubles as the ANN index); each query probes
+    * its `nprobe` nearest centroids and ranks only the vectors
+    * assigned to those lists.
+    *
+    * Scale shape: the index build is Lloyd's (narrow assign + k-row
+    * agg per iteration); the search is an equi-join on the cluster id
+    * — bucketed candidate generation, never a cross join. Recall is
+    * tuned by nprobe; cost ∝ probed-list volume, not corpus size.
+    */
+  def ivfTopK(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.operators.KMeans
+    val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val (assigned, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = 2, dim = dim)
+    val lists = assigned.select(col("id").as("c_id"), col("v").as("cv"), col("cluster"))
+      .withColumn("cn", l2norm(col("cv")))
+    // nprobe nearest centroid ids per query: sort (distance, cid)
+    // structs lexicographically, slice, project the ids
+    val distStructs = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("qv"), typedlit(c)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val probed = transform(slice(array_sort(distStructs), 1, nprobe), s => s.getField("cid"))
+    val q = pts.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("probe_cluster", explode(probed))
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
+    lists.join(broadcast(q),
+        col("cluster") === col("probe_cluster") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosFs(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))).as("cos_fs"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** LSH-bucketed approximate top-k: per query, rank candidates that
     * collide in the sign-pattern bucket. Smaller `planes` → bigger
     * buckets → higher recall, more compute.

@@ -30,6 +30,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf top-k: results come from probed lists with brute-force-identical scores") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteTopK(emb, nQueries = 10, k = 500).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("cos_fs")).toMap
+    val ivf = Similarity.ivfTopK(emb, nlist = 8, nprobe = 3, nQueries = 10, k = 5).collect()
+    assert(ivf.nonEmpty, "every query should find candidates in its probed lists")
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      assert(brute.contains(key) && brute(key) == r.getAs[Long]("cos_fs"),
+        s"ivf pair $key score mismatch vs brute force")
+    }
+    // full probe (nprobe = nlist) must equal exact brute-force top-k
+    val full = Similarity.ivfTopK(emb, nlist = 8, nprobe = 8, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("c_id")))
+    val exact = Similarity.bruteTopK(emb, nQueries = 5, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("c_id")))
+    assert(full.toSeq == exact.toSeq, "probing every list must reduce to exact search")
+  }
+
   test("lsh bucket recall at coarse planes is nontrivial") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 3).collect()
