@@ -5,7 +5,6 @@ import java.time.LocalDateTime
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
 
 import graft.Tables
 
@@ -31,13 +30,6 @@ object Relational {
 
   private def ntz(y: Int, m: Int, d: Int): Column =
     lit(LocalDateTime.of(y, m, d, 0, 0, 0))
-
-  /** Epoch seconds of a (NTZ) timestamp truncated to whole seconds —
-    * emitted as BIGINT so the ns-vs-µs parquet precision gap between
-    * engines can never surface.
-    */
-  private def epochSeconds(ts: Column): Column =
-    unix_timestamp(date_trunc("second", ts).cast(TimestampType))
 
   /** q1: TPC-H Q1-style pricing summary — scan → filter → groupBy
     * aggregate. The canonical partial-agg shape: 6 aggregates over 2

@@ -38,6 +38,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "unk")
   }
 
+  test("word n-grams: correct shingles, empty when doc shorter than n") {
+    import graft.functions.TextFunctions
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val out = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        TextFunctions.wordNgrams(TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text")), 3).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty, "doc shorter than n must yield no shingles, not a partial one")
+  }
+
   test("vocabulary: doc frequency vs total count distinguish repeats") {
     val d = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(d).collect()
