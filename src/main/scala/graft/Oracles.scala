@@ -302,13 +302,16 @@ object Oracles {
 
   val textQuality: String = {
     val en = sqlWordList(TextFunctions.stopwords.toMap.apply("en"))
-    s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
        |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
        |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-       |        CAST(len(list_filter(toks, x -> x IN $en)) AS BIGINT) AS n_stop FROM t)
-       |SELECT doc_id, n_tok, n_uniq, n_stop,
-       | CAST(floor(10000.0 * (0.5*(CAST(n_uniq AS DOUBLE)/n_tok)
-       |   + 0.3*(1.0 - CAST(n_stop AS DOUBLE)/n_tok)
+       |        CAST(len(list_filter(toks, x -> x IN $en)) AS BIGINT) AS n_stop,
+       |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+       |        CAST(length(text) AS BIGINT) AS n_chars FROM t)
+       |SELECT doc_id, n_tok, n_uniq, n_stop, n_punct, n_chars,
+       | CAST(floor(10000.0 * (0.4*(CAST(n_uniq AS DOUBLE)/n_tok)
+       |   + 0.2*(1.0 - CAST(n_stop AS DOUBLE)/n_tok)
+       |   + 0.2*(1.0 - CAST(n_punct AS DOUBLE)/n_chars)
        |   + 0.2*least(1.0, CAST(n_tok AS DOUBLE)/100.0))) AS BIGINT) AS score_fs
        |FROM q ORDER BY doc_id""".stripMargin
   }

@@ -32,6 +32,9 @@ object TextFunctions {
   /** Count of regex-token matches (BPE-ish alnum runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 
+  /** Count of punctuation/non-alnum characters (excluding spaces). */
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^a-z0-9 ]"))
+
   /** Count of tokens found in `words`. */
   def countIn(toks: Column, words: Seq[String]): Column =
     size(array_filter(toks, t => t.isin(words.map(lit): _*)))
@@ -63,12 +66,16 @@ object TextFunctions {
   }
 
   /** Quality score in fixed-point (floor(score * 1e4) as BIGINT):
-    * 0.5 * uniq_ratio + 0.3 * (1 - stop_ratio) + 0.2 * min(1, n_tok/100).
-    * Expression order matters for bit parity with the oracle — keep in
-    * sync with Oracles.textQuality.
+    *   0.4·uniq_ratio + 0.2·(1 − stop_ratio) + 0.2·(1 − punct_ratio)
+    * + 0.2·min(1, n_tok/100)
+    * where punct_ratio = n_punct / n_chars. Expression order matters
+    * for bit parity with the oracle — keep in sync with
+    * Oracles.textQuality.
     */
-  def qualityScoreFs(nTok: Column, nUniq: Column, nStop: Column): Column =
-    floor(lit(10000.0) * (lit(0.5) * (nUniq.cast("double") / nTok)
-      + lit(0.3) * (lit(1.0) - nStop.cast("double") / nTok)
+  def qualityScoreFs(nTok: Column, nUniq: Column, nStop: Column,
+                     nPunct: Column, nChars: Column): Column =
+    floor(lit(10000.0) * (lit(0.4) * (nUniq.cast("double") / nTok)
+      + lit(0.2) * (lit(1.0) - nStop.cast("double") / nTok)
+      + lit(0.2) * (lit(1.0) - nPunct.cast("double") / nChars)
       + lit(0.2) * least(lit(1.0), nTok.cast("double") / lit(100.0))))
 }

@@ -32,8 +32,11 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_uniq"),
-        countIn(toks, en).cast("long").as("n_stop"))
-      .withColumn("score_fs", qualityScoreFs(col("n_tok"), col("n_uniq"), col("n_stop")))
+        countIn(toks, en).cast("long").as("n_stop"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("score_fs", qualityScoreFs(col("n_tok"), col("n_uniq"), col("n_stop"),
+        col("n_punct"), col("n_chars")))
       .orderBy(col("doc_id"))
   }
 

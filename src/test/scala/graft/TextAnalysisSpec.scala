@@ -14,12 +14,14 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("quality score matches the hand-computed formula") {
-    val d = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val d = Seq((1L, "the cat, sat on the mat!")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(d).collect()(0)
-    val (nTok, nUniq, nStop) = (6.0, 5.0, 2.0)
-    val expected = math.floor(10000.0 * (0.5 * (nUniq / nTok)
-      + 0.3 * (1.0 - nStop / nTok) + 0.2 * math.min(1.0, nTok / 100.0))).toLong
+    val (nTok, nUniq, nStop, nPunct, nChars) = (6.0, 5.0, 2.0, 2.0, 24.0)
+    val expected = math.floor(10000.0 * (0.4 * (nUniq / nTok)
+      + 0.2 * (1.0 - nStop / nTok) + 0.2 * (1.0 - nPunct / nChars)
+      + 0.2 * math.min(1.0, nTok / 100.0))).toLong
     assert(r.getAs[Long]("n_stop") == 2L)
+    assert(r.getAs[Long]("n_punct") == 2L, "comma and bang are punctuation")
     assert(r.getAs[Long]("score_fs") == expected)
   }
 
