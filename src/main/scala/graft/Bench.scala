@@ -29,6 +29,8 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      // drop per-operator persisted frames so queries time independently
+      spark.sharedState.cacheManager.clearCache()
       if (!ok) errors += name
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
