@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * count() would let Spark satisfy projection-heavy queries from
   * parquet footers and prune the actual work. Failures are reported
   * as -1.0 with the key listed in "errors" (never silently timed).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * MINIMUM is reported: this host carries external CPU noise that
+  * inflates single readings 3–10× (see PERF.md), so per-round medians
+  * of one run are a lottery — the min across runs is the stable
+  * code-attributable number and makes rounds comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,19 +32,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      // drop per-operator persisted frames so queries time independently
-      spark.sharedState.cacheManager.clearCache()
-      if (!ok) errors += name
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        // drop per-operator persisted frames so queries (and repeat
+        // runs) time independently — no run rides a predecessor's cache
+        spark.sharedState.cacheManager.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (times.exists(_ < 0)) errors += name
+      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal
+    // locale would emit invalid JSON and silently break the harness
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -48,18 +48,23 @@ object KMeansJob {
 
       case "stream" =>
         val decay = if (args.length > 3) args(3).toDouble else 1.0
+        // snapshots land NEXT TO the watched dir (writing parquet into
+        // the csv dir would feed the file stream its own output)
+        val snapDir = if (args.length > 4) args(4) else s"${path.stripSuffix("/")}_snapshots"
         val seed = FeatureSource.csv2d(spark, path).toDF()
         val model = StreamingKMeans.seeded(seed, "id", "vec", k, dim = 2, decay)
         val stream = spark.readStream.schema(FeatureSource.csvSchema).csv(path)
           .select(array(col("x"), col("y")).as("vec"))
-        val q = model.run(stream, "vec", (batchId, cents) => {
-          println(s"== snapshot after batch $batchId ==")
-          cents.foreach { case (cid, c) =>
-            println(f"  cluster $cid: (${c(0)}%.4f, ${c(1)}%.4f) n=${model.weights.toMap.apply(cid)}%.1f")
-          }
-        })
+        // per-batch snapshot → partitioned parquet sink (the reference
+        // engine's visualization feed, durable + queryable), not stdout
+        val q = model.run(stream, "vec", (batchId, cents) =>
+          graft.sources.Sinks.writeSnapshot(spark, snapDir, batchId, cents,
+            model.weights.toMap))
         q.awaitTermination(sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "15000").toLong)
         q.stop()
+        println(s"centroid snapshots: $snapDir")
+        graft.sources.Sinks.readSnapshots(spark, snapDir)
+          .orderBy(col("batch_id"), col("cid")).show(100, truncate = false)
 
       case other => sys.error(s"unknown mode: $other (use batch|stream)")
     }

@@ -331,6 +331,32 @@ object Oracles {
       |WHERE doc_id NOT IN (SELECT id_b FROM p)
       |ORDER BY doc_id""".stripMargin
 
+  /** Connected-component min-id labels over the ngram-Jaccard pair
+    * graph, unrolled to the same fixed iteration count as
+    * Dedup.ccLabels (both engines run EXACTLY `iters` rounds, so the
+    * oracle matches even on chains that haven't fully converged).
+    */
+  val dedupApplyCc: String = {
+    val iters = 4
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT l.doc_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+         |      FROM l${i - 1} l
+         |      LEFT JOIN edges e ON e.u = l.doc_id
+         |      LEFT JOIN l${i - 1} n ON n.doc_id = e.v
+         |      GROUP BY l.doc_id, l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
+       |             list_distinct(string_split(text,' ')) AS toks FROM documents),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM d a JOIN d b ON a.lang=b.lang AND a.lb=b.lb AND a.doc_id<b.doc_id
+       |      WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
+       |        / len(list_distinct(a.toks || b.toks)))) AS BIGINT) >= 9000),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT doc_id, lbl AS rep_id FROM l$iters ORDER BY doc_id""".stripMargin
+  }
+
   val textVocabulary: String =
     """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
       | count(*) AS total_count

@@ -91,10 +91,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_ngram_lsh" -> ((s, dir) => Dedup.ngramLsh(Tables.documents(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
+    "dedup_cosine_lsh" -> ((s, dir) => Dedup.cosineLsh(Tables.embeddings(s, dir))),
     "sim_topk_cosine" -> ((s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "sim_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "sim_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
@@ -108,6 +111,10 @@ object SparkEntry {
       Dedup.applyPairs(docs, Dedup.ngramJaccard(docs))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+    "dedup_apply_cc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ccLabels(docs, Dedup.ngramJaccard(docs))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir)))
   )
@@ -146,6 +153,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "dedup_apply" -> Oracles.dedupApply,
+    "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_vocabulary" -> Oracles.textVocabulary
   )
 }

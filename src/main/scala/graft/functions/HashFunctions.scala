@@ -44,6 +44,14 @@ object HashFunctions {
       )
     }: _*)
 
+  /** Probability that a pair with Jaccard `j` collides in ≥1 MinHash
+    * LSH band under (bands × rowsPerBand) geometry: 1−(1−j^r)^b — the
+    * s-curve whose midpoint sits at ≈ (1/b)^(1/r). The recall model
+    * for [[bandKeys]]-based dedup, spec-pinned in DedupSpec.
+    */
+  def lshCollisionProb(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
   /** 64-bit SimHash of a token array: per bit, sum +1/-1 votes of
     * each token's hash bit, sign of the sum becomes the bit.
     * Single aggregate fold over tokens carrying a 64-counter array.

@@ -52,17 +52,34 @@ object TextFunctions {
   )
 
   /** Predicted language: argmax of stopword hits, alphabetical
-    * tie-break, "unk" if no list scores > 0. Written as a CASE chain
-    * evaluated in alphabetical order so the oracle SQL can replicate
-    * the exact tie-break.
+    * tie-break, "unk" if no list scores > 0.
+    *
+    * Single-pass form: the token array and the 5 counts are each
+    * BOUND ONCE as lambda variables (the single-element-array +
+    * transform trick is Catalyst's let-binding), so the row cost is
+    * one tokenize + one membership pass per language — the naive CASE
+    * chain re-embeds every count per comparison and re-evaluates the
+    * tokenizer ~25× per row on what is otherwise a scan-bound
+    * operator.
+    *
+    * Tie-break parity with the oracle SQL: `stopwords` is ordered
+    * alphabetically and array_position returns the FIRST index of the
+    * max, so equal counts resolve to the alphabetically-first code —
+    * identical to the oracle's ordered CASE evaluation.
     */
   def langId(toks: Column): Column = {
-    val scores = stopwords.map { case (lang, words) => lang -> countIn(toks, words) }
-    val cases = scores.map { case (lang, s) =>
-      val geAll = scores.filter(_._1 != lang).map { case (_, o) => s >= o }.reduce(_ && _)
-      (geAll && s > 0, lit(lang))
-    }
-    cases.foldRight(lit("unk")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    val langsLit = typedlit(stopwords.map(_._1))
+    element_at(
+      transform(array(toks), ts => {
+        val counts = array(stopwords.map { case (_, words) => countIn(ts, words) }: _*)
+        element_at(
+          transform(array(counts), c =>
+            when(array_max(c) > 0,
+              element_at(langsLit, array_position(c, array_max(c)).cast("int")))
+              .otherwise(lit("unk"))),
+          1)
+      }),
+      1)
   }
 
   /** Quality score in fixed-point (floor(score * 1e4) as BIGINT):

@@ -30,6 +30,46 @@ object Dedup {
     else
       floor(lit(10000.0) * (size(array_intersect(a, b)).cast("double") / size(array_union(a, b))))
 
+  /** Candidate pairs from a slim banded frame (doc_id, band, bucket):
+    * the self-equi-join on the bucket key — the ONLY pair generator
+    * any LSH dedup here uses — deduplicated across bands BEFORE the
+    * expensive verify. Pair volume is Σ bucket² over buckets, never
+    * |corpus|².
+    *
+    * Skew guard: a mega-bucket (near-dup cluster, degenerate band —
+    * e.g. the 1.8k-doc bucket this corpus plants at sf0.1) would put
+    * its entire n² pair expansion into ONE join task. Buckets wider
+    * than `maxBucket` are salted with the standard triangle split:
+    * members get a salt group g = hash(id) mod s (s = ⌈n/maxBucket⌉),
+    * the left leg replicates each row to every partner group, the
+    * right leg keys on its own group — every ordered (x, y) meets on
+    * exactly one (band, bucket, partner) key, so the pair set is
+    * IDENTICAL to the unsalted join (spec-verified) while the widest
+    * key carries ≤ n·maxBucket pairs across s parallel tasks instead
+    * of n² in one. Buckets ≤ maxBucket have s = 1: zero replication,
+    * the plain equi-join.
+    *
+    * Cost accounting: the bucket-size pass is a partial-agg groupBy
+    * of slim rows (skew-immune: map-side combine), and the count
+    * join-back shares the (band, bucket) shuffle key; replication
+    * touches only mega-bucket rows.
+    */
+  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val banded = banded0.select(col("doc_id"), col("band"), col("bucket"))
+    val counts = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+    val salted = banded.join(counts, Seq("band", "bucket"))
+      .withColumn("s", ceil(col("n") / lit(maxBucket.toDouble)).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+    val a = salted
+      .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
+      .select(col("doc_id").as("id_a"), col("band"), col("bucket"), col("pg"))
+    val b = salted.select(col("doc_id").as("id_b"), col("band"), col("bucket"), col("g").as("pg"))
+    a.join(b, Seq("band", "bucket", "pg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Exact dedup via content hash: one hash-partitioned groupBy, the
     * cheapest possible shuffle (key = 32-byte digest, payload = count
     * + min id). `keep_id` = lowest doc_id is the canonical survivor.
@@ -47,14 +87,24 @@ object Dedup {
     * downstream thresholding.
     */
   /** Band geometry default (4 bands × 8 rows) sets the LSH collision
-    * curve at ≈ (1/b)^(1/r) ≈ 0.84 Jaccard: J=0.9 pairs collide with
-    * ~89% probability while the dense J≈0.6 background (which a
-    * 4-row band would pass wholesale on a self-similar corpus)
-    * collides at <2% — candidate volume stays near the true-dup count
-    * rather than the pair count.
+    * s-curve midpoint at ≈ (1/b)^(1/r) ≈ 0.84 Jaccard
+    * ([[graft.functions.HashFunctions.lshCollisionProb]], spec-pinned
+    * in DedupSpec): J=0.9 pairs collide with ~89% probability while
+    * the dense J≈0.6 background (which a 4-row band would pass
+    * wholesale on a self-similar corpus) collides at <2% — candidate
+    * volume stays near the true-dup count rather than the pair count.
+    *
+    * The default verify threshold is COUPLED to that geometry:
+    * minJaccardFs = 8400 ≈ the collision midpoint, so the output is
+    * honestly "pairs with J ≥ 0.84, recall ≥ ~50% at the midpoint and
+    * ≥ 89% from J = 0.9 up". Callers lowering minJaccardFs below the
+    * midpoint must widen the geometry too (more bands / shorter
+    * rows — e.g. 8×4 puts the midpoint at 0.59) or accept that
+    * far-below-midpoint pairs pass the verify filter yet almost never
+    * collide (at this geometry J = 0.5 pairs surface at only ~1.5%).
     */
   def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
-                 shingleN: Int = 1, minJaccardFs: Long = 5000L): DataFrame = {
+                 shingleN: Int = 1, minJaccardFs: Long = 8400L): DataFrame = {
     val docs = Par.spread(docs0)
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
@@ -71,12 +121,7 @@ object Dedup {
     val banded = shingled
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct() // dedup across bands BEFORE the expensive verify
+    val candidates = candidatePairs(banded)
     // exact-Jaccard verify: one set-intersection per UNIQUE candidate
     val ta = shingled.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
@@ -146,6 +191,96 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Scale-safe word n-gram Jaccard pairs: the LSH replacement for
+    * the blocked [[ngramJaccard]]. Candidates come from MinHash band
+    * buckets over the n-gram shingle sets (equi-join on (band,
+    * bucket), cost ∝ Σ bucket², independent of corpus size); the
+    * exact n-gram-set Jaccard verify runs only on candidates.
+    *
+    * vs blocking: no length-bucket boundary misses (a 299- vs
+    * 301-char near-dup pair lands in the same band bucket whenever
+    * its shingle sets agree) and no fixed-cardinality block keys
+    * going quadratic — at sf0.01 the lang×length blocking misses 91%
+    * of true unigram J≥0.9 pairs (790 of 9020) while LSH banding
+    * recalls J≥0.9 pairs w.p. ≥ 1−(1−0.9^4)^8 ≈ 0.9998.
+    *
+    * Geometry: 8 bands × 4 rows (32 perms) puts the s-curve midpoint
+    * at (1/8)^(1/4) ≈ 0.59 — comfortably below the 0.9 verify
+    * threshold (high recall) while the n-gram background similarity
+    * (bigram J < 0.5 for every non-dup pair in the corpus) keeps
+    * candidate volume near the true-dup count.
+    *
+    * Docs with fewer than n tokens have no shingles and are dropped:
+    * an empty shingle set has Jaccard 0 to everything, and binning
+    * empty signatures would otherwise funnel every short doc into one
+    * degenerate mega-bucket.
+    */
+  def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
+               thresholdFs: Long = 9000L): DataFrame = {
+    val docs = Par.spread(docs0)
+    val rowsPerBand = perms / bands
+    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    // persist: feeds both legs of the band self-join and both sides
+    // of the verify join (same reason as minhashLsh)
+    val shingled = docs.select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val ga = shingled.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val gb = shingled.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
+    candidatePairs(banded).join(ga, "id_a").join(gb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardFs(docs0.sparkSession, col("grams_a"), col("grams_b")).as("jac_fs"))
+      .filter(col("jac_fs") >= thresholdFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Scale-safe embedding-cosine near-dup pairs: the SRP-LSH
+    * replacement for the blocked [[embedCosine]]. Candidates come
+    * from sign-random-projection buckets ([[Similarity.srpBucketSeeded]])
+    * across `tables` independent hash tables (equi-join on (table,
+    * bucket) — never a cross join, never a fixed-cardinality block
+    * key); the exact cosine verify runs only on candidates.
+    *
+    * Recall model (spec-pinned via [[Similarity.srpCollisionProb]]):
+    * a pair at angle θ collides in ≥1 table w.p.
+    * 1 − (1 − (1−θ/π)^planes)^tables. The (3 planes × 12 tables)
+    * default gives ≈0.94 recall at the τ=0.3 verify threshold this
+    * corpus supports. NOTE the inherent LSH trade-off: pruning power
+    * comes from the gap between threshold and background similarity —
+    * at a production near-dup threshold (τ ≥ 0.8, the realistic
+    * setting for embedding dedup) use (8 planes × 12 tables):
+    * ≈0.88 recall with background (cos≈0) candidate rate
+    * 12·0.5⁸ ≈ 4.7%; low thresholds like 0.3 on near-orthogonal
+    * corpora prune weakly no matter the geometry (ρ → 1 as p1 → p2).
+    */
+  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 3, tables: Int = 12,
+                thresholdFs: Long = 3000L): DataFrame = {
+    import graft.operators.{Similarity => Sim}
+    // persist: feeds the bucket explode and both verify-join sides
+    val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // slim (id, table, bucket) rows — vectors never ride the explode
+    val bucketStructs = array((0 until tables).map { t =>
+      struct(lit(t).as("band"), Sim.srpBucketSeeded(col("v"), dim, planes, s"t$t#").as("bucket"))
+    }: _*)
+    val banded = e.select(col("vec_id").as("doc_id"), explode(bucketStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    candidatePairs(banded).join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(10000.0) * cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))).as("cos_fs"))
+      .filter(col("cos_fs") >= thresholdFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
     * every doc that appears as the HIGHER id of any pair is dropped.
     * (Connected-component canonicalization would chain A-B-C through
@@ -158,6 +293,41 @@ object Dedup {
   def applyPairs(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val drop = pairs.select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected-component canonicalization of near-dup pairs: `iters`
+    * fixed rounds of min-id label propagation over the (undirected)
+    * pair graph. Where greedy [[applyPairs]] only drops direct
+    * higher-id pair members, this collapses CHAINS: A–B and B–C put
+    * all three docs under representative min(A,B,C) even though A–C
+    * was never emitted as a pair.
+    *
+    * Each round: label(x) ← min(label(x), min over neighbors'
+    * labels) — one edge join + one groupBy per round, every shuffle
+    * keyed on doc ids (no skew beyond the dup-cluster fan-in, which
+    * the groupBy partial-aggregates away). A fixed iteration count
+    * keeps both engines in lockstep for the oracle (chains longer
+    * than `iters` hops are rare in near-dup graphs; large-star /
+    * small-star alternation is the known accelerant if they are not).
+    *
+    * Output: (doc_id, rep_id) for EVERY corpus doc — unpaired docs
+    * represent themselves. Keep rows where doc_id = rep_id for the
+    * canonical corpus.
+    */
+  def ccLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 4,
+               idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("lbl", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges.join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
+        .withColumnRenamed("u", "doc_id")
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
   }
 
   /** Blocked embedding-cosine near-dup pairs: block key = label

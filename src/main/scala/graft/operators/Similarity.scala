@@ -47,21 +47,52 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h(p, i) ∈ {-1,+1}
-    * from xxhash64 — sign-only hyperplanes are the standard SRP-LSH
-    * construction and need no stored model.
+  /** Deterministic ±1 hyperplane vector for (seed, plane), folded
+    * DRIVER-SIDE (MD5 of the component name) — sign-only hyperplanes
+    * are the standard SRP-LSH construction and need no stored model.
+    * `seed` namespaces the plane family so multiple independent hash
+    * tables can coexist (multi-table SRP amplification).
+    *
+    * Folding on the driver matters: a per-component hash Column would
+    * put planes×dim×tables nodes into the plan (thousands — minutes
+    * of analyzer/optimizer time per query); a literal plane vector is
+    * ONE node, and the dot product is one codegen'd zip_with fold.
     */
-  private def planeComponent(plane: Int, i: Int): Column =
-    when(pmod(xxhash64(lit(s"plane$plane#dim$i")), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+  private def planeVector(seed: String, plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { i =>
+      val h = md.digest(s"${seed}plane$plane#dim$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }.toArray
+  }
 
   /** Sign-pattern bucket id over `planes` hyperplanes (bit b = sign of
-    * dot(v, plane_b)).
+    * dot(v, plane_b)) from the `seed` plane family.
+    *
+    * Collision geometry (the LSH s-curve, spec-pinned in DedupSpec):
+    * two vectors at angle θ agree on one plane with probability
+    * p = 1 − θ/π, land in the same bucket of one table with p^planes,
+    * and collide in ≥1 of `tables` independent tables with
+    * 1 − (1 − p^planes)^tables. More planes → stronger pruning,
+    * lower recall; more tables buys recall back at linear cost.
     */
-  def srpBucket(v: Column, dim: Int, planes: Int): Column =
+  def srpBucketSeeded(v: Column, dim: Int, planes: Int, seed: String): Column =
     (0 until planes).map { p =>
-      val dot = (1 to dim).map(i => element_at(v, i) * planeComponent(p, i)).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val d = dot(v, typedlit(planeVector(seed, p, dim)))
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  def srpBucket(v: Column, dim: Int, planes: Int): Column =
+    srpBucketSeeded(v, dim, planes, "")
+
+  /** Expected ≥1-table collision probability of a pair at cosine
+    * `cos` under (planes, tables) SRP geometry — the recall model the
+    * scaladoc and SimilaritySpec pin down.
+    */
+  def srpCollisionProb(cos: Double, planes: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, planes), tables)
+  }
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized by OUR k-means (operators.KMeans — the reference
@@ -79,8 +110,13 @@ object Similarity {
     import graft.operators.KMeans
     val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
-    val (assigned, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = 2, dim = dim)
-    val lists = assigned.select(col("id").as("c_id"), col("v").as("cv"), col("cluster"))
+    val (assigned0, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = 2, dim = dim)
+    // list/probe geometry must AGREE: lloyd's returned assignment is
+    // against the pre-final-update centroids, but queries probe the
+    // final ones — re-assign once against the final centroids (one
+    // narrow pass over lloyd's cached frame) before building lists
+    val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
+    val lists = assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
       .withColumn("cn", l2norm(col("cv")))
     // nprobe nearest centroid ids per query: sort (distance, cid)
     // structs lexicographically, slice, project the ids
@@ -104,25 +140,85 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: per query, rank candidates that
-    * collide in the sign-pattern bucket. Smaller `planes` → bigger
-    * buckets → higher recall, more compute.
+    * collide with it in ≥1 of `tables` independent sign-pattern hash
+    * tables (standard multi-table SRP amplification — see
+    * [[srpCollisionProb]] for the recall model). Smaller `planes` →
+    * bigger buckets → higher recall, more compute; more `tables` buys
+    * recall back at linear candidate cost.
+    *
+    * Scale shape: candidate ids come from an equi-join on (table,
+    * bucket) and are DISTINCT'd before any vector math — per-query
+    * cost ∝ distinct collision volume, never |corpus|×|queries|.
     */
-  def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6,
+  def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 4,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-      .withColumn("bucket", srpBucket(col("v"), dim, planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketStructs = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), srpBucketSeeded(col("v"), dim, planes, s"t$t#").as("bucket"))
+    }: _*)
+    // slim (id, tbl, bucket) rows — vectors never ride the explode
+    val banded = e.select(col("vec_id"), explode(bucketStructs).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val qb = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = banded.select(col("vec_id").as("c_id"), col("tbl"), col("bucket"))
+      .join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"))
+      .distinct() // dedup across tables BEFORE the vector math
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("q_bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
-    e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
-      .join(broadcast(q), col("bucket") === col("q_bucket") && col("c_id") =!= col("q_id"))
+    cand.join(e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
+      .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         cosFs(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))).as("cos_fs"))
       .withColumn("rnk", row_number().over(byQ).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Recall gate for the approximate ANN paths: recall@k of
+    * [[lshTopK]] and [[ivfTopK]] against the exact [[bruteTopK]]
+    * baseline, one row per method — and ZERO rows unless EVERY method
+    * clears `minRecallFs`, so the driver's rows>0 check IS the gate
+    * (rows > 0 ⟺ all approximate paths recall ≥ 0.8 by default).
+    *
+    * The gate geometries are recall-leaning on purpose: this corpus
+    * is near-orthogonal (top-k neighbors sit at cos ≈ 0.35–0.5, where
+    * the SRP s-curve is shallow — see [[srpCollisionProb]]), so the
+    * gate probes wide (2-plane × 8-table LSH, nprobe = nlist/2 IVF).
+    * Real embedding dedup corpora with true near-dups (cos ≥ 0.8)
+    * sit on the steep end and keep recall with far tighter pruning.
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                minRecallFs: Long = 8000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val brute = bruteTopK(embeddings, nQueries, k).select(col("q_id"), col("c_id"))
+    val approx =
+      lshTopK(embeddings, planes = 2, tables = 8, nQueries = nQueries, k = k)
+        .select(col("q_id"), col("c_id")).withColumn("method", lit("lsh"))
+      .unionByName(
+        ivfTopK(embeddings, nlist = 16, nprobe = 8, nQueries = nQueries, k = k)
+          .select(col("q_id"), col("c_id")).withColumn("method", lit("ivf")))
+    val hits = approx.join(brute, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hit"))
+    // left-join from a literal method list so a method with ZERO hits
+    // still yields a (failing) row instead of silently vanishing
+    val methods = Seq("ivf", "lsh").toDF("method")
+    val truth = brute.agg(count(lit(1)).as("n_truth"))
+    val all = Window.partitionBy()
+    methods.join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("method"),
+        floor(lit(10000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_truth")).as("recall_fs"))
+      .withColumn("min_fs", min(col("recall_fs")).over(all))
+      .filter(col("min_fs") >= minRecallFs)
+      .select(col("method"), col("recall_fs"))
+      .orderBy(col("method"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output-side plumbing: how graft results land on distributed
   * storage so DOWNSTREAM readers scan less.
@@ -24,6 +24,28 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Append one per-batch centroid snapshot — the reference engine's
+    * cluster-visualization feed (flink-streaming-kmeans exposes
+    * periodic cluster snapshots for its map UI) as a durable,
+    * queryable table instead of stdout. Partitioned by batch_id:
+    * a monitoring reader of "the latest snapshot" prunes every other
+    * partition; history accumulates append-only for time-travel
+    * plots. Each snapshot is k rows — writer cost is O(k), never
+    * data-sized.
+    */
+  def writeSnapshot(spark: SparkSession, path: String, batchId: Long,
+                    centroids: Seq[(Long, Array[Double])],
+                    weights: Map[Long, Double] = Map.empty): Unit = {
+    import spark.implicits._
+    centroids.map { case (cid, c) => (batchId, cid, c.toSeq, weights.getOrElse(cid, 0.0)) }
+      .toDF("batch_id", "cid", "centroid", "weight")
+      .coalesce(1).write.mode(SaveMode.Append).partitionBy("batch_id").parquet(path)
+  }
+
+  /** Read a snapshot dir back (all batches; filter batch_id to prune). */
+  def readSnapshots(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Bucketed tables require the metastore path (saveAsTable); the
     * session's warehouse dir decides physical placement.

@@ -38,6 +38,21 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
   def centroids: Seq[(Long, Array[Double])] = state.map { case (cid, c, _) => (cid, c.clone()) }
   def weights: Seq[(Long, Double)] = state.map { case (cid, _, n) => (cid, n) }
 
+  /** Checkpoint the full model state — (cid, centroid, weight), k×dim
+    * doubles — as one tiny parquet file. With [[StreamingKMeans.restore]]
+    * this is the restart-safety surface Flink gives the reference via
+    * operator checkpointing: kill the job, restore, resume the stream,
+    * and the model continues bit-identically (weights included, so the
+    * decayed running mean picks up where it stopped — spec-verified by
+    * a kill-and-resume in StreamingSpec).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    state.map { case (cid, c, n) => (cid, c.toSeq, n) }
+      .toDF("cid", "centroid", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Merge one micro-batch (a static DataFrame with an array<double>
     * column `vecCol`) into the model.
     */
@@ -81,6 +96,24 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
 }
 
 object StreamingKMeans {
+
+  /** Restore a checkpointed model from [[StreamingKMeans#save]]:
+    * centroids AND weights come back, so subsequent updates continue
+    * the same decayed running mean as the uninterrupted run.
+    */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+              decayFactor: Double = 1.0): StreamingKMeans = {
+    val rows = spark.read.parquet(path).collect().sortBy(_.getAs[Long]("cid"))
+    val st = rows.map { r =>
+      (r.getAs[Long]("cid"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray,
+        r.getAs[Double]("weight"))
+    }.toVector
+    val m = new StreamingKMeans(st.size, st.head._2.length, decayFactor,
+      st.map { case (cid, c, _) => (cid, c) })
+    m.state = st
+    m
+  }
+
   /** Seed from the k lowest-id points of a static frame (same
     * deterministic init as batch Lloyd's).
     */

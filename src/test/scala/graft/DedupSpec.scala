@@ -69,11 +69,118 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) >= 9999L)
   }
 
+  test("ngram LSH finds near-dup pairs across blocking boundaries, not unrelated docs") {
+    // 1=2 exact dups (bigram J=1), 3 shares 3 of its 4 bigrams with
+    // them minus one edit; 5 is a length-block-boundary near-dup of 6
+    // (299 vs 301 chars simulated via different n_chars — irrelevant
+    // to LSH, which never sees the metadata); 4 unrelated.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", 299L),
+      (2L, "alpha beta gamma delta epsilon", "en", 301L),
+      (3L, "alpha beta gamma delta zeta", "en", 27L),
+      (4L, "one two three four five six seven", "en", 33L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.ngramLsh(d, thresholdFs = 9000L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_fs")).toMap
+    // blocked ngramJaccard would MISS (1,2): n_chars 299 vs 301 fall
+    // in different length buckets; LSH candidates ignore metadata
+    assert(out.keySet == Set((1L, 2L)), s"exact dup pair expected regardless of blocks, got ${out.keySet}")
+    assert(out((1L, 2L)) == 10000L)
+    assert(Dedup.ngramJaccard(d, thresholdFs = 9000L).collect().isEmpty,
+      "the blocked variant misses the cross-block pair — the miss ngramLsh exists to fix")
+  }
+
+  test("ngram LSH verify is the exact ngram-set jaccard; short docs drop out") {
+    val d = Seq(
+      (1L, "a b c d e", "en", 9L),
+      (2L, "a b c d f", "en", 9L), // bigrams {ab,bc,cd,de} vs {ab,bc,cd,df}: J = 3/5
+      (3L, "solo", "en", 4L)       // < 2 tokens → no bigrams → never a candidate
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.ngramLsh(d, thresholdFs = 0L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("jac_fs")).toMap
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), "tokenless doc must not pair")
+    out.get((1L, 2L)).foreach(j => assert(j == math.floor(10000.0 * 3.0 / 5.0).toLong))
+  }
+
+  test("cosine LSH finds identical vectors in any label and respects the threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1), // same vec, DIFFERENT label: blocked variant misses it
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 0) // anti-parallel: cos = -1, must not pass
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.cosineLsh(emb, dim = 4, thresholdFs = 3000L).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("cos_fs")).toMap
+    assert(out.keySet == Set((1L, 2L)), s"identical vectors collide in every table, got ${out.keySet}")
+    assert(out((1L, 2L)) >= 9999L)
+    assert(graft.operators.Dedup.embedCosine(emb, thresholdFs = 3000L).collect()
+      .forall(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) != (1L, 2L)),
+      "the label-blocked variant misses the cross-label pair — the miss cosineLsh exists to fix")
+  }
+
+  test("minhash LSH collision model: default verify threshold sits at the band-geometry midpoint") {
+    import graft.functions.HashFunctions.lshCollisionProb
+    // default geometry 4 bands × 8 rows: midpoint (1/4)^(1/8) ≈ 0.84
+    val midpoint = math.pow(1.0 / 4.0, 1.0 / 8.0)
+    assert(math.abs(midpoint - 0.8409) < 0.001)
+    assert(math.abs(lshCollisionProb(0.9, 4, 8) - 0.89) < 0.01, "J=0.9 recall ≈ 89%")
+    assert(lshCollisionProb(0.5, 4, 8) < 0.02, "J=0.5 pairs almost never collide at this geometry")
+    // the coupled default: minJaccardFs=8400 ≈ floor(1e4 · midpoint)
+    assert(math.floor(10000.0 * midpoint).toLong == 8408L)
+    // the wide geometry ngramLsh uses: 8 bands × 4 rows, midpoint 0.59
+    assert(math.abs(math.pow(1.0 / 8.0, 1.0 / 4.0) - 0.5946) < 0.001)
+    assert(lshCollisionProb(0.9, 8, 4) > 0.999, "J=0.9 recall under 8×4 banding")
+  }
+
+  test("SRP collision model: more planes prune harder, more tables buy recall") {
+    import graft.operators.Similarity.srpCollisionProb
+    // documented operating points (scaladoc of Dedup.cosineLsh)
+    assert(math.abs(srpCollisionProb(0.3, 3, 12) - 0.94) < 0.01)
+    assert(srpCollisionProb(0.8, 8, 12) > 0.85)
+    assert(srpCollisionProb(0.0, 8, 12) < 0.05, "background (orthogonal) pairs must be pruned")
+    assert(srpCollisionProb(0.9, 3, 12) > srpCollisionProb(0.5, 3, 12), "monotone in cos")
+    assert(srpCollisionProb(0.5, 8, 12) < srpCollisionProb(0.5, 3, 12), "planes prune")
+    assert(srpCollisionProb(0.5, 8, 24) > srpCollisionProb(0.5, 8, 12), "tables recall")
+  }
+
+  test("mega-bucket salting: pair set identical to the unsalted join, work split across salt keys") {
+    // one degenerate 2000-doc bucket (every doc identical ⇒ one LSH
+    // bucket) plus two normal buckets — the skew shape the corpus
+    // plants at sf0.1 (1.8k-doc bucket)
+    val banded = ((0L until 2000L).map(id => (id, 0, 777L)) ++
+      Seq((5000L, 1, 10L), (5001L, 1, 10L), (6000L, 2, 20L))).toDF("doc_id", "band", "bucket")
+    val salted = Dedup.candidatePairs(banded, maxBucket = 200)
+    val unsalted = Dedup.candidatePairs(banded, maxBucket = Int.MaxValue)
+    // count, not collect: 2M pairs — the salted path must produce the
+    // exact triangle, each unordered pair exactly once
+    val n = 2000L
+    assert(salted.count() == n * (n - 1) / 2 + 2, "triangle count + the two normal-bucket pairs")
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty,
+      "salting must not change the candidate set")
+    // the widest single join key now carries ≤ n·maxBucket pairs:
+    // s = ceil(2000/200) = 10 salt groups fan the mega-bucket out
+    val s = math.ceil(n.toDouble / 200).toInt
+    assert(s == 10)
+  }
+
   test("applyPairs drops exactly the higher-id members of dup pairs") {
     val pairs = Dedup.ngramJaccard(docs, thresholdFs = 9000L)
     val survivors = Dedup.applyPairs(docs, pairs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors.contains(1L) && !survivors.contains(2L), "doc 2 is the higher-id exact dup")
     assert(survivors.contains(4L), "non-dup doc must survive")
+  }
+
+  test("connected-components labels collapse chains that greedy applyPairs cannot") {
+    val corpus = Seq(
+      (1L, "x", "en", 1L), (2L, "x", "en", 1L), (3L, "x", "en", 1L),
+      (4L, "x", "en", 1L), (5L, "x", "en", 1L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    // chain 1–2, 2–3 (no direct 1–3 pair) plus isolated 4, 5
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val reps = Dedup.ccLabels(corpus, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L),
+      s"chain must canonicalize to min id transitively, got $reps")
   }
 
   test("rolling fingerprint is order-sensitive where set hashes are not") {

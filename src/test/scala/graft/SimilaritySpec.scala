@@ -49,6 +49,22 @@ class SimilaritySpec extends SparkSpec {
     assert(full.toSeq == exact.toSeq, "probing every list must reduce to exact search")
   }
 
+  test("ann recall gate: both approximate methods clear the 0.8 bar vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.annRecall(emb).collect()
+    assert(rows.length == 2, s"gate emits one row per method only when ALL pass, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("recall_fs") >= 8000L,
+        s"${r.getAs[String]("method")} recall ${r.getAs[Long]("recall_fs")} below the gate")
+    }
+  }
+
+  test("ann recall gate emits ZERO rows when any method misses the bar") {
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(Similarity.annRecall(emb, minRecallFs = 10001L).collect().isEmpty,
+      "an unreachable bar must produce no rows — rows>0 IS the pass signal")
+  }
+
   test("lsh bucket recall at coarse planes is nontrivial") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 3).collect()

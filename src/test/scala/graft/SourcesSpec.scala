@@ -57,6 +57,28 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 500)
   }
 
+  test("snapshot sink round-trips per-batch centroids through partitioned parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_snap").toString + "/snaps"
+    val c0 = Seq((0L, Array(1.0, 2.0)), (1L, Array(3.0, 4.0)))
+    val c1 = Seq((0L, Array(1.5, 2.5)), (1L, Array(3.0, 4.0)))
+    graft.sources.Sinks.writeSnapshot(spark, dir, 0L, c0, Map(0L -> 2.0, 1L -> 1.0))
+    graft.sources.Sinks.writeSnapshot(spark, dir, 1L, c1, Map(0L -> 3.0, 1L -> 1.0))
+    // append-only history: both batch partitions on disk
+    val parts = new java.io.File(dir).list().filter(_.startsWith("batch_id=")).sorted
+    assert(parts.toSeq == Seq("batch_id=0", "batch_id=1"))
+    val back = graft.sources.Sinks.readSnapshots(spark, dir)
+    assert(back.count() == 4)
+    // "latest snapshot" readers prune the other batch partitions
+    val latest = back.filter(col("batch_id") === 1L)
+    val leaf = latest.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaf.contains("PartitionFilters") && leaf.contains("batch_id"),
+      s"batch_id partition pruning missing:\n$leaf")
+    val r = latest.filter(col("cid") === 0L).collect()(0)
+    assert(r.getAs[scala.collection.Seq[Double]]("centroid") == Seq(1.5, 2.5))
+    assert(r.getAs[Double]("weight") == 3.0)
+  }
+
   test("multimodal metadata allows pruned filtering without touching payloads") {
     val docs = Tables.documents(spark, sfDir)
     val mm = Multimodal.asMultimodal(docs)

@@ -49,6 +49,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint/restore: kill-and-resume continues bit-identically to the uninterrupted run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString + "/model"
+    val batch1 = Seq(Tuple1(Seq(1.0, 1.0)), Tuple1(Seq(1.0, 3.0))).toDF("vec")
+    val batch2 = Seq(Tuple1(Seq(5.0, 5.0)), Tuple1(Seq(3.0, 1.0))).toDF("vec")
+    def fresh() = new StreamingKMeans(k = 2, dim = 2, decayFactor = 0.5,
+      init = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0))))
+
+    // uninterrupted run: batch1 then batch2
+    val a = fresh()
+    a.update(batch1, "vec"); a.update(batch2, "vec")
+
+    // killed run: batch1, checkpoint, "crash", restore, batch2
+    val b = fresh()
+    b.update(batch1, "vec")
+    b.save(spark, dir)
+    val r = StreamingKMeans.restore(spark, dir, decayFactor = 0.5)
+    r.update(batch2, "vec")
+
+    assert(r.centroids.map { case (cid, c) => (cid, c.toSeq) } ==
+      a.centroids.map { case (cid, c) => (cid, c.toSeq) },
+      "restored model must continue to the same centroids")
+    assert(r.weights == a.weights, "decayed weights must survive the checkpoint")
+  }
+
   test("streaming windowed agg matches batch window semantics") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
