@@ -108,13 +108,13 @@ object SparkEntry {
     // ---- beyond §2: corpus-level pipeline ops ----
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.applyPairs(docs, Dedup.ngramJaccard(docs))
+      Dedup.applyPairs(docs, Dedup.ngramJaccardPairs(docs))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
     "dedup_apply_cc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.ccLabels(docs, Dedup.ngramJaccard(docs))
+      Dedup.ccLabels(docs, Dedup.ngramJaccardPairs(docs))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir)))
   )

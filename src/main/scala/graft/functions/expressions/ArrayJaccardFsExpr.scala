@@ -45,19 +45,23 @@ object ArrayJaccardFs {
   def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
-    // both empty → 0/0 (NaN in the Column/SQL twins, dropped by any
-    // >= threshold filter); return -1 so thresholded use matches
-    if (na == 0 && nb == 0) return -1L
     val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
     var i = 0
-    while (i < na) { if (!a.isNullAt(i)) set.add(a.getUTF8String(i)); i += 1 }
+    var nna = 0 // non-null count: nulls are not set elements, so they
+    var nnb = 0 // must not inflate the union (parity with the twins)
+    while (i < na) { if (!a.isNullAt(i)) { set.add(a.getUTF8String(i)); nna += 1 }; i += 1 }
     var inter = 0
     i = 0
     while (i < nb) {
-      if (!b.isNullAt(i) && set.contains(b.getUTF8String(i))) inter += 1
+      if (!b.isNullAt(i)) {
+        nnb += 1
+        if (set.contains(b.getUTF8String(i))) inter += 1
+      }
       i += 1
     }
-    val union = na + nb - inter
+    val union = nna + nnb - inter
+    // both empty → 0/0: the Column twin computes floor(NaN).toLong = 0
+    if (union == 0) return 0L
     // EXACT oracle arithmetic: floor(10000.0 * ((double) inter / union))
     math.floor(10000.0 * (inter.toDouble / union)).toLong
   }

@@ -177,7 +177,16 @@ object Dedup {
     * (lang × length-bucket) — the classic cheap blocking key; exact
     * Jaccard computed only within blocks. jac_fs = floor(1e4·J).
     */
-  def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame = {
+  def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame =
+    ngramJaccardPairs(docs, thresholdFs).orderBy(col("id_a"), col("id_b"))
+
+  /** [[ngramJaccard]] without the final global sort — the form
+    * downstream consumers ([[applyPairs]], [[ccLabels]]) should take:
+    * a range-partitioned ORDER BY runs a sampling pass over its input,
+    * so feeding the sorted frame into another shuffle executes the
+    * whole blocked verify twice and then throws the order away.
+    */
+  def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame = {
     val d = Par.spread(docs).select(col("doc_id"), col("lang"),
       floor(col("n_chars") / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
@@ -188,7 +197,6 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         jaccardFs(docs.sparkSession, col("a.toks"), col("b.toks")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Scale-safe word n-gram Jaccard pairs: the LSH replacement for
@@ -248,17 +256,26 @@ object Dedup {
     *
     * Recall model (spec-pinned via [[Similarity.srpCollisionProb]]):
     * a pair at angle θ collides in ≥1 table w.p.
-    * 1 − (1 − (1−θ/π)^planes)^tables. The (3 planes × 12 tables)
-    * default gives ≈0.94 recall at the τ=0.3 verify threshold this
-    * corpus supports. NOTE the inherent LSH trade-off: pruning power
-    * comes from the gap between threshold and background similarity —
-    * at a production near-dup threshold (τ ≥ 0.8, the realistic
-    * setting for embedding dedup) use (8 planes × 12 tables):
-    * ≈0.88 recall with background (cos≈0) candidate rate
-    * 12·0.5⁸ ≈ 4.7%; low thresholds like 0.3 on near-orthogonal
-    * corpora prune weakly no matter the geometry (ρ → 1 as p1 → p2).
+    * 1 − (1 − (1−θ/π)^planes)^tables.
+    *
+    * The default geometry is COUPLED to the default threshold, same
+    * design rule as [[minhashLsh]]: (6 planes × 15 tables) puts the
+    * s-curve midpoint at cos ≈ 0.2995 ≈ the τ = 0.3 verify threshold,
+    * so the output is honestly "pairs with cos ≥ 0.3, recall ≈ 50% at
+    * the midpoint rising to 75% at 0.5, 94% at 0.7, ~100% at 0.9" —
+    * while a background (cos ≈ 0) pair collides at only ~21% instead
+    * of the ~80% a shallow recall-first geometry (3 × 12, midpoint at
+    * cos −0.36!) costs, which on a near-orthogonal corpus is
+    * indistinguishable from an all-pairs cross join. NOTE the
+    * inherent LSH trade-off: pruning power comes from the gap between
+    * threshold and background similarity — at a production near-dup
+    * threshold (τ ≥ 0.8, the realistic setting for embedding dedup)
+    * use (8 planes × 12 tables): ≈0.88 recall with background
+    * candidate rate 12·0.5⁸ ≈ 4.7%; thresholds near the background's
+    * own quantiles prune weakly no matter the geometry (ρ → 1 as
+    * p1 → p2), and the EXACT low-τ path is [[embedCosine]].
     */
-  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 3, tables: Int = 12,
+  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 15,
                 thresholdFs: Long = 3000L): DataFrame = {
     import graft.operators.{Similarity => Sim}
     // persist: feeds the bucket explode and both verify-join sides
@@ -316,17 +333,33 @@ object Dedup {
     */
   def ccLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 4,
                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist: edges embeds the entire pair-generation pipeline (a
+    // blocked/LSH self-join) and is re-joined every iteration — without
+    // this it would re-execute `iters` times
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(MEMORY_AND_DISK)
     var labels = docs.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("lbl", col("doc_id"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val nbrMin = edges.join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
         .withColumnRenamed("u", "doc_id")
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      // materialize EAGERLY: `labels` appears twice in each next-round
+      // plan (the outer join AND nbrMin), so an unbroken lazy lineage
+      // replays the base 2^iters times; a count() per round pins each
+      // frontier once — the standard label-propagation iteration shape
+      next.count()
+      if (prev != null) prev.unpersist(false)
+      prev = labels
+      labels = next
     }
+    edges.unpersist(false)
     labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
   }
 

@@ -134,8 +134,18 @@ class DedupSpec extends SparkSpec {
 
   test("SRP collision model: more planes prune harder, more tables buy recall") {
     import graft.operators.Similarity.srpCollisionProb
-    // documented operating points (scaladoc of Dedup.cosineLsh)
-    assert(math.abs(srpCollisionProb(0.3, 3, 12) - 0.94) < 0.01)
+    // documented operating points (scaladoc of Dedup.cosineLsh):
+    // the coupled default (6 planes × 15 tables) puts the s-curve
+    // midpoint AT the default τ=0.3 verify threshold...
+    assert(math.abs(srpCollisionProb(0.3, 6, 15) - 0.5) < 0.01)
+    // ...with the documented recall curve above it and background pruned
+    assert(math.abs(srpCollisionProb(0.5, 6, 15) - 0.75) < 0.01)
+    assert(math.abs(srpCollisionProb(0.7, 6, 15) - 0.94) < 0.01)
+    assert(srpCollisionProb(0.9, 6, 15) > 0.999)
+    assert(math.abs(srpCollisionProb(0.0, 6, 15) - 0.21) < 0.01)
+    // the recall-first geometry the default REPLACED: midpoint below
+    // cos 0 means ~80% of a near-orthogonal corpus's pairs collide
+    assert(math.abs(srpCollisionProb(0.0, 3, 12) - 0.80) < 0.01, "3×12 barely prunes background")
     assert(srpCollisionProb(0.8, 8, 12) > 0.85)
     assert(srpCollisionProb(0.0, 8, 12) < 0.05, "background (orthogonal) pairs must be pruned")
     assert(srpCollisionProb(0.9, 3, 12) > srpCollisionProb(0.5, 3, 12), "monotone in cos")
@@ -148,7 +158,8 @@ class DedupSpec extends SparkSpec {
     // bucket) plus two normal buckets — the skew shape the corpus
     // plants at sf0.1 (1.8k-doc bucket)
     val banded = ((0L until 2000L).map(id => (id, 0, 777L)) ++
-      Seq((5000L, 1, 10L), (5001L, 1, 10L), (6000L, 2, 20L))).toDF("doc_id", "band", "bucket")
+      Seq((5000L, 1, 10L), (5001L, 1, 10L), (6000L, 2, 20L), (6001L, 2, 20L)))
+      .toDF("doc_id", "band", "bucket")
     val salted = Dedup.candidatePairs(banded, maxBucket = 200)
     val unsalted = Dedup.candidatePairs(banded, maxBucket = Int.MaxValue)
     // count, not collect: 2M pairs — the salted path must produce the

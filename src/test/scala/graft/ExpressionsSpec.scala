@@ -45,7 +45,8 @@ class ExpressionsSpec extends SparkSpec {
       """SELECT graft_jaccard_fs(array('a','b'), array('a','b')) AS same,
         |       graft_jaccard_fs(array('a'), array('b')) AS disjoint,
         |       graft_jaccard_fs(array(), array()) AS empty""".stripMargin).collect()(0)
-    assert(r.getLong(0) == 10000L && r.getLong(1) == 0L && r.getLong(2) == -1L)
+    // empty/empty → 0, matching the Column twin's floor(NaN).toLong
+    assert(r.getLong(0) == 10000L && r.getLong(1) == 0L && r.getLong(2) == 0L)
   }
 
   test("native simhash stays inside whole-stage codegen") {

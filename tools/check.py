@@ -43,7 +43,11 @@ def main(sfdir, outdir):
         o = ora_df[ocols].reset_index(drop=True)
         mismatches = []
         for c in scols:
-            sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") if hasattr(o[c], "astype") else o[c]
+            sv = s[c]
+            try:  # align dtypes; fall through to string compare below
+                ov = o[c].astype(s[c].dtype)
+            except Exception:
+                ov = o[c]
             try:
                 eq = (sv == ov) | (sv.isna() & ov.isna())
             except Exception:
