@@ -382,4 +382,79 @@ object Oracles {
        | lang AS actual_lang
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** q17: as-of join — correlated max-before subquery, an independent
+    * formulation of the Spark side's RANGE-frame window (SURVEY §4:
+    * second-truncated epochs on both sides).
+    */
+  val q17: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events)
+      |SELECT l.event_id, l.user_id, l.ts_s,
+      | (SELECT max(r.ts_s) FROM e r
+      |   WHERE r.user_id = l.user_id AND r.event_type = 'error'
+      |     AND r.ts_s <= l.ts_s) AS asof_ts_s
+      |FROM e l WHERE l.event_type = 'click' ORDER BY l.event_id""".stripMargin
+
+  /** q18: range join — correlated interval-count subquery vs the
+    * Spark side's banded equi-join.
+    */
+  val q18: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events)
+      |SELECT l.event_id, l.user_id, l.ts_s,
+      | (SELECT count(*) FROM e r
+      |   WHERE r.user_id = l.user_id AND r.event_type = 'click'
+      |     AND r.ts_s > l.ts_s AND r.ts_s <= l.ts_s + 600) AS n_follow
+      |FROM e l WHERE l.event_type = 'error' ORDER BY l.event_id""".stripMargin
+
+  /** q19: JSON field extraction + aggregate. */
+  val q19: String =
+    """SELECT event_type, count(*) AS n,
+      | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      | CAST(floor(10000.0 * sum(CAST(json_extract(props, '$.k') AS BIGINT)) / count(*))
+      |   AS BIGINT) AS avg_k_fs
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** tf-idf proxy top-k: same integer arithmetic ((tf·10⁶) // df) —
+    * DuckDB's `//` and Spark's `div` agree on non-negative BIGINTs.
+    */
+  val textTfidf: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |scored AS (SELECT t.doc_id, t.token, (t.tf * 1000000) // d.df AS score,
+      |             row_number() OVER (PARTITION BY t.doc_id
+      |               ORDER BY (t.tf * 1000000) // d.df DESC, t.token) AS rnk
+      |           FROM tf t JOIN dfreq d USING (token))
+      |SELECT doc_id, rnk, token, score FROM scored WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Deterministic split/sample oracles: thresholds come from the SAME
+    * Sampling.hexThreshold the Spark side uses, so the two engines
+    * cannot drift. md5 of identical strings is engine-identical, and
+    * lexicographic order on fixed-width lowercase hex is numeric
+    * order (SURVEY §4).
+    */
+  val sampleSplit: String = {
+    import graft.operators.Sampling.hexThreshold
+    val trainT = hexThreshold(0.75, 2)
+    val valT = hexThreshold(0.875, 2)
+    s"""SELECT doc_id,
+       | CASE WHEN substr(md5('graft#' || CAST(doc_id AS VARCHAR)), 1, 2) < '$trainT' THEN 'train'
+       |      WHEN substr(md5('graft#' || CAST(doc_id AS VARCHAR)), 1, 2) < '$valT' THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val sampleStratified: String = {
+    import graft.operators.Sampling.hexThreshold
+    val hi = hexThreshold(0.5, 4)
+    val lo = hexThreshold(0.25, 4)
+    s"""SELECT doc_id, source FROM documents
+       |WHERE substr(md5('graft#' || CAST(doc_id AS VARCHAR)), 1, 4) <
+       |  CASE WHEN source = 'src0' THEN '$hi' WHEN source = 'src1' THEN '$hi'
+       |       ELSE '$lo' END
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -49,6 +49,9 @@ object SparkEntry {
     "q14_exists_subquery" -> (Relational.q14ExistsSubquery _),
     "q15_scalar_subquery" -> (Relational.q15ScalarSubquery _),
     "q16_percentile" -> (Relational.q16Percentile _),
+    "q17_asof_join" -> ((s, dir) => Temporal.asofJoin(Tables.events(s, dir))),
+    "q18_range_join" -> ((s, dir) => Temporal.rangeJoinCount(Tables.events(s, dir))),
+    "q19_json_agg" -> (Relational.q19JsonAgg _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -116,7 +119,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.ccLabels(docs, Dedup.ngramJaccardPairs(docs))
     }),
-    "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir)))
+    "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+    "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
+      fractions = Map("src0" -> 0.5, "src1" -> 0.5)))
   )
 
   /** DuckDB twins (see Oracles.scala). Keys absent here are rows-only
@@ -139,6 +146,9 @@ object SparkEntry {
     "q14_exists_subquery" -> Oracles.q14,
     "q15_scalar_subquery" -> Oracles.q15,
     "q16_percentile" -> Oracles.q16,
+    "q17_asof_join" -> Oracles.q17,
+    "q18_range_join" -> Oracles.q18,
+    "q19_json_agg" -> Oracles.q19,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,
@@ -154,6 +164,9 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangid,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
-    "text_vocabulary" -> Oracles.textVocabulary
+    "text_vocabulary" -> Oracles.textVocabulary,
+    "text_tfidf" -> Oracles.textTfidf,
+    "sample_split" -> Oracles.sampleSplit,
+    "sample_stratified" -> Oracles.sampleStratified
   )
 }

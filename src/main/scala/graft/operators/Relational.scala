@@ -252,6 +252,22 @@ object Relational {
         count(lit(1)).as("n_ord"))
       .orderBy(col("o_orderpriority"))
 
+  /** q19: semi-structured extraction — pull a typed field out of a
+    * JSON string column and aggregate it. `get_json_object` is a
+    * codegen'd path expression over the raw string (no UDF, no
+    * full-document parse into a struct), so at 100 TB the extraction
+    * runs at scan speed; the aggregate is an ordinary partial-agg
+    * shuffle of one row per event_type. avg is emitted fixed-point
+    * (floor(1e4·sum/n)) for cross-engine bit parity.
+    */
+  def q19JsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        floor(lit(10000.0) * sum(col("k")) / count(lit(1))).as("avg_k_fs"))
+      .orderBy(col("event_type"))
+
   /** q14: correlated EXISTS predicate (customers having a >300k
     * order) — rewritten as a left-semi join, which is exactly what
     * Catalyst does to a correlated EXISTS subquery.

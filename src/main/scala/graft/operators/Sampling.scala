@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splits — the
+  * train/val/test and per-source mixture-weighting primitives of a
+  * training-data pipeline.
+  *
+  * The selector is `md5(salt || id)` compared as a lowercase-hex
+  * STRING prefix: engine-portable (Spark and DuckDB produce identical
+  * digests for identical strings, and lexicographic order on
+  * fixed-width lowercase hex IS numeric order), seedable via the
+  * salt, and free of RNG state — so at 100 TB the split is
+  * reproducible run-to-run, independent of partitioning, shard
+  * order, executor count, and engine. It is also pure map-side: a
+  * narrow codegen'd projection/filter with ZERO shuffle (Spark's own
+  * `sample()` is RNG-per-partition and not stable under repartition;
+  * this is the pattern production pipelines use instead).
+  */
+object Sampling {
+
+  /** First `width` lowercase-hex chars of md5(salt || id) — a uniform
+    * draw from [0, 16^width) encoded as a fixed-width string.
+    */
+  private def hexKey(id: Column, salt: String, width: Int): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, width)
+
+  /** Hex threshold string t such that (hexKey < t) keeps ~fraction of
+    * rows. Fraction ≥ 1 returns "g" — every hex digit sorts below
+    * 'g', so the predicate is constant-true.
+    */
+  private[graft] def hexThreshold(fraction: Double, width: Int): String = {
+    require(fraction >= 0.0, s"fraction must be >= 0, got $fraction")
+    val buckets = 1L << (4 * width)
+    val cut = math.round(fraction * buckets)
+    if (cut >= buckets) "g" else ("%0" + width + "x").format(cut)
+  }
+
+  /** Deterministic train/val/test split assignment per row:
+    * train = 75%, val = 12.5%, test = 12.5% by default (thresholds at
+    * 2-hex-char = 1/256 granularity). Stable across engines, runs,
+    * and repartitioning; change `salt` to redraw.
+    */
+  def split(df: DataFrame, idCol: String = "doc_id", salt: String = "graft#",
+            trainFrac: Double = 0.75, valFrac: Double = 0.125): DataFrame = {
+    val h = hexKey(col(idCol), salt, 2)
+    val trainT = hexThreshold(trainFrac, 2)
+    val valT = hexThreshold(trainFrac + valFrac, 2)
+    df.select(col(idCol),
+        when(h < trainT, lit("train"))
+          .when(h < valT, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col(idCol))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (a
+    * mixture weighting over sources/domains — upsample quality
+    * domains, downsample boilerplate ones). Rows in a stratum not in
+    * `fractions` use `defaultFrac`. 4-hex-char thresholds = 1/65536
+    * granularity. Output is the surviving (id, stratum) rows.
+    *
+    * Plan shape: the stratum→threshold mapping is a small CASE
+    * expression (broadcast-free, codegen'd), so this stays a narrow
+    * scan-speed filter no matter how many strata exist.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String = "source",
+                       idCol: String = "doc_id",
+                       fractions: Map[String, Double] = Map.empty,
+                       defaultFrac: Double = 0.25,
+                       salt: String = "graft#"): DataFrame = {
+    val thr = fractions.foldLeft(lit(hexThreshold(defaultFrac, 4))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(f, 4))).otherwise(acc)
+    }
+    df.filter(hexKey(col(idCol), salt, 4) < thr)
+      .select(col(idCol), col(stratumCol))
+      .orderBy(col(idCol))
+  }
+}

@@ -211,12 +211,19 @@ object Similarity {
     // still yields a (failing) row instead of silently vanishing
     val methods = Seq("ivf", "lsh").toDF("method")
     val truth = brute.agg(count(lit(1)).as("n_truth"))
-    val all = Window.partitionBy()
-    methods.join(hits, Seq("method"), "left")
+    // the all-methods minimum comes from an aggregate + broadcast
+    // cross join, NOT a global window: an unpartitioned WindowExec
+    // single-partitions its input (and warns); the aggregate path is
+    // partial-agg shaped at any scale. recalls is persisted because
+    // it feeds both the min aggregate and the output scan — without
+    // it the whole LSH+IVF+brute pipeline would execute twice.
+    val recalls = methods.join(hits, Seq("method"), "left")
       .crossJoin(broadcast(truth))
       .select(col("method"),
         floor(lit(10000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_truth")).as("recall_fs"))
-      .withColumn("min_fs", min(col("recall_fs")).over(all))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minFs = recalls.agg(min(col("recall_fs")).as("min_fs"))
+    recalls.crossJoin(broadcast(minFs))
       .filter(col("min_fs") >= minRecallFs)
       .select(col("method"), col("recall_fs"))
       .orderBy(col("method"))

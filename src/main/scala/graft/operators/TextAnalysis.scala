@@ -60,6 +60,36 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_count"))
       .orderBy(col("token"))
 
+  /** Top-k characteristic terms per document by an integer tf-idf
+    * proxy: score = (tf × 10⁶) div doc_freq — monotone in
+    * tf × (1/df), so the ranking matches tf-idf with an idf ∝ 1/df
+    * weighting while staying in exact BIGINT arithmetic (`div` /
+    * DuckDB `//` truncating division — no float log whose last-ulp
+    * could flicker across engines). Ties break alphabetically.
+    *
+    * Plan shape: one explode + (doc_id, token) partial-agg for tf;
+    * doc_freq derives from the tf frame itself (tf rows are already
+    * distinct per doc, so count(*) per token IS the doc freq — one
+    * explode total); the tf frame is persisted because it feeds both
+    * the df aggregate and the scored join. The final per-doc top-k is
+    * a WindowGroupLimit — at 100 TB the shuffle ceiling is
+    * |corpus vocab pairs|, all partial-aggregated.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(byDoc).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Order-sensitive rolling polynomial fingerprint per doc (exact
     * near-prefix dedup primitive), plus the count of docs sharing the
     * fingerprint — rows-only checked + spec-verified.

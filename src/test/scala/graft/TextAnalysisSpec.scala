@@ -59,6 +59,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v("b") == ((1L, 1L)) && v("c") == ((1L, 1L)))
   }
 
+  test("tfidf top-k: rare terms outrank common ones, ties break alphabetically") {
+    // "z" appears once in doc 1 only (df=1); "a" is in every doc (df=3)
+    val d = Seq((1L, "a a a z"), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[String]("token"), r.getAs[Long]("score"))))
+      .toMap
+    // doc 1: z scores 1e6/1 = 1000000 over a's 3e6/3 = 1000000 — TIE,
+    // alphabetical: a first... so craft asymmetric: a tf=3 df=3 → 1e6;
+    // z tf=1 df=1 → 1e6; tie broken by token asc ⇒ rnk1=a, rnk2=z
+    assert(out((1L, 1L)) == (("a", 1000000L)))
+    assert(out((1L, 2L)) == (("z", 1000000L)))
+    // docs 2,3: b (df=2) scores 500000, a (df=3) 333333 — b outranks a
+    assert(out((2L, 1L)) == (("b", 500000L)))
+    assert(out((2L, 2L)) == (("a", 333333L)), "integer div truncates 1e6/3")
+  }
+
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprints(d).collect()
