@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingAgg, StreamingKMeans}
+import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -71,6 +71,47 @@ class StreamingSpec extends SparkSpec {
       a.centroids.map { case (cid, c) => (cid, c.toSeq) },
       "restored model must continue to the same centroids")
     assert(r.weights == a.weights, "decayed weights must survive the checkpoint")
+  }
+
+  test("streaming exact dedup keeps the first doc per content hash") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.exactDedup(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "alpha", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "alpha", Timestamp.valueOf("2024-01-01 00:01:00")),
+        (3L, "beta", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // dup in a LATER batch is dropped by the state store, not batch-local dedup
+      ms.addData((4L, "alpha", Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sdedup ORDER BY doc_id").collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(1L, 3L), s"one survivor per hash, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState first-seen tags dups with provenance instead of dropping") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.firstSeen(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sfirst").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "alpha", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "alpha", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      ms.addData((3L, "alpha", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sfirst ORDER BY doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_first"),
+          r.getAs[Long]("first_doc_id"), r.getAs[Long]("n_seen_so_far")))
+      assert(rows.toSeq == Seq((1L, true, 1L, 1L), (2L, false, 1L, 2L), (3L, false, 1L, 3L)),
+        s"every doc emitted, dups tagged with the first-seen id; got ${rows.toSeq}")
+    } finally q.stop()
   }
 
   test("streaming windowed agg matches batch window semantics") {
