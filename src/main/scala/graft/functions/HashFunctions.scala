@@ -23,13 +23,42 @@ object HashFunctions {
   def seededHash(e: Column, seed: String): Column =
     pmod(xxhash64(concat(lit(seed + "#"), e)), lit(Prime))
 
-  /** MinHash signature: array of `perms` min-hashes over the shingle
-    * array. One pass over the shingles per permutation, all inside
-    * codegen; for a 100 TB corpus this is a narrow map — the only
-    * shuffle in MinHash-LSH dedup is the band-key groupBy.
+  /** Deterministic affine-permutation parameters for [[minhashSignature]]:
+    * h_i(x) = (a_i·h(x) + b_i) mod Prime with a_i ∈ [1, Prime),
+    * b_i ∈ [0, Prime) derived from MD5 of the permutation index —
+    * fixed forever, engine-independent. a_i·h < 1e9·1e9 < Long.Max,
+    * so the arithmetic never overflows (ANSI-safe).
     */
-  def minhashSignature(shingles: Column, perms: Int): Column =
-    array((0 until perms).map(i => array_min(transform(shingles, s => seededHash(s, s"mh$i")))): _*)
+  private[graft] def minhashParams(perms: Int): IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(tag: String, mod: Long): Long = {
+      val h = md.digest(tag.getBytes("UTF-8"))
+      math.floorMod(java.nio.ByteBuffer.wrap(h).getLong, mod)
+    }
+    (0 until perms).map(i => (draw(s"minhash-a#$i", Prime - 1) + 1L, draw(s"minhash-b#$i", Prime)))
+  }
+
+  /** MinHash signature: `perms` min-hashes over the shingle array via
+    * universal hashing — each shingle is xxhash64'd ONCE into a base
+    * value, and the permutations are cheap affine maps of that base.
+    * (The naive formulation — xxhash64(concat(seed_i, shingle)) per
+    * permutation — allocates a concatenated string and re-hashes every
+    * shingle `perms` times: 32× the hash work and 32 allocations per
+    * token, inside a HOF where Catalyst does no subexpression reuse.)
+    * The singleton-array transform let-binds the base-hash array so
+    * the hashing pass runs once, not once per permutation.
+    *
+    * Narrow map at any scale — the only shuffle in MinHash-LSH dedup
+    * is the band-key groupBy.
+    */
+  def minhashSignature(shingles: Column, perms: Int): Column = {
+    val params = minhashParams(perms)
+    val bases = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
+    element_at(transform(array(bases), bs =>
+      array(params.map { case (a, b) =>
+        array_min(transform(bs, h => pmod(lit(a) * h + lit(b), lit(Prime))))
+      }: _*)), 1)
+  }
 
   /** LSH band keys: hash each band (contiguous slice of the
     * signature) to one bucket key. Join key = (band_index, band_hash)
