@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayJaccardFs, SimHash64}
+import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, SimHash64}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -32,5 +32,11 @@ object GraftExtensions {
       arity("graft_simhash64", 1)(c => SimHash64(c.head))),
     (FunctionIdentifier("graft_jaccard_fs"),
       new ExpressionInfo(classOf[ArrayJaccardFs].getCanonicalName, "graft_jaccard_fs"),
-      arity("graft_jaccard_fs", 2)(c => ArrayJaccardFs(c(0), c(1)))))
+      arity("graft_jaccard_fs", 2)(c => ArrayJaccardFs(c(0), c(1)))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getCanonicalName, "graft_dot"),
+      arity("graft_dot", 2)(c => ArrayDot(c(0), c(1)))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getCanonicalName, "graft_l2sq"),
+      arity("graft_l2sq", 2)(c => ArrayL2Sq(c(0), c(1)))))
 }

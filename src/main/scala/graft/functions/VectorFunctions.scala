@@ -25,13 +25,27 @@ object VectorFunctions {
     */
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Pick the native codegen'd kernel when the active session has
+    * GraftExtensions; the HOF twin otherwise. Same sequential fold,
+    * bit-identical results (oracle-gated) — but the native kernel is
+    * one tight loop where the HOF is an interpreted lambda per
+    * element, and these sit in every embedding operator's hot path.
+    */
+  private def nativeOr(name: String, a: Column, b: Column)(fallback: => Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists(name))
+      .map(_ => call_function(name, a, b))
+      .getOrElse(fallback)
+
   /** Sequential-fold dot product: sum_i a(i)*b(i). */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = nativeOr("graft_dot", a, b) {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Squared Euclidean distance: sum_i (a(i)-b(i))^2. */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sq(a: Column, b: Column): Column = nativeOr("graft_l2sq", a, b) {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  }
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -49,6 +49,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == 10000L && r.getLong(1) == 0L && r.getLong(2) == 0L)
   }
 
+  test("native dot/l2sq are bit-identical to the HOF twins on real embeddings") {
+    import graft.functions.VectorFunctions.toDoubleArray
+    // HOF twins spelled out inline (VectorFunctions.dot now auto-picks
+    // the native kernel in this session, so the twin must be explicit)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id")).limit(5000)
+    val diff = pairs.select(
+        call_function("graft_dot", col("a.v"), col("b.v")).as("nd"),
+        hofDot(col("a.v"), col("b.v")).as("cd"),
+        call_function("graft_l2sq", col("a.v"), col("b.v")).as("nl"),
+        hofL2(col("a.v"), col("b.v")).as("cl"))
+      .filter(col("nd") =!= col("cd") || col("nl") =!= col("cl")).count()
+    assert(diff == 0, s"$diff pairs disagree between native and HOF vector kernels")
+  }
+
+  test("native dot/l2sq null semantics match zip_with padding") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok,
+        |       graft_dot(array(1.0d), array(1.0d, 2.0d)) AS mismatch,
+        |       graft_l2sq(array(1.0d, cast(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS withnull
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1), "length mismatch → NULL (zip_with pads with null)")
+    assert(r.isNullAt(2), "null element → NULL fold")
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))
