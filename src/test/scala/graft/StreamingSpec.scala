@@ -114,6 +114,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("first-seen state is evicted once the watermark passes the key's last event") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.firstSeen(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sevict").outputMode("append").start()
+    try {
+      ms.addData((1L, "alpha", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // push the watermark far past alpha's last event (00:00 + 10 min)
+      ms.addData((2L, "other", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // alpha's state is gone → this dup is (wrongly but by design)
+      // fresh again — the bounded-state trade-off every watermarked
+      // dedup makes, dropDuplicates included
+      ms.addData((3L, "alpha", Timestamp.valueOf("2024-01-01 01:01:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, is_first FROM sevict ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(rows.toSeq == Seq((1L, true), (2L, true), (3L, true)),
+        s"evicted key must be treated as first again; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg matches batch window semantics") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
