@@ -107,6 +107,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.asMultimodal(Tables.documents(s, dir)))),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMultimodal(Tables.documents(s, dir)))),
 
     // ---- beyond §2: corpus-level pipeline ops ----
     "dedup_apply" -> ((s, dir) => {

@@ -70,4 +70,37 @@ object Multimodal {
     while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % p; i += 1 }
     (64L, acc)
   }
+
+  /** One emitted frame of a sampled "video" payload. */
+  case class Frame(doc_id: Long, frame_idx: Long, ts_ms: Long, frame_checksum: Long)
+
+  /** Frame sampling: the fan-out decode shape — ONE payload row in,
+    * `nFrames` frame rows out, via typed `Dataset.mapPartitions`
+    * (codec/model init amortizes once per partition; the iterator
+    * never materializes a partition in memory). The stub "samples"
+    * deterministic byte ranges; a real codec would decode keyframes.
+    * Same plan shape as an image-resize or audio-chunk stage: the
+    * row-multiplying step happens BEFORE any shuffle, so downstream
+    * per-frame operators (embed, dedup, filter) see ordinary rows.
+    */
+  def frameSample(mm: DataFrame, nFrames: Int = 4): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          (0 until nFrames).iterator.map { f =>
+            val from = (f.toLong * bytes.length / nFrames).toInt
+            val until = ((f + 1).toLong * bytes.length / nFrames).toInt
+            var acc = 0L
+            var i = from
+            while (i < until) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+            Frame(id, f.toLong, f * 40L, acc) // 25 fps → 40 ms/frame
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

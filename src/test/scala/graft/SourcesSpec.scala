@@ -33,6 +33,23 @@ class SourcesSpec extends SparkSpec {
     assert(out.getAs[Long]("feat_checksum") == expected)
   }
 
+  test("frame sampling fans one payload row into nFrames deterministic frame rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(Multimodal.asMultimodal(docs), nFrames = 4).collect()
+    assert(out.length == 8, "2 docs × 4 frames")
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_.getAs[Long]("ts_ms")).toSeq == Seq(0L, 40L, 80L, 120L))
+    // frame 0 samples bytes "ab": checksum = (('a'*31)+'b') mod p
+    val ab = ("a".codePointAt(0).toLong * 31 + "b".codePointAt(0)) % 1000000007L
+    assert(d1(0).getAs[Long]("frame_checksum") == ab)
+    // identical payloads → identical frame checksums (deterministic)
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d1.map(_.getAs[Long]("frame_checksum")).toSeq ==
+      d2.map(_.getAs[Long]("frame_checksum")).toSeq)
+  }
+
   test("partitioned sink: downstream scans prune non-matching partitions") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_part").toString + "/docs"
