@@ -430,6 +430,20 @@ object Oracles {
       |SELECT doc_id, rnk, token, score FROM scored WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Tokenizer encoding: vocab ranked by (total desc, token asc),
+    * ids 1..1000, OOV → −1; positions via DuckDB's zip-unnest of the
+    * token list with range(1, len+1).
+    */
+  val textEncode: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS token, unnest(range(1, len(toks)+1)) AS pos FROM t),
+      |vc AS (SELECT token, count(*) AS total FROM tok GROUP BY token),
+      |vid AS (SELECT token, row_number() OVER (ORDER BY total DESC, token) AS token_id FROM vc),
+      |v AS (SELECT token, token_id FROM vid WHERE token_id <= 1000)
+      |SELECT p.doc_id, p.pos, coalesce(v.token_id, CAST(-1 AS BIGINT)) AS token_id
+      |FROM tok p LEFT JOIN v USING (token)
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** Deterministic split/sample oracles: thresholds come from the SAME
     * Sampling.hexThreshold the Spark side uses, so the two engines
     * cannot drift. md5 of identical strings is engine-identical, and

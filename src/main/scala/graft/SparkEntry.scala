@@ -123,6 +123,7 @@ object SparkEntry {
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
+    "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5)))
@@ -168,6 +169,7 @@ object SparkEntry {
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_vocabulary" -> Oracles.textVocabulary,
     "text_tfidf" -> Oracles.textTfidf,
+    "text_encode" -> Oracles.textEncode,
     "sample_split" -> Oracles.sampleSplit,
     "sample_stratified" -> Oracles.sampleStratified
   )

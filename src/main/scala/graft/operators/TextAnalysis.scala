@@ -90,6 +90,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Tokenizer encoding: each document becomes (doc_id, pos, token_id)
+    * rows against a frequency-ranked vocabulary — ids 1..vocabSize by
+    * (total_count desc, token asc), out-of-vocabulary → −1. The
+    * flat-row layout (instead of an id-array column) keeps the output
+    * oracle-comparable and shuffle-friendly for downstream batching.
+    *
+    * Scale shape: the vocab is BOUNDED BY DESIGN (vocabSize, like k
+    * centroids) — collected once to the driver, shipped back as a
+    * broadcast join side; the encode pass itself is explode +
+    * broadcast-hash-join, no shuffle of the corpus until the output
+    * sort. Vocabulary ranking reuses [[vocabulary]]'s partial-agg.
+    */
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = vocabulary(docs)
+      .orderBy(col("total_count").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token")).as[String].collect()
+    val vdf = broadcast(top.zipWithIndex.toSeq
+      .map { case (t, i) => (t, (i + 1).toLong) }.toDF("token", "token_id"))
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
+      .join(vdf, Seq("token"), "left")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Order-sensitive rolling polynomial fingerprint per doc (exact
     * near-prefix dedup primitive), plus the count of docs sharing the
     * fingerprint — rows-only checked + spec-verified.

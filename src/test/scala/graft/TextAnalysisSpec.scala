@@ -76,6 +76,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 2L)) == (("a", 333333L)), "integer div truncates 1e6/3")
   }
 
+  test("encode: ids rank by frequency then alphabet, OOV is -1, positions are 1-based") {
+    // freq: a×3, b×2, z×1 → ids a=1, b=2; vocabSize=2 makes z OOV
+    val d = Seq((1L, "a b a"), (2L, "b z a")).toDF("doc_id", "text")
+    val out = TextAnalysis.encodeTokens(d, vocabSize = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) -> r.getAs[Long]("token_id"))
+      .toMap
+    assert(out((1L, 1L)) == 1L && out((1L, 2L)) == 2L && out((1L, 3L)) == 1L)
+    assert(out((2L, 2L)) == -1L, "z is out of the size-2 vocab")
+    assert(out((2L, 3L)) == 1L)
+  }
+
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprints(d).collect()
