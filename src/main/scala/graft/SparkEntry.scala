@@ -126,7 +126,8 @@ object SparkEntry {
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
-      fractions = Map("src0" -> 0.5, "src1" -> 0.5)))
+      fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
+    "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir)))
   )
 
   /** DuckDB twins (see Oracles.scala). Keys absent here are rows-only

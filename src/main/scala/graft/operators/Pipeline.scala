@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composed pipeline a user of
+  * this library runs over a raw document corpus —
+  *
+  *   1. exact dedup (content-hash groupBy, keep lowest id);
+  *   2. near-dup dedup via scale-safe n-gram MinHash-LSH pairs,
+  *      greedy keep-lowest-id application;
+  *   3. quality filter (composite fixed-point score ≥ threshold);
+  *   4. deterministic train/val/test split tagging.
+  *
+  * Every stage is one of this library's audited operators — the
+  * composition adds NO new shuffle beyond what the stages themselves
+  * do (exact dedup: one hash shuffle; LSH: band-bucket equi-joins;
+  * quality: narrow scan; split: map-side). Output: the curated corpus
+  * with provenance columns, ready for [[TextAnalysis.encodeTokens]]
+  * and a partitioned write ([[graft.sources.Sinks.writePartitioned]]).
+  */
+object Pipeline {
+
+  def curate(docs: DataFrame,
+             minQualityFs: Long = 5000L,
+             lshThresholdFs: Long = 9000L,
+             salt: String = "graft#"): DataFrame = {
+    // 1. exact dedup: survivors are each hash group's keep_id
+    val keep = Dedup.exact(docs)
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
+
+    // 2. near-dup dedup: LSH candidates + exact verify, greedy apply
+    val nearPairs = Dedup.ngramLsh(exactDeduped, thresholdFs = lshThresholdFs)
+    val deduped = Dedup.applyPairs(exactDeduped, nearPairs)
+
+    // 3.+4. quality score and split tag are pure column adds — both
+    // stay inside the survivors' scan, no extra join or shuffle
+    import graft.functions.TextFunctions._
+    val toks = tokens(col("text"))
+    deduped
+      .withColumn("score_fs", qualityScoreFs(
+        size(toks).cast("long"), size(array_distinct(toks)).cast("long"),
+        countIn(toks, stopwords.toMap.apply("en")).cast("long"),
+        punctCount(col("text")).cast("long"), length(col("text")).cast("long")))
+      .filter(col("score_fs") >= minQualityFs)
+      .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("score_fs"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -37,22 +37,26 @@ object Sampling {
     if (cut >= buckets) "g" else ("%0" + width + "x").format(cut)
   }
 
+  /** The split label as a bare Column — compose into any projection
+    * (zero extra plan nodes, stays map-side).
+    */
+  def splitColumn(id: Column, salt: String = "graft#",
+                  trainFrac: Double = 0.75, valFrac: Double = 0.125): Column = {
+    val h = hexKey(id, salt, 2)
+    when(h < hexThreshold(trainFrac, 2), lit("train"))
+      .when(h < hexThreshold(trainFrac + valFrac, 2), lit("val"))
+      .otherwise(lit("test"))
+  }
+
   /** Deterministic train/val/test split assignment per row:
     * train = 75%, val = 12.5%, test = 12.5% by default (thresholds at
     * 2-hex-char = 1/256 granularity). Stable across engines, runs,
     * and repartitioning; change `salt` to redraw.
     */
   def split(df: DataFrame, idCol: String = "doc_id", salt: String = "graft#",
-            trainFrac: Double = 0.75, valFrac: Double = 0.125): DataFrame = {
-    val h = hexKey(col(idCol), salt, 2)
-    val trainT = hexThreshold(trainFrac, 2)
-    val valT = hexThreshold(trainFrac + valFrac, 2)
-    df.select(col(idCol),
-        when(h < trainT, lit("train"))
-          .when(h < valT, lit("val"))
-          .otherwise(lit("test")).as("split"))
+            trainFrac: Double = 0.75, valFrac: Double = 0.125): DataFrame =
+    df.select(col(idCol), splitColumn(col(idCol), salt, trainFrac, valFrac).as("split"))
       .orderBy(col(idCol))
-  }
 
   /** Stratified deterministic sample: per-stratum keep fractions (a
     * mixture weighting over sources/domains — upsample quality

@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate drops exact dups, near dups, and low-quality docs; tags survivors with a split") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("upsilon", "omega") // 1 edit in 20 tokens
+    val junk = "spam spam spam spam spam spam"
+    val docs = Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base, "en", "src0", base.length.toLong), // exact dup of 1
+      (3L, near, "en", "src1", near.length.toLong), // near dup of 1
+      (4L, junk, "en", "src1", junk.length.toLong), // low quality
+      (5L, "one two three four five six seven eight nine ten", "en", "src2", 48L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val out = Pipeline.curate(docs, minQualityFs = 6000L, lshThresholdFs = 5000L).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == Seq(1L, 5L),
+      s"2 (exact dup), 3 (near dup), 4 (quality) must drop; got $ids")
+    assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    assert(out.forall(_.getAs[Long]("score_fs") >= 6000L))
+  }
+}
