@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed
   * metadata, with a per-partition batch "decode" stage.
@@ -33,30 +32,31 @@ object Multimodal {
         (pmod(xxhash64(col("text")), lit(1280L)) + 64L).as("width"),
         (pmod(xxhash64(col("text"), lit(1L)), lit(720L)) + 64L).as("height")).as("meta"))
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("mime", StringType),
-    StructField("feat_dim", LongType),
-    StructField("feat_checksum", LongType)))
+  /** One decoded payload's feature summary. */
+  case class Decoded(doc_id: Long, n_bytes: Long, mime: String,
+                     feat_dim: Long, feat_checksum: Long)
 
   /** Batch "decode": per partition, read payload bytes and emit a
     * feature summary. A real implementation would replace
     * `fakeDecode` with a codec/model call; the partition-batched
     * iterator shape, schema handling, and downstream columns stay
-    * identical.
+    * identical. Typed `Dataset.mapPartitions` (not `.rdd`): the
+    * result stays a Dataset with encoder-backed schema, so downstream
+    * Catalyst planning resumes immediately after the codec stage.
     */
   def decodeFeatures(mm: DataFrame): DataFrame = {
     val spark = mm.sparkSession
-    val rdd = mm.select(col("doc_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
-      .rdd.mapPartitions { it =>
-        it.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
+    import spark.implicits._
+    mm.select(col("doc_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, mime, nBytes) =>
           val (dim, checksum) = fakeDecode(bytes)
-          Row(r.getLong(0), r.getLong(3), r.getString(2), dim, checksum)
+          Decoded(id, nBytes, mime, dim, checksum)
         }
       }
-    spark.createDataFrame(rdd, decodedSchema).orderBy(col("doc_id"))
+      .toDF()
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic decode stub: feature dim from payload size, checksum
