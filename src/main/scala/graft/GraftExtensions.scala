@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, SimHash64}
+import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, MinHashSig, SimHash64}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -38,5 +38,8 @@ object GraftExtensions {
       arity("graft_dot", 2)(c => ArrayDot(c(0), c(1)))),
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[ArrayL2Sq].getCanonicalName, "graft_l2sq"),
-      arity("graft_l2sq", 2)(c => ArrayL2Sq(c(0), c(1)))))
+      arity("graft_l2sq", 2)(c => ArrayL2Sq(c(0), c(1)))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
+      arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), c(1)))))
 }

@@ -51,7 +51,17 @@ object HashFunctions {
     * Narrow map at any scale — the only shuffle in MinHash-LSH dedup
     * is the band-key groupBy.
     */
-  def minhashSignature(shingles: Column, perms: Int): Column = {
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_minhash_sig"))
+      .map(_ => call_function("graft_minhash_sig", shingles, lit(perms)))
+      .getOrElse(minhashSignatureColumns(shingles, perms))
+
+  /** The pure-Column twin of the native graft_minhash_sig expression
+    * (bit-identical — parity spec in ExpressionsSpec); the fallback
+    * when the session lacks GraftExtensions.
+    */
+  private[graft] def minhashSignatureColumns(shingles: Column, perms: Int): Column = {
     val params = minhashParams(perms)
     val bases = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
     element_at(transform(array(bases), bs =>

@@ -80,6 +80,20 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(2), "null element → NULL fold")
   }
 
+  test("native minhash signature is bit-identical to the Column formulation on real docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = array_distinct(tokens(col("text")))
+    val both = docs.select(
+      call_function("graft_minhash_sig", toks, lit(32)).as("native"),
+      HashFunctions.minhashSignatureColumns(toks, 32).as("columnar"))
+    val diff = both.filter(col("native") =!= col("columnar")).count()
+    assert(diff == 0, s"$diff docs disagree between native and Column minhash signature")
+    // empty-array edge: all-null signature, same as array_min of empty
+    val empty = spark.sql(
+      "SELECT graft_minhash_sig(array(), 4) AS sig").collect()(0).getSeq[Any](0)
+    assert(empty.size == 4 && empty.forall(_ == null), s"empty input → all-null sig, got $empty")
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))
