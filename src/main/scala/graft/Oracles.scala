@@ -98,6 +98,13 @@ object Oracles {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region_name, nation_name""".stripMargin
 
+  val q20: String =
+    """SELECT coalesce(o_orderpriority,'ALL') AS priority,
+      | coalesce(o_orderstatus,'ALL') AS status,
+      | count(*) AS n_ord, round(sum(o_totalprice),2) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   val q10: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem

@@ -52,6 +52,7 @@ object SparkEntry {
     "q17_asof_join" -> ((s, dir) => Temporal.asofJoin(Tables.events(s, dir))),
     "q18_range_join" -> ((s, dir) => Temporal.rangeJoinCount(Tables.events(s, dir))),
     "q19_json_agg" -> (Relational.q19JsonAgg _),
+    "q20_cube" -> (Relational.q20Cube _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -153,6 +154,7 @@ object SparkEntry {
     "q17_asof_join" -> Oracles.q17,
     "q18_range_join" -> Oracles.q18,
     "q19_json_agg" -> Oracles.q19,
+    "q20_cube" -> Oracles.q20,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -179,6 +179,23 @@ object Relational {
         col("n_cust"), col("sum_bal"))
       .orderBy(col("region_name"), col("nation_name"))
 
+  /** q20: CUBE grouping — all four grouping sets of (priority,
+    * status) in one pass; with rollup (q9) this completes the OLAP
+    * grouping family. Spark expands the cube map-side and
+    * partial-aggregates, so the shuffle carries ≤ 4 × |groups| rows
+    * regardless of fact size. Null group keys coalesce to 'ALL'
+    * before the ORDER BY so both engines sort identical values
+    * (engine null-ordering defaults differ).
+    */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_ord"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_ord"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
   /** q10: global top-k — Spark plans this as per-partition top-k then
     * a single k-row merge on the driver side of the exchange
     * (TakeOrderedAndProject), i.e. no full sort of 100 TB.

@@ -72,6 +72,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q20 cube emits all four grouping sets with a consistent grand total") {
+    val rows = Relational.q20Cube(spark, sfDir).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1, "exactly one grand-total row")
+    val total = grand(0).getAs[Long]("n_ord")
+    val detail = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+      .map(_.getAs[Long]("n_ord")).sum
+    val byPriority = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+      .map(_.getAs[Long]("n_ord")).sum
+    val byStatus = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+      .map(_.getAs[Long]("n_ord")).sum
+    assert(detail == total && byPriority == total && byStatus == total,
+      s"every grouping set must partition the $total orders; got $detail/$byPriority/$byStatus")
+  }
+
   test("q7 approx distinct companion is within 5% of exact") {
     val exact = Relational.q7DistinctAgg(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_cust")).toMap
