@@ -1,0 +1,35 @@
+package graft
+
+/** Whole-suite plan regression guard: no operator may introduce an
+  * UNBOUNDED cartesian / nested-loop join. The two allowlisted
+  * queries carry one by design, and its build side is bounded:
+  *
+  *  - `sim_topk_cosine`: the brute ANN baseline broadcasts its
+  *    BOUNDED query set (nQueries rows) against the corpus with a
+  *    non-equi predicate — cost O(queries × corpus), the declared
+  *    exact baseline the approximate paths are gated against.
+  *  - `sim_recall`: two broadcast cross joins of 1-row aggregate
+  *    frames (the truth count and the min recall) — O(1) build sides.
+  *
+  * Everything else — every join in the relational suite, every LSH
+  * candidate generator, the temporal joins — must stay hash/merge
+  * shaped. A future operator that accidentally plans a cross join
+  * (e.g. a join key typo turning an equi-join into a filter) fails
+  * here with its plan printed.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val boundedByDesign = Set("sim_topk_cosine", "sim_recall")
+
+  test("no unbounded cartesian or nested-loop join anywhere in the query suite") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val hasCross = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop")
+      if (boundedByDesign(name))
+        assert(hasCross, s"$name is allowlisted for a bounded cross join but has none — " +
+          "its plan changed; re-audit and update the allowlist")
+      else
+        assert(!hasCross, s"$name plans an unbounded cross join:\n$plan")
+    }
+  }
+}
