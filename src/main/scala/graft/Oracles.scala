@@ -415,10 +415,16 @@ object Oracles {
       |     AND r.ts_s > l.ts_s AND r.ts_s <= l.ts_s + 600) AS n_follow
       |FROM e l WHERE l.event_type = 'error' ORDER BY l.event_id""".stripMargin
 
-  /** q19: JSON field extraction + aggregate. */
+  /** q19: JSON field extraction + aggregate.
+    *
+    * NOTE the outer CAST on sum_k: DuckDB's sum(BIGINT) returns HUGEINT
+    * (int128), which fails the driver's dtype-strict hash compare against
+    * Spark's LONG even when values agree (the single red row in
+    * CORRECTNESS_r05). Never emit an uncast integer SUM from DuckDB.
+    */
   val q19: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       | CAST(floor(10000.0 * sum(CAST(json_extract(props, '$.k') AS BIGINT)) / count(*))
       |   AS BIGINT) AS avg_k_fs
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -8,6 +8,10 @@ compares row count / column names / values against the Spark dump.
 import sys, json, glob, os
 import duckdb
 
+# (oracle_dtype, spark_dtype) pairs that are exact-value-preserving and
+# empirically pass the driver's hash compare. Anything else is a FAIL.
+DTYPE_WIDEN_OK = set()
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -43,11 +47,22 @@ def main(sfdir, outdir):
         o = ora_df[ocols].reset_index(drop=True)
         mismatches = []
         for c in scols:
-            sv = s[c]
-            try:  # align dtypes; fall through to string compare below
-                ov = o[c].astype(s[c].dtype)
-            except Exception:
-                ov = o[c]
+            sv, ov = s[c], o[c]
+            # Dtype-strict: the driver's hash compare rejects dtype
+            # mismatches even when values agree (q19 HUGEINT, r5), so a
+            # coercing local gate is NOT equivalent to the real one.
+            # Only the widenings in DTYPE_WIDEN_OK (exact-value-preserving,
+            # observed green on the driver) are coerced, with a warning.
+            sd, od = str(sv.dtype), str(ov.dtype)
+            if sd != od:
+                if (od, sd) in DTYPE_WIDEN_OK:
+                    print(f"  warn {name}.{c}: oracle {od} widened to spark {sd}")
+                    ov = ov.astype(sv.dtype)
+                else:
+                    mismatches.append(
+                        f"{c}: dtype spark={sd} oracle={od} (dtype-strict; "
+                        f"driver hash compare would reject this)")
+                    continue
             try:
                 eq = (sv == ov) | (sv.isna() & ov.isna())
             except Exception:
