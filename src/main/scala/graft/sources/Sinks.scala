@@ -47,6 +47,25 @@ object Sinks {
   def readSnapshots(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Append one micro-batch of per-point cluster assignments — the
+    * reference engine's other streaming output (each point labeled with
+    * the cluster it joined). Unlike snapshots this IS data-sized, so it
+    * keeps the batch's own partitioning (no coalesce) and relies on
+    * batch_id directory pruning for "what did batch N assign" reads;
+    * a consumer joining assignments to points prunes by batch range
+    * first. Exactly-once per batch comes from the streaming engine's
+    * batch-id-keyed retry (rerun batches overwrite their own dir).
+    */
+  def writeAssignments(batchId: Long, assigned: DataFrame, path: String): Unit =
+    assigned.write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/batch_id=$batchId")
+
+  /** Read an assignments dir back; `batch_id` comes from the directory
+    * name (hive-style), so filters on it prune whole batches.
+    */
+  def readAssignments(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   /** Bucketed tables require the metastore path (saveAsTable); the
     * session's warehouse dir decides physical placement.
     */

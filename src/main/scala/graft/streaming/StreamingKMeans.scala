@@ -53,14 +53,27 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Append a `cluster` column: nearest CURRENT centroid per point —
+    * the reference engine's per-point assignment output (each arriving
+    * point is assigned, THEN its centroid moves). Narrow and codegen'd;
+    * centroids enter the plan as broadcast literals, so the frame is
+    * pinned to the model state at call time regardless of when actions
+    * run on it.
+    */
+  def assign(batch: DataFrame, vecCol: String): DataFrame = {
+    val (cl, _) = KMeans.assignExpr(toDoubleArray(col(vecCol)).as("v"), centroids)
+    batch.withColumn("cluster", cl)
+  }
+
   /** Merge one micro-batch (a static DataFrame with an array<double>
     * column `vecCol`) into the model.
     */
-  def update(batch: DataFrame, vecCol: String): Unit = {
-    val (cl, _) = KMeans.assignExpr(toDoubleArray(col(vecCol)).as("v"), centroids)
+  def update(batch: DataFrame, vecCol: String): Unit =
+    mergeAssigned(assign(batch, vecCol), vecCol)
+
+  private def mergeAssigned(assigned: DataFrame, vecCol: String): Unit = {
     val avgs = (1 to dim).map(i => avg(element_at(toDoubleArray(col(vecCol)), i)).as(s"m$i"))
-    val stats = batch
-      .select(toDoubleArray(col(vecCol)).as(vecCol), cl.as("cluster"))
+    val stats = assigned
       .groupBy(col("cluster"))
       .agg(count(lit(1)).cast("double").as("m"), avgs: _*)
       .collect()
@@ -83,13 +96,21 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
     * model via foreachBatch. `onSnapshot` fires after each batch with
     * the updated centroids — the reference engine's periodic
     * cluster-snapshot surface (for monitoring/visualization).
+    * `onAssignments` fires BEFORE the merge with the batch plus a
+    * `cluster` column — the reference engine's other output half,
+    * per-point cluster assignments (assign, then update: each point is
+    * labeled with the centroid it was matched against, not the moved
+    * one). Land it durably via [[graft.sources.Sinks.writeAssignments]].
     */
   def run(stream: DataFrame, vecCol: String,
-          onSnapshot: (Long, Seq[(Long, Array[Double])]) => Unit = (_, _) => ()): StreamingQuery =
+          onSnapshot: (Long, Seq[(Long, Array[Double])]) => Unit = (_, _) => (),
+          onAssignments: (Long, DataFrame) => Unit = null): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        update(batch.toDF(), vecCol)
+        val assigned = assign(batch.toDF(), vecCol)
+        if (onAssignments != null) onAssignments(batchId, assigned)
+        mergeAssigned(assigned, vecCol)
         onSnapshot(batchId, centroids)
       }
       .start()
