@@ -122,6 +122,21 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.ccLabels(docs, Dedup.ngramJaccardPairs(docs))
     }),
+    // the SCALE-SAFE apply compositions: same greedy/cc application,
+    // pairs from the LSH generator instead of the blocked oracle
+    // baseline (rows-only keys — LSH candidate sets aren't
+    // SQL-expressible; containment vs the blocked twins is
+    // spec-verified in DedupSpec)
+    "dedup_apply_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.applyPairs(docs, Dedup.ngramLshPairs(docs))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_apply_cc_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))
+    }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),

@@ -64,10 +64,14 @@ object HashFunctions {
   private[graft] def minhashSignatureColumns(shingles: Column, perms: Int): Column = {
     val params = minhashParams(perms)
     val bases = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
-    element_at(transform(array(bases), bs =>
+    val sig = element_at(transform(array(bases), bs =>
       array(params.map { case (a, b) =>
         array_min(transform(bs, h => pmod(lit(a) * h + lit(b), lit(Prime))))
       }: _*)), 1)
+    // NULL-input parity with the native expression: graft_minhash_sig
+    // is a null-intolerant BinaryExpression (null array → SQL NULL),
+    // while the bare HOF form would yield an array of `perms` nulls
+    when(shingles.isNull, lit(null).cast("array<bigint>")).otherwise(sig)
   }
 
   /** LSH band keys: hash each band (contiguous slice of the

@@ -224,7 +224,22 @@ object Dedup {
     * degenerate mega-bucket.
     */
   def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-               thresholdFs: Long = 9000L): DataFrame = {
+               thresholdFs: Long = 9000L): DataFrame =
+    ngramLshPairs(docs0, n, perms, bands, thresholdFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[ngramLsh]] without the final global sort — the form downstream
+    * consumers ([[applyPairs]], [[ccLabels]]) should take, mirroring
+    * [[ngramJaccardPairs]]: a range-partitioned ORDER BY samples its
+    * input, so feeding the sorted frame into another shuffle executes
+    * the whole LSH verify twice and then throws the order away. This
+    * is the SCALE-SAFE pair source for corpus-level dedup application
+    * (the blocked [[ngramJaccardPairs]] is the bounded oracle
+    * baseline).
+    */
+  def ngramLshPairs(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
+                    thresholdFs: Long = 9000L): DataFrame = {
     val docs = Par.spread(docs0)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
@@ -243,8 +258,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardFs(docs0.sparkSession, col("grams_a"), col("grams_b")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Scale-safe embedding-cosine near-dup pairs: the SRP-LSH
@@ -360,6 +373,61 @@ object Dedup {
       labels = next
     }
     edges.unpersist(false)
+    // the second-to-last frontier is safe to drop: `labels` was
+    // eagerly materialized above, so nothing re-reads `prev`. The
+    // FINAL frontier stays cached on purpose — the returned ORDER BY
+    // samples its input, so dropping it would re-run the last round's
+    // joins twice; callers own that one cache entry (k rows of ids).
+    if (prev != null) prev.unpersist(false)
+    labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
+  }
+
+  /** [[ccLabels]] iterated to a FIXED POINT: min-id label propagation
+    * until a round changes zero labels (checked with a driver-side
+    * count on the same pass that materializes the frontier — no extra
+    * job). The library-facing variant for graphs whose chain depth is
+    * unknown; [[ccLabels]] keeps the fixed count for oracle lockstep.
+    *
+    * `maxIters` bounds the worst case (a path graph converges in its
+    * diameter; near-dup graphs are dense clusters with tiny diameters,
+    * so typical convergence is 2–4 rounds + 1 verification round).
+    * Per-round cost is identical to [[ccLabels]]: one edge join + one
+    * partial-agg groupBy, shuffles keyed on doc ids.
+    */
+  def convergedCcLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("lbl", col("doc_id"))
+    var prevCached: DataFrame = null
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
+        .withColumnRenamed("u", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      // one action does double duty: eager frontier materialization
+      // (the 2^iters lineage guard, see ccLabels) AND the convergence
+      // check — the changed-label count is a partial agg over the
+      // frame we must materialize anyway
+      changed = next.filter(col("lbl") < col("old_lbl")).count()
+      // the new frontier is materialized, so the previous round's
+      // cache (which it was computed from) can go
+      if (prevCached != null) prevCached.unpersist(false)
+      prevCached = next
+      labels = next.select(col("doc_id"), col("lbl"))
+      it += 1
+    }
+    edges.unpersist(false)
+    // the last frontier stays cached (the ORDER BY samples its input —
+    // same contract as ccLabels: callers own that one entry)
     labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
   }
 

@@ -103,6 +103,56 @@ object KMeans {
     (assigned, centroids)
   }
 
+  /** Convergence-aware Lloyd's: iterate assign + update until the
+    * maximum centroid movement (Euclidean, over surviving clusters)
+    * drops below `tol`, or `maxIters` rounds — the library-facing
+    * variant of [[lloyd]] (which keeps a FIXED count for oracle
+    * lockstep; run both to the same round count and they are
+    * identical, spec-pinned in KMeansSpec).
+    *
+    * The convergence check is free at any scale: centroids are k×dim
+    * doubles already on the driver after each update — no extra
+    * cluster work, no extra scan. A cluster that loses all points
+    * between rounds counts as converged (there is no new position to
+    * move to); new per-round cost is identical to [[lloyd]].
+    *
+    * Returns (assignment against the last pre-update centroids,
+    * final centroids, rounds actually run).
+    */
+  def lloydConverged(points: DataFrame, idCol: String, vecCol: String, k: Int,
+                     maxIters: Int, dim: Int, tol: Double = 1e-4)
+  : (DataFrame, Centroids, Int) = {
+    val pts = Par.spread(points)
+      .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .cache()
+    var centroids = initCentroids(pts, "id", "v", k)
+    var assigned: DataFrame = null
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && moved >= tol) {
+      val (cl, d) = assignExpr(col("v"), centroids)
+      assigned = pts.select(col("id"), col("v"), cl.as("cluster"), d.as("d"))
+      val next = updateCentroids(assigned, "v", dim)
+      moved = maxMovement(centroids, next)
+      centroids = next
+      it += 1
+    }
+    (assigned, centroids, it)
+  }
+
+  /** Max Euclidean movement between two centroid sets, matched by cid;
+    * clusters present in only one set contribute 0 (an emptied cluster
+    * has nowhere to move to).
+    */
+  private def maxMovement(prev: Centroids, next: Centroids): Double = {
+    val p = prev.toMap
+    next.iterator.map { case (cid, c) =>
+      p.get(cid).fold(0.0) { o =>
+        math.sqrt(c.indices.iterator.map(i => (c(i) - o(i)) * (c(i) - o(i))).sum)
+      }
+    }.maxOption.getOrElse(0.0)
+  }
+
   /** 2-D Lloyd's with scalar-expression assignment. */
   def lloyd2d(points: DataFrame, idCol: String, xCol: String, yCol: String, k: Int, iters: Int)
   : (DataFrame, Centroids2d) = {

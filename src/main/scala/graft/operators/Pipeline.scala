@@ -31,7 +31,9 @@ object Pipeline {
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
     // 2. near-dup dedup: LSH candidates + exact verify, greedy apply
-    val nearPairs = Dedup.ngramLsh(exactDeduped, thresholdFs = lshThresholdFs)
+    // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
+    // ngramLsh's global sort would only add a sampling double-run)
+    val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs)
     val deduped = Dedup.applyPairs(exactDeduped, nearPairs)
 
     // 3.+4. quality score and split tag are pure column adds — both

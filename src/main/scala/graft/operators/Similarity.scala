@@ -149,6 +149,11 @@ object Similarity {
     * Scale shape: candidate ids come from an equi-join on (table,
     * bucket) and are DISTINCT'd before any vector math — per-query
     * cost ∝ distinct collision volume, never |corpus|×|queries|.
+    *
+    * Cache ownership: the normalized-corpus persist feeds the bucket
+    * explode AND both verify-join sides of the returned (lazy) frame,
+    * so it outlives this call — callers of long-lived sessions should
+    * `spark.catalog.clearCache()` between pipelines (Bench does).
     */
   def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 4,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -223,9 +228,19 @@ object Similarity {
         floor(lit(10000.0) * coalesce(col("n_hit"), lit(0L)) / col("n_truth")).as("recall_fs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val minFs = recalls.agg(min(col("recall_fs")).as("min_fs"))
-    recalls.crossJoin(broadcast(minFs))
+    // the gate result is ≤ |methods| rows: evaluate it EAGERLY so the
+    // cached LSH+IVF+brute pipeline can be unpersisted here instead of
+    // leaking into the caller's session (cache hygiene — the returned
+    // frame is a LocalRelation carrying only the verdict rows)
+    val out = recalls.crossJoin(broadcast(minFs))
       .filter(col("min_fs") >= minRecallFs)
       .select(col("method"), col("recall_fs"))
       .orderBy(col("method"))
+      .collect()
+    recalls.unpersist(false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("method", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("recall_fs", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 }

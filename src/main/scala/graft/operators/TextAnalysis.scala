@@ -74,6 +74,12 @@ object TextAnalysis {
     * the df aggregate and the scored join. The final per-doc top-k is
     * a WindowGroupLimit — at 100 TB the shuffle ceiling is
     * |corpus vocab pairs|, all partial-aggregated.
+    *
+    * Cache ownership: the tf persist lives until the caller drops it
+    * (the returned frame reads it twice, so the operator cannot
+    * unpersist without re-running the explode) — long-lived sessions
+    * composing many operators should `spark.catalog.clearCache()`
+    * between pipelines, as Bench does between queries.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

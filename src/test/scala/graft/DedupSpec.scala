@@ -194,6 +194,118 @@ class DedupSpec extends SparkSpec {
       s"chain must canonicalize to min id transitively, got $reps")
   }
 
+  test("chain depth: fixed-4-round ccLabels splits a 6-hop chain, convergedCcLabels collapses it") {
+    val corpus = (1L to 7L).map(i => (i, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    // path graph 1–2–3–4–5–6–7: min-label propagation moves label 1
+    // one hop per round, so node i reaches label 1 at round i−1
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fixed = Dedup.ccLabels(corpus, chain, iters = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    // the DOCUMENTED fixed-count limitation: nodes 6 and 7 (5 and 6
+    // hops from the min) have not yet converged to 1 after 4 rounds
+    assert(fixed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 2L, 7L -> 3L),
+      s"4 fixed rounds must leave the >4-hop tail split, got $fixed")
+    val conv = Dedup.convergedCcLabels(corpus, chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(conv == (1L to 7L).map(_ -> 1L).toMap,
+      s"fixed-point propagation must collapse the whole chain, got $conv")
+  }
+
+  test("convergedCcLabels agrees with ccLabels on graphs that converge within the fixed count") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val corpus = (1L to 5L).map(i => (i, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    val a = Dedup.ccLabels(corpus, pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Dedup.convergedCcLabels(corpus, pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "same labels when the graph converges before the fixed count")
+  }
+
+  test("LSH-applied dedup drops a superset of what blocked-applied drops (scale-safe composition)") {
+    // the cross-block corpus: 1=2 exact dups whose n_chars (299 vs
+    // 301) straddle a length-bucket boundary — the blocked generator
+    // misses the pair, LSH finds it
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", 299L),
+      (2L, "alpha beta gamma delta epsilon", "en", 301L),
+      (3L, "alpha beta gamma delta zeta", "en", 27L),
+      (4L, "one two three four five six seven", "en", 33L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val blocked = ids(Dedup.applyPairs(d, Dedup.ngramJaccardPairs(d)))
+    val lsh = ids(Dedup.applyPairs(d, Dedup.ngramLshPairs(d)))
+    assert(lsh.subsetOf(blocked), s"LSH finds ⊇ pairs ⇒ survivors ⊆ blocked's: $lsh vs $blocked")
+    assert(lsh == Set(1L, 3L, 4L) && blocked == Set(1L, 2L, 3L, 4L),
+      "the cross-block dup must be dropped by the LSH path and kept by the blocked baseline")
+    // the cc composition groups the pair under the min id
+    val reps = Dedup.convergedCcLabels(d, Dedup.ngramLshPairs(d)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), s"got $reps")
+  }
+
+  test("forced skew: salting keeps any single task's pair expansion bounded (stage task metrics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.jdk.CollectionConverters._
+    // one degenerate bucket of 2000 docs → 1 999 000 candidate pairs.
+    // Unsalted, the whole n² expansion is produced by the ONE join
+    // task that owns the (band, bucket) key; salted (s = 10 groups),
+    // no task owns more than a few partner-group slices.
+    val banded = (0L until 2000L).map(id => (id, 0, 777L)).toDF("doc_id", "band", "bucket")
+
+    // max shuffle-write records of any task during df.count() — the
+    // join tasks write the pair stream into the distinct exchange, so
+    // this IS the per-task pair expansion
+    def maxTaskShuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      val recs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) recs.add(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        df.count()
+        // the listener bus is async: wait until the metric stream settles
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 100) {
+          Thread.sleep(100); waited += 1
+          val n = recs.size.toLong
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      recs.asScala.foldLeft(0L)(math.max)
+    }
+
+    // pin the plan shape the mechanism is designed for: at production
+    // scale the banded frame is corpus-sized, so the self-join is a
+    // SHUFFLE join whose reduce task owns ALL rows of a key — that is
+    // where a mega-bucket's n² lands. At test scale 2000 rows would
+    // broadcast (parallelizing the expansion over map partitions and
+    // hiding the skew), and AQE would coalesce the tiny map outputs
+    // into one task (it sizes by MAP bytes and cannot see join-OUTPUT
+    // expansion). Disable both locally; salting is exactly the guard
+    // for the expansion AQE can't see.
+    val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val saltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = 200))
+      val unsaltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = Int.MaxValue))
+      val total = 2000L * 1999L / 2
+      assert(unsaltedMax >= total, s"unsalted: one task must carry the full n² expansion, max=$unsaltedMax")
+      assert(saltedMax <= total / 2,
+        s"salted: no task may carry more than half the expansion (straggler gone), max=$saltedMax")
+      assert(saltedMax > 0, "listener must have observed the join tasks")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+    }
+  }
+
   test("rolling fingerprint is order-sensitive where set hashes are not") {
     val d2 = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = d2.select(HashFunctions.rollingFingerprint(split(col("text"), " ")).as("fp"))

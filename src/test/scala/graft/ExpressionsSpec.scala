@@ -92,6 +92,15 @@ class ExpressionsSpec extends SparkSpec {
     val empty = spark.sql(
       "SELECT graft_minhash_sig(array(), 4) AS sig").collect()(0).getSeq[Any](0)
     assert(empty.size == 4 && empty.forall(_ == null), s"empty input → all-null sig, got $empty")
+    // NULL-array edge: BOTH forms yield SQL NULL (the native expression
+    // is null-intolerant; the Column twin wraps itself to match)
+    val nulls = spark.range(1).select(
+      call_function("graft_minhash_sig",
+        lit(null).cast("array<string>"), lit(4)).as("native"),
+      HashFunctions.minhashSignatureColumns(lit(null).cast("array<string>"), 4).as("columnar"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1),
+      s"null token array → SQL NULL signature in both forms, got $nulls")
   }
 
   test("native simhash stays inside whole-stage codegen") {

@@ -40,6 +40,29 @@ class KMeansSpec extends SparkSpec {
       KMeans.metrics(a2).collect().map(_.toSeq).toSeq)
   }
 
+  test("lloydConverged stops early on an easy corpus and reports the round count") {
+    val (assigned, cents, rounds) = KMeans.lloydConverged(
+      toyPoints.select(col("id"), array(col("x"), col("y")).as("v")),
+      "id", "v", k = 2, maxIters = 20, dim = 2, tol = 1e-9)
+    assert(rounds < 20, s"two well-separated blobs must converge long before maxIters, ran $rounds")
+    assert(rounds >= 2, "convergence needs at least a move round and a verify round")
+    assert(cents.size == 2)
+    val m = assigned.select("id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(m(0), m(1), m(2)).size == 1 && Set(m(3), m(4), m(5)).size == 1 && m(0) != m(3),
+      "converged assignment must separate the blobs")
+  }
+
+  test("lloydConverged run to the same round count equals fixed-iteration lloyd") {
+    val pts = toyPoints.select(col("id"), array(col("x"), col("y")).as("v"))
+    val (_, cFixed) = KMeans.lloyd(pts, "id", "v", 2, 3, 2)
+    // tol = 0 never early-stops (movement ≥ 0 always), so exactly 3 rounds run
+    val (_, cConv, rounds) = KMeans.lloydConverged(pts, "id", "v", 2, maxIters = 3, dim = 2, tol = 0.0)
+    assert(rounds == 3)
+    assert(cConv.map { case (cid, c) => (cid, c.toSeq) } ==
+      cFixed.map { case (cid, c) => (cid, c.toSeq) },
+      "same rounds ⇒ bit-identical centroids between the fixed and converged variants")
+  }
+
   test("metrics sizes sum to the point count and wcss is nonnegative") {
     val (assigned, _) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 2)
     val m = KMeans.metrics(assigned).collect()

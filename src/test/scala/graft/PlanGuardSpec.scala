@@ -1,15 +1,18 @@
 package graft
 
 /** Whole-suite plan regression guard: no operator may introduce an
-  * UNBOUNDED cartesian / nested-loop join. The two allowlisted
-  * queries carry one by design, and its build side is bounded:
+  * UNBOUNDED cartesian / nested-loop join. One allowlisted query
+  * carries one by design, with a bounded build side:
   *
   *  - `sim_topk_cosine`: the brute ANN baseline broadcasts its
   *    BOUNDED query set (nQueries rows) against the corpus with a
   *    non-equi predicate — cost O(queries × corpus), the declared
   *    exact baseline the approximate paths are gated against.
-  *  - `sim_recall`: two broadcast cross joins of 1-row aggregate
-  *    frames (the truth count and the min recall) — O(1) build sides.
+  *
+  * (`sim_recall` used to be allowlisted for two broadcast cross joins
+  * of 1-row aggregate frames; since it evaluates its gate eagerly for
+  * cache hygiene, the returned frame is a LocalRelation and those
+  * bounded joins run inside the operator, out of this guard's sight.)
   *
   * Everything else — every join in the relational suite, every LSH
   * candidate generator, the temporal joins — must stay hash/merge
@@ -19,7 +22,7 @@ package graft
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private val boundedByDesign = Set("sim_topk_cosine", "sim_recall")
+  private val boundedByDesign = Set("sim_topk_cosine")
 
   test("no unbounded cartesian or nested-loop join anywhere in the query suite") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.sources.Sinks
 import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans}
 
 class StreamingSpec extends SparkSpec {
@@ -31,6 +32,39 @@ class StreamingSpec extends SparkSpec {
       val c2 = model.centroids.toMap
       assert(math.abs(c2(0L)(0) - 2.0) < 1e-9, s"running mean of 4 low points, got ${c2(0L).toSeq}")
       assert(model.weights.toMap.apply(0L) == 4.0)
+    } finally q.stop()
+  }
+
+  test("per-point assignments land per micro-batch alongside centroid snapshots") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_assign").toString + "/assignments"
+    val model = new StreamingKMeans(k = 2, dim = 2, decayFactor = 1.0,
+      init = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 10.0))))
+    val ms = MemoryStream[(Long, Double, Double)]
+    val stream = ms.toDF()
+      .select(col("_1").as("point_id"), array(col("_2"), col("_3")).as("vec"))
+    val snapshots = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = model.run(stream, "vec",
+      onSnapshot = (bid, _) => snapshots += bid,
+      onAssignments = (bid, assigned) =>
+        Sinks.writeAssignments(bid, assigned.select("point_id", "cluster"), dir))
+    try {
+      ms.addData((1L, 1.0, 1.0), (2L, 9.0, 9.0))
+      q.processAllAvailable()
+      ms.addData((3L, 2.0, 2.0))
+      q.processAllAvailable()
+      val rows = Sinks.readAssignments(spark, dir)
+        .select(col("point_id"), col("cluster"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 0 assigns against the INIT centroids (assign-then-update:
+      // the reference labels each point with the centroid it was
+      // matched against, not the moved one); batch 1 against the
+      // once-moved model
+      assert(rows == Set((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L)), s"got $rows")
+      assert(snapshots.toSeq == Seq(0L, 1L),
+        "a centroid snapshot per micro-batch alongside the assignment stream")
+      // hive-style batch_id dirs: a batch filter prunes whole directories
+      assert(Sinks.readAssignments(spark, dir).filter(col("batch_id") === 1).count() == 1)
     } finally q.stop()
   }
 
