@@ -48,23 +48,33 @@ object KMeansJob {
 
       case "stream" =>
         val decay = if (args.length > 3) args(3).toDouble else 1.0
-        // snapshots land NEXT TO the watched dir (writing parquet into
+        // outputs land NEXT TO the watched dir (writing parquet into
         // the csv dir would feed the file stream its own output)
         val snapDir = if (args.length > 4) args(4) else s"${path.stripSuffix("/")}_snapshots"
+        val assignDir = s"${path.stripSuffix("/")}_assignments"
         val seed = FeatureSource.csv2d(spark, path).toDF()
         val model = StreamingKMeans.seeded(seed, "id", "vec", k, dim = 2, decay)
         val stream = spark.readStream.schema(FeatureSource.csvSchema).csv(path)
-          .select(array(col("x"), col("y")).as("vec"))
-        // per-batch snapshot → partitioned parquet sink (the reference
-        // engine's visualization feed, durable + queryable), not stdout
-        val q = model.run(stream, "vec", (batchId, cents) =>
-          graft.sources.Sinks.writeSnapshot(spark, snapDir, batchId, cents,
-            model.weights.toMap))
+          .select(col("id"), array(col("x"), col("y")).as("vec"))
+        // BOTH reference outputs per batch: per-point assignments
+        // (each point labeled with the centroid it was matched
+        // against, before that centroid moves) and the centroid
+        // snapshot — partitioned parquet sinks, durable + queryable
+        val q = model.run(stream, "vec",
+          onSnapshot = (batchId, cents) =>
+            graft.sources.Sinks.writeSnapshot(spark, snapDir, batchId, cents,
+              model.weights.toMap),
+          onAssignments = (batchId, assigned) =>
+            graft.sources.Sinks.writeAssignments(batchId,
+              assigned.select(col("id"), col("cluster")), assignDir))
         q.awaitTermination(sys.env.getOrElse("SPARK_GRAFT_STREAM_MS", "15000").toLong)
         q.stop()
         println(s"centroid snapshots: $snapDir")
         graft.sources.Sinks.readSnapshots(spark, snapDir)
           .orderBy(col("batch_id"), col("cid")).show(100, truncate = false)
+        println(s"per-point assignments: $assignDir")
+        graft.sources.Sinks.readAssignments(spark, assignDir)
+          .orderBy(col("batch_id"), col("id")).show(20, truncate = false)
 
       case other => sys.error(s"unknown mode: $other (use batch|stream)")
     }
