@@ -295,6 +295,7 @@ class DedupSpec extends SparkSpec {
       val saltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = 200))
       val unsaltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = Int.MaxValue))
       val total = 2000L * 1999L / 2
+      info(s"per-task pair expansion: unsalted max=$unsaltedMax, salted max=$saltedMax (total=$total)")
       assert(unsaltedMax >= total, s"unsalted: one task must carry the full n² expansion, max=$unsaltedMax")
       assert(saltedMax <= total / 2,
         s"salted: no task may carry more than half the expansion (straggler gone), max=$saltedMax")
