@@ -474,6 +474,38 @@ object Oracles {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of TextAnalysis.repetition (bigrams): duplicated-n-gram
+    * ratio per doc, fixed-point. Gram construction mirrors Spark's
+    * wordNgrams via 1-based list indexing over range(1, len) —
+    * len−1 bigrams, docs under 2 tokens drop out on both sides.
+    */
+  val textRepetition: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |gi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |       FROM t WHERE len(toks) >= 2),
+      |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram FROM gi),
+      |r AS (SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS u FROM g GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+      | CAST(floor(10000.0 * (1.0 - CAST(u AS DOUBLE) / n)) AS BIGINT) AS rep_fs
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Twin of TextAnalysis.contamination (trigrams, benchmark = docs
+    * with doc_id % 50 = 0 — the deterministic stand-in eval set):
+    * per-doc distinct-trigram overlap with the benchmark's gram set.
+    */
+  val textContamination: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |gi AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+      |       FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram FROM gi),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |h AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+      |SELECT tot.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+      | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(floor(10000.0 * coalesce(h.n_hit, 0) / tot.n_grams) AS BIGINT) AS contam_fs
+      |FROM tot LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val sampleStratified: String = {
     import graft.operators.Sampling.hexThreshold
     val hi = hexThreshold(0.5, 4)

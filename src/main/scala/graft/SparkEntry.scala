@@ -137,6 +137,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))
     }),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
+    }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
@@ -185,6 +190,8 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangid,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
+    "text_repetition" -> Oracles.textRepetition,
+    "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,

@@ -40,6 +40,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition: the fraction of word n-grams that are
+    * duplicates of an earlier n-gram in the same doc — the standard
+    * "repetitious text" quality signal for training-data filtering
+    * (boilerplate, keyword stuffing, and degenerate generations score
+    * high; clean prose scores near 0). rep_fs = floor(1e4 · (1 −
+    * distinct/total)). Docs with fewer than n tokens have no n-grams
+    * and drop out.
+    *
+    * A narrow per-row projection — no shuffle, no explode: the gram
+    * array is built and reduced inside one codegen'd expression, so at
+    * 100 TB this runs at scan speed like the other quality signals.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = wordNgrams(tokens(col("text")), n)
+    docs.select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        floor(lit(10000.0) *
+          (lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams"))))
+          .as("rep_fs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: per-doc overlap of distinct word
+    * n-grams with a benchmark/eval set — the contamination check every
+    * training corpus needs before use (docs quoting an eval set verbatim
+    * leak test data). contam_fs = floor(1e4 · |doc ∩ bench| / |doc|);
+    * callers drop docs above a threshold.
+    *
+    * Scale shape: the benchmark gram set is BOUNDED BY DESIGN (eval
+    * sets are thousands of docs, not corpora) — distinct'd and
+    * broadcast like k centroids or the tokenizer vocab; the corpus
+    * side is one explode + broadcast-hash semi-count + one partial-agg
+    * groupBy on doc_id. No corpus text ever shuffles; cost is linear
+    * in corpus grams at any scale.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
+    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val total = docs.select(col("doc_id"), size(grams).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val docGrams = docs.select(col("doc_id"), explode(grams).as("gram"))
+    val benchGrams = broadcast(bench.select(explode(grams).as("gram")).distinct())
+    val hits = docGrams.join(benchGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    total.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_hit"),
+        floor(lit(10000.0) * coalesce(col("hits"), lit(0L)) / col("n_grams")).as("contam_fs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-heuristic language ID vs the labeled lang column. */
   def langIdPredictions(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), langId(tokens(col("text"))).as("pred_lang"),

@@ -87,6 +87,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 3L)) == 1L)
   }
 
+  test("repetition: duplicated bigram ratio, short docs drop out") {
+    val d = Seq(
+      (1L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      (2L, "a b c d"),     // all distinct → rep 0
+      (3L, "solo")         // < 2 tokens → no bigrams → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("rep_fs"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L), "tokenless-of-bigrams doc must not appear")
+    assert(out(1L) == ((5L, math.floor(10000.0 * (1.0 - 2.0 / 5.0)).toLong)))
+    assert(out(2L) == ((3L, 0L)), "all-distinct grams score 0")
+  }
+
+  test("contamination: trigram overlap with a benchmark set, fixed-point ratio") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'the quick brown'+'quick brown fox' w/ bench
+      (2L, "a completely different text here"),
+      (3L, "the quick brown fox jumps over") // superset of doc 1's overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"), r.getAs[Long]("contam_fs"))))
+      .toMap
+    // bench trigrams: {the quick brown, quick brown fox}
+    assert(out(1L) == ((3L, 2L, math.floor(10000.0 * 2 / 3).toLong)))
+    assert(out(2L) == ((3L, 0L, 0L)), "no shared trigram → clean")
+    assert(out(3L) == ((4L, 2L, 5000L)))
+  }
+
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprints(d).collect()
