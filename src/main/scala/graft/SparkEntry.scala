@@ -137,6 +137,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))
     }),
+    // incremental-crawl dedup: odd-id docs are the "incoming" batch,
+    // even-id docs the existing reference corpus (deterministic split;
+    // the corpus's planted dup clusters span both halves)
+    "dedup_cross_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramLshAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "text_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

@@ -311,6 +311,77 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cross-corpus candidate pairs from two banded frames: the
+    * incoming×reference equi-join on (band, bucket) — the two-corpus
+    * analogue of [[candidatePairs]] (no id ordering filter: the
+    * frames are disjoint corpora, every collision is a candidate).
+    *
+    * Skew guard mirrors the self-join salting, one-sided: a
+    * mega-bucket on the REFERENCE side is split into s = ⌈n/maxBucket⌉
+    * salt groups and the incoming row replicates across them, so the
+    * widest join key carries ≤ |incoming ∩ bucket|·maxBucket pairs
+    * across s tasks instead of the full product in one. Incoming rows
+    * only replicate into buckets the reference actually has (inner
+    * join against the bucket widths) — a bucket with no reference
+    * docs can produce no candidates.
+    */
+  private[graft] def crossCandidatePairs(bandedIn: DataFrame, bandedRef: DataFrame,
+                                         maxBucket: Int = 1024): DataFrame = {
+    val ref = bandedRef.select(col("doc_id").as("id_ref"), col("band"), col("bucket"))
+    val widths = ref.groupBy(col("band"), col("bucket"))
+      .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("int").as("s"))
+    val salted = ref.join(widths, Seq("band", "bucket"))
+      .select(col("id_ref"), col("band"), col("bucket"),
+        pmod(xxhash64(col("id_ref")), col("s")).cast("int").as("pg"))
+    val in = bandedIn.select(col("doc_id").as("id_in"), col("band"), col("bucket"))
+      .join(widths, Seq("band", "bucket"))
+      .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
+      .select(col("id_in"), col("band"), col("bucket"), col("pg"))
+    in.join(salted, Seq("band", "bucket", "pg"))
+      .select(col("id_in"), col("id_ref"))
+      .distinct()
+  }
+
+  /** Cross-corpus near-dup pairs: docs in `incoming` whose word-n-gram
+    * sets near-duplicate docs in `reference` — the incremental-crawl
+    * dedup every growing training corpus runs ("is this new document
+    * already in (or nearly in) what we have?"), and the near-dup
+    * escalation of [[graft.operators.TextAnalysis.contamination]].
+    *
+    * Same MinHash banding + exact-verify design as [[ngramLshPairs]],
+    * with the candidate join between the two corpora instead of a
+    * self-join: cost ∝ cross-bucket collision volume, never
+    * |incoming|×|reference|. Drop flagged docs with
+    * `incoming.join(pairs.select("id_in":*), "left_anti")` — one
+    * anti-join, no reference text ever moves.
+    */
+  def ngramLshAgainst(incoming: DataFrame, reference: DataFrame, n: Int = 2,
+                      perms: Int = 32, bands: Int = 8,
+                      thresholdFs: Long = 9000L): DataFrame = {
+    val rowsPerBand = perms / bands
+    def shingled(df: DataFrame): DataFrame = {
+      val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+      // persist: each side feeds its banding leg and its verify side
+      Par.spread(df).select(col("doc_id"), grams.as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def banded(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val si = shingled(incoming)
+    val sr = shingled(reference)
+    val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
+    val gr = sr.select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
+    crossCandidatePairs(banded(si), banded(sr)).join(gi, "id_in").join(gr, "id_ref")
+      .select(col("id_in"), col("id_ref"),
+        jaccardFs(incoming.sparkSession, col("grams_in"), col("grams_ref")).as("jac_fs"))
+      .filter(col("jac_fs") >= thresholdFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .orderBy(col("id_in"), col("id_ref"))
+  }
+
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
     * every doc that appears as the HIGHER id of any pair is dropped.
     * (Connected-component canonicalization would chain A-B-C through

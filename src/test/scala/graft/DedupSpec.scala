@@ -242,6 +242,41 @@ class DedupSpec extends SparkSpec {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), s"got $reps")
   }
 
+  test("cross-corpus LSH pairs incoming docs against the reference only, never each other") {
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", 30L),
+      (3L, "alpha beta gamma delta epsilon", "en", 30L), // dup WITHIN incoming — no pair
+      (5L, "one two three four five six seven", "en", 33L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val reference = Seq(
+      (2L, "alpha beta gamma delta epsilon", "en", 30L),
+      (4L, "totally unrelated reference text here", "en", 37L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.ngramLshAgainst(incoming, reference).collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(out == Set((1L, 2L), (3L, 2L)),
+      s"each incoming dup pairs its reference copy only (no intra-corpus pairs), got $out")
+    // the apply step: one anti-join on the flagged incoming ids
+    val survivors = incoming.join(
+        Dedup.ngramLshAgainst(incoming, reference).select(col("id_in").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(5L), s"flagged incoming docs dropped, got $survivors")
+  }
+
+  test("cross candidate salting: pair set identical to the unsalted cross-bucket join") {
+    val bin = ((0L until 50L).map(i => (i, 0, 777L)) :+ ((60L, 1, 10L)))
+      .toDF("doc_id", "band", "bucket")
+    val bref = ((1000L until 1300L).map(i => (i, 0, 777L)) :+ ((5000L, 1, 10L)))
+      .toDF("doc_id", "band", "bucket")
+    // reference mega-bucket (300 docs > maxBucket=64 → 5 salt groups)
+    val salted = Dedup.crossCandidatePairs(bin, bref, maxBucket = 64)
+    val unsalted = Dedup.crossCandidatePairs(bin, bref, maxBucket = Int.MaxValue)
+    assert(salted.count() == 50L * 300L + 1, "full cross product per shared bucket + the singleton pair")
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty,
+      "reference-side salting must not change the candidate set")
+  }
+
   test("forced skew: salting keeps any single task's pair expansion bounded (stage task metrics)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import scala.jdk.CollectionConverters._
