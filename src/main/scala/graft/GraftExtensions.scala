@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, MinHashSig, SimHash64}
+import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, MinHashSig, NgramStats, SimHash64}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -41,5 +41,8 @@ object GraftExtensions {
       arity("graft_l2sq", 2)(c => ArrayL2Sq(c(0), c(1)))),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
-      arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), c(1)))))
+      arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), c(1)))),
+    (FunctionIdentifier("graft_ngram_stats"),
+      new ExpressionInfo(classOf[NgramStats].getCanonicalName, "graft_ngram_stats"),
+      arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))))
 }

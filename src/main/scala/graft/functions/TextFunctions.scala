@@ -29,6 +29,23 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Total and distinct word-n-gram counts as struct(n_grams, n_uniq):
+    * the native one-pass kernel when the session has GraftExtensions
+    * (one token-array walk, grams materialized once into a hash set),
+    * the wordNgrams Column pair otherwise. NULL input → SQL NULL in
+    * both forms (parity spec in ExpressionsSpec).
+    */
+  def ngramStats(toks: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_ngram_stats"))
+      .map(_ => call_function("graft_ngram_stats", toks, lit(n)))
+      .getOrElse {
+        val g = wordNgrams(toks, n)
+        when(toks.isNull, lit(null).cast("struct<n_grams:bigint,n_uniq:bigint>"))
+          .otherwise(struct(size(g).cast("long").as("n_grams"),
+            size(array_distinct(g)).cast("long").as("n_uniq")))
+      }
+
   /** Count of regex-token matches (BPE-ish alnum runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 

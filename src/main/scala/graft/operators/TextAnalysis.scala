@@ -48,18 +48,21 @@ object TextAnalysis {
     * distinct/total)). Docs with fewer than n tokens have no n-grams
     * and drop out.
     *
-    * A narrow per-row projection — no shuffle, no explode: the gram
-    * array is built and reduced inside one codegen'd expression, so at
-    * 100 TB this runs at scan speed like the other quality signals.
+    * A narrow per-row projection — no shuffle, no explode: both gram
+    * counts come from ONE pass over the token array (native
+    * graft_ngram_stats kernel — the HOF formulation would walk the
+    * array once per consumer, outside codegen and outside
+    * common-subexpression elimination), so at 100 TB this runs at
+    * scan speed like the other quality signals.
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
-    val grams = wordNgrams(tokens(col("text")), n)
-    docs.select(col("doc_id"), grams.as("grams"))
-      .filter(size(col("grams")) > 0)
+    val stats = ngramStats(tokens(col("text")), n)
+    Par.spread(docs).select(col("doc_id"), stats.as("st"))
+      .filter(col("st.n_grams") > 0)
       .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
+        col("st.n_grams").as("n_grams"),
         floor(lit(10000.0) *
-          (lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams"))))
+          (lit(1.0) - col("st.n_uniq").cast("double") / col("st.n_grams")))
           .as("rep_fs"))
       .orderBy(col("doc_id"))
   }
@@ -73,22 +76,22 @@ object TextAnalysis {
     * Scale shape: the benchmark gram set is BOUNDED BY DESIGN (eval
     * sets are thousands of docs, not corpora) — distinct'd and
     * broadcast like k centroids or the tokenizer vocab; the corpus
-    * side is one explode + broadcast-hash semi-count + one partial-agg
-    * groupBy on doc_id. No corpus text ever shuffles; cost is linear
-    * in corpus grams at any scale.
+    * side is ONE gram explode (per-doc totals derive from the same
+    * exploded frame: grams are distinct within a doc, so count(*) per
+    * doc IS n_grams) + a broadcast left join marking hits + one
+    * partial-agg groupBy on doc_id. No corpus text ever shuffles;
+    * cost is linear in corpus grams at any scale.
     */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val total = docs.select(col("doc_id"), size(grams).cast("long").as("n_grams"))
-      .filter(col("n_grams") > 0)
-    val docGrams = docs.select(col("doc_id"), explode(grams).as("gram"))
-    val benchGrams = broadcast(bench.select(explode(grams).as("gram")).distinct())
-    val hits = docGrams.join(benchGrams, "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    total.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("hits"), lit(0L)).as("n_hit"),
-        floor(lit(10000.0) * coalesce(col("hits"), lit(0L)) / col("n_grams")).as("contam_fs"))
+    val exploded = Par.spread(docs).select(col("doc_id"), explode(grams).as("gram"))
+    val benchGrams = broadcast(
+      bench.select(explode(grams).as("gram")).distinct().withColumn("hit", lit(1)))
+    exploded.join(benchGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        floor(lit(10000.0) * col("n_hit") / col("n_grams")).as("contam_fs"))
       .orderBy(col("doc_id"))
   }
 

@@ -103,6 +103,28 @@ class ExpressionsSpec extends SparkSpec {
       s"null token array → SQL NULL signature in both forms, got $nulls")
   }
 
+  test("native ngram stats match the wordNgrams Column pair on real docs, plus edges") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val grams = graft.functions.TextFunctions.wordNgrams(toks, 2)
+    val both = docs.select(
+      call_function("graft_ngram_stats", toks, lit(2)).as("native"),
+      struct(size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_uniq")).as("columnar"))
+    val diff = both.filter(col("native") =!= col("columnar")).count()
+    assert(diff == 0, s"$diff docs disagree between native and Column ngram stats")
+    // edges: short doc → (0,0); repeated grams counted once in n_uniq;
+    // null input → SQL NULL
+    val r = spark.sql(
+      """SELECT graft_ngram_stats(array('solo'), 2) AS short,
+        |       graft_ngram_stats(array('a','b','a','b','a','b'), 2) AS rep,
+        |       graft_ngram_stats(CAST(NULL AS ARRAY<STRING>), 2) AS nul""".stripMargin).collect()(0)
+    assert(r.getStruct(0).getLong(0) == 0L && r.getStruct(0).getLong(1) == 0L)
+    assert(r.getStruct(1).getLong(0) == 5L && r.getStruct(1).getLong(1) == 2L,
+      "ababab: 5 bigrams, 2 distinct")
+    assert(r.isNullAt(2), "null token array → SQL NULL")
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))
