@@ -9,21 +9,25 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (content-hash groupBy, keep lowest id);
   *   2. near-dup dedup via scale-safe n-gram MinHash-LSH pairs,
   *      greedy keep-lowest-id application;
-  *   3. quality filter (composite fixed-point score ≥ threshold);
+  *   3. quality filter (composite fixed-point score ≥ threshold) and
+  *      repetition filter (duplicated-bigram ratio ≤ threshold, the
+  *      boilerplate/degenerate-text gate — one-pass native kernel);
   *   4. deterministic train/val/test split tagging.
   *
   * Every stage is one of this library's audited operators — the
   * composition adds NO new shuffle beyond what the stages themselves
   * do (exact dedup: one hash shuffle; LSH: band-bucket equi-joins;
-  * quality: narrow scan; split: map-side). Output: the curated corpus
-  * with provenance columns, ready for [[TextAnalysis.encodeTokens]]
-  * and a partitioned write ([[graft.sources.Sinks.writePartitioned]]).
+  * quality + repetition: narrow scan; split: map-side). Output: the
+  * curated corpus with provenance columns, ready for
+  * [[TextAnalysis.encodeTokens]] and a partitioned write
+  * ([[graft.sources.Sinks.writePartitioned]]).
   */
 object Pipeline {
 
   def curate(docs: DataFrame,
              minQualityFs: Long = 5000L,
              lshThresholdFs: Long = 9000L,
+             maxRepetitionFs: Long = 9000L,
              salt: String = "graft#"): DataFrame = {
     // 1. exact dedup: survivors are each hash group's keep_id
     val keep = Dedup.exact(docs)
@@ -36,19 +40,27 @@ object Pipeline {
     val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs)
     val deduped = Dedup.applyPairs(exactDeduped, nearPairs)
 
-    // 3.+4. quality score and split tag are pure column adds — both
-    // stay inside the survivors' scan, no extra join or shuffle
+    // 3.+4. quality score, repetition gate, and split tag are pure
+    // column adds — all stay inside the survivors' scan, no extra
+    // join or shuffle (the repetition counts come from the one-pass
+    // graft_ngram_stats kernel riding the same projection)
     import graft.functions.TextFunctions._
     val toks = tokens(col("text"))
+    val rep = ngramStats(toks, 2)
     deduped
       .withColumn("score_fs", qualityScoreFs(
         size(toks).cast("long"), size(array_distinct(toks)).cast("long"),
         countIn(toks, stopwords.toMap.apply("en")).cast("long"),
         punctCount(col("text")).cast("long"), length(col("text")).cast("long")))
       .filter(col("score_fs") >= minQualityFs)
+      .withColumn("rep_fs", when(rep.getField("n_grams") > 0,
+          floor(lit(10000.0) * (lit(1.0) -
+            rep.getField("n_uniq").cast("double") / rep.getField("n_grams"))))
+        .otherwise(lit(0L)))
+      .filter(col("rep_fs") <= maxRepetitionFs)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("score_fs"), col("split"))
+        col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
   }
 }

@@ -24,5 +24,23 @@ class PipelineSpec extends SparkSpec {
       s"2 (exact dup), 3 (near dup), 4 (quality) must drop; got $ids")
     assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
     assert(out.forall(_.getAs[Long]("score_fs") >= 6000L))
+    assert(out.forall(_.getAs[Long]("rep_fs") <= 9000L))
+  }
+
+  test("curate's repetition gate drops degenerate high-dup-bigram docs that pass quality") {
+    // high unique-token ratio + stopwords keep quality up, but the
+    // doc is one phrase looped — the repetition signal catches it
+    val loop = ("the quick brown fox jumps over " * 8).trim
+    val clean = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    val docs = Seq(
+      (1L, clean, "en", "src0", clean.length.toLong),
+      (2L, loop, "en", "src0", loop.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val strict = Pipeline.curate(docs, minQualityFs = 0L, maxRepetitionFs = 5000L)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(strict == Seq(1L), s"looped doc must fail the repetition gate, got $strict")
+    val lax = Pipeline.curate(docs, minQualityFs = 0L, maxRepetitionFs = 10000L)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(lax == Seq(1L, 2L), "gate at 10000 admits everything")
   }
 }
