@@ -414,6 +414,13 @@ object Dedup {
     * Output: (doc_id, rep_id) for EVERY corpus doc — unpaired docs
     * represent themselves. Keep rows where doc_id = rep_id for the
     * canonical corpus.
+    *
+    * Scale shape (r6): the iteration runs over the pair graph's
+    * VERTEX SET only — an unpaired doc's label can never change, so
+    * it skips the rounds entirely and joins back (rep = self) in one
+    * final doc-keyed left join. Per-round cost is ∝ |paired docs|,
+    * not |corpus|: at a production dup rate (a few %) the iterated
+    * frame is 50× smaller than the corpus.
     */
   def ccLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 4,
                idCol: String = "doc_id"): DataFrame = {
@@ -424,7 +431,8 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).cast("long").as("doc_id"))
+    // both edge directions are present, so `u` alone covers every vertex
+    var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
@@ -450,7 +458,10 @@ object Dedup {
     // samples its input, so dropping it would re-run the last round's
     // joins twice; callers own that one cache entry (k rows of ids).
     if (prev != null) prev.unpersist(false)
-    labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** [[ccLabels]] iterated to a FIXED POINT: min-id label propagation
@@ -463,7 +474,8 @@ object Dedup {
     * diameter; near-dup graphs are dense clusters with tiny diameters,
     * so typical convergence is 2–4 rounds + 1 verification round).
     * Per-round cost is identical to [[ccLabels]]: one edge join + one
-    * partial-agg groupBy, shuffles keyed on doc ids.
+    * partial-agg groupBy over the pair graph's vertex set (unpaired
+    * docs join back rep = self at the end, see ccLabels).
     */
   def convergedCcLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50,
                         idCol: String = "doc_id"): DataFrame = {
@@ -471,7 +483,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).cast("long").as("doc_id"))
+    var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     var prevCached: DataFrame = null
     var changed = 1L
@@ -499,7 +511,10 @@ object Dedup {
     edges.unpersist(false)
     // the last frontier stays cached (the ORDER BY samples its input —
     // same contract as ccLabels: callers own that one entry)
-    labels.select(col("doc_id"), col("lbl").as("rep_id")).orderBy(col("doc_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Blocked embedding-cosine near-dup pairs: block key = label
