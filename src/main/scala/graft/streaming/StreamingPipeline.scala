@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Streaming curation — the streaming twin of
+  * [[graft.operators.Pipeline.curate]] for a continuously arriving
+  * document stream (the ingest shape of a growing training corpus):
+  *
+  *   1. watermarked exact dedup ([[StreamingDedup.exactDedup]]: one
+  *      state-store row per distinct content hash inside the horizon,
+  *      bounded memory on an unbounded stream);
+  *   2. quality filter — the SAME composite fixed-point score as the
+  *      batch pipeline, a pure column expression on the micro-batch;
+  *   3. repetition gate — duplicated-bigram ratio via the one-pass
+  *      graft_ngram_stats kernel, also purely narrow;
+  *   4. deterministic md5 split tagging ([[Sampling.splitColumn]] —
+  *      engine/partitioning/arrival-order stable, so a doc gets the
+  *      same split whether it arrived streaming or in a batch load).
+  *
+  * Near-dup LSH dedup is deliberately ABSENT here: candidate
+  * generation is a corpus self-join, which has no bounded-state
+  * streaming form — the batch [[graft.operators.Dedup.ngramLsh]] (or
+  * the cross-corpus [[graft.operators.Dedup.ngramLshAgainst]] against
+  * the already-accepted corpus) is the periodic compaction pass that
+  * complements this stream.
+  *
+  * Only stage 1 keeps state, and only within the watermark; stages
+  * 2–4 are stateless projections, so the stream's cost profile equals
+  * the batch operators' per micro-batch.
+  */
+object StreamingPipeline {
+
+  def curateStream(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                   minQualityFs: Long = 5000L,
+                   maxRepetitionFs: Long = 9000L,
+                   salt: String = "graft#"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val deduped = StreamingDedup.exactDedup(docs, tsCol, watermarkDelay)
+    val toks = tokens(col("text"))
+    val rep = ngramStats(toks, 2)
+    deduped
+      .withColumn("score_fs", qualityScoreFs(
+        size(toks).cast("long"), size(array_distinct(toks)).cast("long"),
+        countIn(toks, stopwords.toMap.apply("en")).cast("long"),
+        punctCount(col("text")).cast("long"), length(col("text")).cast("long")))
+      .filter(col("score_fs") >= minQualityFs)
+      .withColumn("rep_fs", when(rep.getField("n_grams") > 0,
+          floor(lit(10000.0) * (lit(1.0) -
+            rep.getField("n_uniq").cast("double") / rep.getField("n_grams"))))
+        .otherwise(lit(0L)))
+      .filter(col("rep_fs") <= maxRepetitionFs)
+      .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
+  }
+}

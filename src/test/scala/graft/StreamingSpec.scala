@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.Sinks
-import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans}
+import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans, StreamingPipeline}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -169,6 +169,38 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getBoolean(1)))
       assert(rows.toSeq == Seq((1L, true), (2L, true), (3L, true)),
         s"evicted key must be treated as first again; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming curation dedups across batches, gates quality and repetition, tags splits") {
+    implicit val ctx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    val loop = ("spam alpha beta " * 10).trim // distinct tokens but looped → high rep_fs
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts")
+    // loop's rep_fs = floor(1e4·(1−3/29)) = 8965 — gate below it
+    val q = StreamingPipeline.curateStream(docs, "ts", "10 minutes",
+        minQualityFs = 4000L, maxRepetitionFs = 5000L)
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("scurate").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, good, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, loop, Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // a LATER batch re-sends doc 1's content: state-store dedup drops it
+      ms.addData((3L, good, Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, split FROM scurate ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._1).toSeq == Seq(1L),
+        s"dup content (3) and looped doc (2) must not survive, got ${rows.toSeq}")
+      assert(Set("train", "val", "test")(rows(0)._2))
+      // the split tag matches the batch pipeline's md5 rule — a doc
+      // lands in the same split regardless of how it arrived
+      val batchSplit = spark.range(1).select(
+        graft.operators.Sampling.splitColumn(lit(1L), "graft#").as("s")).collect()(0).getString(0)
+      assert(rows(0)._2 == batchSplit, "streaming and batch split tags must agree")
     } finally q.stop()
   }
 
