@@ -105,6 +105,24 @@ object Oracles {
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** Twin of q21Unpivot: the UNION ALL form of the melt (DuckDB's
+    * UNPIVOT would also work; the union spells out the exact rows).
+    * Values convert to integer cents BEFORE summing — double sums are
+    * accumulation-order-dependent across engines (SURVEY §4) — and
+    * the HUGEINT sum casts back to BIGINT per the §4 rule.
+    */
+  val q21: String =
+    """WITH u AS (
+      |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'tax', l_tax FROM lineitem),
+      |f AS (SELECT measure, CAST(round(value * 100, 0) AS BIGINT) AS v_fs FROM u)
+      |SELECT measure, count(*) AS n,
+      | CAST(sum(v_fs) AS BIGINT) AS total_fs,
+      | CAST(floor(100.0 * sum(v_fs) / count(*)) AS BIGINT) AS mean_fs
+      |FROM f GROUP BY measure ORDER BY measure""".stripMargin
+
   val q10: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem

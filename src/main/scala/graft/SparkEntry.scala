@@ -53,6 +53,7 @@ object SparkEntry {
     "q18_range_join" -> ((s, dir) => Temporal.rangeJoinCount(Tables.events(s, dir))),
     "q19_json_agg" -> (Relational.q19JsonAgg _),
     "q20_cube" -> (Relational.q20Cube _),
+    "q21_unpivot" -> (Relational.q21Unpivot _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -184,6 +185,7 @@ object SparkEntry {
     "q18_range_join" -> Oracles.q18,
     "q19_json_agg" -> Oracles.q19,
     "q20_cube" -> Oracles.q20,
+    "q21_unpivot" -> Oracles.q21,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -296,4 +296,29 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
       .orderBy(col("c_custkey"))
+
+  /** q21: unpivot/melt — lineitem's four measure columns become
+    * (measure, value) rows via Spark's native `Dataset.unpivot`
+    * (Catalyst `Expand`: each input row emits one row per measure in
+    * the SAME scan pass — no self-union, no extra shuffle), then a
+    * per-measure aggregate.
+    *
+    * Oracle determinism: double sums are accumulation-ORDER-dependent
+    * across engines, so values convert to exact integer cents
+    * (round(v·100) — bit-identical IEEE multiply + half-up round both
+    * sides) BEFORE summing; sums and the derived fixed-point mean are
+    * then exact BIGINT arithmetic.
+    */
+  def q21Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"))
+      .unpivot(Array.empty[Column],
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "value")
+      .select(col("measure"), round(col("value") * 100).cast("long").as("v_fs"))
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("v_fs")).as("total_fs"))
+      .withColumn("mean_fs", floor(lit(100.0) * col("total_fs") / col("n")))
+      .orderBy(col("measure"))
 }
