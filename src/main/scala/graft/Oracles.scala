@@ -105,6 +105,17 @@ object Oracles {
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** Twin of q22WindowOffsets: same total intra-partition order keys,
+    * so lag/lead/ntile agree across engines.
+    */
+  val q22: String =
+    """SELECT o_orderkey, o_custkey,
+      | round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+      | round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
+      | CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS spend_quartile
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Twin of q21Unpivot: the UNION ALL form of the melt (DuckDB's
     * UNPIVOT would also work; the union spells out the exact rows).
     * Values convert to integer cents BEFORE summing — double sums are

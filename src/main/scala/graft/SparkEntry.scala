@@ -54,6 +54,7 @@ object SparkEntry {
     "q19_json_agg" -> (Relational.q19JsonAgg _),
     "q20_cube" -> (Relational.q20Cube _),
     "q21_unpivot" -> (Relational.q21Unpivot _),
+    "q22_window_offsets" -> (Relational.q22WindowOffsets _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -186,6 +187,7 @@ object SparkEntry {
     "q19_json_agg" -> Oracles.q19,
     "q20_cube" -> Oracles.q20,
     "q21_unpivot" -> Oracles.q21,
+    "q22_window_offsets" -> Oracles.q22,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -297,6 +297,32 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
       .orderBy(col("c_custkey"))
 
+  /** q22: offset + tile window functions — lag/lead (previous/next
+    * order's price along each customer's order history) and ntile
+    * spend quartiles, completing the window family beyond q6's
+    * rank/running-sum. Both window specs partition on o_custkey, so
+    * the plan carries ONE shuffle: lag/lead fuse into a single
+    * WindowExec (same spec), and the ntile WindowExec reuses the
+    * existing hash partitioning with only an intra-partition re-sort
+    * (plan-audited: one Exchange before the windows, none between).
+    *
+    * Determinism: the intra-partition order ties on (o_orderdate,
+    * o_orderkey) — a total key, so lag/lead/ntile agree across
+    * engines; prices round at the end.
+    */
+  def q22WindowOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir).filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(lag(col("o_totalprice"), 1).over(byDate), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(byDate), 2).as("next_price"),
+        ntile(4).over(byPrice).cast("long").as("spend_quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q21: unpivot/melt — lineitem's four measure columns become
     * (measure, value) rows via Spark's native `Dataset.unpivot`
     * (Catalyst `Expand`: each input row emits one row per measure in
