@@ -535,6 +535,23 @@ object Oracles {
       | CAST(floor(10000.0 * coalesce(h.n_hit, 0) / tot.n_grams) AS BIGINT) AS contam_fs
       |FROM tot LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Twin of TextAnalysis.redact. Patterns come from the SAME Scala
+    * constants (no drift possible); they are RE2-compatible so Java
+    * regex (Spark) and RE2 (DuckDB) agree. DuckDB's regexp_replace
+    * needs the explicit 'g' flag — Spark's is global by default.
+    */
+  val textRedact: String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       | md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |   '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val sampleStratified: String = {
     import graft.operators.Sampling.hexThreshold
     val hi = hexThreshold(0.5, 4)

@@ -148,6 +148,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    "text_redact" -> ((s, dir) => TextAnalysis.redact(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(Tables.documents(s, dir))),
     "text_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -203,6 +204,7 @@ object SparkEntry {
     "text_langid" -> Oracles.textLangid,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
+    "text_redact" -> Oracles.textRedact,
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions._
@@ -94,6 +94,43 @@ object TextAnalysis {
         floor(lit(10000.0) * col("n_hit") / col("n_grams")).as("contam_fs"))
       .orderBy(col("doc_id"))
   }
+
+  /** PII redaction: emails, phone-shaped numbers, and IPv4 addresses
+    * replaced with typed placeholder tags — the scrub stage every
+    * training corpus runs before use. Purely narrow (three codegen'd
+    * regexp_replace passes riding the scan); the patterns are kept in
+    * the RE2-compatible subset so the Spark (Java regex) and DuckDB
+    * (RE2) engines agree token-for-token (oracle-checked via the
+    * redacted text's md5).
+    *
+    * Output per doc: redaction counts by type and md5 of the redacted
+    * text (the gate compares hashes, not megabytes of text); library
+    * callers use [[redactText]] for the redacted column itself.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    Par.spread(docs).select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        md5(redactText(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The redacted text column: email → <EMAIL>, phone → <PHONE>,
+    * IPv4 → <IP>. Order matters (IP before phone would still be safe
+    * with these anchored shapes, but fixed order keeps both engines
+    * and reruns identical).
+    */
+  def redactText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  // RE2-compatible (no lookaround/backrefs) so DuckDB twins match
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Stopword-heuristic language ID vs the labeled lang column. */
   def langIdPredictions(docs: DataFrame): DataFrame =

@@ -118,6 +118,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((4L, 2L, 5000L)))
   }
 
+  test("redact replaces emails, phones, and IPs with typed tags and counts them") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 at 10.0.0.1 now"),
+      (2L, "clean text with no pii at all"),
+      (3L, "two mails a@b.io c@d.org and dotted phone 555.123.4567")
+    ).toDF("doc_id", "text")
+    val redacted = d.select(col("doc_id"), TextAnalysis.redactText(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L) == "contact <EMAIL> or <PHONE> at <IP> now")
+    assert(redacted(2L) == "clean text with no pii at all")
+    assert(redacted(3L) == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>")
+    val counts = TextAnalysis.redact(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip")))).toMap
+    assert(counts(1L) == ((1L, 1L, 1L)) && counts(2L) == ((0L, 0L, 0L)) && counts(3L) == ((2L, 1L, 0L)))
+  }
+
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
     val out = TextAnalysis.fingerprints(d).collect()
