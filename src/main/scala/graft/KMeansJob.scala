@@ -14,7 +14,7 @@ import graft.streaming.StreamingKMeans
   *
   * Usage:
   *   tools/run.sh graft.KMeansJob batch  <csvPathOrDir> <k> <iters>
-  *   tools/run.sh graft.KMeansJob stream <csvDir> <k> [decay]
+  *   tools/run.sh graft.KMeansJob stream <csvDir> <k> [decay] [snapDir] [assignDir]
   *
   * batch: Lloyd's over the full file, prints per-cluster metrics and
   *   final centroids.
@@ -51,7 +51,12 @@ object KMeansJob {
         // outputs land NEXT TO the watched dir (writing parquet into
         // the csv dir would feed the file stream its own output)
         val snapDir = if (args.length > 4) args(4) else s"${path.stripSuffix("/")}_snapshots"
-        val assignDir = s"${path.stripSuffix("/")}_assignments"
+        val assignDir = if (args.length > 5) args(5) else s"${path.stripSuffix("/")}_assignments"
+        // this job runs WITHOUT a streaming checkpoint, so batch ids
+        // restart at 0 every run — a previous longer run's surviving
+        // batch_id=N dirs would otherwise mix stale assignments (made
+        // against a different model state) into this run's readback
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(assignDir))
         val seed = FeatureSource.csv2d(spark, path).toDF()
         val model = StreamingKMeans.seeded(seed, "id", "vec", k, dim = 2, decay)
         val stream = spark.readStream.schema(FeatureSource.csvSchema).csv(path)

@@ -542,14 +542,19 @@ object Oracles {
     */
   val textRedact: String = {
     import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
-    s"""SELECT doc_id,
+    // counts are staged exactly like the Spark side: n_ip on the
+    // email-redacted text, n_phone on the email+ip-redacted text, so
+    // counts = tags actually emitted even when matches overlap
+    s"""WITH s AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS after_email FROM documents),
+       |s2 AS (SELECT doc_id, text, after_email,
+       |  regexp_replace(after_email, '$Ipv4Re', '<IP>', 'g') AS after_ip FROM s)
+       |SELECT doc_id,
        | CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
-       | CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
-       | CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
-       | md5(regexp_replace(regexp_replace(regexp_replace(text,
-       |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
-       |   '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
-       |FROM documents ORDER BY doc_id""".stripMargin
+       | CAST(len(regexp_extract_all(after_ip, '$PhoneRe')) AS BIGINT) AS n_phone,
+       | CAST(len(regexp_extract_all(after_email, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       | md5(regexp_replace(after_ip, '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM s2 ORDER BY doc_id""".stripMargin
   }
 
   val sampleStratified: String = {

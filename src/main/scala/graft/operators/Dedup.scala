@@ -328,6 +328,11 @@ object Dedup {
   private[graft] def crossCandidatePairs(bandedIn: DataFrame, bandedRef: DataFrame,
                                          maxBucket: Int = 1024): DataFrame = {
     val ref = bandedRef.select(col("doc_id").as("id_ref"), col("band"), col("bucket"))
+    // the bucket-width aggregate appears in BOTH joins below and is
+    // re-evaluated per leg; deliberate — it is a slim partial agg
+    // (one row per occupied (band, bucket)) over the caller's
+    // persisted shingle frame, and persisting it here would leak a
+    // cache entry no caller can reach to unpersist
     val widths = ref.groupBy(col("band"), col("bucket"))
       .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("int").as("s"))
     val salted = ref.join(widths, Seq("band", "bucket"))
@@ -374,12 +379,20 @@ object Dedup {
     val sr = shingled(reference)
     val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
     val gr = sr.select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
-    crossCandidatePairs(banded(si), banded(sr)).join(gi, "id_in").join(gr, "id_ref")
+    val verified = crossCandidatePairs(banded(si), banded(sr))
+      .join(gi, "id_in").join(gr, "id_ref")
       .select(col("id_in"), col("id_ref"),
         jaccardFs(incoming.sparkSession, col("grams_in"), col("grams_ref")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_in"), col("id_ref"))
+    // eager: materialize the verified pair set (slim rows, volume ∝
+    // true dups) so BOTH corpus-scale shingle caches can be dropped
+    // here instead of leaking into the caller's session; the returned
+    // sort reads the small persisted frame
+    verified.count()
+    si.unpersist(false)
+    sr.unpersist(false)
+    verified.orderBy(col("id_in"), col("id_ref"))
   }
 
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
@@ -509,6 +522,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
+    if (changed > 0)
+      // labels are still VALID (every rep_id is a component member)
+      // but components deeper than maxIters stay split — surface it
+      // instead of silently under-merging
+      System.err.println(s"[graft] convergedCcLabels: not converged after $maxIters rounds " +
+        s"($changed labels still changing) — chains deeper than $maxIters hops remain split")
     // the last frontier stays cached (the ORDER BY samples its input —
     // same contract as ccLabels: callers own that one entry)
     docs.select(col(idCol).cast("long").as("doc_id"))

@@ -87,6 +87,7 @@ object KMeans {
     */
   def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int, dim: Int)
   : (DataFrame, Centroids) = {
+    require(iters >= 1, s"lloyd needs at least one round, got iters=$iters")
     // cache the projected points: every iteration re-reads them (same
     // reason MLlib KMeans caches its input — without this each of the
     // iters+1 jobs rescans the source)
@@ -122,6 +123,7 @@ object KMeans {
   def lloydConverged(points: DataFrame, idCol: String, vecCol: String, k: Int,
                      maxIters: Int, dim: Int, tol: Double = 1e-4)
   : (DataFrame, Centroids, Int) = {
+    require(maxIters >= 1, s"lloydConverged needs at least one round, got maxIters=$maxIters")
     val pts = Par.spread(points)
       .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
       .cache()
@@ -156,6 +158,7 @@ object KMeans {
   /** 2-D Lloyd's with scalar-expression assignment. */
   def lloyd2d(points: DataFrame, idCol: String, xCol: String, yCol: String, k: Int, iters: Int)
   : (DataFrame, Centroids2d) = {
+    require(iters >= 1, s"lloyd2d needs at least one round, got iters=$iters")
     val pts = Par.spread(points)
       .select(col(idCol).cast("long").as("id"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))

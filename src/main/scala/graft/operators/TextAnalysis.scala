@@ -106,14 +106,25 @@ object TextAnalysis {
     * Output per doc: redaction counts by type and md5 of the redacted
     * text (the gate compares hashes, not megabytes of text); library
     * callers use [[redactText]] for the redacted column itself.
+    *
+    * Counts are taken at each replacement STAGE (n_ip counts on the
+    * email-redacted text, n_phone on the email+ip-redacted text), so
+    * they equal the number of tags [[redactText]] actually emits —
+    * counting every pattern on the original would over-report when
+    * one match contains another (e.g. a phone-shaped local part
+    * inside an email is redacted as part of the <EMAIL> tag, not as
+    * a <PHONE>).
     */
-  def redact(docs: DataFrame): DataFrame =
+  def redact(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(Ipv4Re), lit("<IP>"))
     Par.spread(docs).select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
-        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
-        md5(redactText(col("text"))).as("redacted_md5"))
+        regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ip"),
+        md5(regexp_replace(afterIp, lit(PhoneRe), lit("<PHONE>"))).as("redacted_md5"))
       .orderBy(col("doc_id"))
+  }
 
   /** The redacted text column: email → <EMAIL>, phone → <PHONE>,
     * IPv4 → <IP>. Order matters (IP before phone would still be safe

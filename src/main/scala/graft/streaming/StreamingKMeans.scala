@@ -109,8 +109,16 @@ class StreamingKMeans(val k: Int, val dim: Int, val decayFactor: Double,
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val assigned = assign(batch.toDF(), vecCol)
-        if (onAssignments != null) onAssignments(batchId, assigned)
-        mergeAssigned(assigned, vecCol)
+        if (onAssignments != null) {
+          // the assignments sink and the merge are two ACTIONS on the
+          // same frame — persist so the batch's source is scanned and
+          // assigned once, not once per action
+          assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            onAssignments(batchId, assigned)
+            mergeAssigned(assigned, vecCol)
+          } finally assigned.unpersist(false)
+        } else mergeAssigned(assigned, vecCol)
         onSnapshot(batchId, centroids)
       }
       .start()

@@ -134,6 +134,15 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip")))).toMap
     assert(counts(1L) == ((1L, 1L, 1L)) && counts(2L) == ((0L, 0L, 0L)) && counts(3L) == ((2L, 1L, 0L)))
+    // containment: a phone-shaped local part is consumed by the EMAIL
+    // tag — counts must reflect the tags actually emitted, not raw
+    // pattern hits on the original text
+    val tricky = Seq((9L, "reach 555-123-4567@corp.com today")).toDF("doc_id", "text")
+    val t = TextAnalysis.redact(tricky).collect()(0)
+    assert(tricky.select(TextAnalysis.redactText(col("text"))).collect()(0).getString(0)
+      == "reach <EMAIL> today")
+    assert(t.getAs[Long]("n_email") == 1L && t.getAs[Long]("n_phone") == 0L,
+      "phone inside the email match must not be double-counted")
   }
 
   test("fingerprints: dup docs share fp and n_docs reflects the group size") {
