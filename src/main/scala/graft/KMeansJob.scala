@@ -24,6 +24,31 @@ import graft.streaming.StreamingKMeans
   *   whatever CSV is already present.
   */
 object KMeansJob {
+
+  /** Clear a previous run's batch_id-partitioned sink dir — GUARDED:
+    * deletes only if the dir is absent, empty, or every child is a
+    * batch_id=* partition (or Spark/Hadoop metadata). A mistyped
+    * 6th argument pointing at an arbitrary directory fails loudly
+    * instead of being recursively destroyed, and a failed delete
+    * raises instead of silently no-opping (the old deleteQuietly
+    * swallowed both). Uses Hadoop FileSystem so non-local paths
+    * (hdfs://, s3a://) are cleared too, not just java.io files.
+    */
+  private[graft] def clearBatchOutputDir(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val children = fs.listStatus(path)
+    val stray = children.filterNot { st =>
+      val n = st.getPath.getName
+      (st.isDirectory && n.startsWith("batch_id=")) || n.startsWith("_") || n.startsWith(".")
+    }
+    require(stray.isEmpty,
+      s"refusing to clear '$dir': it contains entries that are not batch_id=* partitions " +
+        s"(${stray.take(3).map(_.getPath.getName).mkString(", ")}) — pass a fresh output directory")
+    require(fs.delete(path, true), s"failed to clear previous-run output dir '$dir'")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: KMeansJob batch|stream <path> <k> [iters|decay]")
     val Array(mode, path, kStr) = args.take(3)
@@ -54,9 +79,12 @@ object KMeansJob {
         val assignDir = if (args.length > 5) args(5) else s"${path.stripSuffix("/")}_assignments"
         // this job runs WITHOUT a streaming checkpoint, so batch ids
         // restart at 0 every run — a previous longer run's surviving
-        // batch_id=N dirs would otherwise mix stale assignments (made
-        // against a different model state) into this run's readback
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(assignDir))
+        // batch_id=N dirs would otherwise mix stale rows (made against
+        // a different model state) into this run's readback. Both
+        // per-batch sinks get the same clear; the guard inside refuses
+        // to touch anything that doesn't look like one of our outputs.
+        clearBatchOutputDir(spark, assignDir)
+        clearBatchOutputDir(spark, snapDir)
         val seed = FeatureSource.csv2d(spark, path).toDF()
         val model = StreamingKMeans.seeded(seed, "id", "vec", k, dim = 2, decay)
         val stream = spark.readStream.schema(FeatureSource.csvSchema).csv(path)

@@ -127,8 +127,10 @@ object SparkEntry {
     // the SCALE-SAFE apply compositions: same greedy/cc application,
     // pairs from the LSH generator instead of the blocked oracle
     // baseline (rows-only keys — LSH candidate sets aren't
-    // SQL-expressible; containment vs the blocked twins is
-    // spec-verified in DedupSpec)
+    // SQL-expressible). NOT a subset relation to the blocked twins:
+    // the generators verify different gram units (unigram vs bigram
+    // Jaccard), so each drops pairs the other doesn't; the behavioral
+    // difference is fixture-pinned in DedupSpec.
     "dedup_apply_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyPairs(docs, Dedup.ngramLshPairs(docs))

@@ -64,14 +64,20 @@ object HashFunctions {
   private[graft] def minhashSignatureColumns(shingles: Column, perms: Int): Column = {
     val params = minhashParams(perms)
     val bases = transform(shingles, s => pmod(xxhash64(s), lit(Prime)))
-    val sig = element_at(transform(array(bases), bs =>
+    // NULL-input parity with the native expression (graft_minhash_sig
+    // is null-intolerant: null array → SQL NULL; the bare HOF form
+    // would yield an array of `perms` nulls) WITHOUT a conditional
+    // branch: HOFs are null-intolerant too, so `bases` is NULL for a
+    // NULL input — filtering the singleton array drops it and `get`
+    // of the then-empty array is SQL NULL. `shingles` is referenced
+    // exactly once (inside `bases`), so an expensive shingle
+    // expression is never evaluated twice — when/otherwise branches
+    // are excluded from subexpression elimination, which is why the
+    // previous isNull-gated form double-computed it.
+    get(transform(filter(array(bases), bs => bs.isNotNull), bs =>
       array(params.map { case (a, b) =>
         array_min(transform(bs, h => pmod(lit(a) * h + lit(b), lit(Prime))))
-      }: _*)), 1)
-    // NULL-input parity with the native expression: graft_minhash_sig
-    // is a null-intolerant BinaryExpression (null array → SQL NULL),
-    // while the bare HOF form would yield an array of `perms` nulls
-    when(shingles.isNull, lit(null).cast("array<bigint>")).otherwise(sig)
+      }: _*)), lit(0))
   }
 
   /** LSH band keys: hash each band (contiguous slice of the

@@ -32,7 +32,14 @@ case class NgramStats(left: Expression, right: Expression) extends BinaryExpress
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(_: StringType, _) | ArrayType(NullType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // n is foldable, so its VALUE is checkable at analysis time: a
+      // negative n would otherwise throw NegativeArraySizeException
+      // per ROW at eval, and n = 0 would silently return (len+1, 1)
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckSuccess // null n → SQL NULL per row
+        case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+        case n => TypeCheckResult.TypeCheckFailure(s"graft_ngram_stats requires n >= 1, got $n")
+      }
     case (l, r) =>
       TypeCheckResult.TypeCheckFailure(
         s"graft_ngram_stats requires (array<string>, foldable int), got ($l, $r)")

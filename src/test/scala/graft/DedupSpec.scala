@@ -219,10 +219,17 @@ class DedupSpec extends SparkSpec {
     assert(a == b, "same labels when the graph converges before the fixed count")
   }
 
-  test("LSH-applied dedup drops a superset of what blocked-applied drops (scale-safe composition)") {
+  test("LSH-applied dedup catches the cross-block dup the blocked baseline misses (fixture-pinned)") {
     // the cross-block corpus: 1=2 exact dups whose n_chars (299 vs
     // 301) straddle a length-bucket boundary — the blocked generator
-    // misses the pair, LSH finds it
+    // misses the pair, LSH finds it.
+    // NOTE this is a FIXTURE comparison, not a containment invariant:
+    // the two generators verify different similarity units
+    // (ngramJaccardPairs: unigram-token-set Jaccard; ngramLshPairs:
+    // bigram-shingle Jaccard), so neither survivor set contains the
+    // other in general — at sf0.01 the LSH path keeps 476 docs vs the
+    // blocked path's 362, each dropping pairs the other's gram unit
+    // doesn't flag.
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", 299L),
       (2L, "alpha beta gamma delta epsilon", "en", 301L),
@@ -233,7 +240,6 @@ class DedupSpec extends SparkSpec {
       df.select("doc_id").collect().map(_.getLong(0)).toSet
     val blocked = ids(Dedup.applyPairs(d, Dedup.ngramJaccardPairs(d)))
     val lsh = ids(Dedup.applyPairs(d, Dedup.ngramLshPairs(d)))
-    assert(lsh.subsetOf(blocked), s"LSH finds ⊇ pairs ⇒ survivors ⊆ blocked's: $lsh vs $blocked")
     assert(lsh == Set(1L, 3L, 4L) && blocked == Set(1L, 2L, 3L, 4L),
       "the cross-block dup must be dropped by the LSH path and kept by the blocked baseline")
     // the cc composition groups the pair under the min id

@@ -125,6 +125,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(2), "null token array → SQL NULL")
   }
 
+  test("ngram stats rejects n < 1 at analysis time (foldable value check)") {
+    // n is foldable, so a bad value must fail in the analyzer — not
+    // throw NegativeArraySizeException per row at eval time (n < 0)
+    // or silently return (len+1, 1) (n = 0)
+    for (bad <- Seq(0, -3)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT graft_ngram_stats(array('a','b'), $bad)").collect()
+      }
+      assert(e.getMessage.contains("n >= 1"), s"n=$bad must be rejected with the n >= 1 message: $e")
+    }
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))

@@ -96,6 +96,26 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Double]("weight") == 3.0)
   }
 
+  test("guarded batch-dir clear: wipes batch_id=* layouts, refuses anything else") {
+    val base = Files.createTempDirectory("graft_clear")
+    // a previous run's sink layout: batch_id=* partitions + metadata
+    val sink = base.resolve("assigns"); Files.createDirectories(sink.resolve("batch_id=0"))
+    Files.createDirectories(sink.resolve("batch_id=1"))
+    Files.writeString(sink.resolve("_SUCCESS"), "")
+    KMeansJob.clearBatchOutputDir(spark, sink.toString)
+    assert(!Files.exists(sink), "a batch_id=* layout must be cleared")
+    // absent dir: no-op, no error
+    KMeansJob.clearBatchOutputDir(spark, base.resolve("never_written").toString)
+    // a dir holding ANYTHING else (the mistyped-argument case): refuse loudly
+    val stray = base.resolve("user_data"); Files.createDirectories(stray)
+    Files.writeString(stray.resolve("important.txt"), "do not delete")
+    val e = intercept[IllegalArgumentException] {
+      KMeansJob.clearBatchOutputDir(spark, stray.toString)
+    }
+    assert(e.getMessage.contains("refusing to clear") && Files.exists(stray.resolve("important.txt")),
+      s"stray content must survive with a loud refusal: $e")
+  }
+
   test("multimodal metadata allows pruned filtering without touching payloads") {
     val docs = Tables.documents(spark, sfDir)
     val mm = Multimodal.asMultimodal(docs)
