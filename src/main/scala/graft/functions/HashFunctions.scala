@@ -141,6 +141,56 @@ object HashFunctions {
     }: _*)
   }
 
+  /** Chunk count COUPLED to a hamming threshold by the pigeonhole
+    * principle: splitting 64 bits into `chunks` equal chunks, two
+    * fingerprints within hamming ≤ h share at least one exact chunk
+    * whenever h < chunks — so guaranteed recall needs
+    * chunks > maxHamming. Returns the smallest power-of-two divisor
+    * of 64 that clears the bound (chunk widths stay integral).
+    *
+    * The cost side of the dial, for callers raising maxHamming: chunk
+    * width w = 64/chunks is the bucket key's entropy — background
+    * (random-fingerprint) pairs collide in a given chunk w.p. 2^−w,
+    * so expected background candidate volume ≈ chunks·n²/2^w. At the
+    * default (4 chunks, 16-bit keys) that is n²/16384 — strong
+    * pruning; at 16 chunks (4-bit keys, maxHamming up to 15) it is
+    * n²·16⁻¹·16 = n²·2⁻⁴ ... i.e. barely sub-quadratic. Guaranteed
+    * recall at high hamming radii inherently costs candidate volume
+    * with single-chunk indexing (multi-chunk combination keys are the
+    * known escalation); [[simhashCollisionProb]] quantifies what a
+    * CHEAPER geometry still recalls, so callers can trade
+    * deliberately.
+    */
+  def simhashChunksFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 64), got $maxHamming")
+    Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+  }
+
+  /** Probability that a pair at hamming distance `hamming` shares at
+    * least one exact chunk under a `chunks`-way split — i.e. the
+    * RECALL of single-chunk simhash bucketing at that distance, under
+    * the uniform model (differing bits uniformly placed over the 64
+    * positions). Exact inclusion–exclusion over which chunks stay
+    * untouched:
+    *   P = Σ_{j≥1} (−1)^{j+1} C(chunks,j)·C(64−j·w, h) / C(64, h).
+    * Equals 1 for h < chunks (pigeonhole), then falls off — the
+    * simhash analogue of [[lshCollisionProb]], spec-pinned in
+    * DedupSpec so defaults never advertise more than they recall.
+    */
+  def simhashCollisionProb(hamming: Int, chunks: Int): Double = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    // pigeonhole: fewer differing bits than chunks ⇒ certainty — return
+    // the exact 1.0 rather than the sum's last-ulp approximation of it
+    if (hamming < chunks) return 1.0
+    val w = 64 / chunks
+    def choose(n: Int, k: Int): Double =
+      if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    (1 to chunks).map { j =>
+      val sign = if (j % 2 == 1) 1.0 else -1.0
+      sign * choose(chunks, j) * choose(64 - j * w, hamming)
+    }.sum / choose(64, hamming)
+  }
+
   /** Rolling polynomial fingerprint of a token array:
     * fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod P).
     * Order-sensitive (unlike set hashes) — two docs with the same

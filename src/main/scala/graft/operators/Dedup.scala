@@ -136,9 +136,9 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash fingerprints: 64-bit sketch per doc + the chunk keys used
-    * for hamming-bucketed candidate joins (pigeonhole: hamming < 4 ⇒
-    * some 16-bit chunk matches exactly).
+  /** SimHash fingerprints: one 64-bit sketch per doc. [[simhashPairs]]
+    * splits them into chunk keys for the hamming-bucketed candidate
+    * join (pigeonhole: hamming < chunks ⇒ some chunk matches exactly).
     *
     * Uses the native codegen'd Catalyst expression when the session
     * has GraftExtensions (bit-identical, ~100× smaller expression
@@ -153,23 +153,52 @@ object Dedup {
     docs.select(col("doc_id"), sh.as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs within hamming ≤ maxHamming,
-    * generated via the 4-chunk pigeonhole join.
+  /** SimHash near-dup pairs within hamming ≤ maxHamming.
+    *
+    * Candidates route through the salted [[candidatePairs]] generator
+    * like every other LSH path here (band = chunk index, bucket =
+    * chunk bits): a mega-bucket — thousands of near-identical docs
+    * sharing a chunk value, or the degenerate all-zeros fingerprint
+    * from trivial token arrays — gets the same triangle-salt split,
+    * so no single join task carries its n² expansion (forced-skew
+    * spec-verified alongside the minhash path). The fingerprints join
+    * back onto the slim candidate ids for the hamming verify, the way
+    * minhashLsh carries its token sets.
+    *
+    * Geometry is COUPLED to the threshold
+    * ([[graft.functions.HashFunctions.simhashChunksFor]]): the chunk
+    * count is derived from maxHamming so the pigeonhole guarantee
+    * (hamming < chunks ⇒ some chunk matches exactly) always covers
+    * the advertised radius — the default (3 → 4 chunks of 16 bits)
+    * recalls 100% of hamming ≤ 3 pairs while background pairs collide
+    * at only ~4·2⁻¹⁶. Raising maxHamming widens the chunk count and
+    * pays candidate volume (see simhashChunksFor's cost model);
+    * [[graft.functions.HashFunctions.simhashCollisionProb]] is the
+    * spec-pinned recall curve for running a cheaper geometry beyond
+    * its guaranteed radius.
+    *
+    * Cache ownership: the fingerprint persist feeds the banding leg
+    * and both verify-join sides of the returned lazy frame — callers
+    * of long-lived sessions should clearCache between pipelines (as
+    * Bench/Verify do).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    // persist: both legs of the chunk self-join need the fingerprints
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.HashFunctions.simhashChunksFor
+    val chunks = simhashChunksFor(maxHamming)
     val fp = simhashFingerprints(docs)
-      .select(col("doc_id"), col("simhash"), explode(fingerprintChunks(col("simhash"), 4)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = fp.as("a")
-    val b = fp.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hamming64(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
-      .distinct()
+    // slim (doc_id, band, bucket) rows — fingerprints don't ride the
+    // chunk explode; they come back in the verify join below
+    val banded = fp
+      .select(col("doc_id"), explode(fingerprintChunks(col("simhash"), chunks)).as("ck"))
+      .select(col("doc_id"), col("ck.chunk").as("band"), col("ck.bits").as("bucket"))
+    val fa = fp.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val fb = fp.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    candidatePairs(banded).join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy(col("id_a"), col("id_b"))
   }
 

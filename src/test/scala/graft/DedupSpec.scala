@@ -49,6 +49,59 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("simhash geometry is coupled to maxHamming: pigeonhole chunk count + pinned recall curve") {
+    import graft.functions.HashFunctions.{simhashChunksFor, simhashCollisionProb}
+    // chunks > maxHamming (pigeonhole): the default maxHamming=3 gets
+    // 4 chunks of 16 bits; wider radii widen the split
+    assert(simhashChunksFor(0) == 2 && simhashChunksFor(3) == 4)
+    assert(simhashChunksFor(7) == 8 && simhashChunksFor(12) == 16 && simhashChunksFor(15) == 16)
+    // inside the guaranteed radius recall is exactly 1
+    assert(simhashCollisionProb(3, 4) == 1.0 && simhashCollisionProb(12, 16) == 1.0)
+    // just past it the curve drops below 1 — pinned so a geometry is
+    // never advertised beyond what it recalls
+    assert(math.abs(simhashCollisionProb(4, 4) - 0.8969) < 0.001)
+    // the OLD default (maxHamming=12 on 4 chunks) recalled under 9% of
+    // uniform hamming-12 pairs — the advertise/recall mismatch the
+    // derived geometry fixes
+    assert(simhashCollisionProb(12, 4) < 0.09)
+    // monotone: recall falls as hamming grows
+    val curve = (1 to 20).map(simhashCollisionProb(_, 4))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("simhash pairs route through the salted generator: pair set identical to the unsalted join") {
+    import graft.functions.HashFunctions.{fingerprintChunks, simhashChunksFor}
+    // a mega-chunk corpus: 1200 identical docs (one fingerprint ⇒ every
+    // chunk is a 1200-doc bucket, > maxBucket=1024 ⇒ salting engages)
+    // plus a near-dup pair and an unrelated doc
+    val d = ((0L until 1200L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta", "en", 45L)) ++ Seq(
+      (2000L, "iota kappa lambda mu nu xi omicron pi", "en", 38L),
+      (2001L, "iota kappa lambda mu nu xi omicron rho", "en", 38L),
+      (3000L, "one two three four five six seven eight", "en", 39L)
+    )).toDF("doc_id", "text", "lang", "n_chars")
+    val maxH = 12
+    val salted = Dedup.simhashPairs(d, maxHamming = maxH)
+    // the pre-r7 formulation: direct chunk self-join, no salting
+    val chunks = simhashChunksFor(maxH)
+    val fp = Dedup.simhashFingerprints(d)
+      .select(col("doc_id"), col("simhash"),
+        explode(fingerprintChunks(col("simhash"), chunks)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
+    val unsalted = fp.as("a").join(fp.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.HashFunctions.hamming64(col("a.simhash"), col("b.simhash"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxH)
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty,
+      "routing through candidatePairs must not change the simhash pair set")
+    // the identical block is fully recalled (hamming 0 < chunks)
+    assert(salted.filter(col("id_a") < 1200L && col("id_b") < 1200L).count() == 1200L * 1199L / 2)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("blocked ngram-jaccard finds dups within blocks only") {
     val out = Dedup.ngramJaccard(docs, thresholdFs = 6000L).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
@@ -283,56 +336,63 @@ class DedupSpec extends SparkSpec {
       "reference-side salting must not change the candidate set")
   }
 
-  test("forced skew: salting keeps any single task's pair expansion bounded (stage task metrics)") {
+  // max shuffle-write records of any task during df.count() — the
+  // join tasks write the pair stream into the distinct exchange, so
+  // this IS the per-task pair expansion
+  private def maxTaskShuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import scala.jdk.CollectionConverters._
-    // one degenerate bucket of 2000 docs → 1 999 000 candidate pairs.
-    // Unsalted, the whole n² expansion is produced by the ONE join
-    // task that owns the (band, bucket) key; salted (s = 10 groups),
-    // no task owns more than a few partner-group slices.
-    val banded = (0L until 2000L).map(id => (id, 0, 777L)).toDF("doc_id", "band", "bucket")
-
-    // max shuffle-write records of any task during df.count() — the
-    // join tasks write the pair stream into the distinct exchange, so
-    // this IS the per-task pair expansion
-    def maxTaskShuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
-      val recs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-      val listener = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) recs.add(m.shuffleWriteMetrics.recordsWritten)
-        }
+    val recs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) recs.add(m.shuffleWriteMetrics.recordsWritten)
       }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        df.count()
-        // the listener bus is async: wait until the metric stream settles
-        var last = -1L; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 100) {
-          Thread.sleep(100); waited += 1
-          val n = recs.size.toLong
-          if (n == last) stable += 1 else { stable = 0; last = n }
-        }
-      } finally spark.sparkContext.removeSparkListener(listener)
-      recs.asScala.foldLeft(0L)(math.max)
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.count()
+      // the listener bus is async: wait until the metric stream settles
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val n = recs.size.toLong
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    recs.asScala.foldLeft(0L)(math.max)
+  }
 
-    // pin the plan shape the mechanism is designed for: at production
-    // scale the banded frame is corpus-sized, so the self-join is a
-    // SHUFFLE join whose reduce task owns ALL rows of a key — that is
-    // where a mega-bucket's n² lands. At test scale 2000 rows would
-    // broadcast (parallelizing the expansion over map partitions and
-    // hiding the skew), and AQE would coalesce the tiny map outputs
-    // into one task (it sizes by MAP bytes and cannot see join-OUTPUT
-    // expansion). Disable both locally; salting is exactly the guard
-    // for the expansion AQE can't see.
+  // pin the plan shape the salting mechanism is designed for: at
+  // production scale the banded frame is corpus-sized, so the
+  // self-join is a SHUFFLE join whose reduce task owns ALL rows of a
+  // key — that is where a mega-bucket's n² lands. At test scale the
+  // slim side would broadcast (parallelizing the expansion over map
+  // partitions and hiding the skew), and AQE would coalesce the tiny
+  // map outputs into one task (it sizes by MAP bytes and cannot see
+  // join-OUTPUT expansion). Disable both locally; salting is exactly
+  // the guard for the expansion AQE can't see.
+  private def withSkewPinnedPlan[T](body: => T): T = {
     val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
     val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+    }
+  }
+
+  test("forced skew: salting keeps any single task's pair expansion bounded (stage task metrics)") {
+    // one degenerate bucket of 2000 docs → 1 999 000 candidate pairs.
+    // Unsalted, the whole n² expansion is produced by the ONE join
+    // task that owns the (band, bucket) key; salted (s = 10 groups),
+    // no task owns more than a few partner-group slices.
+    val banded = (0L until 2000L).map(id => (id, 0, 777L)).toDF("doc_id", "band", "bucket")
+    withSkewPinnedPlan {
       val saltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = 200))
       val unsaltedMax = maxTaskShuffleRecords(Dedup.candidatePairs(banded, maxBucket = Int.MaxValue))
       val total = 2000L * 1999L / 2
@@ -341,10 +401,38 @@ class DedupSpec extends SparkSpec {
       assert(saltedMax <= total / 2,
         s"salted: no task may carry more than half the expansion (straggler gone), max=$saltedMax")
       assert(saltedMax > 0, "listener must have observed the join tasks")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
-      spark.conf.set("spark.sql.shuffle.partitions", parts0)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+    }
+  }
+
+  test("forced skew, simhash: a mega-chunk corpus rides the same salted generator (r7)") {
+    import graft.functions.HashFunctions.fingerprintChunks
+    // 1500 identical docs → ONE fingerprint → every chunk is a
+    // 1500-doc bucket (> maxBucket=1024 ⇒ s=2 salt groups). Before r7
+    // simhashPairs self-joined the chunk frame directly — the whole
+    // C(1500,2) expansion per band in one task; routed through
+    // candidatePairs no task carries more than the ~n·(n/s)/2 slice.
+    val d = (0L until 1500L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta", "en", 33L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    withSkewPinnedPlan {
+      val saltedMax = maxTaskShuffleRecords(Dedup.simhashPairs(d, maxHamming = 3))
+      spark.sharedState.cacheManager.clearCache()
+      // the pre-r7 formulation, measured under the same plan pins
+      val fp = Dedup.simhashFingerprints(d)
+        .select(col("doc_id"), explode(fingerprintChunks(col("simhash"), 4)).as("ck"))
+        .select(col("doc_id"), col("ck.chunk").as("chunk"), col("ck.bits").as("bits"))
+      val unsaltedMax = maxTaskShuffleRecords(
+        fp.as("a").join(fp.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct())
+      val total = 1500L * 1499L / 2
+      info(s"simhash per-task pair expansion: unsalted max=$unsaltedMax, salted max=$saltedMax (total=$total)")
+      assert(unsaltedMax >= total, s"unsalted chunk join: one task owns the full expansion, max=$unsaltedMax")
+      assert(saltedMax <= (unsaltedMax * 6) / 10,
+        s"salted (s=2): the straggler task must shed ≥40% of the expansion, max=$saltedMax")
+      assert(saltedMax > 0, "listener must have observed the join tasks")
+      spark.sharedState.cacheManager.clearCache()
     }
   }
 
