@@ -141,6 +141,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))
     }),
+    // the O(log d) star-contraction CC over the same LSH pair graph —
+    // label parity with dedup_apply_cc_lsh is spec-pinned (DedupSpec),
+    // so both keys must produce identical frames
+    "dedup_apply_cc_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.starCcLabels(docs, Dedup.ngramLshPairs(docs))
+    }),
     // incremental-crawl dedup: odd-id docs are the "incoming" batch,
     // even-id docs the existing reference corpus (deterministic split;
     // the corpus's planted dup clusters span both halves)

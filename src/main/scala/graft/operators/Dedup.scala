@@ -450,8 +450,8 @@ object Dedup {
     * keyed on doc ids (no skew beyond the dup-cluster fan-in, which
     * the groupBy partial-aggregates away). A fixed iteration count
     * keeps both engines in lockstep for the oracle (chains longer
-    * than `iters` hops are rare in near-dup graphs; large-star /
-    * small-star alternation is the known accelerant if they are not).
+    * than `iters` hops are rare in near-dup graphs; [[starCcLabels]]
+    * is the O(log d) star-contraction accelerant if they are not).
     *
     * Output: (doc_id, rep_id) for EVERY corpus doc — unpaired docs
     * represent themselves. Keep rows where doc_id = rep_id for the
@@ -559,6 +559,102 @@ object Dedup {
         s"($changed labels still changing) — chains deeper than $maxIters hops remain split")
     // the last frontier stays cached (the ORDER BY samples its input —
     // same contract as ccLabels: callers own that one entry)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION — the known
+    * accelerant over min-label propagation ([[ccLabels]] names it):
+    * the public large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Min-label propagation moves the component minimum ONE HOP per
+    * round, so a chain of diameter d needs d rounds; star contraction
+    * halves path lengths every round and converges in O(log d) — at
+    * 100 TB, where each round is a fixed number of shuffles over the
+    * pair graph, round COUNT is the wall-clock lever.
+    *
+    * Per round over canonical (hi > lo) edges:
+    *  - LARGE-STAR: for every node u, attach each strictly-larger
+    *    neighbor v to m = min(Γ(u) ∪ {u}) — emit (v, m). One groupBy
+    *    (partial-agg min) + one join, both keyed on u.
+    *  - SMALL-STAR: orient edges big→small; for every node u, attach
+    *    u and its (all smaller) neighbors to m = min(Γ(u) ∪ {u}).
+    *    Same two shuffles keyed on the big endpoint.
+    * Both operations preserve connectivity and only ever re-point a
+    * node at a SMALLER id, so the fixed point is the star graph
+    * rooted at each component's minimum.
+    *
+    * Convergence check costs no extra shuffle shape: the round's new
+    * edge set is materialized anyway (the 2^iters lineage guard all
+    * CC variants here share); `exceptAll` against the previous round
+    * on the slim id pairs detects the fixed point exactly.
+    *
+    * Output contract is IDENTICAL to [[ccLabels]]/[[convergedCcLabels]]
+    * (spec-pinned parity): (doc_id, rep_id) for every corpus doc,
+    * rep = component min, unpaired docs rep = self — so callers can
+    * swap propagation for contraction without touching anything else.
+    */
+  def starCcLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50,
+                   idCol: String = "doc_id"): DataFrame = {
+    // lineage is TRUNCATED each round (localCheckpoint), not just
+    // cached: one star round references its input ~16× (sym twice,
+    // ls from sym three times, …), so a persist-only iteration grows
+    // the ANALYZED plan 16× per round and the analyzer itself becomes
+    // the bottleneck after 3–4 rounds — the iterative-plan explosion,
+    // worse here than ccLabels' 2×/round. Checkpointed frames are
+    // slim (id, id) rows; dropped references are reclaimed by the
+    // ContextCleaner. On a real cluster with executor churn, swap in
+    // reliable `checkpoint()` (needs spark.checkpoint.dir) — same
+    // shape, durable blocks.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true) // eager: the pair pipeline runs ONCE
+    var edgeCount = edges.count()
+    var changed = edgeCount > 0
+    var it = 0
+    while (changed && it < maxIters) {
+      // LARGE-STAR over symmetric neighborhoods
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR over the big→small orientation ls already has
+      val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = ls.join(minsS, "hi")
+      val next = withM.select(col("lo").as("hi"), col("m").as("lo")) // (v, m), v ∈ Γ(u)
+        .unionByName(withM.select(col("hi"), col("m").as("lo")))     // (u, m)
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(true) // materialize + truncate this round's lineage
+      val nextCount = next.count()
+      // fixed point ⟺ identical edge sets (both sides distinct, so
+      // equal counts + empty one-sided difference suffice)
+      changed = nextCount != edgeCount || next.exceptAll(edges).count() > 0
+      edges = next
+      edgeCount = nextCount
+      it += 1
+    }
+    if (changed)
+      System.err.println(s"[graft] starCcLabels: not converged after $maxIters rounds — " +
+        "labels may point at a non-minimal representative")
+    // at the fixed point the graph is a union of stars: every non-root
+    // appears as hi pointing at its component min; roots label
+    // themselves (the groupBy collapses both, and is a no-op-sized agg)
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("lbl"))
+      .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("lbl")))
+      .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+    // no caller-owned cache entry here (unlike ccLabels): the final
+    // edge frame is a checkpoint, so the ORDER BY's sampling pass
+    // re-reads materialized blocks, not the pair pipeline
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))

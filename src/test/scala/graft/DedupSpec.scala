@@ -264,6 +264,41 @@ class DedupSpec extends SparkSpec {
       s"fixed-point propagation must collapse the whole chain, got $conv")
   }
 
+  test("star contraction CC: label parity with min-label propagation on chains, clusters, isolates") {
+    // chain 1–2–…–7, a 3-clique {10,11,12} (redundant edges), an
+    // isolated pair {20,21}, isolated docs 30, 31
+    val corpus = ((1L to 7L) ++ Seq(10L, 11L, 12L, 20L, 21L, 30L, 31L))
+      .map(i => (i, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = ((1L to 6L).map(i => (i, i + 1)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+      .toDF("id_a", "id_b")
+    val star = Dedup.starCcLabels(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prop = Dedup.convergedCcLabels(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == prop, s"star contraction must produce identical labels:\n$star\nvs\n$prop")
+    val reps = star.toMap
+    assert((1L to 7L).forall(reps(_) == 1L) && Seq(10L, 11L, 12L).forall(reps(_) == 10L))
+    assert(reps(20L) == 20L && reps(21L) == 20L && reps(30L) == 30L && reps(31L) == 31L)
+  }
+
+  test("star contraction converges in O(log d) rounds where min-label needs O(d)") {
+    // a 16-hop path: min-label propagation moves label 1 one hop per
+    // round (needs 16 rounds); star contraction halves path lengths
+    // per round — 6 rounds are ample for diameter 16
+    val corpus = (1L to 17L).map(i => (i, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    val chain = (1L to 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.starCcLabels(corpus, chain, maxIters = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(star == (1L to 17L).map(_ -> 1L).toMap,
+      s"star contraction must collapse a 16-hop chain within 6 rounds, got $star")
+    // the SAME budget starves min-label propagation — the round-count
+    // separation this operator exists for
+    val prop = Dedup.convergedCcLabels(corpus, chain, maxIters = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(prop != star, "min-label within 6 rounds must NOT have collapsed the 16-hop chain")
+  }
+
   test("convergedCcLabels agrees with ccLabels on graphs that converge within the fixed count") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val corpus = (1L to 5L).map(i => (i, "x", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
