@@ -128,12 +128,15 @@ object Dedup {
     // persist before the global sort: range-partitioned ORDER BY runs
     // a sampling pass over its input — without the persist the whole
     // pair-verify map stage executes twice
-    candidates.join(ta, "id_a").join(tb, "id_b")
+    val verified = candidates.join(ta, "id_a").join(tb, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardFs(docs0.sparkSession, col("toks_a"), col("toks_b")).as("jac_fs"))
       .filter(col("jac_fs") >= minJaccardFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_a"), col("id_b"))
+    // structural release: both operator-owned persists drop after the
+    // caller's first terminal action consumes them
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
   }
 
   /** SimHash fingerprints: one 64-bit sketch per doc. [[simhashPairs]]
@@ -176,11 +179,6 @@ object Dedup {
     * [[graft.functions.HashFunctions.simhashCollisionProb]] is the
     * spec-pinned recall curve for running a cheaper geometry beyond
     * its guaranteed radius.
-    *
-    * Cache ownership: the fingerprint persist feeds the banding leg
-    * and both verify-join sides of the returned lazy frame — callers
-    * of long-lived sessions should clearCache between pipelines (as
-    * Bench/Verify do).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.functions.HashFunctions.simhashChunksFor
@@ -194,12 +192,13 @@ object Dedup {
       .select(col("doc_id"), col("ck.chunk").as("band"), col("ck.bits").as("bucket"))
     val fa = fp.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val fb = fp.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    candidatePairs(banded).join(fa, "id_a").join(fb, "id_b")
+    val verified = candidatePairs(banded).join(fa, "id_a").join(fb, "id_b")
       .select(col("id_a"), col("id_b"),
         hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_a"), col("id_b"))
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(fp, verified))
   }
 
   /** Blocked word-set Jaccard pairs: candidates share a metadata block
@@ -253,10 +252,13 @@ object Dedup {
     * degenerate mega-bucket.
     */
   def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-               thresholdFs: Long = 9000L): DataFrame =
-    ngramLshPairs(docs0, n, perms, bands, thresholdFs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_a"), col("id_b"))
+               thresholdFs: Long = 9000L): DataFrame = {
+    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs)
+    // persist before the global sort (ORDER BY samples its input)
+    val verified = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
+  }
 
   /** [[ngramLsh]] without the final global sort — the form downstream
     * consumers ([[applyPairs]], [[ccLabels]]) should take, mirroring
@@ -269,6 +271,16 @@ object Dedup {
     */
   def ngramLshPairs(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
                     thresholdFs: Long = 9000L): DataFrame = {
+    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs)
+    ScopedCache.releaseAfterAction(pairs, Seq(shingled))
+  }
+
+  /** Shared body of [[ngramLsh]]/[[ngramLshPairs]], returning the
+    * operator-owned shingle persist alongside the verified pairs so
+    * each public entry can scope exactly the caches it creates.
+    */
+  private def ngramLshPairsAndCache(docs0: DataFrame, n: Int, perms: Int, bands: Int,
+                                    thresholdFs: Long): (DataFrame, DataFrame) = {
     val docs = Par.spread(docs0)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
@@ -283,10 +295,11 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val ga = shingled.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val gb = shingled.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
-    candidatePairs(banded).join(ga, "id_a").join(gb, "id_b")
+    val pairs = candidatePairs(banded).join(ga, "id_a").join(gb, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardFs(docs0.sparkSession, col("grams_a"), col("grams_b")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
+    (pairs, shingled)
   }
 
   /** Scale-safe embedding-cosine near-dup pairs: the SRP-LSH
@@ -332,12 +345,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    candidatePairs(banded).join(ea, "id_a").join(eb, "id_b")
+    val verified = candidatePairs(banded).join(ea, "id_a").join(eb, "id_b")
       .select(col("id_a"), col("id_b"),
         floor(lit(10000.0) * cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))).as("cos_fs"))
       .filter(col("cos_fs") >= thresholdFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy(col("id_a"), col("id_b"))
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(e, verified))
   }
 
   /** Cross-corpus candidate pairs from two banded frames: the
@@ -417,11 +431,13 @@ object Dedup {
     // eager: materialize the verified pair set (slim rows, volume ∝
     // true dups) so BOTH corpus-scale shingle caches can be dropped
     // here instead of leaking into the caller's session; the returned
-    // sort reads the small persisted frame
+    // sort reads the small persisted frame, which is itself scoped to
+    // the caller's first action
     verified.count()
     si.unpersist(false)
     sr.unpersist(false)
-    verified.orderBy(col("id_in"), col("id_ref"))
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_in"), col("id_ref")), Seq(verified))
   }
 
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
@@ -496,14 +512,16 @@ object Dedup {
     edges.unpersist(false)
     // the second-to-last frontier is safe to drop: `labels` was
     // eagerly materialized above, so nothing re-reads `prev`. The
-    // FINAL frontier stays cached on purpose — the returned ORDER BY
-    // samples its input, so dropping it would re-run the last round's
-    // joins twice; callers own that one cache entry (k rows of ids).
+    // FINAL frontier stays cached until the caller's first action —
+    // the returned ORDER BY samples its input, so dropping it earlier
+    // would re-run the last round's joins twice.
     if (prev != null) prev.unpersist(false)
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
-      .orderBy(col("doc_id"))
+    ScopedCache.releaseAfterAction(
+      docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+        .orderBy(col("doc_id")),
+      Seq(labels))
   }
 
   /** [[ccLabels]] iterated to a FIXED POINT: min-id label propagation
@@ -557,12 +575,14 @@ object Dedup {
       // instead of silently under-merging
       System.err.println(s"[graft] convergedCcLabels: not converged after $maxIters rounds " +
         s"($changed labels still changing) — chains deeper than $maxIters hops remain split")
-    // the last frontier stays cached (the ORDER BY samples its input —
-    // same contract as ccLabels: callers own that one entry)
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
-      .orderBy(col("doc_id"))
+    // the last frontier stays cached until the caller's first action
+    // (the ORDER BY samples its input — same contract as ccLabels)
+    ScopedCache.releaseAfterAction(
+      docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+        .orderBy(col("doc_id")),
+      if (prevCached != null) Seq(prevCached) else Seq.empty)
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION — the known
@@ -608,13 +628,18 @@ object Dedup {
     // ContextCleaner. On a real cluster with executor churn, swap in
     // reliable `checkpoint()` (needs spark.checkpoint.dir) — same
     // shape, durable blocks.
-    var edges = pairs
+    val edges0 = pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
-      .localCheckpoint(true) // eager: the pair pipeline runs ONCE
-    var edgeCount = edges.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count() is a Dataset ACTION (unlike localCheckpoint's internal
+    // RDD job), so a scoped-cache pair generator upstream sees its
+    // plan consumed here and releases its own persists
+    var edgeCount = edges0.count()
+    var edges = edges0.localCheckpoint(true) // slim copy off the cache, lineage truncated
+    edges0.unpersist(false)
     var changed = edgeCount > 0
     var it = 0
     while (changed && it < maxIters) {

@@ -101,8 +101,19 @@ object KMeans {
       assigned = pts.select(col("id"), col("v"), cl.as("cluster"), d.as("d"))
       centroids = updateCentroids(assigned, "v", dim)
     }
-    (assigned, centroids)
+    (scopedAssignment(assigned, pts), centroids)
   }
+
+  /** Scope the points cache to the caller's first action on the
+    * RETURNED assignment. The filter(true) marker node (free — the
+    * optimizer prunes it from the physical plan) makes the returned
+    * frame structurally distinct from the loop-internal one, so the
+    * release does NOT fire on the final updateCentroids collect (whose
+    * plan contains the bare assignment) — the cache stays warm for the
+    * caller's read, then drops.
+    */
+  private def scopedAssignment(assigned: DataFrame, pts: DataFrame): DataFrame =
+    ScopedCache.releaseAfterAction(assigned.filter(lit(true)), Seq(pts))
 
   /** Convergence-aware Lloyd's: iterate assign + update until the
     * maximum centroid movement (Euclidean, over surviving clusters)
@@ -139,7 +150,7 @@ object KMeans {
       centroids = next
       it += 1
     }
-    (assigned, centroids, it)
+    (scopedAssignment(assigned, pts), centroids, it)
   }
 
   /** Max Euclidean movement between two centroid sets, matched by cid;
@@ -173,7 +184,7 @@ object KMeans {
         .orderBy(col("cluster"))
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     }
-    (assigned, centroids)
+    (scopedAssignment(assigned, pts), centroids)
   }
 
   /** Per-cluster metrics of an assignment: size, WCSS, mean squared

@@ -151,9 +151,9 @@ object Similarity {
     * cost ∝ distinct collision volume, never |corpus|×|queries|.
     *
     * Cache ownership: the normalized-corpus persist feeds the bucket
-    * explode AND both verify-join sides of the returned (lazy) frame,
-    * so it outlives this call — callers of long-lived sessions should
-    * `spark.catalog.clearCache()` between pipelines (Bench does).
+    * explode AND both verify-join sides of the returned (lazy) frame —
+    * scoped to release after the caller's first terminal action
+    * ([[ScopedCache]]).
     */
   def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 4,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -176,7 +176,8 @@ object Similarity {
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
-    cand.join(e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
+    val out = cand
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         cosFs(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))).as("cos_fs"))
@@ -184,6 +185,7 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
       .orderBy(col("q_id"), col("rnk"))
+    ScopedCache.releaseAfterAction(out, Seq(e))
   }
 
   /** Recall gate for the approximate ANN paths: recall@k of

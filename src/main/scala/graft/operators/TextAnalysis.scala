@@ -178,11 +178,11 @@ object TextAnalysis {
     * a WindowGroupLimit — at 100 TB the shuffle ceiling is
     * |corpus vocab pairs|, all partial-aggregated.
     *
-    * Cache ownership: the tf persist lives until the caller drops it
-    * (the returned frame reads it twice, so the operator cannot
-    * unpersist without re-running the explode) — long-lived sessions
-    * composing many operators should `spark.catalog.clearCache()`
-    * between pipelines, as Bench does between queries.
+    * Cache ownership: the tf persist feeds both the document-frequency
+    * aggregate and the join probe side of the returned frame (the
+    * operator cannot unpersist without re-running the explode) — it is
+    * scoped to release after the caller's first terminal action
+    * ([[ScopedCache]]).
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -191,12 +191,13 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(dfreq, "token")
+    val out = tf.join(dfreq, "token")
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("rnk", row_number().over(byDoc).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("token"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
+    ScopedCache.releaseAfterAction(out, Seq(tf))
   }
 
   /** Tokenizer encoding: each document becomes (doc_id, pos, token_id)

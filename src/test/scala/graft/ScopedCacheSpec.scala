@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+
+/** The structural cache-ownership contract (ScopedCache): operators
+  * that persist intermediates across their returned lazy frame must
+  * release them after the caller's FIRST terminal action — verified
+  * against the session's CacheManager, not by convention.
+  */
+class ScopedCacheSpec extends SparkSpec {
+
+  // the listener bus is asynchronous: release lands shortly after the
+  // action returns, so poll instead of asserting immediately
+  private def awaitEmptyCache(what: String): Unit = {
+    var waited = 0
+    while (!spark.sharedState.cacheManager.isEmpty && waited < 100) {
+      Thread.sleep(100); waited += 1
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$what: an operator-owned persist survived the caller's terminal action")
+  }
+
+  test("no operator-owned persist survives the caller's first terminal action") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      ("minhashLsh", () => Dedup.minhashLsh(docs)),
+      ("ngramLsh", () => Dedup.ngramLsh(docs)),
+      ("ngramLshPairs via applyPairs", () => Dedup.applyPairs(docs, Dedup.ngramLshPairs(docs))),
+      ("simhashPairs", () => Dedup.simhashPairs(docs)),
+      ("cosineLsh", () => Dedup.cosineLsh(emb)),
+      ("ngramLshAgainst", () => Dedup.ngramLshAgainst(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))),
+      ("ccLabels", () => Dedup.ccLabels(docs, Dedup.ngramLshPairs(docs))),
+      ("convergedCcLabels", () => Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))),
+      ("starCcLabels", () => Dedup.starCcLabels(docs, Dedup.ngramLshPairs(docs))),
+      ("lshTopK", () => Similarity.lshTopK(emb)),
+      ("ivfTopK", () => Similarity.ivfTopK(emb)),
+      ("annRecall", () => Similarity.annRecall(emb)),
+      ("tfidfTopK", () => TextAnalysis.tfidfTopK(docs)),
+      ("Pipeline.curate", () => Pipeline.curate(docs)),
+      ("KMeans.lloyd metrics", () => {
+        val (assigned, _) = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", 4, 2, 64)
+        graft.operators.KMeans.metrics(assigned)
+      })
+    )
+    for ((name, build) <- cases) {
+      spark.sharedState.cacheManager.clearCache()
+      build().count() // the caller's one terminal action
+      awaitEmptyCache(name)
+    }
+  }
+
+  test("release also fires when the action consumes a frame DERIVED from the operator result") {
+    val docs = Tables.documents(spark, sfDir)
+    spark.sharedState.cacheManager.clearCache()
+    // the operator result rides into the action as a subtree
+    val survivors = Dedup.minhashLsh(docs)
+      .filter(col("jac_fs") >= 9500L)
+      .select(col("id_b")).distinct()
+    survivors.count()
+    awaitEmptyCache("minhashLsh via derived frame")
+  }
+}
