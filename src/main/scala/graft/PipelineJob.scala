@@ -2,23 +2,75 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Pipeline
 import graft.sources.Sinks
+import graft.streaming.StreamingPipeline
 
-/** CLI: run the full training-data curation pipeline over a document
-  * parquet dir and land the curated corpus partitioned by
-  * (split, lang) — the layout every downstream trainer reads with
-  * partition pruning.
+/** CLI: run the training-data curation pipeline over a document
+  * corpus and land the curated output partitioned by (split, lang) —
+  * the layout every downstream trainer reads with partition pruning.
   *
-  * Usage:
-  *   tools/run.sh graft.PipelineJob <docsParquet> <outDir> [minQualityFs]
+  * Two arrival modes, mirroring the library's batch/stream twins:
+  *
+  *   tools/run.sh graft.PipelineJob batch  <docsParquet> <outDir> [minQualityFs]
+  *   tools/run.sh graft.PipelineJob stream <docsDir>     <outDir> [minQualityFs]
+  *
+  * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
+  *   quality + repetition gates → split tag, one composed plan.
+  * stream: [[StreamingPipeline.curateStream]] over a checkpointed
+  *   parquet FILE STREAM — each new file dropped into `docsDir` is a
+  *   micro-batch. Runs with Trigger.AvailableNow: processes everything
+  *   not yet seen and exits, so successive invocations are
+  *   INCREMENTAL (the checkpoint under `<outDir>_checkpoint` remembers
+  *   processed files AND the dedup state store, so a dup of an
+  *   already-accepted doc arriving in a later run is still dropped —
+  *   within the watermark horizon). Near-dup LSH has no bounded-state
+  *   streaming form; the batch mode over the accumulated output is the
+  *   periodic compaction complement (see StreamingPipeline scaladoc).
   */
 object PipelineJob {
+
+  /** Streaming curation, callable from tests: consume whatever is in
+    * `in` that the checkpoint has not seen, land curated rows under
+    * `out` partitioned by (split, lang), then return.
+    *
+    * Documents carry no event time, so arrival time is stamped as the
+    * watermark clock: dedup state then lives `watermarkDelay` past
+    * each content hash's last ARRIVAL — the natural horizon for an
+    * ingest stream.
+    */
+  def runStream(spark: SparkSession, in: String, out: String,
+                minQualityFs: Long = 5000L,
+                maxRepetitionFs: Long = 9000L,
+                watermarkDelay: String = "10 minutes"): Unit = {
+    // a file stream needs an explicit schema: seed it from the files
+    // already present (cheap — footer read, no data scan)
+    val schema = spark.read.parquet(in).schema
+    val docs = spark.readStream.schema(schema).parquet(in)
+      .withColumn("ingest_ts", current_timestamp())
+    val curated = StreamingPipeline
+      .curateStream(docs, "ingest_ts", watermarkDelay,
+        minQualityFs = minQualityFs, maxRepetitionFs = maxRepetitionFs)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("score_fs"), col("rep_fs"), col("split"))
+    val q = curated.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"${out.stripSuffix("/")}_checkpoint")
+      .partitionBy("split", "lang")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PipelineJob <docsParquet> <outDir> [minQualityFs]")
-    val (in, out) = (args(0), args(1))
-    val minQ = if (args.length > 2) args(2).toLong else 5000L
+    require(args.length >= 3 && Set("batch", "stream")(args(0)),
+      "usage: PipelineJob batch|stream <docsPath> <outDir> [minQualityFs]")
+    val (mode, in, out) = (args(0), args(1), args(2))
+    val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,15 +81,20 @@ object PipelineJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(in)
-    val curated = Pipeline.curate(docs, minQualityFs = minQ)
-    Sinks.writePartitioned(curated, out, Seq("split", "lang"))
+    mode match {
+      case "batch" =>
+        val docs = spark.read.parquet(in)
+        val curated = Pipeline.curate(docs, minQualityFs = minQ)
+        Sinks.writePartitioned(curated, out, Seq("split", "lang"))
+      case "stream" =>
+        runStream(spark, in, out, minQ)
+    }
 
     val summary = spark.read.parquet(out)
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
         round(avg(col("score_fs")), 1).as("avg_score_fs"))
       .orderBy(col("split"))
-    println(s"curated corpus: $out (partitioned by split/lang)")
+    println(s"curated corpus: $out (partitioned by split/lang, mode=$mode)")
     summary.show(10, truncate = false)
     spark.stop()
   }

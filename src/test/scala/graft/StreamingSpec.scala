@@ -204,6 +204,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation CLI path: incremental file-stream runs land a partitioned curated corpus") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_scli")
+    val in = base.resolve("docs").toString
+    val out = base.resolve("curated").toString
+    val good = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    val loop = ("spam alpha beta " * 10).trim
+    // batch 1: a good doc, a content dup of it, and a looped doc
+    Seq((1L, good, "en", "src0", good.length.toLong),
+        (2L, good, "en", "src0", good.length.toLong),
+        (3L, loop, "en", "src1", loop.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(in)
+    // loop's rep_fs = floor(1e4·(1−3/29)) = 8965 — gate below it
+    PipelineJob.runStream(spark, in, out, minQualityFs = 4000L, maxRepetitionFs = 5000L)
+    val first = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L), s"dup (2) and looped (3) must not survive run 1, got $first")
+    // the trainer-facing layout: split/lang directory partitions
+    val splits = new java.io.File(out).list().filter(_.startsWith("split=")).toSeq
+    assert(splits.nonEmpty, "output must be split-partitioned")
+    // batch 2 arrives as a NEW FILE: another dup of doc 1's content
+    // (state store remembers it across runs via the checkpoint) plus a
+    // genuinely new doc
+    val good2 = "many words describing a different and quite original document about boats on water"
+    Seq((4L, good, "en", "src0", good.length.toLong),
+        (5L, good2, "en", "src1", good2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(in)
+    PipelineJob.runStream(spark, in, out, minQualityFs = 4000L, maxRepetitionFs = 5000L)
+    val second = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(second == Set(1L, 5L),
+      s"run 2 must add only the new doc (cross-run dedup drops 4), got $second")
+  }
+
   test("streaming windowed agg matches batch window semantics") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
