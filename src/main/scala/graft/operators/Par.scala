@@ -27,13 +27,22 @@ private[graft] object Par {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = df.queryExecution.analyzed.collect {
+    val analyzed = df.queryExecution.analyzed
+    // a frame the caller already repartitioned is parallel by
+    // construction — adding another exchange on top would be a
+    // redundant shuffle, not a parallelism unlock
+    val preShuffled = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _ => false
+    }
+    val estSplits = analyzed.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           fs.location.inputFiles.length.toLong + fs.location.sizeInBytes / maxBytes
         case _ => target.toLong // non-file relation: assume parallel enough
       }
     }.sum
-    if (estSplits > 0 && estSplits < target) df.repartition(target) else df
+    if (!preShuffled && estSplits > 0 && estSplits < target) df.repartition(target) else df
   }
 }

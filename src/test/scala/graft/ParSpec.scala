@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Par
+
+/** Par.spread property: repartition ONLY the single-file/small-scan
+  * case — a no-op (reference-equal result, no added exchange) on
+  * multi-file inputs, pre-shuffled frames, and in-memory data.
+  */
+class ParSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spread unlocks a single small parquet file to session parallelism") {
+    val dir = Files.createTempDirectory("graft_par").toString + "/one"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val out = Par.spread(df)
+    assert(out ne df, "single-file scan must be repartitioned")
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
+  test("spread is a no-op on a multi-file input (the real-cluster shape)") {
+    val dir = Files.createTempDirectory("graft_par").toString + "/many"
+    (1L to 1000L).toDF("id").repartition(8).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    // 8 files ≥ defaultParallelism (4): already parallel, untouched
+    assert(Par.spread(df) eq df, "multi-file scan must pass through unchanged")
+  }
+
+  test("spread is a no-op on a pre-shuffled frame (no redundant exchange)") {
+    val dir = Files.createTempDirectory("graft_par").toString + "/one2"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(dir)
+    val df = spark.read.parquet(dir).repartition(2)
+    assert(Par.spread(df) eq df, "caller-repartitioned frame must pass through unchanged")
+  }
+
+  test("spread is a no-op on in-memory frames (no file scan underneath)") {
+    val df = (1L to 10L).toDF("id")
+    assert(Par.spread(df) eq df)
+  }
+}
