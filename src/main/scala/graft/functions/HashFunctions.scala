@@ -166,6 +166,81 @@ object HashFunctions {
     Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
   }
 
+  /** Banding plan (chunks, comboSize) coupled to a hamming threshold.
+    *
+    * Single-chunk indexing ([[simhashChunksFor]]) keeps the pigeonhole
+    * guarantee by ADDING chunks as the radius grows — but each added
+    * chunk NARROWS the bucket key (64/chunks bits), collapsing its
+    * pruning power. Chunk-COMBINATION keys (the public Manku et al.
+    * WWW'07 block-combination construction) fix the middle radii: with
+    * h differing bits over c chunks, at least c−h chunks are clean, so
+    * any pair within hamming ≤ c−m shares at least one of the C(c, m)
+    * m-chunk combinations — a band per combination, bucket = the
+    * concatenated bits of its chunks (m·64/c wide).
+    *
+    * Tiers (band count × bucket-key bits — background collision volume
+    * ≈ bands·n²/2^bits):
+    *  - h ≤ 3:  (4, 1) —   4 × 16-bit (the classic 4-chunk split)
+    *  - h ≤ 6:  (8, 2) —  28 × 16-bit (vs 8 × 8-bit singles: 73× less
+    *            background at the same guaranteed recall)
+    *  - h = 7:  (8, 1) —   8 ×  8-bit
+    *  - h ≤ 14: (16, 2) — 120 ×  8-bit (weak pruning — documented;
+    *            radius ≤ 6 is the production envelope for 64-bit
+    *            sketches, larger radii want longer fingerprints)
+    *  - h = 15: (16, 1) —  16 ×  4-bit
+    */
+  def simhashBandPlan(maxHamming: Int): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for a 64-bit sketch, got $maxHamming " +
+        "(larger radii need a longer fingerprint, not a wider join)")
+    if (maxHamming <= 3) (4, 1)
+    else if (maxHamming <= 6) (8, 2)
+    else if (maxHamming == 7) (8, 1)
+    else if (maxHamming <= 14) (16, 2)
+    else (16, 1)
+  }
+
+  /** Band keys for [[simhashBandPlan]]: one struct(band, bucket) per
+    * m-chunk combination, bucket = the combination's chunk bits packed
+    * into one long. For comboSize = 1 this degenerates to
+    * [[fingerprintChunks]] (same keys, band-key field names).
+    */
+  def simhashBandKeys(fp: Column, chunks: Int, comboSize: Int): Column = {
+    val w = 64 / chunks
+    val mask = (1L << w) - 1
+    def chunkBits(ci: Int): Column = shiftright(fp, ci * w).bitwiseAND(lit(mask))
+    val combos = (0 until chunks).combinations(comboSize).toSeq
+    array(combos.zipWithIndex.map { case (combo, b) =>
+      val bucket = combo.zipWithIndex
+        .map { case (ci, k) => shiftleft(chunkBits(ci), k * w) }
+        .reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+  }
+
+  /** Recall of combination banding at hamming distance `hamming`:
+    * P(at least `comboSize` chunks untouched | h bits uniformly
+    * placed) — exactly 1 inside the guaranteed radius (h ≤ c−m), the
+    * Jordan inclusion–exclusion identity beyond it:
+    *   P(#clean ≥ m) = Σ_{j=m}^{c} (−1)^{j−m} C(j−1, m−1) C(c, j)
+    *                   C(64−j·w, h) / C(64, h).
+    * Reduces to [[simhashCollisionProb]] at comboSize = 1 (spec-pinned
+    * equality, which validates the identity numerically).
+    */
+  def simhashComboCollisionProb(hamming: Int, chunks: Int, comboSize: Int): Double = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(comboSize >= 1 && comboSize <= chunks, s"bad comboSize $comboSize")
+    val m = comboSize
+    if (hamming <= chunks - m) return 1.0
+    val w = 64 / chunks
+    def choose(n: Int, k: Int): Double =
+      if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    (m to chunks).map { j =>
+      val sign = if ((j - m) % 2 == 0) 1.0 else -1.0
+      sign * choose(j - 1, m - 1) * choose(chunks, j) * choose(64 - j * w, hamming)
+    }.sum / choose(64, hamming)
+  }
+
   /** Probability that a pair at hamming distance `hamming` shares at
     * least one exact chunk under a `chunks`-way split — i.e. the
     * RECALL of single-chunk simhash bucketing at that distance, under

@@ -169,27 +169,27 @@ object Dedup {
     * minhashLsh carries its token sets.
     *
     * Geometry is COUPLED to the threshold
-    * ([[graft.functions.HashFunctions.simhashChunksFor]]): the chunk
-    * count is derived from maxHamming so the pigeonhole guarantee
-    * (hamming < chunks ⇒ some chunk matches exactly) always covers
-    * the advertised radius — the default (3 → 4 chunks of 16 bits)
-    * recalls 100% of hamming ≤ 3 pairs while background pairs collide
-    * at only ~4·2⁻¹⁶. Raising maxHamming widens the chunk count and
-    * pays candidate volume (see simhashChunksFor's cost model);
-    * [[graft.functions.HashFunctions.simhashCollisionProb]] is the
-    * spec-pinned recall curve for running a cheaper geometry beyond
-    * its guaranteed radius.
+    * ([[graft.functions.HashFunctions.simhashBandPlan]]): the banding
+    * plan is derived from maxHamming so the pigeonhole guarantee
+    * always covers the advertised radius — the default (3 → 4 chunks
+    * of 16 bits) recalls 100% of hamming ≤ 3 pairs while background
+    * pairs collide at only ~4·2⁻¹⁶; middle radii (4–6) escalate to
+    * Manku-style chunk-COMBINATION bands (28 × 16-bit keys) instead of
+    * collapsing to 8-bit single-chunk buckets — same guaranteed
+    * recall, 73× less background candidate volume.
+    * [[graft.functions.HashFunctions.simhashComboCollisionProb]] is
+    * the spec-pinned recall curve beyond a plan's guaranteed radius.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    import graft.functions.HashFunctions.simhashChunksFor
-    val chunks = simhashChunksFor(maxHamming)
+    import graft.functions.HashFunctions.{simhashBandKeys, simhashBandPlan}
+    val (chunks, comboSize) = simhashBandPlan(maxHamming)
     val fp = simhashFingerprints(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim (doc_id, band, bucket) rows — fingerprints don't ride the
-    // chunk explode; they come back in the verify join below
+    // band explode; they come back in the verify join below
     val banded = fp
-      .select(col("doc_id"), explode(fingerprintChunks(col("simhash"), chunks)).as("ck"))
-      .select(col("doc_id"), col("ck.chunk").as("band"), col("ck.bits").as("bucket"))
+      .select(col("doc_id"), explode(simhashBandKeys(col("simhash"), chunks, comboSize)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val fa = fp.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val fb = fp.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     val verified = candidatePairs(banded).join(fa, "id_a").join(fb, "id_b")

@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
   }
 
+  test("simhash combination banding: plan tiers, recall identity, and shared-band completeness") {
+    import graft.functions.HashFunctions.{simhashBandKeys, simhashBandPlan, simhashCollisionProb, simhashComboCollisionProb}
+    // tier pins: band count × key width tracks the radius
+    assert(simhashBandPlan(3) == (4, 1) && simhashBandPlan(6) == (8, 2))
+    assert(simhashBandPlan(7) == (8, 1) && simhashBandPlan(12) == (16, 2) && simhashBandPlan(15) == (16, 1))
+    intercept[IllegalArgumentException](simhashBandPlan(16))
+    // the Jordan identity reduces to the single-chunk model at m=1 —
+    // numerical validation of the combination formula
+    for (h <- 1 to 20)
+      assert(math.abs(simhashComboCollisionProb(h, 4, 1) - simhashCollisionProb(h, 4)) < 1e-9,
+        s"m=1 must reduce to the single-chunk model at h=$h")
+    // guaranteed radius: exactly 1 up to c−m, strictly below 1 past it
+    assert(simhashComboCollisionProb(6, 8, 2) == 1.0)
+    assert(simhashComboCollisionProb(7, 8, 2) < 1.0 && simhashComboCollisionProb(7, 8, 2) > 0.9)
+    // completeness on literal fingerprints: two sketches 5 bits apart
+    // MUST share a band under the (8, 2) plan (5 ≤ 8−2)
+    val a = 0x0123456789abcdefL
+    val b = a ^ ((1L << 0) | (1L << 9) | (1L << 17) | (1L << 33) | (1L << 63)) // 5 flipped bits
+    val fps = Seq((1L, a), (2L, b)).toDF("doc_id", "fp")
+    val keys = fps.select(col("doc_id"), explode(simhashBandKeys(col("fp"), 8, 2)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    val shared = keys.as("x").join(keys.as("y"),
+      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id")).count()
+    assert(shared >= 1, "a hamming-5 pair must collide in ≥1 of the 28 two-chunk bands")
+    assert(java.lang.Long.bitCount(a ^ b) == 5)
+  }
+
   test("simhash pairs route through the salted generator: pair set identical to the unsalted join") {
     import graft.functions.HashFunctions.{fingerprintChunks, simhashChunksFor}
     // a mega-chunk corpus: 1200 identical docs (one fingerprint ⇒ every
@@ -79,7 +107,12 @@ class DedupSpec extends SparkSpec {
       (2001L, "iota kappa lambda mu nu xi omicron rho", "en", 38L),
       (3000L, "one two three four five six seven eight", "en", 39L)
     )).toDF("doc_id", "text", "lang", "n_chars")
-    val maxH = 12
+    // maxHamming 6 → the (8, 2) chunk-COMBINATION plan; the unsalted
+    // twin below uses single-chunk (8, 1) banding — BOTH are complete
+    // for hamming ≤ 6 (pigeonhole both ways), so after the hamming
+    // filter the pair sets must agree exactly even though the
+    // candidate supersets differ
+    val maxH = 6
     val salted = Dedup.simhashPairs(d, maxHamming = maxH)
     // the pre-r7 formulation: direct chunk self-join, no salting
     val chunks = simhashChunksFor(maxH)
