@@ -134,6 +134,31 @@ object Oracles {
       | CAST(floor(100.0 * sum(v_fs) / count(*)) AS BIGINT) AS mean_fs
       |FROM f GROUP BY measure ORDER BY measure""".stripMargin
 
+  /** Twin of q23Pivot: the pivot as conditional sums over integer
+    * cents (q21's determinism rule); empty cells are NULL both sides.
+    */
+  val q23: String =
+    """SELECT o_orderpriority AS priority,
+      | CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END) AS BIGINT) AS f_total_fs,
+      | CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END) AS BIGINT) AS o_total_fs,
+      | CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(round(o_totalprice*100,0) AS BIGINT) END) AS BIGINT) AS p_total_fs
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Twin of q24SetOps: INTERSECT/EXCEPT are set-distinct in both
+    * engines; the tag column disambiguates the unioned result.
+    */
+  val q24: String =
+    """SELECT 'both' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate)=1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate)=1996)
+      |UNION ALL
+      |SELECT 'only_1995' AS tag, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate)=1995
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate)=1996)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val q10: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem

@@ -55,6 +55,8 @@ object SparkEntry {
     "q20_cube" -> (Relational.q20Cube _),
     "q21_unpivot" -> (Relational.q21Unpivot _),
     "q22_window_offsets" -> (Relational.q22WindowOffsets _),
+    "q23_pivot" -> (Relational.q23Pivot _),
+    "q24_set_ops" -> (Relational.q24SetOps _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -198,6 +200,8 @@ object SparkEntry {
     "q20_cube" -> Oracles.q20,
     "q21_unpivot" -> Oracles.q21,
     "q22_window_offsets" -> Oracles.q22,
+    "q23_pivot" -> Oracles.q23,
+    "q24_set_ops" -> Oracles.q24,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -347,4 +347,47 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("v_fs")).as("total_fs"))
       .withColumn("mean_fs", floor(lit(100.0) * col("total_fs") / col("n")))
       .orderBy(col("measure"))
+
+  /** q23: pivot — q21's inverse reshape. Status columns per priority
+    * row via `RelationalGroupedDataset.pivot` with EXPLICIT values:
+    * Catalyst plans one (priority, status) partial aggregate and one
+    * pivot_first aggregate on top — a single scan and two exchanges
+    * that carry ≤ |priorities|×|values| partially-aggregated rows, no
+    * per-value passes over the fact table. (Without explicit values
+    * Spark runs an extra distinct-collect JOB to discover them —
+    * never do that at 100 TB.)
+    *
+    * Oracle determinism: integer cents BEFORE the sums (q21's rule);
+    * a (priority, status) cell with no orders is NULL in both the
+    * pivot and the oracle's conditional sum.
+    */
+  def q23Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_fs"))
+      .groupBy(col("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("price_fs")))
+      .select(col("priority"), col("F").as("f_total_fs"),
+        col("O").as("o_total_fs"), col("P").as("p_total_fs"))
+      .orderBy(col("priority"))
+
+  /** q24: set operators — INTERSECT/EXCEPT as native Catalyst
+    * operators (semi/anti hash joins over distinct inputs, partial
+    * aggregation on both sides — never a row-by-row comparison).
+    * Customers ordering in both 1995 and 1996 vs only in 1995, tagged
+    * and unioned into one frame.
+    */
+  def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def custsIn(y: Int) =
+      orders.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val c95 = custsIn(1995)
+    val c96 = custsIn(1996)
+    c95.intersect(c96).withColumn("tag", lit("both"))
+      .unionByName(c95.except(c96).withColumn("tag", lit("only_1995")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
 }

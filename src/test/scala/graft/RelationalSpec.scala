@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Relational
 
 /** B-suite sanity at sf0.001 + plan-shape assertions (pushdown,
@@ -85,6 +87,43 @@ class RelationalSpec extends SparkSpec {
       .map(_.getAs[Long]("n_ord")).sum
     assert(detail == total && byPriority == total && byStatus == total,
       s"every grouping set must partition the $total orders; got $detail/$byPriority/$byStatus")
+  }
+
+  test("q23 pivot with explicit values: two slim aggregate exchanges, no value-discovery job") {
+    val df = Relational.q23Pivot(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // explicit pivot values → (priority, status) partial agg +
+    // pivot_first agg: two hash exchanges of group-sized rows, and no
+    // distinct-collect job to discover the values
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"pivot must cost the two stacked agg shuffles, found $exchanges:\n$plan")
+    assert(plan.contains("pivotfirst"), s"expected the native pivot_first aggregate:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    // pivot cells equal the directly-grouped sums
+    val direct = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val expected = direct.get(r.getString(0))
+      val got = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(got == expected, s"pivot F-cell mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("q24 set ops: both/only tags partition the 1995 customer set") {
+    val rows = Relational.q24SetOps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val both = rows.filter(_._1 == "both").map(_._2).toSet
+    val only = rows.filter(_._1 == "only_1995").map(_._2).toSet
+    assert(both.nonEmpty && only.nonEmpty)
+    assert((both & only).isEmpty, "intersect and except results must be disjoint")
+    val c95 = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(both ++ only == c95, "tags must partition exactly the 1995 customers")
   }
 
   test("q7 approx distinct companion is within 5% of exact") {
