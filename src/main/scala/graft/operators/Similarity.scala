@@ -94,6 +94,27 @@ object Similarity {
     1.0 - math.pow(1.0 - math.pow(p, planes), tables)
   }
 
+  /** Recall model for MULTI-PROBE SRP ([[lshTopK]]'s `probes`): a
+    * query also probes buckets at hamming distance 1 from its own
+    * (the standard multi-probe LSH idea — neighbors that narrowly
+    * miss the exact bucket differ in one plane's sign). Per table, a
+    * pair collides if it agrees on all planes (p^planes) or disagrees
+    * on exactly one of the probed planes (each: (1−p)·p^(planes−1)):
+    *   P_t = p^planes + (probes−1)·(1−p)·p^(planes−1),
+    *   P   = 1 − (1 − P_t)^tables.
+    * probes = 1 reduces to [[srpCollisionProb]] (spec-pinned). The
+    * trade: recall per TABLE rises — fewer tables for the same recall
+    * means a `probes`×-smaller banded index and fewer shuffled band
+    * rows — while background candidates rise ∝ probes; the model
+    * quantifies both sides so geometries stay honest.
+    */
+  def srpMultiProbeCollisionProb(cos: Double, planes: Int, tables: Int, probes: Int): Double = {
+    require(probes >= 1 && probes <= planes + 1, s"probes must be in [1, planes+1], got $probes")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    val perTable = math.pow(p, planes) + (probes - 1) * (1.0 - p) * math.pow(p, planes - 1)
+    1.0 - math.pow(1.0 - perTable, tables)
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized by OUR k-means (operators.KMeans — the reference
     * engine's clustering doubles as the ANN index); each query probes
@@ -146,6 +167,15 @@ object Similarity {
     * bigger buckets → higher recall, more compute; more `tables` buys
     * recall back at linear candidate cost.
     *
+    * `probes` > 1 turns on MULTI-PROBE: each query ALSO probes the
+    * buckets at hamming distance 1 from its own (flip one plane's
+    * sign bit), on the QUERY side only — the corpus-side index stays
+    * one row per (vector, table). Near misses that land one plane
+    * across the boundary are recovered without another table, so the
+    * same recall needs fewer tables: a probes×-smaller banded index
+    * and fewer shuffled band rows ([[srpMultiProbeCollisionProb]] is
+    * the spec-pinned model; candidates rise ∝ probes — tune with it).
+    *
     * Scale shape: candidate ids come from an equi-join on (table,
     * bucket) and are DISTINCT'd before any vector math — per-query
     * cost ∝ distinct collision volume, never |corpus|×|queries|.
@@ -156,7 +186,8 @@ object Similarity {
     * ([[ScopedCache]]).
     */
   def lshTopK(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 4,
-              nQueries: Int = 10, k: Int = 5): DataFrame = {
+              nQueries: Int = 10, k: Int = 5, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1, s"probes must be in [1, planes+1], got $probes")
     val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,8 +197,18 @@ object Similarity {
     // slim (id, tbl, bucket) rows — vectors never ride the explode
     val banded = e.select(col("vec_id"), explode(bucketStructs).as("bk"))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
-    val qb = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // query probes: the exact bucket plus (probes−1) one-bit flips —
+    // query-side fan-out only, the corpus index above is untouched
+    val qProbeStructs = array((0 until tables).flatMap { t =>
+      val base = srpBucketSeeded(col("v"), dim, planes, s"t$t#")
+      (0 until probes).map { pr =>
+        val b = if (pr == 0) base else base.bitwiseXOR(lit(1L << (pr - 1)))
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }
+    }: _*)
+    val qb = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), explode(qProbeStructs).as("bk"))
+      .select(col("q_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
     val cand = banded.select(col("vec_id").as("c_id"), col("tbl"), col("bucket"))
       .join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("c_id") =!= col("q_id"))

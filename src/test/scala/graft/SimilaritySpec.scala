@@ -30,6 +30,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: model reduces at probes=1, recall rises with probes, fewer tables suffice") {
+    import Similarity.{srpCollisionProb, srpMultiProbeCollisionProb}
+    // probes = 1 IS single-probe
+    for (c <- Seq(0.0, 0.3, 0.5, 0.9))
+      assert(math.abs(srpMultiProbeCollisionProb(c, 6, 15, 1) - srpCollisionProb(c, 6, 15)) < 1e-12)
+    // monotone in probes at fixed geometry
+    val curve = (1 to 7).map(srpMultiProbeCollisionProb(0.5, 6, 8, _))
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a })
+    // the index-size trade this exists for: full multi-probe at 8
+    // tables beats single-probe at 15 tables (≈ half the banded index)
+    assert(srpMultiProbeCollisionProb(0.5, 6, 8, 7) > srpCollisionProb(0.5, 6, 15),
+      "multi-probe with half the tables must out-recall single-probe at cos 0.5")
+    intercept[IllegalArgumentException](srpMultiProbeCollisionProb(0.5, 6, 8, 9))
+  }
+
+  test("multi-probe LSH on data: candidates are a superset, so per-query hits never drop") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    def hits(probes: Int): Int =
+      Similarity.lshTopK(emb, dim = 64, planes = 6, tables = 4, nQueries = 5, k = 5,
+          probes = probes).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+        .count(brute.contains)
+    val single = hits(1)
+    val multi = hits(7)
+    assert(multi >= single,
+      s"probing 1-bit-flip buckets can only ADD candidates: $multi vs $single")
+    // scores of multi-probe results still come from the exact verify
+    val mp = Similarity.lshTopK(emb, planes = 6, tables = 4, nQueries = 5, k = 5, probes = 7)
+      .collect()
+    val bruteAll = Similarity.bruteTopK(emb, nQueries = 5, k = 500).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")) -> r.getAs[Long]("cos_fs")).toMap
+    mp.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      bruteAll.get(key).foreach(fs => assert(fs == r.getAs[Long]("cos_fs")))
+    }
+  }
+
   test("ivf top-k: results come from probed lists with brute-force-identical scores") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteTopK(emb, nQueries = 10, k = 500).collect()
