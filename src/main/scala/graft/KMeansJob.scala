@@ -41,7 +41,12 @@ object KMeansJob {
     val children = fs.listStatus(path)
     val stray = children.filterNot { st =>
       val n = st.getPath.getName
-      (st.isDirectory && n.startsWith("batch_id=")) || n.startsWith("_") || n.startsWith(".")
+      // batch_id=* partition dirs, the streaming-sink metadata dir,
+      // and hidden/metadata FILES (_SUCCESS, .crc). Hidden
+      // DIRECTORIES are NOT whitelisted — a mistyped path at a repo
+      // root would otherwise pass on its .git dir alone
+      (st.isDirectory && (n.startsWith("batch_id=") || n == "_spark_metadata")) ||
+        (st.isFile && (n.startsWith("_") || n.startsWith(".")))
     }
     require(stray.isEmpty,
       s"refusing to clear '$dir': it contains entries that are not batch_id=* partitions " +

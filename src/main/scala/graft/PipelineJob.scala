@@ -46,8 +46,16 @@ object PipelineJob {
                 maxRepetitionFs: Long = 9000L,
                 watermarkDelay: String = "10 minutes"): Unit = {
     // a file stream needs an explicit schema: seed it from the files
-    // already present (cheap — footer read, no data scan)
-    val schema = spark.read.parquet(in).schema
+    // already present (cheap — footer read, no data scan). An empty
+    // watch dir is the NORMAL bootstrap for an incremental ingest job
+    // — nothing to consume yet, not an error
+    val schema =
+      try spark.read.parquet(in).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("infer schema") =>
+          System.err.println(s"[pipeline] no parquet files in '$in' yet — nothing to consume")
+          return
+      }
     val docs = spark.readStream.schema(schema).parquet(in)
       .withColumn("ingest_ts", current_timestamp())
     val curated = StreamingPipeline
@@ -90,12 +98,20 @@ object PipelineJob {
         runStream(spark, in, out, minQ)
     }
 
-    val summary = spark.read.parquet(out)
-      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
-        round(avg(col("score_fs")), 1).as("avg_score_fs"))
-      .orderBy(col("split"))
-    println(s"curated corpus: $out (partitioned by split/lang, mode=$mode)")
-    summary.show(10, truncate = false)
+    // a first stream run can legitimately land zero data files (empty
+    // watch dir, or every doc gated out) — report instead of crashing
+    // on the schemaless output dir
+    try {
+      val summary = spark.read.parquet(out)
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
+          round(avg(col("score_fs")), 1).as("avg_score_fs"))
+        .orderBy(col("split"))
+      println(s"curated corpus: $out (partitioned by split/lang, mode=$mode)")
+      summary.show(10, truncate = false)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        println(s"curated corpus: $out — no data files yet (${e.getMessage.linesIterator.next()})")
+    }
     spark.stop()
   }
 }

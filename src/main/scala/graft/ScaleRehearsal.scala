@@ -96,9 +96,11 @@ object ScaleRehearsal {
       timed("pipeline_curate")(Pipeline.curate(docs).count())
     )
 
-    // planted truth the volumes must be consistent with
+    // planted truth the volumes must be consistent with: the mega
+    // block spans ids [0, megaN) — ⌈megaN/1000⌉ whole 1000-blocks
+    // whose rank<10 docs are mega members, NOT near-dup clusters
     val megaPairs = megaN.toLong * (megaN - 1) / 2
-    val nClusters = nDocs / 1000 - 1 // block 0 hosts the mega-cluster
+    val nClusters = nDocs / 1000 - (megaN + 999) / 1000
     val clusterDropped = nClusters * 9 // 9 non-base members per cluster
     val expectDropped = clusterDropped + (megaN - 1)
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

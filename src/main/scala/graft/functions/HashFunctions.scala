@@ -15,6 +15,10 @@ object HashFunctions {
 
   val Prime: Long = 1000000007L
 
+  /** Exact binomial coefficient as Double (recall-model arithmetic). */
+  private def choose(n: Int, k: Int): Double =
+    if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+
   /** Per-element positive hash in [0, Prime) with a seed namespace.
     * Different `seed` strings give (practically) independent hash
     * families — this is how we get k MinHash permutations from one
@@ -230,11 +234,11 @@ object HashFunctions {
   def simhashComboCollisionProb(hamming: Int, chunks: Int, comboSize: Int): Double = {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     require(comboSize >= 1 && comboSize <= chunks, s"bad comboSize $comboSize")
+    require(hamming >= 0 && hamming <= 64,
+      s"hamming must be in [0, 64] for a 64-bit sketch, got $hamming")
     val m = comboSize
     if (hamming <= chunks - m) return 1.0
     val w = 64 / chunks
-    def choose(n: Int, k: Int): Double =
-      if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
     (m to chunks).map { j =>
       val sign = if ((j - m) % 2 == 0) 1.0 else -1.0
       sign * choose(j - 1, m - 1) * choose(chunks, j) * choose(64 - j * w, hamming)
@@ -254,12 +258,12 @@ object HashFunctions {
     */
   def simhashCollisionProb(hamming: Int, chunks: Int): Double = {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(hamming >= 0 && hamming <= 64,
+      s"hamming must be in [0, 64] for a 64-bit sketch, got $hamming")
     // pigeonhole: fewer differing bits than chunks ⇒ certainty — return
     // the exact 1.0 rather than the sum's last-ulp approximation of it
     if (hamming < chunks) return 1.0
     val w = 64 / chunks
-    def choose(n: Int, k: Int): Double =
-      if (k < 0 || k > n) 0.0 else (0 until k).map(i => (n - i).toDouble / (i + 1)).product
     (1 to chunks).map { j =>
       val sign = if (j % 2 == 1) 1.0 else -1.0
       sign * choose(chunks, j) * choose(64 - j * w, hamming)

@@ -30,9 +30,12 @@ private[graft] object Par {
     val analyzed = df.queryExecution.analyzed
     // a frame the caller already repartitioned is parallel by
     // construction — adding another exchange on top would be a
-    // redundant shuffle, not a parallelism unlock
+    // redundant shuffle, not a parallelism unlock. Only SHUFFLING
+    // repartitions count: coalesce() builds the same Repartition node
+    // with shuffle=false and NARROWS parallelism — exactly the case
+    // spread must still fix
     val preShuffled = analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
       case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
       case _ => false
     }

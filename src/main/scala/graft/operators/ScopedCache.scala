@@ -41,18 +41,56 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    cache-hygiene spec polls for exactly this reason).
   *  - Failed actions release too — a crashed pipeline must not leak
   *    corpus-scale caches into the session.
+  *  - A result that is BUILT but never acted on leaves its listener
+  *    pending (its caches are still legitimately live); once the
+  *    caches are gone — an external clearCache, or the frames were
+  *    released some other way — the next registration sweeps the
+  *    stale listener, so discarded builds don't accumulate
+  *    plan-containment scans on the listener bus forever.
   */
 private[graft] object ScopedCache {
+
+  /** One pending registration: its listener plus the frames it owns,
+    * so stale entries (caches already dropped by an external
+    * clearCache, or a result that was built and discarded) can be
+    * swept instead of accumulating for the session lifetime.
+    */
+  private final case class Pending(listener: QueryExecutionListener, owned: Seq[DataFrame])
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Pending]()
+
+  /** Unregister listeners whose owned frames are ALL uncached already
+    * — the caller cleared the cache externally, or never acted on the
+    * result and something else released it. Called on each new
+    * registration, so the outstanding-listener set stays proportional
+    * to the caches that are genuinely still live (a discarded build's
+    * listener disappears at the next clearCache + operator call
+    * instead of scanning every future action's plan forever).
+    */
+  private def sweepStale(): Unit = {
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val stale =
+        try p.owned.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        catch { case _: Throwable => true }
+      if (stale) {
+        try p.owned.head.sparkSession.listenerManager.unregister(p.listener)
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 
   /** Return `result` with `owned` frames scheduled for unpersist after
     * the first completed (or failed) action that reads `result`.
     */
   def releaseAfterAction(result: DataFrame, owned: Seq[DataFrame]): DataFrame = {
     if (owned.isEmpty) return result
+    sweepStale()
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
     val done = new AtomicBoolean(false)
-    val listener = new QueryExecutionListener {
+    val listener: QueryExecutionListener = new QueryExecutionListener {
       private def maybeRelease(qe: QueryExecution): Unit = {
         val hit =
           try qe.analyzed.exists(_.sameResult(target))
@@ -60,6 +98,7 @@ private[graft] object ScopedCache {
         if (hit && done.compareAndSet(false, true)) {
           owned.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
           session.listenerManager.unregister(this)
+          pending.removeIf(_.listener eq this)
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -68,6 +107,7 @@ private[graft] object ScopedCache {
         maybeRelease(qe)
     }
     session.listenerManager.register(listener)
+    pending.add(Pending(listener, owned))
     result
   }
 }

@@ -35,6 +35,17 @@ class ParSpec extends SparkSpec {
     assert(Par.spread(df) eq df, "caller-repartitioned frame must pass through unchanged")
   }
 
+  test("spread still unlocks a coalesced frame (coalesce NARROWS, it is not a pre-shuffle)") {
+    val dir = Files.createTempDirectory("graft_par").toString + "/one3"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(dir)
+    // coalesce builds the same Repartition node with shuffle=false —
+    // it must NOT be mistaken for caller-managed parallelism
+    val df = spark.read.parquet(dir).coalesce(1)
+    val out = Par.spread(df)
+    assert(out ne df, "a coalesced single-split frame is the exact case spread exists to fix")
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
   test("spread is a no-op on in-memory frames (no file scan underneath)") {
     val df = (1L to 10L).toDF("id")
     assert(Par.spread(df) eq df)

@@ -114,6 +114,20 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("refusing to clear") && Files.exists(stray.resolve("important.txt")),
       s"stray content must survive with a loud refusal: $e")
+    // hidden DIRECTORIES are not metadata: a mistyped repo root whose
+    // only child is .git must be refused, not recursively deleted
+    val repo = base.resolve("fresh_clone"); Files.createDirectories(repo.resolve(".git"))
+    Files.writeString(repo.resolve(".git").resolve("HEAD"), "ref: refs/heads/main")
+    intercept[IllegalArgumentException] {
+      KMeansJob.clearBatchOutputDir(spark, repo.toString)
+    }
+    assert(Files.exists(repo.resolve(".git").resolve("HEAD")), "the .git dir must survive")
+    // while the streaming-sink metadata DIR plus hidden FILES still clear
+    val sink2 = base.resolve("assigns2")
+    Files.createDirectories(sink2.resolve("batch_id=0")); Files.createDirectories(sink2.resolve("_spark_metadata"))
+    Files.writeString(sink2.resolve("._SUCCESS.crc"), "")
+    KMeansJob.clearBatchOutputDir(spark, sink2.toString)
+    assert(!Files.exists(sink2))
   }
 
   test("multimodal metadata allows pruned filtering without touching payloads") {

@@ -239,6 +239,19 @@ class StreamingSpec extends SparkSpec {
       s"run 2 must add only the new doc (cross-run dedup drops 4), got $second")
   }
 
+  test("streaming curation bootstrap: an empty watch dir is a no-op, not a crash") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_sboot")
+    val in = base.resolve("docs"); Files.createDirectories(in)
+    val out = base.resolve("curated").toString
+    // the normal first invocation of an incremental ingest job: the
+    // watch dir exists but no files have arrived yet
+    PipelineJob.runStream(spark, in.toString, out)
+    assert(!Files.exists(base.resolve("curated")) ||
+      new java.io.File(out).list().forall(n => n.startsWith("_") || n.startsWith(".")),
+      "no data must land and nothing may throw")
+  }
+
   test("streaming windowed agg matches batch window semantics") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
