@@ -309,30 +309,46 @@ object Dedup {
     * bucket) — never a cross join, never a fixed-cardinality block
     * key); the exact cosine verify runs only on candidates.
     *
-    * Recall model (spec-pinned via [[Similarity.srpCollisionProb]]):
-    * a pair at angle θ collides in ≥1 table w.p.
-    * 1 − (1 − (1−θ/π)^planes)^tables.
+    * Recall model (spec-pinned via
+    * [[Similarity.srpMultiProbeCollisionProb]], which reduces to
+    * [[Similarity.srpCollisionProb]] at probes = 1): a pair at angle θ
+    * collides in ≥1 table w.p. 1 − (1 − P_t)^tables where
+    * P_t = p^planes + (probes−1)(1−p)p^(planes−1), p = 1 − θ/π.
+    *
+    * `probes` > 1 turns on MULTI-PROBE (one-sided): ONE join leg also
+    * probes the buckets at hamming distance 1 from its own — flip one
+    * of the first (probes−1) planes' sign bits — while the other leg
+    * stays the plain one-row-per-(vector, table) index. Near misses
+    * that land one plane across a boundary are recovered without
+    * another table, so the same recall needs FEWER tables — and the
+    * persisted banded index (at 100 TB, `tables`× the corpus's
+    * (id, bucket) rows — the dominant state of this operator) shrinks
+    * by the saved tables. The probed leg fans out tables×probes slim
+    * rows per vector, so total join input rises ~(1+probes)/2× vs the
+    * saved index legs — the trade buys index size and distinct
+    * shuffle keys, quantified exactly by the model.
     *
     * The default geometry is COUPLED to the default threshold, same
-    * design rule as [[minhashLsh]]: (6 planes × 15 tables) puts the
-    * s-curve midpoint at cos ≈ 0.2995 ≈ the τ = 0.3 verify threshold,
-    * so the output is honestly "pairs with cos ≥ 0.3, recall ≈ 50% at
-    * the midpoint rising to 75% at 0.5, 94% at 0.7, ~100% at 0.9" —
-    * while a background (cos ≈ 0) pair collides at only ~21% instead
-    * of the ~80% a shallow recall-first geometry (3 × 12, midpoint at
-    * cos −0.36!) costs, which on a near-orthogonal corpus is
-    * indistinguishable from an all-pairs cross join. NOTE the
-    * inherent LSH trade-off: pruning power comes from the gap between
-    * threshold and background similarity — at a production near-dup
-    * threshold (τ ≥ 0.8, the realistic setting for embedding dedup)
-    * use (8 planes × 12 tables): ≈0.88 recall with background
+    * design rule as [[minhashLsh]]: (7 planes × 8 tables × 4 probes)
+    * puts the s-curve midpoint at cos ≈ 0.30 ≈ the τ = 0.3 verify
+    * threshold — recall ≈ 49% at the midpoint rising to 72% at 0.5,
+    * 91% at 0.7, ~100% at 0.9, background (cos ≈ 0) collisions at
+    * ~22% — matching the retired single-probe coupling (6 × 15:
+    * 50/75/94/100, background 21%) point-for-point with the banded
+    * index nearly HALVED (8 rows/vector vs 15; parity spec-pinned on
+    * a planted fixture in DedupSpec). NOTE the inherent LSH
+    * trade-off: pruning power comes from the gap between threshold
+    * and background similarity — at a production near-dup threshold
+    * (τ ≥ 0.8, the realistic setting for embedding dedup) use
+    * (8 planes × 12 tables, probes 1): ≈0.88 recall with background
     * candidate rate 12·0.5⁸ ≈ 4.7%; thresholds near the background's
     * own quantiles prune weakly no matter the geometry (ρ → 1 as
     * p1 → p2), and the EXACT low-τ path is [[embedCosine]].
     */
-  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 6, tables: Int = 15,
-                thresholdFs: Long = 3000L): DataFrame = {
+  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 7, tables: Int = 8,
+                thresholdFs: Long = 3000L, probes: Int = 4): DataFrame = {
     import graft.operators.{Similarity => Sim}
+    require(probes >= 1 && probes <= planes + 1, s"probes must be in [1, planes+1], got $probes")
     // persist: feeds the bucket explode and both verify-join sides
     val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
@@ -343,9 +359,29 @@ object Dedup {
     }: _*)
     val banded = e.select(col("vec_id").as("doc_id"), explode(bucketStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates =
+      if (probes == 1) candidatePairs(banded)
+      else {
+        // probed leg: the exact bucket plus (probes−1) query-directed
+        // one-bit flips (smallest-|margin| planes first —
+        // [[Similarity.srpProbeStructs]]). Candidates come from the
+        // probed×exact equi-join through the salted cross generator
+        // (the exact side is the "reference" — its mega-buckets get
+        // the triangle-salt split); an unordered pair surfaces
+        // whenever EITHER member probes into the other's bucket,
+        // canonicalized to (lo, hi) before the verify.
+        val qProbeStructs = Sim.srpProbeStructs(col("v"), dim, planes, tables, probes, "band")
+        val bandedProbed = e.select(col("vec_id").as("doc_id"), explode(qProbeStructs).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        crossCandidatePairs(bandedProbed, banded)
+          .filter(col("id_in") =!= col("id_ref"))
+          .select(least(col("id_in"), col("id_ref")).as("id_a"),
+            greatest(col("id_in"), col("id_ref")).as("id_b"))
+          .distinct()
+      }
     val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val verified = candidatePairs(banded).join(ea, "id_a").join(eb, "id_b")
+    val verified = candidates.join(ea, "id_a").join(eb, "id_b")
       .select(col("id_a"), col("id_b"),
         floor(lit(10000.0) * cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))).as("cos_fs"))
       .filter(col("cos_fs") >= thresholdFs)

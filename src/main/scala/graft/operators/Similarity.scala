@@ -58,7 +58,7 @@ object Similarity {
     * of analyzer/optimizer time per query); a literal plane vector is
     * ONE node, and the dot product is one codegen'd zip_with fold.
     */
-  private def planeVector(seed: String, plane: Int, dim: Int): Array[Double] = {
+  private[graft] def planeVector(seed: String, plane: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (1 to dim).map { i =>
       val h = md.digest(s"${seed}plane$plane#dim$i".getBytes("UTF-8"))
@@ -94,18 +94,31 @@ object Similarity {
     1.0 - math.pow(1.0 - math.pow(p, planes), tables)
   }
 
-  /** Recall model for MULTI-PROBE SRP ([[lshTopK]]'s `probes`): a
-    * query also probes buckets at hamming distance 1 from its own
-    * (the standard multi-probe LSH idea — neighbors that narrowly
-    * miss the exact bucket differ in one plane's sign). Per table, a
-    * pair collides if it agrees on all planes (p^planes) or disagrees
-    * on exactly one of the probed planes (each: (1−p)·p^(planes−1)):
+  /** Recall model for MULTI-PROBE SRP ([[lshTopK]]'s and
+    * [[Dedup.cosineLsh]]'s `probes`): a query also probes buckets at
+    * hamming distance 1 from its own (the standard multi-probe LSH
+    * idea — neighbors that narrowly miss the exact bucket differ in
+    * one plane's sign). Per table, a pair collides if it agrees on
+    * all planes (p^planes) or disagrees on exactly one of the probed
+    * planes (each: (1−p)·p^(planes−1)):
     *   P_t = p^planes + (probes−1)·(1−p)·p^(planes−1),
     *   P   = 1 − (1 − P_t)^tables.
-    * probes = 1 reduces to [[srpCollisionProb]] (spec-pinned). The
-    * trade: recall per TABLE rises — fewer tables for the same recall
-    * means a `probes`×-smaller banded index and fewer shuffled band
-    * rows — while background candidates rise ∝ probes; the model
+    * probes = 1 reduces to [[srpCollisionProb]] (spec-pinned).
+    *
+    * The formula is EXACT when the probed planes are chosen
+    * independently of the query (each plane is equally likely to be
+    * the sole disagreement). The implementation
+    * ([[srpProbeStructs]]) is QUERY-DIRECTED — it flips the planes
+    * with the smallest |dot(v, plane)| margin first, the standard
+    * multi-probe ranking (Lv et al., "Multi-Probe LSH", VLDB'07) —
+    * under which the sole-disagreement plane is MORE likely to be
+    * probed than 1/planes (a near neighbor most plausibly flips the
+    * plane the query barely cleared), so realized recall is ≥ this
+    * model: geometries coupled to it stay honest, conservatively.
+    *
+    * The trade: recall per TABLE rises — fewer tables for the same
+    * recall means a `probes`×-smaller banded index and fewer shuffled
+    * band rows — while background candidates rise ∝ probes; the model
     * quantifies both sides so geometries stay honest.
     */
   def srpMultiProbeCollisionProb(cos: Double, planes: Int, tables: Int, probes: Int): Double = {
@@ -114,6 +127,48 @@ object Similarity {
     val perTable = math.pow(p, planes) + (probes - 1) * (1.0 - p) * math.pow(p, planes - 1)
     1.0 - math.pow(1.0 - perTable, tables)
   }
+
+  /** Probe keys for one vector across all `tables` hash tables: an
+    * array of (band, bucket) structs holding, per table, the exact
+    * bucket plus (probes−1) one-bit flips chosen QUERY-DIRECTED — the
+    * flipped planes are those with the smallest |dot(v, plane)|
+    * margin, in ascending-margin order (Lv et al. multi-probe
+    * ranking: the plane the vector barely cleared is the one a near
+    * neighbor most plausibly lands across). probes = 1 degenerates to
+    * the plain one-bucket-per-table index keys.
+    *
+    * The flip set is prefix-monotone in `probes` (probes = k+1 flips
+    * the k smallest margins), so candidate sets are supersets as
+    * probes grows — the monotonicity the specs pin. All bucket/margin
+    * arithmetic is literal-plane dot products (native kernel under
+    * GraftExtensions), no lambdas beyond the dot itself; the margin
+    * ranking is one array_sort of `planes` tiny structs per vector.
+    *
+    * `bandField` names the table-id struct field ("tbl" for the ANN
+    * search path, "band" for the dedup candidate generator).
+    */
+  private[graft] def srpProbeStructs(v: Column, dim: Int, planes: Int, tables: Int,
+                                     probes: Int, bandField: String): Column =
+    array((0 until tables).flatMap { t =>
+      val seed = s"t$t#"
+      val base = srpBucketSeeded(v, dim, planes, seed)
+      if (probes == 1) Seq(struct(lit(t).as(bandField), base.as("bucket")))
+      else {
+        val margins = array((0 until planes).map { p =>
+          struct(abs(dot(v, typedlit(planeVector(seed, p, dim)))).as("m"), lit(p).as("p"))
+        }: _*)
+        // ascending (|margin|, plane): the k-th probe flips the k-th
+        // smallest-margin plane
+        val flips = slice(array_sort(margins), 1, probes - 1)
+        (0 until probes).map { pr =>
+          val b =
+            if (pr == 0) base
+            else base.bitwiseXOR(
+              call_function("shiftleft", lit(1L), element_at(flips, pr).getField("p")))
+          struct(lit(t).as(bandField), b.as("bucket"))
+        }
+      }
+    }: _*)
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarsely
     * quantized by OUR k-means (operators.KMeans — the reference
@@ -168,13 +223,16 @@ object Similarity {
     * recall back at linear candidate cost.
     *
     * `probes` > 1 turns on MULTI-PROBE: each query ALSO probes the
-    * buckets at hamming distance 1 from its own (flip one plane's
-    * sign bit), on the QUERY side only — the corpus-side index stays
-    * one row per (vector, table). Near misses that land one plane
-    * across the boundary are recovered without another table, so the
-    * same recall needs fewer tables: a probes×-smaller banded index
-    * and fewer shuffled band rows ([[srpMultiProbeCollisionProb]] is
-    * the spec-pinned model; candidates rise ∝ probes — tune with it).
+    * buckets at hamming distance 1 from its own — QUERY-DIRECTED,
+    * flipping its smallest-|margin| planes first
+    * ([[srpProbeStructs]]) — on the QUERY side only; the corpus-side
+    * index stays one row per (vector, table). Near misses that land
+    * one plane across the boundary are recovered without another
+    * table, so the same recall needs fewer tables: a probes×-smaller
+    * banded index and fewer shuffled band rows
+    * ([[srpMultiProbeCollisionProb]] is the spec-pinned model, a
+    * conservative lower bound under directed probing; candidates rise
+    * ∝ probes — tune with it).
     *
     * Scale shape: candidate ids come from an equi-join on (table,
     * bucket) and are DISTINCT'd before any vector math — per-query
@@ -197,15 +255,10 @@ object Similarity {
     // slim (id, tbl, bucket) rows — vectors never ride the explode
     val banded = e.select(col("vec_id"), explode(bucketStructs).as("bk"))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
-    // query probes: the exact bucket plus (probes−1) one-bit flips —
-    // query-side fan-out only, the corpus index above is untouched
-    val qProbeStructs = array((0 until tables).flatMap { t =>
-      val base = srpBucketSeeded(col("v"), dim, planes, s"t$t#")
-      (0 until probes).map { pr =>
-        val b = if (pr == 0) base else base.bitwiseXOR(lit(1L << (pr - 1)))
-        struct(lit(t).as("tbl"), b.as("bucket"))
-      }
-    }: _*)
+    // query probes: the exact bucket plus (probes−1) query-directed
+    // one-bit flips — query-side fan-out only, the corpus index above
+    // is untouched
+    val qProbeStructs = srpProbeStructs(col("v"), dim, planes, tables, probes, "tbl")
     val qb = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), explode(qProbeStructs).as("bk"))
       .select(col("q_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
@@ -238,9 +291,15 @@ object Similarity {
     * The gate geometries are recall-leaning on purpose: this corpus
     * is near-orthogonal (top-k neighbors sit at cos ≈ 0.35–0.5, where
     * the SRP s-curve is shallow — see [[srpCollisionProb]]), so the
-    * gate probes wide (2-plane × 8-table LSH, nprobe = nlist/2 IVF).
-    * Real embedding dedup corpora with true near-dups (cos ≥ 0.8)
-    * sit on the steep end and keep recall with far tighter pruning.
+    * gate probes wide (2-plane × 4-table × 3-probe LSH, nprobe =
+    * nlist/2 IVF). The LSH leg demonstrates the multi-probe index
+    * trade clearing the same bar: 4 fully-probed tables carry HALF
+    * the banded index of the 8 single-probed tables the gate used
+    * before, at higher modeled recall
+    * ([[srpMultiProbeCollisionProb]](0.35, 2, 4, 3) ≈ 0.9995 vs
+    * single-probe 8-table 0.977). Real embedding dedup corpora with
+    * true near-dups (cos ≥ 0.8) sit on the steep end and keep recall
+    * with far tighter pruning.
     */
   def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                 minRecallFs: Long = 8000L): DataFrame = {
@@ -248,7 +307,7 @@ object Similarity {
     import spark.implicits._
     val brute = bruteTopK(embeddings, nQueries, k).select(col("q_id"), col("c_id"))
     val approx =
-      lshTopK(embeddings, planes = 2, tables = 8, nQueries = nQueries, k = k)
+      lshTopK(embeddings, planes = 2, tables = 4, nQueries = nQueries, k = k, probes = 3)
         .select(col("q_id"), col("c_id")).withColumn("method", lit("lsh"))
       .unionByName(
         ivfTopK(embeddings, nlist = 16, nprobe = 8, nQueries = nQueries, k = k)

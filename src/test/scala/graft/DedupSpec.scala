@@ -204,6 +204,73 @@ class DedupSpec extends SparkSpec {
       "the label-blocked variant misses the cross-label pair — the miss cosineLsh exists to fix")
   }
 
+  /** Deterministic planted-cosine corpus: `nPairs` pairs per target
+    * cosine (ids 2i / 2i+1) + `nBackground` unrelated vectors. Pair
+    * construction: v = c·u + sqrt(1−c²)·w with u ⊥ w unit vectors, so
+    * cos(u', v) = c exactly (up to float32 rounding).
+    */
+  private def plantedCosineCorpus(dim: Int, cosines: Seq[Double], nPairs: Int,
+                                  nBackground: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def orthoUnit(u: Array[Double]): Array[Double] = {
+      val r = unit()
+      val d = r.zip(u).map { case (a, b) => a * b }.sum
+      val w = r.zip(u).map { case (a, b) => a - d * b }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val pairs = cosines.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until nPairs).flatMap { i =>
+        val u = unit()
+        val w = orthoUnit(u)
+        val v = u.zip(w).map { case (a, b) => c * a + math.sqrt(1 - c * c) * b }
+        val base = 2L * (ci * nPairs + i)
+        Seq(base -> u.map(_.toFloat), (base + 1) -> v.map(_.toFloat))
+      }
+    }
+    val bg = (0 until nBackground).map(i => (100000L + i) -> unit().map(_.toFloat))
+    pairs ++ bg
+  }
+
+  test("multi-probe cosineLsh default recalls on par with the retired 15-table geometry at half the index") {
+    val corpus = plantedCosineCorpus(dim = 16, cosines = Seq(0.9, 0.7, 0.5),
+      nPairs = 20, nBackground = 80)
+    val emb = corpus.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val planted = corpus.collect { case (id, _) if id < 100000L && id % 2 == 0 => (id, id + 1) }.toSet
+    def found(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+        .intersect(planted)
+    val retired = found(graft.operators.Dedup.cosineLsh(emb, dim = 16,
+      planes = 6, tables = 15, probes = 1))
+    val current = found(graft.operators.Dedup.cosineLsh(emb, dim = 16))
+    // model expectation over 20 pairs each of cos 0.9/0.7/0.5:
+    // retired ≈ 20 + 18.9 + 15.0 ≈ 54, default ≈ 20 + 18.2 + 14.4 ≈ 53
+    // (and query-directed probing realizes ABOVE the model — see
+    // srpMultiProbeCollisionProb scaladoc); parity within a few pairs
+    // is the claim, at 8/15ths the banded index
+    assert(retired.size >= 45, s"retired geometry sanity: ${retired.size}/60 planted pairs")
+    assert(current.size >= retired.size - 5,
+      s"default (7×8×4) found ${current.size}, retired (6×15×1) found ${retired.size} — " +
+        "multi-probe must hold recall parity at half the index")
+  }
+
+  test("multi-probe cosineLsh candidates are a superset at fixed geometry") {
+    val corpus = plantedCosineCorpus(dim = 16, cosines = Seq(0.7), nPairs = 10, nBackground = 40)
+    val emb = corpus.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    def pairsOf(probes: Int): Set[(Long, Long)] =
+      graft.operators.Dedup.cosineLsh(emb, dim = 16, planes = 6, tables = 8, probes = probes)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val single = pairsOf(1)
+    val multi = pairsOf(4)
+    assert(single.subsetOf(multi),
+      s"probing can only ADD verified pairs: missing ${single.diff(multi)}")
+  }
+
   test("minhash LSH collision model: default verify threshold sits at the band-geometry midpoint") {
     import graft.functions.HashFunctions.lshCollisionProb
     // default geometry 4 bands × 8 rows: midpoint (1/4)^(1/8) ≈ 0.84
@@ -219,12 +286,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("SRP collision model: more planes prune harder, more tables buy recall") {
-    import graft.operators.Similarity.srpCollisionProb
+    import graft.operators.Similarity.{srpCollisionProb, srpMultiProbeCollisionProb}
     // documented operating points (scaladoc of Dedup.cosineLsh):
-    // the coupled default (6 planes × 15 tables) puts the s-curve
-    // midpoint AT the default τ=0.3 verify threshold...
+    // the coupled DEFAULT (7 planes × 8 tables × 4 probes) puts the
+    // s-curve midpoint AT the default τ=0.3 verify threshold with the
+    // banded index nearly halved vs the retired single-probe coupling
+    assert(math.abs(srpMultiProbeCollisionProb(0.3, 7, 8, 4) - 0.5) < 0.01)
+    assert(math.abs(srpMultiProbeCollisionProb(0.5, 7, 8, 4) - 0.72) < 0.01)
+    assert(math.abs(srpMultiProbeCollisionProb(0.7, 7, 8, 4) - 0.91) < 0.01)
+    assert(srpMultiProbeCollisionProb(0.9, 7, 8, 4) > 0.99)
+    assert(math.abs(srpMultiProbeCollisionProb(0.0, 7, 8, 4) - 0.22) < 0.01,
+      "background candidate rate must stay at the retired coupling's ~21%")
+    // the RETIRED single-probe coupling (6 planes × 15 tables) — the
+    // point-for-point twin the default replaced at half the index
     assert(math.abs(srpCollisionProb(0.3, 6, 15) - 0.5) < 0.01)
-    // ...with the documented recall curve above it and background pruned
     assert(math.abs(srpCollisionProb(0.5, 6, 15) - 0.75) < 0.01)
     assert(math.abs(srpCollisionProb(0.7, 6, 15) - 0.94) < 0.01)
     assert(srpCollisionProb(0.9, 6, 15) > 0.999)

@@ -69,6 +69,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe flips are query-directed: smallest-|margin| planes first, base always probed") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.toDoubleArray
+    val dim = 8
+    val planes = 4
+    val probes = 3
+    // deterministic, non-degenerate vectors (distinct margins per plane)
+    val vecs = Seq(
+      (0L, Array(0.31f, -0.72f, 1.21f, 0.13f, -0.44f, 0.91f, -1.13f, 0.27f)),
+      (1L, Array(-0.55f, 0.18f, 0.07f, -0.93f, 0.62f, -0.29f, 0.84f, -0.11f)),
+      (2L, Array(1.05f, 0.95f, -0.15f, 0.41f, -0.77f, 0.33f, 0.58f, -0.66f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val v = toDoubleArray(col("embedding"))
+    val rows = df.select(col("vec_id"),
+      Similarity.srpProbeStructs(v, dim, planes, tables = 1, probes = probes, "band").as("pb"),
+      Similarity.srpBucketSeeded(v, dim, planes, "t0#").as("base")).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val probed = r.getAs[scala.collection.Seq[Row]]("pb").map(_.getAs[Long]("bucket"))
+      val base = r.getAs[Long]("base")
+      assert(probed.head == base, "first probe must be the exact bucket")
+      assert(probed.toSet.size == probes, "probes must hit distinct buckets")
+      // every extra probe is one bit off the base bucket
+      val flipped = probed.tail.map { b =>
+        val x = b ^ base
+        assert(java.lang.Long.bitCount(x) == 1, s"probe must flip exactly one plane, got $x")
+        java.lang.Long.numberOfTrailingZeros(x)
+      }
+      // ...and the flipped planes are exactly the smallest-|dot| ones,
+      // ascending (ties broken by plane index — array_sort struct order)
+      val emb = vecs.find(_._1 == id).get._2.map(_.toDouble)
+      val margins = (0 until planes).map { p =>
+        val pv = Similarity.planeVector("t0#", p, dim)
+        math.abs(pv.zip(emb).map { case (a, b) => a * b }.sum) -> p
+      }
+      val expected = margins.sorted.take(probes - 1).map(_._2)
+      assert(flipped == expected,
+        s"vec $id: flipped planes $flipped != smallest-margin planes $expected")
+    }
+  }
+
   test("ivf top-k: results come from probed lists with brute-force-identical scores") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteTopK(emb, nQueries = 10, k = 500).collect()
