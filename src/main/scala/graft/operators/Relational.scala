@@ -257,8 +257,8 @@ object Relational {
   }
 
   /** q16: interpolated percentiles per group (median + p90 order
-    * value) — exact `percentile` here; the 100 TB path is
-    * approx_percentile (t-digest sketch partials), same API shape.
+    * value) — exact `percentile` here for oracle parity; the 100 TB
+    * path is [[approxPercentile]] (same API shape).
     */
   def q16Percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -266,6 +266,26 @@ object Relational {
       .agg(
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_ord"))
+      .orderBy(col("o_orderpriority"))
+
+  /** approx_percentile companion to q16 (the q7/approxDistinct design
+    * rule applied to percentiles). Exact `percentile` buffers EVERY
+    * group value in its aggregation state — the one aggregate in this
+    * suite whose partials are O(group size), which at 100 TB means
+    * the agg state of a hot priority is the priority's row count. The
+    * sketch (Greenwald-Khanna ε-approximate quantile summary) keeps
+    * constant-size partials that merge associatively, restoring the
+    * map-side-combine shape every other aggregate here has. accuracy
+    * = 1/ε: 10⁴ bounds the rank error at 0.01% of each group —
+    * spec-checked against the exact path within tolerance.
+    */
+  def approxPercentile(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)"), 4).as("p50_approx"),
+        round(expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)"), 4).as("p90_approx"),
         count(lit(1)).as("n_ord"))
       .orderBy(col("o_orderpriority"))
 

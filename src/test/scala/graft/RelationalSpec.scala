@@ -126,6 +126,33 @@ class RelationalSpec extends SparkSpec {
     assert(both ++ only == c95, "tags must partition exactly the 1995 customers")
   }
 
+  test("q16 approx percentile companion honors the rank-error guarantee per group") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the GK sketch bounds RANK error (and returns an actual group
+    // element where exact `percentile` interpolates), so the honest
+    // check is a rank window: each approx value must lie between the
+    // exact percentiles at q ± 0.02
+    val window = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.48)").as("p50_lo"),
+        expr("percentile(o_totalprice, 0.52)").as("p50_hi"),
+        expr("percentile(o_totalprice, 0.88)").as("p90_lo"),
+        expr("percentile(o_totalprice, 0.92)").as("p90_hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = Relational.approxPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx")))
+      .toMap
+    assert(approx.keySet == window.keySet)
+    window.foreach { case (k, (lo50, hi50, lo90, hi90)) =>
+      val (a50, a90) = approx(k)
+      assert(a50 >= lo50 && a50 <= hi50, s"$k p50 $a50 outside exact [$lo50, $hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"$k p90 $a90 outside exact [$lo90, $hi90]")
+    }
+  }
+
   test("q7 approx distinct companion is within 5% of exact") {
     val exact = Relational.q7DistinctAgg(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_cust")).toMap
