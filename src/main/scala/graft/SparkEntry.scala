@@ -114,6 +114,11 @@ object SparkEntry {
       Multimodal.decodeFeatures(Multimodal.asMultimodal(Tables.documents(s, dir)))),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asMultimodal(Tables.documents(s, dir)))),
+    // REAL codec path: synthesized valid PNGs decoded by javax.imageio
+    // inside the partition-batched stage (rows-only — pixel decode
+    // isn't SQL-expressible; pixel-truth semantics are spec-pinned)
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(Multimodal.imagePayloads(Tables.documents(s, dir)))),
 
     // ---- beyond §2: corpus-level pipeline ops ----
     "dedup_apply" -> ((s, dir) => {

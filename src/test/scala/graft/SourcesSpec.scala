@@ -33,6 +33,63 @@ class SourcesSpec extends SparkSpec {
     assert(out.getAs[Long]("feat_checksum") == expected)
   }
 
+  test("image payloads are genuine PNGs; real ImageIO decode recovers planted dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(1L, 2L, 27L, 91L).toDF("doc_id")
+    val mm = Multimodal.imagePayloads(docs)
+    // the payloads are REAL PNG bytes (magic signature), not fakes
+    mm.select(col("doc_id"), col("payload")).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte, s"doc ${r.getLong(0)}: payload lacks the PNG signature")
+    }
+    val out = Multimodal.decodeImages(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val meta = mm.select(col("doc_id"), col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // decoded pixel-truth dimensions must equal the metadata CLAIM
+    meta.foreach { case (id, (w, h)) =>
+      val d = out(id)
+      assert(d.getAs[Long]("width") == w && d.getAs[Long]("height") == h,
+        s"doc $id: decoded ${d.getAs[Long]("width")}×${d.getAs[Long]("height")} vs meta $w×$h")
+      assert(d.getAs[Long]("n_pixels") == w * h)
+      val luma = d.getAs[Long]("mean_luma_fs")
+      assert(luma > 0L && luma < 10000L, s"doc $id: mean luminance $luma not in (0, 1e4)")
+    }
+    // determinism: same ids → identical checksums across invocations
+    val again = Multimodal.decodeImages(Multimodal.imagePayloads(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("px_checksum")).toMap
+    out.foreach { case (id, r) => assert(again(id) == r.getAs[Long]("px_checksum")) }
+  }
+
+  test("decodeImages recovers exact planted pixel statistics from hand-built PNGs") {
+    import spark.implicits._
+    // hand-encode solid-color PNGs OUTSIDE the operator under test:
+    // black (luma 0), white (luma 255 → fs 9999+), pure red
+    def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val mm = Seq(
+      (1L, solidPng(8, 4, 0x000000)),
+      (2L, solidPng(5, 5, 0xffffff)),
+      (3L, solidPng(3, 2, 0xff0000))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"), r.getAs[Long]("mean_luma_fs"))).toMap
+    assert(out(1L) == ((8L, 4L, 0L)), "black: zero luminance")
+    // white: floor(1e4 · 255000/255000) = 10000
+    assert(out(2L) == ((5L, 5L, 10000L)), "white: full luminance")
+    // pure red: floor(1e4 · 299·255 / (255·1000)) = floor(1e4 · 0.299) = 2990
+    assert(out(3L) == ((3L, 2L, 2990L)), "red: Rec.601 0.299 weight")
+  }
+
   test("frame sampling fans one payload row into nFrames deterministic frame rows") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
