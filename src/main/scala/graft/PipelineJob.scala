@@ -14,11 +14,16 @@ import graft.streaming.StreamingPipeline
   *
   * Two arrival modes, mirroring the library's batch/stream twins:
   *
-  *   tools/run.sh graft.PipelineJob batch  <docsParquet> <outDir> [minQualityFs]
-  *   tools/run.sh graft.PipelineJob stream <docsDir>     <outDir> [minQualityFs]
+  *   tools/run.sh graft.PipelineJob batch    <docsParquet> <outDir>    [minQualityFs]
+  *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs]
+  *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
   *   quality + repetition gates → split tag, one composed plan.
+  * bucketed: [[Pipeline.curateToBucketed]] — same curation, landed as
+  *   a doc_id-bucketed sorted TABLE (full columns, text included) so
+  *   every later doc-keyed join (incremental-crawl dedup against this
+  *   corpus as reference) skips its shuffle on the corpus side.
   * stream: [[StreamingPipeline.curateStream]] over a checkpointed
   *   parquet FILE STREAM — each new file dropped into `docsDir` is a
   *   micro-batch. Runs with Trigger.AvailableNow: processes everything
@@ -75,8 +80,8 @@ object PipelineJob {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3 && Set("batch", "stream")(args(0)),
-      "usage: PipelineJob batch|stream <docsPath> <outDir> [minQualityFs]")
+    require(args.length >= 3 && Set("batch", "bucketed", "stream")(args(0)),
+      "usage: PipelineJob batch|bucketed|stream <docsPath> <outDir|tableName> [minQualityFs]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,6 +99,8 @@ object PipelineJob {
         val docs = spark.read.parquet(in)
         val curated = Pipeline.curate(docs, minQualityFs = minQ)
         Sinks.writePartitioned(curated, out, Seq("split", "lang"))
+      case "bucketed" =>
+        Pipeline.curateToBucketed(spark.read.parquet(in), out, minQualityFs = minQ)
       case "stream" =>
         runStream(spark, in, out, minQ)
     }
@@ -102,7 +109,7 @@ object PipelineJob {
     // watch dir, or every doc gated out) — report instead of crashing
     // on the schemaless output dir
     try {
-      val summary = spark.read.parquet(out)
+      val summary = (if (mode == "bucketed") spark.table(out) else spark.read.parquet(out))
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
           round(avg(col("score_fs")), 1).as("avg_score_fs"))
         .orderBy(col("split"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, Pipeline, Similarity}
 
 /** Scale rehearsal for the dedup/CC paths beyond the driver's sf0.1
   * corpus (TESTDATA.md caps at sf0.1, read-only): synthesizes a
@@ -58,9 +58,48 @@ object ScaleRehearsal {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Deterministic synthetic EMBEDDING corpus (the ANN/vector-path
+    * twin of [[synthesize]]), entirely as column expressions:
+    *
+    *  - block 1 (ids 1000–1999) is an identical-vector MEGA-CLUSTER —
+    *    one SRP bucket in every table, far past maxBucket → the
+    *    salted candidate path of [[Dedup.cosineLsh]];
+    *  - in every other 1000-block, ids with rank < 10 form a NEAR-DUP
+    *    cluster: base + 0.35·noise ⇒ cos(base, member) ≈ 0.94,
+    *    cos(member, member) ≈ 0.89 — above a τ = 0.8 verify;
+    *  - the rest are independent uniform vectors: at dim 64 the
+    *    background cosine concentrates at 0 ± 0.125, so a τ = 0.8
+    *    verify admits essentially zero background pairs while ANN
+    *    top-k for unique queries sits at cos ≈ 0.4–0.5 (the shallow
+    *    end of the SRP s-curve — the hard recall regime).
+    *
+    * Components are uniform [-1, 1] from xxhash64 — no RNG state,
+    * reproducible, and float-cast so the schema matches the bench
+    * embeddings table.
+    */
+  def synthesizeEmbeddings(spark: SparkSession, nVecs: Long, dim: Int = 64): DataFrame = {
+    val id = col("id")
+    // NB Column./ is DOUBLE division — use an explicit range test for
+    // the mega block rather than a computed block index
+    val rank = id % 1000L
+    val isMega = id >= 1000L && id < 2000L
+    val isCluster = !isMega && rank < 10
+    val seed = when(isMega, lit(-1L)).when(isCluster, id - rank).otherwise(id)
+    def unif(tag: String, s: org.apache.spark.sql.Column, j: Int) =
+      (pmod(xxhash64(concat_ws(tag, s, lit(j))), lit(2000001L)) - lit(1000000L)) / lit(1000000.0)
+    val comps = (0 until dim).map { j =>
+      (unif("#", seed, j) +
+        when(isCluster && rank > 0, unif("n", id, j) * lit(0.35)).otherwise(lit(0.0)))
+        .cast("float")
+    }
+    spark.range(nVecs).select(id.as("vec_id"), array(comps: _*).as("embedding"),
+      pmod(id, lit(8L)).cast("int").as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(500000L)
     val outBase = args.lift(1).getOrElse("tmp/scale_rehearsal")
+    val nVecs = args.lift(2).map(_.toLong).getOrElse(100000L)
     val megaN = 3000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,9 +111,12 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // nDocs == 0 skips the document phases (fast vector-path iteration)
     val corpusPath = s"$outBase/docs_$nDocs"
-    synthesize(spark, nDocs, megaN).write.mode("overwrite").parquet(corpusPath)
-    val docs = spark.read.parquet(corpusPath)
+    if (nDocs > 0) {
+      synthesize(spark, nDocs, megaN).write.mode("overwrite").parquet(corpusPath)
+    }
+    lazy val docs = spark.read.parquet(corpusPath)
 
     def timed(phase: String)(body: => Long): (String, Double, Long) = {
       spark.sharedState.cacheManager.clearCache()
@@ -85,7 +127,7 @@ object ScaleRehearsal {
       (phase, sec, volume)
     }
 
-    val results = Seq(
+    val results = if (nDocs == 0) Seq.empty else Seq(
       timed("minhash_lsh")(Dedup.minhashLsh(docs).count()),
       timed("ngram_lsh_pairs")(Dedup.ngramLshPairs(docs).count()),
       timed("apply_lsh")(Dedup.applyPairs(docs, Dedup.ngramLshPairs(docs)).count()),
@@ -93,7 +135,54 @@ object ScaleRehearsal {
         .filter(col("doc_id") =!= col("rep_id")).count()),
       timed("cc_star")(Dedup.starCcLabels(docs, Dedup.ngramLshPairs(docs))
         .filter(col("doc_id") =!= col("rep_id")).count()),
+      // exact-dedup pre-pass: the mega-clique collapses in one groupBy
+      // BEFORE pair generation, so the CC graph is cluster-only —
+      // volume must still equal expected_cc_merged exactly
+      timed("cc_exact_first")(Dedup.ccLabelsExactFirst(docs, Dedup.ngramLshPairs(_),
+          (d, p) => Dedup.convergedCcLabels(d, p))
+        .filter(col("doc_id") =!= col("rep_id")).count()),
       timed("pipeline_curate")(Pipeline.curate(docs).count())
+    )
+
+    // ---- ANN / vector paths (r8): 20×+ the bench embedding scale ----
+    val embPath = s"$outBase/emb_$nVecs"
+    synthesizeEmbeddings(spark, nVecs).write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+    // ground truth once, driver-side (bounded: 50 queries × k=10) so
+    // recall joins don't ride inside the timed phases
+    val truth = Similarity.bruteTopK(emb, nQueries = 50, k = 10)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: DataFrame): Long = df.select(col("q_id"), col("c_id")).collect()
+      .count(r => truth((r.getLong(0), r.getLong(1))))
+    // volume of ann_* phases = brute-top-k hits (recall = volume/truth);
+    // volume of cosine_* phases = verified pair count
+    val annResults = Seq(
+      timed("ann_brute")(Similarity.bruteTopK(emb, nQueries = 50, k = 10).count()),
+      timed("ann_lsh_single")(hits(
+        Similarity.lshTopK(emb, dim = 64, planes = 6, tables = 8, nQueries = 50, k = 10))),
+      // the r8 trade at scale: HALF the tables, query-directed probes
+      timed("ann_lsh_probed")(hits(
+        Similarity.lshTopK(emb, dim = 64, planes = 6, tables = 4, nQueries = 50, k = 10,
+          probes = 4))),
+      timed("ann_ivf")(hits(
+        Similarity.ivfTopK(emb, dim = 64, nlist = 32, nprobe = 8, nQueries = 50, k = 10))),
+      // production-threshold vector dedup (τ = 0.8): PLANES MUST
+      // SCALE ~log2(n) — the textbook LSH sizing this rehearsal
+      // enforces empirically. At n = 100k the corpus has 5e9
+      // background pairs; an 8-plane table admits 2^-8 of them
+      // (~235M distinct candidates — the first run of this phase
+      // filled the disk inside the vector-carrying verify join). 17
+      // planes ≈ log2(n) admit 5e9·2^-17 ≈ 40k per table, so
+      // candidate volume stays ∝ true-dup count. Recall at the
+      // planted cos ≈ 0.94 is bought back with tables — and THIS is
+      // where multi-probe pays most: 9 fully-probed-4 tables match
+      // 16 single-probed (modeled 0.913 vs 0.904) at 56% of the
+      // banded index state.
+      timed("cosine_lsh_single")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 16,
+        thresholdFs = 8000L, probes = 1).count()),
+      timed("cosine_lsh_probed")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 9,
+        thresholdFs = 8000L, probes = 4).count())
     )
 
     // planted truth the volumes must be consistent with: the mega
@@ -104,11 +193,17 @@ object ScaleRehearsal {
     val clusterDropped = nClusters * 9 // 9 non-base members per cluster
     val expectDropped = clusterDropped + (megaN - 1)
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val phases = results.map { case (p, s, v) => s""""$p":{"sec":${fmt(s)},"volume":$v}""" }
+    val phases = (results ++ annResults)
+      .map { case (p, s, v) => s""""$p":{"sec":${fmt(s)},"volume":$v}""" }
       .mkString("{", ",", "}")
+    // vector-corpus planted truth: block 1 is the identical-vector
+    // mega-cluster; every other block contributes a 10-member cluster
+    val vecMegaPairs = 1000L * 999 / 2
     println(s"""{"metric":"scale_rehearsal","n_docs":$nDocs,"mega_n":$megaN,""" +
       s""""expected_mega_pairs":$megaPairs,"expected_cc_merged":$expectDropped,""" +
-      s""""phases":$phases,"cpus":"$cpus"}""")
+      s""""n_vecs":$nVecs,"expected_vec_mega_pairs":$vecMegaPairs,""" +
+      s""""expected_vec_cluster_pairs":${(nVecs / 1000 - 1) * 45},""" +
+      s""""ann_truth":${truth.size},"phases":$phases,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

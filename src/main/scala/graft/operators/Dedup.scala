@@ -722,6 +722,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-dedup PRE-PASS around pair-based CC labeling: collapse
+    * content-identical docs with one hash groupBy BEFORE pair
+    * generation, run `cc` over the surviving representatives only,
+    * then extend the labels back over every doc (each doc inherits
+    * its content-group keeper's rep).
+    *
+    * Label parity with running `cc` on the FULL corpus is exact
+    * (spec-pinned in DedupSpec): identical docs share shingle sets,
+    * so in the full pair graph every identical group is a clique
+    * glued onto its keeper's component, and a component's min id
+    * equals the min over its member groups' keeper ids — the extended
+    * labeling is the same function. What changes is COST: a crawl's
+    * n identical docs (the shape crawls actually produce — boilerplate
+    * pages, mirrored files) contribute C(n,2) LSH edges to the full
+    * graph — the rehearsal's 3000-doc clique is 4.5M edges dominating
+    * every CC round — but ZERO edges here; one map-side-combining
+    * groupBy deletes what the pair join would otherwise expand.
+    * [[Pipeline.curate]] applies the same ordering for greedy apply;
+    * this brings it to the CC entry points.
+    *
+    * `pairsOf` generates near-dup pairs over the deduplicated corpus
+    * (e.g. [[ngramLshPairs]]); `cc` is any of the CC variants with
+    * the shared (docs, pairs) → (doc_id, rep_id) contract
+    * ([[ccLabels]], [[convergedCcLabels]], [[starCcLabels]]).
+    */
+  def ccLabelsExactFirst(docs: DataFrame,
+                         pairsOf: DataFrame => DataFrame,
+                         cc: (DataFrame, DataFrame) => DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // slim (doc_id, keeper) mapping: one narrow scan + one hash
+    // groupBy + one hash join — the exact-dedup shuffle, nothing more
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("h"))
+    val keep = ids.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    // persist: feeds the survivor semi-join (which the whole pair/CC
+    // pipeline hangs off) AND the final label-extension join
+    val mapping = ids.join(keep, "h").select(col("doc_id"), col("keep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = docs.join(
+      mapping.filter(col("doc_id") === col("keep_id")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val ccSurvivors = cc(survivors, pairsOf(survivors))
+    ScopedCache.releaseAfterAction(
+      mapping
+        .join(ccSurvivors.select(col("doc_id").as("keep_id"), col("rep_id")), Seq("keep_id"))
+        .select(col("doc_id"), col("rep_id"))
+        .orderBy(col("doc_id")),
+      Seq(mapping))
+  }
+
   /** Blocked embedding-cosine near-dup pairs: block key = label
     * metadata (any partition/source key works); norms precomputed once
     * per side so the pair expression is a single dot product.

@@ -27,25 +27,27 @@ private[graft] object Par {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val analyzed = df.queryExecution.analyzed
-    // a frame the caller already repartitioned is parallel by
-    // construction — adding another exchange on top would be a
-    // redundant shuffle, not a parallelism unlock. Only SHUFFLING
-    // repartitions count: coalesce() builds the same Repartition node
+    // Split estimate over scans NOT already covered by a caller
+    // repartition: a subtree under a SHUFFLING repartition is parallel
+    // by construction (its scans don't need — and must not get —
+    // another exchange), but a repartition on ONE join leg says
+    // nothing about the other leg's single-file scan, so coverage is
+    // decided per ancestor chain, not plan-globally. Only shuffling
+    // repartitions cover: coalesce() builds the same Repartition node
     // with shuffle=false and NARROWS parallelism — exactly the case
-    // spread must still fix
-    val preShuffled = analyzed.exists {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
-      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
-      case _ => false
-    }
-    val estSplits = analyzed.collect {
-      case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.inputFiles.length.toLong + fs.location.sizeInBytes / maxBytes
-        case _ => target.toLong // non-file relation: assume parallel enough
+    // spread must still fix.
+    def uncoveredSplits(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long =
+      plan match {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition if r.shuffle => 0L
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => 0L
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.inputFiles.length.toLong + fs.location.sizeInBytes / maxBytes
+          case _ => target.toLong // non-file relation: assume parallel enough
+        }
+        case p => p.children.map(uncoveredSplits).sum
       }
-    }.sum
-    if (!preShuffled && estSplits > 0 && estSplits < target) df.repartition(target) else df
+    val estSplits = uncoveredSplits(df.queryExecution.analyzed)
+    if (estSplits > 0 && estSplits < target) df.repartition(target) else df
   }
 }

@@ -28,7 +28,25 @@ object Pipeline {
              minQualityFs: Long = 5000L,
              lshThresholdFs: Long = 9000L,
              maxRepetitionFs: Long = 9000L,
-             salt: String = "graft#"): DataFrame = {
+             salt: String = "graft#"): DataFrame =
+    curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("score_fs"), col("rep_fs"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** [[curate]] keeping EVERY input column (text included) plus the
+    * provenance columns, unordered — the form that lands in a sink
+    * (a partitioned/bucketed write imposes its own layout, so the
+    * global ORDER BY of the slim reporting variant would only add a
+    * sampling pass). A curated corpus that keeps `text` is what the
+    * incremental-crawl reference side ([[Dedup.ngramLshAgainst]])
+    * reads.
+    */
+  def curateFull(docs: DataFrame,
+                 minQualityFs: Long = 5000L,
+                 lshThresholdFs: Long = 9000L,
+                 maxRepetitionFs: Long = 9000L,
+                 salt: String = "graft#"): DataFrame = {
     // 1. exact dedup: survivors are each hash group's keep_id
     val keep = Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))
@@ -59,8 +77,25 @@ object Pipeline {
         .otherwise(lit(0L)))
       .filter(col("rep_fs") <= maxRepetitionFs)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("score_fs"), col("rep_fs"), col("split"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Land the curated corpus as a doc_id-bucketed, per-bucket-sorted
+    * table ([[graft.sources.Sinks.writeBucketed]]): every downstream
+    * doc-keyed join — flagging incoming crawl dups against the
+    * reference, joining quality/provenance back to payloads, the
+    * greedy-apply anti-join — reads a pre-partitioned reference and
+    * SKIPS its shuffle entirely (the bucketed scan reports hash
+    * partitioning to Catalyst; zero-Exchange join is spec-pinned).
+    * At 100 TB the curated corpus is written once and joined by every
+    * incremental crawl after it — moving the shuffle from every
+    * consumer to the single producer is the point of the layout.
+    */
+  def curateToBucketed(docs: DataFrame, table: String, buckets: Int = 32,
+                       minQualityFs: Long = 5000L,
+                       lshThresholdFs: Long = 9000L,
+                       maxRepetitionFs: Long = 9000L,
+                       salt: String = "graft#"): Unit =
+    graft.sources.Sinks.writeBucketed(
+      curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt),
+      table, "doc_id", buckets)
 }

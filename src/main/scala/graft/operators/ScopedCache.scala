@@ -47,6 +47,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    released some other way — the next registration sweeps the
   *    stale listener, so discarded builds don't accumulate
   *    plan-containment scans on the listener bus forever.
+  *  - IDENTICAL-PLAN CROSS-RELEASE: release keys on plan
+  *    `sameResult`, and the session's CacheManager dedups persists of
+  *    identical plans into one entry — so two invocations of the same
+  *    operator on identical inputs share cache entries AND
+  *    cross-match each other's listeners. The first action on EITHER
+  *    result releases the shared entries and fires both listeners; a
+  *    later action on the other result recomputes from scratch
+  *    (correct, uncached — the first-action contract applied to the
+  *    pair). Callers re-running an identical pipeline for its results
+  *    should act once and reuse, or persist the result themselves.
+  *  - Sessions are isolated: listeners register on the invoking
+  *    result's OWN session bus, so an action in one SparkSession
+  *    never releases a concurrent session's operator caches (the
+  *    pending queue is global bookkeeping only; spec-pinned). The
+  *    CacheManager-level plan dedup above is the one cross-session
+  *    interaction, inherited from Spark's shared cache.
   */
 private[graft] object ScopedCache {
 

@@ -444,6 +444,44 @@ class DedupSpec extends SparkSpec {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), s"got $reps")
   }
 
+  test("exact-first CC labels are identical to full-graph CC; identical groups add zero pairs") {
+    // three identical docs (the crawl-clique shape) + a near-dup of
+    // them + a separate identical pair + a loner: the full graph has
+    // the 1-2-3 clique AND the 1..4 chain; exact-first must reproduce
+    // the same labels with the clique collapsed before pair generation
+    val clique = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = Seq(
+      (1L, clique, "en", 30L),
+      (2L, clique, "en", 30L),
+      (3L, clique, "en", 30L),
+      // near-dup: last token mutated → bigram J = 10/12 ≈ 0.833,
+      // collision prob ≈ 0.995 under the 8×4 geometry
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zeta", "en", 30L),
+      (5L, "one two three four five six seven", "en", 33L),
+      (6L, "one two three four five six seven", "en", 33L),
+      (7L, "completely different loner document here", "en", 40L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = Dedup.ngramLshPairs(df, thresholdFs = 8000L)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    val full = labelsOf(Dedup.convergedCcLabels(d, pairsOf(d)))
+    val pre = labelsOf(Dedup.ccLabelsExactFirst(d, pairsOf,
+      (dd, pp) => Dedup.convergedCcLabels(dd, pp)))
+    assert(full == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L),
+      s"full-graph CC baseline: $full")
+    assert(pre == full, s"exact-first labels $pre must equal full-graph labels $full")
+    // same parity through the star-contraction variant
+    val preStar = labelsOf(Dedup.ccLabelsExactFirst(d, pairsOf,
+      (dd, pp) => Dedup.starCcLabels(dd, pp)))
+    assert(preStar == full, s"exact-first star labels $preStar must equal $full")
+    // the cost claim: the deduplicated corpus generates NO pairs for
+    // the identical groups (4 survivors → only the 1–4 near-dup pair)
+    val survivorPairs = pairsOf(d.dropDuplicates("text")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(survivorPairs == Set((1L, 4L)),
+      s"identical groups must contribute zero survivor pairs, got $survivorPairs")
+  }
+
   test("cross-corpus LSH pairs incoming docs against the reference only, never each other") {
     val incoming = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", 30L),

@@ -63,6 +63,23 @@ class KMeansSpec extends SparkSpec {
       "same rounds ⇒ bit-identical centroids between the fixed and converged variants")
   }
 
+  test("canary: the filter(true) scope marker survives canonicalization (sameResult-distinct)") {
+    import org.apache.spark.sql.functions.lit
+    // lloyd's cache scoping relies on filter(lit(true)) making the
+    // RETURNED frame sameResult-distinct from the loop-internal bare
+    // assignment, so internal collect()s don't release the pts cache
+    // early. If a future Spark canonicalization rule prunes
+    // trivially-true filters from the ANALYZED plan, this canary
+    // fails before the perf cliff does (the physical plan may — and
+    // should — prune the filter; sameResult works on canonicalized
+    // logical plans).
+    val df = toyPoints.toDF("id", "x", "y")
+    val marked = df.filter(lit(true))
+    assert(!marked.queryExecution.analyzed.sameResult(df.queryExecution.analyzed),
+      "filter(lit(true)) no longer distinguishes plans under sameResult — " +
+        "replace KMeans.scopedAssignment's marker (e.g. a fresh-alias Project)")
+  }
+
   test("metrics sizes sum to the point count and wcss is nonnegative") {
     val (assigned, _) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 2)
     val m = KMeans.metrics(assigned).collect()

@@ -50,4 +50,21 @@ class ParSpec extends SparkSpec {
     val df = (1L to 10L).toDF("id")
     assert(Par.spread(df) eq df)
   }
+
+  test("a repartitioned join leg does not mask the OTHER leg's single-file scan") {
+    val base = Files.createTempDirectory("graft_par").toString
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(s"$base/narrow")
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(s"$base/wide")
+    val narrow = spark.read.parquet(s"$base/narrow")
+    val wide = spark.read.parquet(s"$base/wide").repartition(8)
+    // one leg caller-managed, one leg a 1-split scan: coverage is per
+    // ancestor chain, so the uncovered leg must still trigger spread
+    val joined = narrow.join(wide, "id")
+    assert(Par.spread(joined) ne joined,
+      "the unparallel leg is exactly the case spread exists to fix")
+    // and when EVERY scan sits under a shuffling repartition, no-op
+    val bothCovered = narrow.repartition(4).join(wide, "id")
+    assert(Par.spread(bothCovered) eq bothCovered,
+      "fully covered plans must pass through unchanged")
+  }
 }

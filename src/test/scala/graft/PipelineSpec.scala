@@ -27,6 +27,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("rep_fs") <= 9000L))
   }
 
+  test("curated corpus lands bucketed: doc_id joins skip the bucketed-side shuffle end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    Pipeline.curateToBucketed(docs, "curated_ref", buckets = 8)
+    val ref = spark.table("curated_ref")
+    // full columns survive — this table IS a usable ngramLshAgainst
+    // reference (text included), not just a provenance report
+    assert(ref.columns.contains("text") && ref.columns.contains("split"))
+    // survivor parity with the reporting variant
+    val bucketIds = ref.select("doc_id").collect().map(_.getLong(0)).toSet
+    val curateIds = Pipeline.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bucketIds == curateIds, "bucketed landing must keep exactly the curated survivors")
+    // E2E consumer: an incoming id-keyed frame joins the reference on
+    // doc_id — only the INCOMING side may shuffle. Disable broadcast
+    // so the test exercises the shuffle-join shape a corpus-sized
+    // incoming batch takes at 100 TB (a broadcastable incoming would
+    // trivially show zero exchanges)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val incoming = docs.select(col("doc_id"), col("n_chars").as("incoming_n"))
+      val joined = ref.join(incoming, "doc_id")
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"exactly one Exchange (the incoming side) expected, got $exchanges")
+      assert(joined.count() == bucketIds.size)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("curate's repetition gate drops degenerate high-dup-bigram docs that pass quality") {
     // high unique-token ratio + stopwords keep quality up, but the
     // doc is one phrase looped — the repetition signal catches it

@@ -37,6 +37,8 @@ class ScopedCacheSpec extends SparkSpec {
       ("ccLabels", () => Dedup.ccLabels(docs, Dedup.ngramLshPairs(docs))),
       ("convergedCcLabels", () => Dedup.convergedCcLabels(docs, Dedup.ngramLshPairs(docs))),
       ("starCcLabels", () => Dedup.starCcLabels(docs, Dedup.ngramLshPairs(docs))),
+      ("ccLabelsExactFirst", () => Dedup.ccLabelsExactFirst(docs, Dedup.ngramLshPairs(_),
+        (d, p) => Dedup.convergedCcLabels(d, p))),
       ("lshTopK", () => Similarity.lshTopK(emb)),
       ("ivfTopK", () => Similarity.ivfTopK(emb)),
       ("annRecall", () => Similarity.annRecall(emb)),
@@ -52,6 +54,28 @@ class ScopedCacheSpec extends SparkSpec {
       build().count() // the caller's one terminal action
       awaitEmptyCache(name)
     }
+  }
+
+  test("two concurrent sessions: an action in one never releases the other's operator caches") {
+    val s2 = spark.newSession()
+    spark.sharedState.cacheManager.clearCache()
+    // DIFFERENT inputs per session so the shared CacheManager cannot
+    // dedup the plans (identical plans share entries by design — the
+    // documented cross-release case); this pins session isolation of
+    // the release listeners themselves. Both operators persist their
+    // shingle frames at BUILD time (cacheQuery registers eagerly).
+    val r1 = Dedup.ngramLshPairs(Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0))
+    val r2 = Dedup.ngramLshPairs(Tables.documents(s2, sfDir).filter(col("doc_id") % 2 === 1))
+    // session 2 acts: its listener fires on s2's bus and releases
+    // r2's caches — r1's (session 1) must SURVIVE
+    r2.count()
+    Thread.sleep(1000) // let s2's async release land
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "session 1's operator cache must survive session 2's action")
+    // session 1's own action drains the rest: empty ⟺ each session
+    // released exactly its own entries
+    r1.count()
+    awaitEmptyCache("concurrent sessions")
   }
 
   test("release also fires when the action consumes a frame DERIVED from the operator result") {
