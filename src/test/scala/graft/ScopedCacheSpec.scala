@@ -13,10 +13,12 @@ import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
 class ScopedCacheSpec extends SparkSpec {
 
   // the listener bus is asynchronous: release lands shortly after the
-  // action returns, so poll instead of asserting immediately
+  // action returns, so poll instead of asserting immediately (the
+  // 30 s ceiling is insurance against this host's documented 3–10×
+  // external-load stalls, not an expected wait)
   private def awaitEmptyCache(what: String): Unit = {
     var waited = 0
-    while (!spark.sharedState.cacheManager.isEmpty && waited < 100) {
+    while (!spark.sharedState.cacheManager.isEmpty && waited < 300) {
       Thread.sleep(100); waited += 1
     }
     assert(spark.sharedState.cacheManager.isEmpty,
