@@ -582,6 +582,39 @@ object Oracles {
        |FROM s2 ORDER BY doc_id""".stripMargin
   }
 
+  /** text_chunk: stride-24 windows of 32 tokens. DuckDB list slicing
+    * `l[a:b]` is 1-based inclusive = Spark slice(l, a, len) with
+    * b = a + len − 1; both truncate at the tail. Chunk count =
+    * ceil(n/stride) on both engines.
+    */
+  val textChunk: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(ceil(len(toks)/24.0) AS BIGINT))) AS chunk_idx
+      |      FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      | CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
+      | md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** text_pack: cumulative-offset packing into 512-token bins within
+    * (source, pack_group) windows — same window frame both engines
+    * (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING, coalesce 0).
+    */
+  val textPack: String =
+    """WITH t AS (SELECT doc_id, source,
+      |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |        CAST(floor(doc_id/1000.0) AS BIGINT) AS pack_group FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens, pack_group,
+      |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source, pack_group
+      |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS cum_before
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens, pack_group,
+      | CAST(floor(cum_before/512.0) AS BIGINT) AS bin_id,
+      | cum_before % 512 AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val sampleStratified: String = {
     import graft.operators.Sampling.hexThreshold
     val hi = hexThreshold(0.5, 4)

@@ -171,6 +171,8 @@ object SparkEntry {
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    "text_chunk" -> ((s, dir) => TextAnalysis.chunk(Tables.documents(s, dir))),
+    "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
@@ -226,6 +228,8 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
+    "text_chunk" -> Oracles.textChunk,
+    "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,
     "sample_split" -> Oracles.sampleSplit,

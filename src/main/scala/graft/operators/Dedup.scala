@@ -476,6 +476,88 @@ object Dedup {
       verified.orderBy(col("id_in"), col("id_ref")), Seq(verified))
   }
 
+  /** Persist a reference corpus's n-gram LSH index for INCREMENTAL
+    * crawl dedup — the 100-TB complement of [[ngramLshAgainst]],
+    * which re-shingles and re-signs the ENTIRE reference corpus on
+    * every call. A growing corpus is crawled against daily; its index
+    * should be built once per compaction, not once per batch.
+    *
+    * Three metastore tables:
+    *  - `<name>_bands` (doc_id, band, bucket), bucketed+sorted by
+    *    (band, bucket): both the salting width aggregate AND the
+    *    candidate equi-join in [[ngramLshAgainstIndex]] group/join on
+    *    exactly that key, so the stored side reads with ZERO shuffle
+    *    (bucketed scan reports hash partitioning — spec-pinned);
+    *  - `<name>_grams` (doc_id, grams), bucketed by doc_id: the
+    *    verify join's reference side, likewise shuffle-free;
+    *  - `<name>_meta` (n, perms, bands): the banding geometry, read
+    *    back by the query side so an incoming batch can never be
+    *    signed with mismatched hashes.
+    */
+  def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
+                         bands: Int = 8, buckets: Int = 32): Unit = {
+    import graft.sources.Sinks
+    val spark = reference.sparkSession
+    val rowsPerBand = perms / bands
+    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    // persist: feeds the band explode and the grams projection
+    val shingled = Par.spread(reference).select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket"), buckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    Sinks.writeBucketed(shingled.select(col("doc_id"), col("grams")), s"${name}_grams",
+      Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
+    shingled.unpersist(false)
+    import spark.implicits._
+    Seq((n, perms, bands)).toDF("n", "perms", "bands")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** [[ngramLshAgainst]] against a STORED index ([[writeNgramLshIndex]]):
+    * only the incoming batch is shingled and signed; the reference
+    * side comes off the bucketed tables with zero shuffle (candidate
+    * join and width aggregate on (band, bucket), verify join on
+    * doc_id — each matching its table's bucketing). Banding geometry
+    * is read from `<name>_meta`, so query and index hashes always
+    * agree; output is pair-identical to running [[ngramLshAgainst]]
+    * over the original reference frame (spec-pinned parity).
+    */
+  def ngramLshAgainstIndex(incoming: DataFrame, name: String,
+                           thresholdFs: Long = 9000L): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = spark.table(s"${name}_meta").collect()(0)
+    val (n, perms, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rowsPerBand = perms / bands
+    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val si = Par.spread(incoming).select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = si.select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
+    val gr = spark.table(s"${name}_grams")
+      .select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
+    val verified = crossCandidatePairs(bi, spark.table(s"${name}_bands"))
+      .join(gi, "id_in").join(gr, "id_ref")
+      .select(col("id_in"), col("id_ref"),
+        jaccardFs(spark, col("grams_in"), col("grams_ref")).as("jac_fs"))
+      .filter(col("jac_fs") >= thresholdFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: drop the incoming-batch cache here (same shape as
+    // ngramLshAgainst's corpus-cache hygiene)
+    verified.count()
+    si.unpersist(false)
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_in"), col("id_ref")), Seq(verified))
+  }
+
   /** Apply near-dup pairs to a corpus: greedy keep-lowest-id policy —
     * every doc that appears as the HIGHER id of any pair is dropped.
     * (Connected-component canonicalization would chain A-B-C through

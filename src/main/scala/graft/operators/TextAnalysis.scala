@@ -232,6 +232,68 @@ object TextAnalysis {
     * near-prefix dedup primitive), plus the count of docs sharing the
     * fingerprint — rows-only checked + spec-verified.
     */
+  /** Context-window chunking: split each doc's token stream into
+    * overlapping windows of `chunkTokens` with stride
+    * `strideTokens` — the preprocessing step that turns raw documents
+    * into training-context-sized pieces (overlap preserves
+    * cross-boundary continuations). Chunk i covers tokens
+    * [i·stride, i·stride + chunk); the last window may be short; a
+    * doc emits ceil(n/stride) chunks.
+    *
+    * Scale shape: pure map-side — one narrow scan, a per-row
+    * sequence explode (fan-out ∝ tokens/stride), slice + hash on the
+    * exploded row. No shuffle anywhere; the output ORDER BY is the
+    * oracle-parity reporting sort, droppable in pipelines. The chunk
+    * content column is an md5 over the re-joined window (stable
+    * cross-engine) rather than raw text — downstream exact dedup of
+    * chunks consumes the hash directly.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24): DataFrame = {
+    require(chunkTokens >= strideTokens && strideTokens > 0,
+      s"need chunk ≥ stride > 0, got chunk=$chunkTokens stride=$strideTokens")
+    val nChunks = ceil(size(col("toks")) / lit(strideTokens.toDouble)).cast("int")
+    val piece = slice(col("toks"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens))
+    Par.spread(docs).select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(piece).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", piece)).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Sequence packing: assign docs to fixed-budget token bins by
+    * cumulative offset — the deterministic, SQL-expressible
+    * approximation of greedy packing every training pipeline runs
+    * before batching (concatenate docs in a stable order, cut every
+    * `binTokens`). Each doc lands in the bin where its first token
+    * falls, so a bin overflows by at most one straddling doc — the
+    * standard offline-packing trade for a one-pass, shuffle-light
+    * plan (bin-perfect packing is inherently sequential).
+    *
+    * Parallelism: packing is windowed over (source, pack_group)
+    * where pack_group buckets `groupDocs` consecutive doc ids — at
+    * 100 TB a plain per-source window would serialize each source
+    * into ONE task; group-local packing keeps every window partition
+    * bounded (≤ groupDocs rows) at the cost of at most one
+    * under-filled bin per group boundary. One shuffle on the window
+    * key, nothing else.
+    */
+  def pack(docs: DataFrame, binTokens: Int = 512, groupDocs: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(tokens(col("text"))).cast("long")
+    val grp = floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long")
+    val w = Window.partitionBy(col("source"), col("pack_group"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"), n.as("n_tokens"), grp.as("pack_group"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_group"),
+        floor(col("cum_before") / lit(binTokens.toDouble)).cast("long").as("bin_id"),
+        (col("cum_before") % binTokens).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
     val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

@@ -71,9 +71,18 @@ object Sinks {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets, mode)
+
+  /** Multi-column bucketing: a downstream join/groupBy on EXACTLY
+    * these columns (e.g. an LSH candidate join on (band, bucket))
+    * reads the hash partitioning from the table layout and skips its
+    * shuffle — same contract as the single-column form.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int,
+                    mode: SaveMode): Unit =
     df.write.mode(mode)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 }

@@ -482,6 +482,32 @@ class DedupSpec extends SparkSpec {
       s"identical groups must contribute zero survivor pairs, got $survivorPairs")
   }
 
+  test("stored LSH index: pair-identical to the recompute path, stored side reads shuffle-free") {
+    val reference = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0)
+    val incoming = Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1)
+    Dedup.writeNgramLshIndex(reference, "lshidx_spec", buckets = 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref")) -> r.getAs[Long]("jac_fs"))
+      .toMap
+    val indexed = pairsOf(Dedup.ngramLshAgainstIndex(incoming, "lshidx_spec"))
+    val recomputed = pairsOf(Dedup.ngramLshAgainst(incoming, reference))
+    assert(indexed == recomputed,
+      s"stored-index pairs must equal the recompute path (${indexed.size} vs ${recomputed.size})")
+    // the layout claim: the salting width aggregate — a groupBy on
+    // exactly the bucketing key — plans with ZERO exchanges
+    val widths = spark.table("lshidx_spec_bands")
+      .groupBy(col("band"), col("bucket")).count()
+    val aggExchanges = widths.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges == 0, "width aggregate must read the (band, bucket) bucketing")
+    // and the grams table joins on doc_id without shuffling itself
+    val g = spark.table("lshidx_spec_grams")
+    val selfJoin = g.as("a").join(g.as("b"), "doc_id")
+    val joinExchanges = selfJoin.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(joinExchanges == 0, "grams doc_id join must reuse the bucketed layout")
+  }
+
   test("cross-corpus LSH pairs incoming docs against the reference only, never each other") {
     val incoming = Seq(
       (1L, "alpha beta gamma delta epsilon", "en", 30L),

@@ -152,4 +152,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._1 == out(2L)._1 && out(1L)._2 == 2L)
     assert(out(3L)._1 != out(1L)._1 && out(3L)._2 == 1L)
   }
+
+  test("chunk: stride windows cover every token with the documented overlap; tail truncates") {
+    // 7 tokens, chunk 4 / stride 3 → chunks at 0,3,6: sizes 4,4,1;
+    // ceil(7/3) = 3 chunks exactly
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, chunkTokens = 4, strideTokens = 3).collect()
+    val c1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(c1.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(4L, 4L, 1L))
+    // overlap: chunk 0 = t1..t4, chunk 1 = t4..t7 — boundary token
+    // t4 appears in both (the continuation-preserving property)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c1(0).getAs[String]("chunk_md5") == h("t1 t2 t3 t4"))
+    assert(c1(1).getAs[String]("chunk_md5") == h("t4 t5 t6 t7"))
+    assert(c1(2).getAs[String]("chunk_md5") == h("t7"))
+    // a short doc emits ceil(2/3) = 1 whole-doc chunk
+    val c2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(c2.length == 1 && c2(0).getAs[Long]("n_chunk_tokens") == 2L)
+  }
+
+  test("pack: bins fill to the budget in doc order; overflow bounded by one straddling doc") {
+    // 5 docs of 3 tokens, bin budget 7, one source, one pack group:
+    // cum_before = 0,3,6,9,12 → bins 0,0,0,1,1; offsets 0,3,6,2,5
+    val d = (1L to 5L).map(i => (i, "x y z", "src0")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.pack(d, binTokens = 7, groupDocs = 1000).collect()
+    assert(out.map(_.getAs[Long]("bin_id")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    assert(out.map(_.getAs[Long]("bin_offset")).toSeq == Seq(0L, 3L, 6L, 2L, 5L))
+    // doc 3 straddles (starts at offset 6 of a 7-token bin): bin 0's
+    // token total is 9 = 7 + (3 − 1) — within the documented bound
+    // group boundaries cut packing: same docs split across two groups
+    // restart offsets (parallelism invariant)
+    val grouped = TextAnalysis.pack(d, binTokens = 7, groupDocs = 3).collect()
+    val g = grouped.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("pack_group"), r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))).toMap
+    assert(g(2L) == ((0L, 0L, 3L)), "doc 2 packs inside group 0")
+    assert(g(3L) == ((1L, 0L, 0L)), "doc 3 starts group 1 at offset 0")
+  }
 }
