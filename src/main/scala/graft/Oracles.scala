@@ -286,6 +286,24 @@ object Oracles {
        |${assignEmb("d1", "m1", "init")}
        |SELECT vec_id, cid AS cluster, round(d,4) AS d2 FROM m1 ORDER BY vec_id""".stripMargin
 
+  /** embed_outliers: same assignment CTE as kmeansAssignEmbed, then
+    * per-cluster z-scores of d2. Parity rule: d2/mu/sigma are rounded
+    * to 4 dp BEFORE the z arithmetic, so both engines divide
+    * bit-identical doubles and the fixed-point floor cannot straddle
+    * an ulp.
+    */
+  val embedOutliers: String =
+    s"""WITH $embFlat,
+       |${assignEmb("d1", "m1", "init")},
+       |s AS (SELECT vec_id, cid AS cluster, round(d,4) AS d2 FROM m1),
+       |st AS (SELECT vec_id, cluster, d2,
+       |         round(avg(d2) OVER (PARTITION BY cluster), 4) AS mu,
+       |         round(stddev_samp(d2) OVER (PARTITION BY cluster), 4) AS sigma FROM s)
+       |SELECT vec_id, cluster, d2,
+       | CAST(floor(1000.0*(d2-mu)/sigma) AS BIGINT) AS z_fs
+       |FROM st WHERE sigma > 0 AND floor(1000.0*(d2-mu)/sigma) >= 1000
+       |ORDER BY vec_id""".stripMargin
+
   val kmeansLloydEmbed: String = {
     val iters = (1 to 3).map { i =>
       val prev = if (i == 1) "init" else s"c${i - 1}"

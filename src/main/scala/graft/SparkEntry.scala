@@ -93,6 +93,8 @@ object SparkEntry {
     }),
     "feature_scale" -> ((s, dir) =>
       FeatureScale.scaled(Tables.customer(s, dir), "c_custkey", "c_acctbal")),
+    "embed_outliers" -> ((s, dir) =>
+      KMeans.outliers(Tables.embeddings(s, dir), "vec_id", "embedding", 10)),
 
     // ---- C-suite: LLM-data pipeline ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -215,6 +217,7 @@ object SparkEntry {
     "kmeans_assign_embed" -> Oracles.kmeansAssignEmbed,
     "kmeans_lloyd_embed" -> Oracles.kmeansLloydEmbed,
     "feature_scale" -> Oracles.featureScale,
+    "embed_outliers" -> Oracles.embedOutliers,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_embed_cosine" -> Oracles.dedupEmbedCosine,

@@ -519,6 +519,37 @@ object Dedup {
       .saveAsTable(s"${name}_meta")
   }
 
+  /** Fold accepted docs into a stored index ([[writeNgramLshIndex]])
+    * WITHOUT rebuilding it — the step after an incremental crawl
+    * passes its dedup gate: sign only the new docs, append their band
+    * and gram rows to the bucketed tables (bucketed appends add files
+    * per bucket; the layout contract — hash partitioning on the
+    * bucketing key — is preserved, so consumer joins stay
+    * shuffle-free). Geometry comes from `<name>_meta`, same guarantee
+    * as the query side: appended rows can never be signed with
+    * mismatched hashes. Cost ∝ |newDocs|, never index size.
+    */
+  def appendToNgramLshIndex(newDocs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    import graft.sources.Sinks
+    val spark = newDocs.sparkSession
+    val meta = spark.table(s"${name}_meta").collect()(0)
+    val (n, perms, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rowsPerBand = perms / bands
+    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val shingled = Par.spread(newDocs).select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket"), buckets,
+      org.apache.spark.sql.SaveMode.Append)
+    Sinks.writeBucketed(shingled.select(col("doc_id"), col("grams")), s"${name}_grams",
+      Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Append)
+    shingled.unpersist(false)
+  }
+
   /** [[ngramLshAgainst]] against a STORED index ([[writeNgramLshIndex]]):
     * only the incoming batch is shingled and signed; the reference
     * side comes off the bucketed tables with zero shuffle (candidate

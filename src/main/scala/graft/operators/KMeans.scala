@@ -196,4 +196,41 @@ object KMeans {
         round(sum(col("d")), 2).as("wcss"),
         round(avg(col("d")), 4).as("avg_d2"))
       .orderBy(col("cluster"))
+
+  /** Embedding outlier detection: vectors whose squared distance to
+    * their own cluster centroid is a z-score ≥ threshold above the
+    * cluster's mean — the "weird data" triage a training pipeline
+    * runs over an embedded corpus (clusters = the k-means index that
+    * IVF search already builds; anomalies = candidates for
+    * inspection/filtering).
+    *
+    * Determinism across engines: d2, the cluster mean, and the
+    * cluster stddev are each ROUNDED to 4 dp FIRST, so the z
+    * arithmetic runs on bit-identical doubles in both engines and the
+    * fixed-point floor cannot straddle an ulp (the aggregate order
+    * inside avg/stddev is engine-internal — rounding is the parity
+    * boundary, the suite-wide rule). Degenerate clusters
+    * (sigma = 0) emit no outliers by definition.
+    *
+    * Scale shape: one narrow assign pass (k×dim literal centroids in
+    * the projection) + one shuffle on cluster for the window stats —
+    * the same single-exchange shape as every window family here.
+    */
+  def outliers(points: DataFrame, idCol: String, vecCol: String, k: Int,
+               zThresholdMilli: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = points.select(col(idCol).cast("long").as("id"),
+      toDoubleArray(col(vecCol)).as("v"))
+    val cents = initCentroids(pts, "id", "v", k)
+    val (cl, d) = assignExpr(col("v"), cents)
+    val byC = Window.partitionBy(col("cluster"))
+    val z = lit(1000.0) * (col("d2") - col("mu")) / col("sigma")
+    pts.select(col("id").as("vec_id"), cl.as("cluster"), round(d, 4).as("d2"))
+      .withColumn("mu", round(avg(col("d2")).over(byC), 4))
+      .withColumn("sigma", round(stddev_samp(col("d2")).over(byC), 4))
+      .filter(col("sigma") > 0 && floor(z) >= zThresholdMilli)
+      .select(col("vec_id"), col("cluster"), col("d2"),
+        floor(z).cast("long").as("z_fs"))
+      .orderBy(col("vec_id"))
+  }
 }

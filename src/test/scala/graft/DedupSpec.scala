@@ -506,6 +506,25 @@ class DedupSpec extends SparkSpec {
     val joinExchanges = selfJoin.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(joinExchanges == 0, "grams doc_id join must reuse the bucketed layout")
+    // incremental append: fold the accepted incoming docs in, then a
+    // later batch must flag dups against BOTH the original reference
+    // and the appended docs — and the bucketed-layout claim survives
+    val flagged = indexed.keySet.map(_._1)
+    val accepted = incoming.filter(!col("doc_id").isin(flagged.toSeq: _*))
+    Dedup.appendToNgramLshIndex(accepted, "lshidx_spec", buckets = 8)
+    val laterBatch = Tables.documents(spark, sfDir) // every doc again: all are dups now
+    val later = Dedup.ngramLshAgainstIndex(laterBatch, "lshidx_spec", thresholdFs = 10000L)
+      .select(col("id_in")).distinct().collect().map(_.getLong(0)).toSet
+    val indexedIds = reference.select("doc_id").collect().map(_.getLong(0)).toSet ++
+      accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexedIds.subsetOf(later),
+      s"every indexed doc must self-flag as an exact dup after append " +
+        s"(missing ${indexedIds.diff(later).take(5)})")
+    val widthsAfter = spark.table("lshidx_spec_bands")
+      .groupBy(col("band"), col("bucket")).count()
+    assert(widthsAfter.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "appended bands table must keep the shuffle-free layout")
   }
 
   test("cross-corpus LSH pairs incoming docs against the reference only, never each other") {

@@ -80,6 +80,27 @@ class KMeansSpec extends SparkSpec {
         "replace KMeans.scopedAssignment's marker (e.g. a fresh-alias Project)")
   }
 
+  test("outliers flags exactly the far-from-centroid vectors, z from pre-rounded stats") {
+    // init = k LOWEST ids, so ids 0 and 1 are the two cluster
+    // anchors; members sit tight around each; id 8 lands in the
+    // origin cluster but far out — its z must dominate
+    def v(parts: Double*): Array[Float] = parts.map(_.toFloat).toArray
+    val pts = Seq(
+      (0L, v(0, 0, 0, 0)), (1L, v(10, 10, 10, 10)),
+      (2L, v(0.1, 0, 0, 0)), (3L, v(0, 0.1, 0, 0)), (4L, v(0, 0, 0.1, 0)),
+      (5L, v(10.1, 10, 10, 10)), (6L, v(10, 10.1, 10, 10)), (7L, v(10, 10, 10.1, 10)),
+      (8L, v(3, 3, 0, 0)) // origin cluster, d2 = 18 ≫ the 0.01 members
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.KMeans.outliers(pts, "vec_id", "embedding", k = 2,
+      zThresholdMilli = 1500L).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(8L),
+      s"only the planted outlier may flag, got ${out.map(_.getAs[Long]("vec_id")).toSeq}")
+    assert(out(0).getAs[Long]("z_fs") >= 1500L)
+    // degenerate guard: identical vectors (sigma = 0) emit nothing
+    val flat = (0L to 5L).map(i => (i, v(1, 1, 1, 1))).toDF("vec_id", "embedding")
+    assert(graft.operators.KMeans.outliers(flat, "vec_id", "embedding", k = 2).collect().isEmpty)
+  }
+
   test("metrics sizes sum to the point count and wcss is nonnegative") {
     val (assigned, _) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 2)
     val m = KMeans.metrics(assigned).collect()
