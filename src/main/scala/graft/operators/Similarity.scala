@@ -128,6 +128,45 @@ object Similarity {
     1.0 - math.pow(1.0 - perTable, tables)
   }
 
+  /** SRP geometry sizing from the two numbers a user actually knows:
+    * corpus size and the verify threshold — the operational form of
+    * the scale rule the 100k rehearsal enforced empirically (an
+    * sf0.1-tuned 8-plane geometry at n = 10⁵ admitted 2⁻⁸ of 5·10⁹
+    * background pairs into the verify join and filled the disk).
+    *
+    * Rules encoded:
+    *  - planes ≈ log2(n): one table's background admission stays
+    *    ≈ n²/2 · 2^−planes ≈ n/2 — candidate volume ∝ corpus, not
+    *    corpus². (The classic LSH balance point for p₂ = 1/2, which
+    *    sign-random-projections give against a centered background.)
+    *  - tables/probes: the cheapest (tables, probes) pair — fewest
+    *    tables first (banded index state is tables×n rows — the
+    *    dominant state), probes as the tie-break — whose
+    *    [[srpMultiProbeCollisionProb]] at the threshold cosine clears
+    *    `targetRecall`. Multi-probe usually wins here: wide-plane
+    *    geometries need many tables for recall, and query-directed
+    *    probing buys them back (realized recall ≥ the model).
+    *
+    * Returns (planes, tables, probes). Feed straight into
+    * [[Dedup.cosineLsh]] / [[lshTopK]].
+    */
+  def suggestSrpGeometry(n: Long, cosThreshold: Double, targetRecall: Double = 0.9,
+                         maxTables: Int = 64): (Int, Int, Int) = {
+    require(n > 1 && cosThreshold > 0 && cosThreshold < 1 && targetRecall > 0 && targetRecall < 1,
+      s"need n > 1, 0 < cos < 1, 0 < recall < 1; got n=$n cos=$cosThreshold recall=$targetRecall")
+    val planes = math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+    val best = (for {
+      tables <- 1 to maxTables
+      probes <- 1 to (planes + 1)
+      if srpMultiProbeCollisionProb(cosThreshold, planes, tables, probes) >= targetRecall
+    } yield (tables, probes)).headOption
+    val (tables, probes) = best.getOrElse(throw new IllegalArgumentException(
+      s"no geometry within $maxTables tables reaches recall $targetRecall at cos " +
+        s"$cosThreshold with $planes planes — the threshold sits too close to the " +
+        "background for this corpus size; raise the threshold or use the exact path"))
+    (planes, tables, probes)
+  }
+
   /** Probe keys for one vector across all `tables` hash tables: an
     * array of (band, bucket) structs holding, per table, the exact
     * bucket plus (probes−1) one-bit flips chosen QUERY-DIRECTED — the

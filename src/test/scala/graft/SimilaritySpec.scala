@@ -69,6 +69,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("geometry sizing: planes track log2(n), multi-probe minimizes the table count") {
+    import Similarity.{srpMultiProbeCollisionProb, suggestSrpGeometry}
+    // the rehearsal's operating point: 100k vectors, cos 0.94 dups
+    val (p, t, pr) = suggestSrpGeometry(100000L, 0.94, targetRecall = 0.9)
+    assert(p == 17, s"planes must be ceil(log2 1e5) = 17, got $p")
+    assert(srpMultiProbeCollisionProb(0.94, p, t, pr) >= 0.9)
+    // the suggestion must dominate the single-probe alternative on
+    // index size (the rehearsal measured 9×4-probe vs 16×1)
+    val minSingleTables = (1 to 64)
+      .find(tb => srpMultiProbeCollisionProb(0.94, p, tb, 1) >= 0.9).get
+    assert(t <= minSingleTables,
+      s"suggested $t tables must not exceed the single-probe minimum $minSingleTables")
+    // bigger corpus → more planes; recall target still met
+    val (p2, t2, pr2) = suggestSrpGeometry(100000000L, 0.94)
+    assert(p2 == 27 && srpMultiProbeCollisionProb(0.94, p2, t2, pr2) >= 0.9)
+    // an unreachable target throws instead of silently under-recalling
+    intercept[IllegalArgumentException](suggestSrpGeometry(100000L, 0.05, 0.999))
+  }
+
   test("multi-probe flips are query-directed: smallest-|margin| planes first, base always probed") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.col

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.Sinks
-import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans, StreamingPipeline}
+import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans, StreamingPipeline, StreamingSessionize}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -124,6 +124,80 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val ids = spark.sql("SELECT doc_id FROM sdedup ORDER BY doc_id").collect().map(_.getLong(0))
       assert(ids.toSeq == Seq(1L, 3L), s"one survivor per hash, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val events = ms.toDF().toDF("user_id", "ts", "value")
+    val q = StreamingSessionize.sessions(events, "ts", "5 minutes", gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 2-hour
+      // jump in the SAME batch — the first session must close now
+      ms.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.sql("SELECT * FROM ssess").collect()
+      assert(afterBatch1.length == 1, s"intra-batch gap must close one session, got ${afterBatch1.length}")
+      assert(afterBatch1(0).getAs[Long]("n_events") == 2L &&
+        afterBatch1(0).getAs[Double]("sum_value") == 3.0)
+      // next batch: an in-gap event EXTENDS the open session
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 02:10:00"), 8.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ssess").collect().length == 1,
+        "the open session must stay open while events keep arriving inside the gap")
+      // another user's far-future event pushes the watermark past
+      // 02:10 + 30 min → user 1's open session times out and emits
+      ms.addData((2L, Timestamp.valueOf("2024-01-01 09:00:00"), 0.5))
+      q.processAllAvailable()
+      ms.addData((2L, Timestamp.valueOf("2024-01-01 09:00:01"), 0.5)) // advance batch
+      q.processAllAvailable()
+      val sess = spark.sql("SELECT * FROM ssess WHERE user_id = 1 ORDER BY session_start")
+        .collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(sess.toSeq == Seq((2L, 3.0), (2L, 12.0)),
+        s"both user-1 sessions closed with folded aggregates, got ${sess.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches the batch twin on a replayed stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val events = ms.toDF().toDF("user_id", "ts", "value")
+    // 1-hour lateness horizon: the replay interleaves users, so one
+    // user's newer events must not age the other's out of the stream
+    val q = StreamingSessionize.sessions(events, "ts", "1 hour", gapSeconds = 600L)
+      .writeStream.format("memory").queryName("ssessb").outputMode("append").start()
+    try {
+      val evs = Seq(
+        (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:05:00", 1.0),
+        (1L, "2024-01-01 00:30:00", 1.0),
+        (2L, "2024-01-01 00:00:00", 1.0), (2L, "2024-01-01 00:45:00", 1.0))
+      evs.foreach { case (u, t, v) => ms.addData((u, Timestamp.valueOf(t), v)); q.processAllAvailable() }
+      // flush every open session: watermark far past everything
+      ms.addData((99L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      ms.addData((99L, Timestamp.valueOf("2024-01-02 00:00:01"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, CAST(unix_timestamp(session_start) AS BIGINT) AS start_s, n_events " +
+          "FROM ssessb WHERE user_id < 99 ORDER BY user_id, start_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // batch twin over the same events (10-min gap): user 1 sessions
+      // {00:00,00:05} and {00:30}; user 2 {00:00} and {00:45}
+      val batchDf = evs.zipWithIndex.map { case ((u, t, _), i) =>
+        (u, i.toLong, Timestamp.valueOf(t))
+      }.toDF("user_id", "event_id", "ts")
+      val batch = graft.operators.Sessionize.sessions(batchDf, gapSeconds = 600L)
+        .select(col("user_id"), col("start_s"), col("n_events"))
+        .orderBy(col("user_id"), col("start_s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream sessions ${streamed.toSeq} must equal batch sessions ${batch.toSeq}")
     } finally q.stop()
   }
 
