@@ -61,9 +61,12 @@ object ScaleRehearsal {
   /** Deterministic synthetic EMBEDDING corpus (the ANN/vector-path
     * twin of [[synthesize]]), entirely as column expressions:
     *
-    *  - block 1 (ids 1000–1999) is an identical-vector MEGA-CLUSTER —
-    *    one SRP bucket in every table, far past maxBucket → the
-    *    salted candidate path of [[Dedup.cosineLsh]];
+    *  - blocks 1–2 (ids 1000–2999) are an identical-vector
+    *    MEGA-CLUSTER — one SRP bucket in every table, 2× past the
+    *    candidate generator's maxBucket = 1024, so the triangle-salt
+    *    path of [[Dedup.cosineLsh]] actually executes (1000 identical
+    *    vectors would sit just UNDER the salt threshold and test
+    *    nothing);
     *  - in every other 1000-block, ids with rank < 10 form a NEAR-DUP
     *    cluster: base + 0.35·noise ⇒ cos(base, member) ≈ 0.94,
     *    cos(member, member) ≈ 0.89 — above a τ = 0.8 verify;
@@ -82,7 +85,7 @@ object ScaleRehearsal {
     // NB Column./ is DOUBLE division — use an explicit range test for
     // the mega block rather than a computed block index
     val rank = id % 1000L
-    val isMega = id >= 1000L && id < 2000L
+    val isMega = id >= 1000L && id < 3000L
     val isCluster = !isMega && rank < 10
     val seed = when(isMega, lit(-1L)).when(isCluster, id - rank).otherwise(id)
     def unif(tag: String, s: org.apache.spark.sql.Column, j: Int) =
@@ -176,13 +179,16 @@ object ScaleRehearsal {
       // planes ≈ log2(n) admit 5e9·2^-17 ≈ 40k per table, so
       // candidate volume stays ∝ true-dup count. Recall at the
       // planted cos ≈ 0.94 is bought back with tables — and THIS is
-      // where multi-probe pays most: 9 fully-probed-4 tables match
-      // 16 single-probed (modeled 0.913 vs 0.904) at 56% of the
-      // banded index state.
+      // where multi-probe pays most: 8 tables probing 8 buckets each
+      // match 16 single-probed on the conservative model
+      // (srpMultiProbeCollisionProb(0.94, 17, 8, 8) = 0.904 vs
+      // single-probe 0.903) at HALF the banded index state — and
+      // query-directed probing realizes ABOVE the model (measured in
+      // PERF.md).
       timed("cosine_lsh_single")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 16,
         thresholdFs = 8000L, probes = 1).count()),
-      timed("cosine_lsh_probed")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 9,
-        thresholdFs = 8000L, probes = 4).count())
+      timed("cosine_lsh_probed")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 8,
+        thresholdFs = 8000L, probes = 8).count())
     )
 
     // planted truth the volumes must be consistent with: the mega
@@ -196,13 +202,13 @@ object ScaleRehearsal {
     val phases = (results ++ annResults)
       .map { case (p, s, v) => s""""$p":{"sec":${fmt(s)},"volume":$v}""" }
       .mkString("{", ",", "}")
-    // vector-corpus planted truth: block 1 is the identical-vector
+    // vector-corpus planted truth: blocks 1–2 are the identical-vector
     // mega-cluster; every other block contributes a 10-member cluster
-    val vecMegaPairs = 1000L * 999 / 2
+    val vecMegaPairs = 2000L * 1999 / 2
     println(s"""{"metric":"scale_rehearsal","n_docs":$nDocs,"mega_n":$megaN,""" +
       s""""expected_mega_pairs":$megaPairs,"expected_cc_merged":$expectDropped,""" +
       s""""n_vecs":$nVecs,"expected_vec_mega_pairs":$vecMegaPairs,""" +
-      s""""expected_vec_cluster_pairs":${(nVecs / 1000 - 1) * 45},""" +
+      s""""expected_vec_cluster_pairs":${(nVecs / 1000 - 2) * 45},""" +
       s""""ann_truth":${truth.size},"phases":$phases,"cpus":"$cpus"}""")
     spark.stop()
   }

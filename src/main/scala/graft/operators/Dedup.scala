@@ -344,6 +344,13 @@ object Dedup {
     * candidate rate 12·0.5⁸ ≈ 4.7%; thresholds near the background's
     * own quantiles prune weakly no matter the geometry (ρ → 1 as
     * p1 → p2), and the EXACT low-τ path is [[embedCosine]].
+    *
+    * Sizing for YOUR corpus: the default geometry is coupled to the
+    * benchmark scale; at other (n, τ, recall) targets call
+    * [[Similarity.suggestSrpGeometry]] — planes must grow ~log2(n)
+    * or background candidates swamp the verify join (measured: an
+    * sf0.1-tuned 8-plane geometry at n = 10⁵ admits 2⁻⁸ of 5·10⁹
+    * background pairs — see PERF.md round-8 rehearsal).
     */
   def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 7, tables: Int = 8,
                 thresholdFs: Long = 3000L, probes: Int = 4): DataFrame = {
@@ -490,9 +497,10 @@ object Dedup {
     *    (bucketed scan reports hash partitioning — spec-pinned);
     *  - `<name>_grams` (doc_id, grams), bucketed by doc_id: the
     *    verify join's reference side, likewise shuffle-free;
-    *  - `<name>_meta` (n, perms, bands): the banding geometry, read
-    *    back by the query side so an incoming batch can never be
-    *    signed with mismatched hashes.
+    *  - `<name>_meta` (n, perms, bands, buckets): the banding
+    *    geometry AND the bucket count, read back by the query and
+    *    append sides so an incoming batch can never be signed with
+    *    mismatched hashes nor appended with a mismatched layout.
     */
   def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
                          bands: Int = 8, buckets: Int = 32): Unit = {
@@ -514,7 +522,7 @@ object Dedup {
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
     shingled.unpersist(false)
     import spark.implicits._
-    Seq((n, perms, bands)).toDF("n", "perms", "bands")
+    Seq((n, perms, bands, buckets)).toDF("n", "perms", "bands", "buckets")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
   }
@@ -525,15 +533,17 @@ object Dedup {
     * and gram rows to the bucketed tables (bucketed appends add files
     * per bucket; the layout contract — hash partitioning on the
     * bucketing key — is preserved, so consumer joins stay
-    * shuffle-free). Geometry comes from `<name>_meta`, same guarantee
-    * as the query side: appended rows can never be signed with
-    * mismatched hashes. Cost ∝ |newDocs|, never index size.
+    * shuffle-free). Geometry AND bucket count come from
+    * `<name>_meta`, same guarantee as the query side: appended rows
+    * can never be signed with mismatched hashes nor written with a
+    * mismatched bucket layout. Cost ∝ |newDocs|, never index size.
     */
-  def appendToNgramLshIndex(newDocs: DataFrame, name: String, buckets: Int = 32): Unit = {
+  def appendToNgramLshIndex(newDocs: DataFrame, name: String): Unit = {
     import graft.sources.Sinks
     val spark = newDocs.sparkSession
     val meta = spark.table(s"${name}_meta").collect()(0)
-    val (n, perms, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (n, perms, bands, buckets) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val shingled = Par.spread(newDocs).select(col("doc_id"), grams.as("grams"))

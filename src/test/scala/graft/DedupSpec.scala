@@ -511,7 +511,7 @@ class DedupSpec extends SparkSpec {
     // and the appended docs — and the bucketed-layout claim survives
     val flagged = indexed.keySet.map(_._1)
     val accepted = incoming.filter(!col("doc_id").isin(flagged.toSeq: _*))
-    Dedup.appendToNgramLshIndex(accepted, "lshidx_spec", buckets = 8)
+    Dedup.appendToNgramLshIndex(accepted, "lshidx_spec") // bucket count from _meta
     val laterBatch = Tables.documents(spark, sfDir) // every doc again: all are dups now
     val later = Dedup.ngramLshAgainstIndex(laterBatch, "lshidx_spec", thresholdFs = 10000L)
       .select(col("id_in")).distinct().collect().map(_.getLong(0)).toSet
