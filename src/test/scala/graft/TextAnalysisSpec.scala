@@ -173,6 +173,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2.length == 1 && c2(0).getAs[Long]("n_chunk_tokens") == 2L)
   }
 
+  test("chunk invariants hold for every document in the corpus") {
+    import org.apache.spark.sql.functions.{ceil => sqlCeil, col, countDistinct, lit, max, min, sum}
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextAnalysis.chunk(docs) // C = 32, S = 24
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(max(col("chunk_idx")).as("max_idx"), countDistinct(col("chunk_idx")).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("tok_sum"), min(col("n_chunk_tokens")).as("min_tok"))
+      .join(TextAnalysis.tokenCounts(docs).select(col("doc_id"), col("ws_tokens")), "doc_id")
+    // chunk count = ceil(n/stride), indices dense 0..count−1
+    val badCount = perDoc.filter(
+      col("n_chunks") =!= sqlCeil(col("ws_tokens") / lit(24.0)).cast("long") ||
+        col("max_idx") =!= col("n_chunks") - 1).count()
+    assert(badCount == 0, "chunk count/indices must match ceil(n/stride) densely")
+    // stride-24 windows of 32 tokens overlap by 8: total chunked
+    // tokens = n + 8·(n_chunks − 1) − (uncovered tail of the last
+    // window, already truncated) ⇒ sum ≥ n and sum ≤ n + 8·(chunks−1)
+    val badCoverage = perDoc.filter(
+      col("tok_sum") < col("ws_tokens") ||
+        col("tok_sum") > col("ws_tokens") + lit(8L) * (col("n_chunks") - 1)).count()
+    assert(badCoverage == 0, "every token must be covered; overlap bounded by 8 per boundary")
+    // exact shortness law: chunk i is short ⟺ its window hangs past
+    // the doc end (i·stride + chunk > n) — with overlap (C > S) that
+    // can include the penultimate window of a thin-tailed doc, so
+    // "only the last chunk" would be the WRONG invariant
+    val badShort = chunks
+      .join(perDoc.select(col("doc_id"), col("ws_tokens")), "doc_id")
+      .filter((col("n_chunk_tokens") < 32L) =!=
+        (col("chunk_idx") * 24L + 32L > col("ws_tokens"))).count()
+    assert(badShort == 0, "short ⟺ window overhangs the doc end")
+  }
+
+  test("pack invariants hold for every document in the corpus") {
+    import org.apache.spark.sql.functions.{col, lit, max, sum}
+    val docs = Tables.documents(spark, sfDir)
+    val packed = TextAnalysis.pack(docs) // B = 512, groups of 1000
+    // offsets live inside the budget; bin ids non-negative
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= 512L ||
+      col("bin_id") < 0).count() == 0)
+    // per (source, group, bin): token total ≤ budget + one straddling
+    // doc's tokens − 1 (the documented overflow bound)
+    val maxDoc = packed.agg(max(col("n_tokens"))).collect()(0).getLong(0)
+    val overflow = packed.groupBy(col("source"), col("pack_group"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .filter(col("bin_tokens") > lit(512L + maxDoc - 1)).count()
+    assert(overflow == 0, s"bin totals must stay under budget + maxDoc−1 (maxDoc=$maxDoc)")
+    // bins are contiguous per window: ids 0..max with no holes
+    import org.apache.spark.sql.functions.countDistinct
+    val holes = packed.groupBy(col("source"), col("pack_group"))
+      .agg(max(col("bin_id")).as("max_bin"), countDistinct(col("bin_id")).as("n_bins"))
+      .filter(col("n_bins") =!= col("max_bin") + 1).count()
+    assert(holes == 0, "bin ids must be dense per packing window")
+  }
+
   test("pack: bins fill to the budget in doc order; overflow bounded by one straddling doc") {
     // 5 docs of 3 tokens, bin budget 7, one source, one pack group:
     // cum_before = 0,3,6,9,12 → bins 0,0,0,1,1; offsets 0,3,6,2,5
