@@ -180,7 +180,10 @@ object SparkEntry {
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
-    "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir)))
+    "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
+    // the composed end-to-end training layout: curate → chunk → pack
+    // (rows-only — the curation stage is LSH-based, not SQL-expressible)
+    "pipeline_training" -> ((s, dir) => Pipeline.prepareTraining(Tables.documents(s, dir)))
   )
 
   /** DuckDB twins (see Oracles.scala). Keys absent here are rows-only

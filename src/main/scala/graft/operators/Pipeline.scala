@@ -79,6 +79,48 @@ object Pipeline {
       .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
   }
 
+  /** The full training-data preprocessing chain, composed end to end:
+    * [[curateFull]] (exact dedup → LSH near-dup dedup → quality +
+    * repetition gates → split tag) → [[TextAnalysis.chunk]]
+    * (stride-overlapped context windows) →
+    * cumulative-offset sequence packing of the CHUNKS into
+    * `binTokens` bins — the layout a trainer consumes: each row is
+    * one context-window chunk with its provenance (source, split) and
+    * its position (bin, offset) in a fixed-budget training sequence.
+    *
+    * Packing windows over (split, source, pack_group) ordered by
+    * (doc_id, chunk_idx): bins never mix train/val/test or sources
+    * (the mixture ratios stay controllable downstream), and the
+    * pack_group bound keeps every window partition small — same
+    * parallelism rule as [[TextAnalysis.pack]]. Added cost over
+    * curate: one map-side chunk fan-out + ONE window shuffle.
+    */
+  def prepareTraining(docs: DataFrame,
+                      binTokens: Int = 512,
+                      chunkTokens: Int = 32,
+                      strideTokens: Int = 24,
+                      groupDocs: Int = 1000,
+                      minQualityFs: Long = 5000L,
+                      lshThresholdFs: Long = 9000L,
+                      maxRepetitionFs: Long = 9000L,
+                      salt: String = "graft#"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val curated = curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+    val chunks = TextAnalysis.chunk(curated, chunkTokens, strideTokens,
+      carryCols = Seq("source", "split"))
+    val w = Window.partitionBy(col("split"), col("source"), col("pack_group"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("pack_group", floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("source"), col("split"),
+        col("n_chunk_tokens"), col("chunk_md5"), col("pack_group"),
+        floor(col("cum_before") / lit(binTokens.toDouble)).cast("long").as("bin_id"),
+        (col("cum_before") % binTokens).as("bin_offset"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Land the curated corpus as a doc_id-bucketed, per-bucket-sorted
     * table ([[graft.sources.Sinks.writeBucketed]]): every downstream
     * doc-keyed join — flagging incoming crawl dups against the

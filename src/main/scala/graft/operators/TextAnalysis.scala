@@ -248,18 +248,22 @@ object TextAnalysis {
     * cross-engine) rather than raw text — downstream exact dedup of
     * chunks consumes the hash directly.
     */
-  def chunk(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24): DataFrame = {
+  def chunk(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
+            carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= strideTokens && strideTokens > 0,
       s"need chunk ≥ stride > 0, got chunk=$chunkTokens stride=$strideTokens")
     val nChunks = ceil(size(col("toks")) / lit(strideTokens.toDouble)).cast("int")
     val piece = slice(col("toks"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens))
-    Par.spread(docs).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // carryCols ride the same map-side projection (provenance columns
+    // like source/split for a downstream packer) — no join needed
+    val carried = carryCols.map(col)
+    Par.spread(docs).select(col("doc_id") +: tokens(col("text")).as("toks") +: carried: _*)
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(piece).cast("long").as("n_chunk_tokens"),
-        md5(concat_ws(" ", piece)).as("chunk_md5"))
+      .select(col("doc_id") +: col("toks") +:
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx") +: carried: _*)
+      .select(col("doc_id") +: col("chunk_idx").cast("long").as("chunk_idx") +:
+        size(piece).cast("long").as("n_chunk_tokens") +:
+        md5(concat_ws(" ", piece)).as("chunk_md5") +: carried: _*)
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

@@ -57,6 +57,30 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("prepareTraining: curated docs chunk into provenance-tagged, budget-packed sequences") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, sum}
+    val docs = Tables.documents(spark, sfDir)
+    val out = Pipeline.prepareTraining(docs, binTokens = 64)
+    out.persist()
+    try {
+      // exactly the curated survivors, all their chunks
+      val curatedIds = Pipeline.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+      val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(outIds == curatedIds, "chunk rows must cover exactly the curated survivors")
+      // bins never mix split or source (the packing window keys)
+      val mixed = out.groupBy(col("split"), col("source"), col("pack_group"), col("bin_id"))
+        .agg(countDistinct(col("split")).as("ns"), countDistinct(col("source")).as("nsrc"))
+        .filter(col("ns") > 1 || col("nsrc") > 1).count()
+      assert(mixed == 0)
+      // bin totals respect budget + one straddling chunk (chunk ≤ 32)
+      val overflow = out.groupBy(col("split"), col("source"), col("pack_group"), col("bin_id"))
+        .agg(sum(col("n_chunk_tokens")).as("t")).filter(col("t") > 64L + 31L).count()
+      assert(overflow == 0, "bin totals bounded by budget + straddling chunk")
+      // offsets live inside the budget
+      assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 64L).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("curate's repetition gate drops degenerate high-dup-bigram docs that pass quality") {
     // high unique-token ratio + stopwords keep quality up, but the
     // doc is one phrase looped — the repetition signal catches it
