@@ -16,6 +16,7 @@ import graft.streaming.StreamingPipeline
   *
   *   tools/run.sh graft.PipelineJob batch    <docsParquet> <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs]
+  *   tools/run.sh graft.PipelineJob training <docsParquet> <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
@@ -24,6 +25,10 @@ import graft.streaming.StreamingPipeline
   *   a doc_id-bucketed sorted TABLE (full columns, text included) so
   *   every later doc-keyed join (incremental-crawl dedup against this
   *   corpus as reference) skips its shuffle on the corpus side.
+  * training: [[Pipeline.prepareTraining]] — the trainer-ready layout
+  *   (curate → context-window chunks → packed sequences), partitioned
+  *   by (split, source) so a trainer reads one mixture component per
+  *   directory with partition pruning.
   * stream: [[StreamingPipeline.curateStream]] over a checkpointed
   *   parquet FILE STREAM — each new file dropped into `docsDir` is a
   *   micro-batch. Runs with Trigger.AvailableNow: processes everything
@@ -80,8 +85,8 @@ object PipelineJob {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3 && Set("batch", "bucketed", "stream")(args(0)),
-      "usage: PipelineJob batch|bucketed|stream <docsPath> <outDir|tableName> [minQualityFs]")
+    require(args.length >= 3 && Set("batch", "bucketed", "training", "stream")(args(0)),
+      "usage: PipelineJob batch|bucketed|training|stream <docsPath> <outDir|tableName> [minQualityFs]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,6 +106,10 @@ object PipelineJob {
         Sinks.writePartitioned(curated, out, Seq("split", "lang"))
       case "bucketed" =>
         Pipeline.curateToBucketed(spark.read.parquet(in), out, minQualityFs = minQ)
+      case "training" =>
+        Sinks.writePartitioned(
+          Pipeline.prepareTraining(spark.read.parquet(in), minQualityFs = minQ),
+          out, Seq("split", "source"))
       case "stream" =>
         runStream(spark, in, out, minQ)
     }
@@ -109,11 +118,18 @@ object PipelineJob {
     // watch dir, or every doc gated out) — report instead of crashing
     // on the schemaless output dir
     try {
-      val summary = (if (mode == "bucketed") spark.table(out) else spark.read.parquet(out))
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
-          round(avg(col("score_fs")), 1).as("avg_score_fs"))
-        .orderBy(col("split"))
-      println(s"curated corpus: $out (partitioned by split/lang, mode=$mode)")
+      val landed = if (mode == "bucketed") spark.table(out) else spark.read.parquet(out)
+      val summary =
+        if (mode == "training")
+          landed.groupBy(col("split")).agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("n_chunk_tokens")).as("n_tokens"))
+            .orderBy(col("split"))
+        else
+          landed.groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
+            round(avg(col("score_fs")), 1).as("avg_score_fs"))
+            .orderBy(col("split"))
+      println(s"curated corpus: $out (mode=$mode)")
       summary.show(10, truncate = false)
     } catch {
       case e: org.apache.spark.sql.AnalysisException =>

@@ -19,12 +19,18 @@ import graft.operators.{Dedup, Pipeline, Similarity}
   *    default verify thresholds);
   *  - a unique long tail.
   *
-  * Runs minhash-LSH, ngram-LSH + greedy apply, both CC variants, and
-  * the full curation pipeline, printing one JSON line of wall times
-  * and result volumes (plus the expected planted truth, so the output
-  * is self-checking). Results land in PERF.md.
+  * Runs minhash-LSH, ngram-LSH + greedy apply, all three CC variants
+  * (min-label, star, exact-dedup-first), and the full curation
+  * pipeline over the documents; then the ANN/vector paths (brute /
+  * single- vs multi-probe LSH / IVF recall, production-threshold
+  * cosine dedup single- vs multi-probe) over a synthetic embedding
+  * corpus ([[synthesizeEmbeddings]]). Prints one JSON line of wall
+  * times and result volumes plus the expected planted truth, so the
+  * output is self-checking. Results land in PERF.md.
   *
-  *   tools/run.sh graft.ScaleRehearsal [nDocs] [outBase]
+  *   tools/run.sh graft.ScaleRehearsal [nDocs] [outBase] [nVecs]
+  *
+  * nDocs = 0 skips the document phases (fast vector-path iteration).
   */
 object ScaleRehearsal {
 
