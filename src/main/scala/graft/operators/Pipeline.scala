@@ -104,20 +104,20 @@ object Pipeline {
                       lshThresholdFs: Long = 9000L,
                       maxRepetitionFs: Long = 9000L,
                       salt: String = "graft#"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val curated = curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
-    val chunks = TextAnalysis.chunk(curated, chunkTokens, strideTokens,
-      carryCols = Seq("source", "split"))
-    val w = Window.partitionBy(col("split"), col("source"), col("pack_group"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    chunks
+    // the UNSORTED chunk form: the packer's window shuffle follows
+    // immediately, and a mid-pipeline ORDER BY would re-execute the
+    // whole curate/LSH chain for its range-partitioner sampling pass
+    val chunks = TextAnalysis
+      .chunkPieces(curated, chunkTokens, strideTokens, carryCols = Seq("source", "split"))
       .withColumn("pack_group", floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+    TextAnalysis.packByWindow(chunks,
+      partitionCols = Seq("split", "source", "pack_group"),
+      orderCols = Seq("doc_id", "chunk_idx"),
+      tokenCol = "n_chunk_tokens", binTokens = binTokens)
       .select(col("doc_id"), col("chunk_idx"), col("source"), col("split"),
         col("n_chunk_tokens"), col("chunk_md5"), col("pack_group"),
-        floor(col("cum_before") / lit(binTokens.toDouble)).cast("long").as("bin_id"),
-        (col("cum_before") % binTokens).as("bin_offset"))
+        col("bin_id"), col("bin_offset"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

@@ -249,7 +249,19 @@ object TextAnalysis {
     * chunks consumes the hash directly.
     */
   def chunk(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
-            carryCols: Seq[String] = Nil): DataFrame = {
+            carryCols: Seq[String] = Nil): DataFrame =
+    chunkPieces(docs, chunkTokens, strideTokens, carryCols)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[chunk]] without the final global sort — the form downstream
+    * consumers ([[Pipeline.prepareTraining]]'s packer) should take:
+    * a range-partitioned ORDER BY runs a sampling pass over its
+    * input, so feeding the sorted frame into another shuffle executes
+    * the whole upstream pipeline twice and then throws the order away
+    * (the same rule as [[Dedup.ngramLshPairs]] vs [[Dedup.ngramLsh]]).
+    */
+  def chunkPieces(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens >= strideTokens && strideTokens > 0,
       s"need chunk ≥ stride > 0, got chunk=$chunkTokens stride=$strideTokens")
     val nChunks = ceil(size(col("toks")) / lit(strideTokens.toDouble)).cast("int")
@@ -264,7 +276,6 @@ object TextAnalysis {
       .select(col("doc_id") +: col("chunk_idx").cast("long").as("chunk_idx") +:
         size(piece).cast("long").as("n_chunk_tokens") +:
         md5(concat_ws(" ", piece)).as("chunk_md5") +: carried: _*)
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Sequence packing: assign docs to fixed-budget token bins by
@@ -285,17 +296,34 @@ object TextAnalysis {
     * key, nothing else.
     */
   def pack(docs: DataFrame, binTokens: Int = 512, groupDocs: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = size(tokens(col("text"))).cast("long")
     val grp = floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long")
-    val w = Window.partitionBy(col("source"), col("pack_group"))
-      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"), n.as("n_tokens"), grp.as("pack_group"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_group"),
-        floor(col("cum_before") / lit(binTokens.toDouble)).cast("long").as("bin_id"),
-        (col("cum_before") % binTokens).as("bin_offset"))
+    packByWindow(
+      docs.select(col("doc_id"), col("source"), n.as("n_tokens"), grp.as("pack_group")),
+      partitionCols = Seq("source", "pack_group"), orderCols = Seq("doc_id"),
+      tokenCol = "n_tokens", binTokens = binTokens)
       .orderBy(col("doc_id"))
+  }
+
+  /** The shared cumulative-offset packing core ([[pack]] and
+    * [[Pipeline.prepareTraining]] both bin through here, so the
+    * packing contract — bin by starting offset, overflow bounded by
+    * one straddling unit, offsets in [0, binTokens) — lives in ONE
+    * place): appends bin_id/bin_offset from the running token sum
+    * within each (partitionCols) window ordered by orderCols.
+    */
+  private[graft] def packByWindow(units: DataFrame, partitionCols: Seq[String],
+                                  orderCols: Seq[String], tokenCol: String,
+                                  binTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    units
+      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("cum_before") / lit(binTokens.toDouble)).cast("long"))
+      .withColumn("bin_offset", col("cum_before") % binTokens)
+      .drop("cum_before")
   }
 
   def fingerprints(docs: DataFrame): DataFrame = {

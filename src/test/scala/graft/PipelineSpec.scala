@@ -67,11 +67,26 @@ class PipelineSpec extends SparkSpec {
       val curatedIds = Pipeline.curate(docs).select("doc_id").collect().map(_.getLong(0)).toSet
       val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(outIds == curatedIds, "chunk rows must cover exactly the curated survivors")
-      // bins never mix split or source (the packing window keys)
-      val mixed = out.groupBy(col("split"), col("source"), col("pack_group"), col("bin_id"))
-        .agg(countDistinct(col("split")).as("ns"), countDistinct(col("source")).as("nsrc"))
-        .filter(col("ns") > 1 || col("nsrc") > 1).count()
-      assert(mixed == 0)
+      // bins never mix split or source: recompute every chunk's
+      // expected (bin, offset) DRIVER-SIDE from a cumulative sum over
+      // its own (split, source, pack_group) window alone — if the
+      // packer's window dropped either key, offsets would continue
+      // across the boundary and this exact compare would fail
+      val rows = out.select("split", "source", "pack_group", "doc_id", "chunk_idx",
+        "n_chunk_tokens", "bin_id", "bin_offset").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+      rows.groupBy { case (sp, src, g, _, _, _, _, _) => (sp, src, g) }.foreach {
+        case (key, grp) =>
+          var cum = 0L
+          grp.sortBy { case (_, _, _, d, c, _, _, _) => (d, c) }.foreach {
+            case (_, _, _, d, c, n, binId, binOff) =>
+              assert(binId == cum / 64 && binOff == cum % 64,
+                s"chunk ($d,$c) in window $key: got ($binId,$binOff), expected " +
+                  s"(${cum / 64},${cum % 64})")
+              cum += n
+          }
+      }
       // bin totals respect budget + one straddling chunk (chunk ≤ 32)
       val overflow = out.groupBy(col("split"), col("source"), col("pack_group"), col("bin_id"))
         .agg(sum(col("n_chunk_tokens")).as("t")).filter(col("t") > 64L + 31L).count()
