@@ -286,23 +286,37 @@ object Oracles {
        |${assignEmb("d1", "m1", "init")}
        |SELECT vec_id, cid AS cluster, round(d,4) AS d2 FROM m1 ORDER BY vec_id""".stripMargin
 
-  /** embed_outliers: same assignment CTE as kmeansAssignEmbed, then
-    * per-cluster z-scores of d2. Parity rule: d2/mu/sigma are rounded
-    * to 4 dp BEFORE the z arithmetic, so both engines divide
-    * bit-identical doubles and the fixed-point floor cannot straddle
-    * an ulp.
+  /** embed_outliers: the same 3 unrolled Lloyd iterations as
+    * kmeansLloydEmbed (trained centroids c3), a 4th assignment
+    * against c3, then per-cluster z-scores of d2. Parity rule
+    * (mirrors KMeans.outliers exactly): d2 snaps ONCE to fixed point
+    * (d2_fs = round(d2·10⁴) as BIGINT); the cluster moments are
+    * EXACT integer window sums of d2_fs / d2_fs² (order-independent,
+    * unlike float avg/stddev); mu/var/z are then the same IEEE
+    * expression over identical integers in both engines.
     */
-  val embedOutliers: String =
+  val embedOutliers: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "init" else s"c${i - 1}"
+      assignEmb(s"d$i", s"m$i", prev) + ",\n" + updateEmb(s"c$i", s"m$i")
+    }.mkString(",\n")
     s"""WITH $embFlat,
-       |${assignEmb("d1", "m1", "init")},
-       |s AS (SELECT vec_id, cid AS cluster, round(d,4) AS d2 FROM m1),
-       |st AS (SELECT vec_id, cluster, d2,
-       |         round(avg(d2) OVER (PARTITION BY cluster), 4) AS mu,
-       |         round(stddev_samp(d2) OVER (PARTITION BY cluster), 4) AS sigma FROM s)
-       |SELECT vec_id, cluster, d2,
-       | CAST(floor(1000.0*(d2-mu)/sigma) AS BIGINT) AS z_fs
-       |FROM st WHERE sigma > 0 AND floor(1000.0*(d2-mu)/sigma) >= 1000
+       |$iters,
+       |${assignEmb("d4", "m4", "c3")},
+       |s AS (SELECT vec_id, cid AS cluster, CAST(round(d*10000.0) AS BIGINT) AS d2_fs FROM m4),
+       |st AS (SELECT vec_id, cluster, d2_fs,
+       |         CAST(count(*) OVER w AS BIGINT) AS n,
+       |         CAST(sum(d2_fs) OVER w AS BIGINT) AS s1,
+       |         CAST(sum(d2_fs*d2_fs) OVER w AS BIGINT) AS s2
+       |       FROM s WINDOW w AS (PARTITION BY cluster)),
+       |z AS (SELECT vec_id, cluster, d2_fs,
+       |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1) AS var_fs,
+       |        1000.0*(d2_fs - CAST(s1 AS DOUBLE)/n)/sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n)/(n-1)) AS zv
+       |      FROM st)
+       |SELECT vec_id, cluster, d2_fs/10000.0 AS d2, CAST(floor(zv) AS BIGINT) AS z_fs
+       |FROM z WHERE var_fs > 0 AND floor(zv) >= 1000
        |ORDER BY vec_id""".stripMargin
+  }
 
   val kmeansLloydEmbed: String = {
     val iters = (1 to 3).map { i =>

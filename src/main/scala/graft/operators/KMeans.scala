@@ -197,39 +197,79 @@ object KMeans {
         round(avg(col("d")), 4).as("avg_d2"))
       .orderBy(col("cluster"))
 
+  /** Train `iters` Lloyd rounds from the deterministic init and
+    * return only the final centroids — the bounded-driver-state core
+    * of [[lloyd]] without the returned-assignment cache scoping
+    * (callers here want just the k×dim literal, not the assignment,
+    * so the input cache is released eagerly when training ends
+    * instead of riding a listener).
+    */
+  private def trainCentroids(pts: DataFrame, k: Int, iters: Int): Centroids = {
+    val cached = Par.spread(pts).cache()
+    try {
+      var cents = initCentroids(cached, "id", "v", k)
+      if (iters > 0) {
+        val dim = cents.head._2.length
+        for (_ <- 1 to iters) {
+          val (cl, _) = assignExpr(col("v"), cents)
+          cents = updateCentroids(cached.select(col("v"), cl.as("cluster")), "v", dim)
+        }
+      }
+      cents
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Embedding outlier detection: vectors whose squared distance to
-    * their own cluster centroid is a z-score ≥ threshold above the
-    * cluster's mean — the "weird data" triage a training pipeline
-    * runs over an embedded corpus (clusters = the k-means index that
-    * IVF search already builds; anomalies = candidates for
-    * inspection/filtering).
+    * their own TRAINED cluster centroid is a z-score ≥ threshold
+    * above the cluster's mean — the "weird data" triage a training
+    * pipeline runs over an embedded corpus (clusters = the k-means
+    * index that IVF search already builds; anomalies = candidates for
+    * inspection/filtering). Centroids are trained with `trainIters`
+    * Lloyd rounds (default 3, matching IVF's coarse index and the
+    * unrolled oracle); `trainIters = 0` degrades to seed-point
+    * centroids — a measurably weaker anomaly signal (spec-pinned on a
+    * planted fixture where only the trained triage finds the anomaly).
     *
-    * Determinism across engines: d2, the cluster mean, and the
-    * cluster stddev are each ROUNDED to 4 dp FIRST, so the z
-    * arithmetic runs on bit-identical doubles in both engines and the
-    * fixed-point floor cannot straddle an ulp (the aggregate order
-    * inside avg/stddev is engine-internal — rounding is the parity
-    * boundary, the suite-wide rule). Degenerate clusters
-    * (sigma = 0) emit no outliers by definition.
+    * Determinism across engines: d2 is snapped ONCE to fixed point
+    * (d2_fs = round(d2·10⁴), a long). The per-cluster moments are
+    * then EXACT integer window sums of d2_fs and d2_fs² — sums of
+    * identical integers are order-independent, unlike float avg/
+    * stddev whose summation order differs between engines and could
+    * flip a 4-dp rounding at the boundary. Every downstream value
+    * (mu, sigma, z) is the same IEEE expression over those identical
+    * sums, so it is bit-identical in both engines; the one remaining
+    * cross-engine boundary is the single round() on d2 itself, the
+    * suite-wide irreducible rule. Degenerate clusters (var ≤ 0) emit
+    * no outliers by definition. The integer squares bound exactness
+    * at n·d2_fs² < 2⁶³ per cluster — beyond that, pre-aggregate or
+    * widen to decimal(38,0) sums.
     *
-    * Scale shape: one narrow assign pass (k×dim literal centroids in
-    * the projection) + one shuffle on cluster for the window stats —
-    * the same single-exchange shape as every window family here.
+    * Scale shape: `trainIters` bounded Lloyd passes (k rows per
+    * partition shuffled each) + one narrow assign pass (k×dim literal
+    * centroids in the projection) + one shuffle on cluster for the
+    * window stats — the same single-exchange shape as every window
+    * family here.
     */
   def outliers(points: DataFrame, idCol: String, vecCol: String, k: Int,
-               zThresholdMilli: Long = 1000L): DataFrame = {
+               zThresholdMilli: Long = 1000L, trainIters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = points.select(col(idCol).cast("long").as("id"),
       toDoubleArray(col(vecCol)).as("v"))
-    val cents = initCentroids(pts, "id", "v", k)
+    val cents = trainCentroids(pts, k, trainIters)
     val (cl, d) = assignExpr(col("v"), cents)
     val byC = Window.partitionBy(col("cluster"))
-    val z = lit(1000.0) * (col("d2") - col("mu")) / col("sigma")
-    pts.select(col("id").as("vec_id"), cl.as("cluster"), round(d, 4).as("d2"))
-      .withColumn("mu", round(avg(col("d2")).over(byC), 4))
-      .withColumn("sigma", round(stddev_samp(col("d2")).over(byC), 4))
-      .filter(col("sigma") > 0 && floor(z) >= zThresholdMilli)
-      .select(col("vec_id"), col("cluster"), col("d2"),
+    val muFs = col("s1").cast("double") / col("n")
+    val varFs = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n")) / (col("n") - 1)
+    val z = lit(1000.0) * (col("d2_fs") - muFs) / sqrt(varFs)
+    pts.select(col("id").as("vec_id"), cl.as("cluster"),
+        round(d * 10000).cast("long").as("d2_fs"))
+      .withColumn("n", count(lit(1)).over(byC))
+      .withColumn("s1", sum(col("d2_fs")).over(byC))
+      .withColumn("s2", sum(col("d2_fs") * col("d2_fs")).over(byC))
+      .filter(varFs > 0 && floor(z) >= zThresholdMilli)
+      .select(col("vec_id"), col("cluster"),
+        (col("d2_fs") / 10000.0).as("d2"),
         floor(z).cast("long").as("z_fs"))
       .orderBy(col("vec_id"))
   }

@@ -80,7 +80,34 @@ class KMeansSpec extends SparkSpec {
         "replace KMeans.scopedAssignment's marker (e.g. a fresh-alias Project)")
   }
 
-  test("outliers flags exactly the far-from-centroid vectors, z from pre-rounded stats") {
+  test("outliers: trained centroids find the planted anomaly that seed centroids miss") {
+    // Both seed points (the two LOWEST ids) sit in the origin blob,
+    // so the SEED partition splits the origin blob between them and
+    // lumps the whole far blob into one wild-variance cluster — the
+    // planted mild anomaly at (13,10,10,10) drowns (z small). Three
+    // Lloyd rounds separate the blobs; against the TRAINED far-blob
+    // centroid (~(10,10,10,10)) the anomaly's d2 ≈ 9 vs members'
+    // ≈ 0.01 and it flags. This is the semantic upgrade of r9: the
+    // triage advertises "the k-means index IVF already builds", and
+    // now it actually trains one.
+    def v(parts: Double*): Array[Float] = parts.map(_.toFloat).toArray
+    val pts = (Seq(
+      (0L, v(0, 0, 0, 0)), (1L, v(0.1, 0, 0, 0)),
+      (2L, v(0, 0.1, 0, 0)), (3L, v(0, 0, 0.1, 0)), (4L, v(0, 0, 0, 0.1)),
+      (20L, v(13, 10, 10, 10)) // planted anomaly on the far blob's rim
+    ) ++ (10L to 17L).map(i => (i, v(10 + (i % 2) * 0.1, 10, 10, 10)))
+    ).toDF("vec_id", "embedding")
+    val trained = KMeans.outliers(pts, "vec_id", "embedding", k = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val seeded = KMeans.outliers(pts, "vec_id", "embedding", k = 2, trainIters = 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(trained.contains(20L), s"trained triage must flag the planted anomaly, got $trained")
+    assert(!seeded.contains(20L),
+      s"seed-centroid triage should miss the rim anomaly on this fixture, got $seeded")
+    assert(trained != seeded, "trained and seed outlier sets must differ on the planted fixture")
+  }
+
+  test("outliers flags exactly the far-from-centroid vectors, z from exact integer sums") {
     // init = k LOWEST ids, so ids 0 and 1 are the two cluster
     // anchors; members sit tight around each; id 8 lands in the
     // origin cluster but far out — its z must dominate
