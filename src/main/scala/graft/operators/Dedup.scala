@@ -490,20 +490,34 @@ object Dedup {
     * should be built once per compaction, not once per batch.
     *
     * Three metastore tables:
-    *  - `<name>_bands` (doc_id, band, bucket), bucketed+sorted by
-    *    (band, bucket): both the salting width aggregate AND the
-    *    candidate equi-join in [[ngramLshAgainstIndex]] group/join on
-    *    exactly that key, so the stored side reads with ZERO shuffle
-    *    (bucketed scan reports hash partitioning — spec-pinned);
+    *  - `<name>_bands` (doc_id, band, bucket, pg), bucketed+sorted by
+    *    (band, bucket, pg): pg = hash(doc_id) mod `salt` is a
+    *    WRITE-TIME salt group, so the candidate equi-join in
+    *    [[ngramLshAgainstIndex]] keys on EXACTLY the bucketing
+    *    columns and the stored side plans with ZERO shuffle
+    *    (spec-pinned; Spark's co-partition check requires ALL join
+    *    keys in the layout — a two-key bucketing under a three-key
+    *    join re-shuffles the whole index per batch, the r8 design's
+    *    measured defect). The fixed fanout also bounds skew: the
+    *    widest stored (band, bucket) key splits across `salt` join
+    *    tasks, each carrying ≤ width/salt of its rows;
     *  - `<name>_grams` (doc_id, grams), bucketed by doc_id: the
-    *    verify join's reference side, likewise shuffle-free;
-    *  - `<name>_meta` (n, perms, bands, buckets): the banding
-    *    geometry AND the bucket count, read back by the query and
+    *    verify join's reference side and the append-idempotence
+    *    anti-join probe, likewise shuffle-free;
+    *  - `<name>_meta` (n, perms, bands, buckets, salt): the banding
+    *    geometry AND the physical layout, read back by the query and
     *    append sides so an incoming batch can never be signed with
     *    mismatched hashes nor appended with a mismatched layout.
+    *
+    * Choosing `salt`: the per-task pair expansion of a query batch is
+    * ≤ (widest reference bucket / salt) × (batch rows in that
+    * bucket); the price is the batch's band rows replicating ×salt
+    * (slim triples — batch-sized, never index-sized). Unlike the
+    * in-memory path's adaptive ⌈width/maxBucket⌉ salting, a stored
+    * layout must fix its fanout at write time — layout IS the plan.
     */
   def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
-                         bands: Int = 8, buckets: Int = 32): Unit = {
+                         bands: Int = 8, buckets: Int = 32, salt: Int = 8): Unit = {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
@@ -515,16 +529,56 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket"), buckets,
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(salt.toLong)).cast("int").as("pg"))
+    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket", "pg"), buckets,
       org.apache.spark.sql.SaveMode.Overwrite)
     Sinks.writeBucketed(shingled.select(col("doc_id"), col("grams")), s"${name}_grams",
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
     shingled.unpersist(false)
     import spark.implicits._
-    Seq((n, perms, bands, buckets)).toDF("n", "perms", "bands", "buckets")
+    Seq((n, perms, bands, buckets, salt)).toDF("n", "perms", "bands", "buckets", "salt")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
+  }
+
+  /** Index geometry, read BY NAME (a positional read would silently
+    * miswire the hashes if a future writer reordered/extended the
+    * meta schema — mismatched geometry yields an empty or wrong
+    * candidate set, not an error) and required to be exactly one row
+    * (zero = no index; >1 = a corrupted/multiply-written metastore).
+    */
+  private def indexMeta(spark: org.apache.spark.sql.SparkSession, name: String)
+  : (Int, Int, Int, Int, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1,
+      s"${name}_meta must hold exactly one geometry row, got ${rows.length}")
+    val m = rows(0)
+    (m.getAs[Int]("n"), m.getAs[Int]("perms"), m.getAs[Int]("bands"),
+      m.getAs[Int]("buckets"), m.getAs[Int]("salt"))
+  }
+
+  /** Rewrite the index's bucketed tables in place, merging the
+    * per-bucket file accumulation of incremental appends (each
+    * [[appendToNgramLshIndex]] adds one file per occupied bucket;
+    * after k appends a bucket scan opens k+1 files). The rewrite is
+    * ZERO-shuffle ([[graft.sources.Sinks.compactBucketed]]): each
+    * task reads one bucket's files and writes them back as ONE file;
+    * the layout contract (hash partitioning visible to consumer
+    * joins) is preserved, spec-pinned along with candidate-set
+    * parity across compaction.
+    *
+    * Not atomic: the swap is write-tmp → drop → rename (the plain
+    * metastore has no transactional commit). Run it from the single
+    * writer that owns the index — the same ownership the append path
+    * already assumes; a transactional table format would make this a
+    * commit.
+    */
+  def compactNgramLshIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    import graft.sources.Sinks
+    val (_, _, _, buckets, _) = indexMeta(spark, name)
+    Sinks.compactBucketed(spark, s"${name}_bands", Seq("band", "bucket", "pg"), buckets)
+    Sinks.compactBucketed(spark, s"${name}_grams", Seq("doc_id"), buckets)
   }
 
   /** Fold accepted docs into a stored index ([[writeNgramLshIndex]])
@@ -533,47 +587,79 @@ object Dedup {
     * and gram rows to the bucketed tables (bucketed appends add files
     * per bucket; the layout contract — hash partitioning on the
     * bucketing key — is preserved, so consumer joins stay
-    * shuffle-free). Geometry AND bucket count come from
+    * shuffle-free). IDEMPOTENT: already-indexed doc_ids are
+    * anti-joined away first, so retried or overlapping batches cannot
+    * duplicate index rows. Geometry AND bucket count come from
     * `<name>_meta`, same guarantee as the query side: appended rows
     * can never be signed with mismatched hashes nor written with a
-    * mismatched bucket layout. Cost ∝ |newDocs|, never index size.
+    * mismatched bucket layout. Cost ∝ |newDocs|, never index size;
+    * the per-append file accumulation is reclaimed by
+    * [[compactNgramLshIndex]].
     */
   def appendToNgramLshIndex(newDocs: DataFrame, name: String): Unit = {
     import graft.sources.Sinks
     val spark = newDocs.sparkSession
-    val meta = spark.table(s"${name}_meta").collect()(0)
-    val (n, perms, bands, buckets) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val (n, perms, bands, buckets, salt) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
+    // idempotent append: skip doc_ids the index already holds, so a
+    // retried/overlapping batch cannot silently duplicate band/gram
+    // rows (duplicated rows inflate every later candidate set). The
+    // anti-join probes the doc_id-BUCKETED grams table — stored side
+    // shuffle-free by layout, cost ∝ |newDocs|, never index size.
+    val fresh = Par.spread(newDocs)
+      .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val shingled = Par.spread(newDocs).select(col("doc_id"), grams.as("grams"))
+    val shingled = fresh.select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
       .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket"), buckets,
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(salt.toLong)).cast("int").as("pg"))
+    Sinks.writeBucketed(banded, s"${name}_bands", Seq("band", "bucket", "pg"), buckets,
       org.apache.spark.sql.SaveMode.Append)
     Sinks.writeBucketed(shingled.select(col("doc_id"), col("grams")), s"${name}_grams",
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Append)
     shingled.unpersist(false)
   }
 
+  /** The stored-index candidate join, factored out so its plan is
+    * directly assertable: the incoming banded triples replicate to
+    * every salt group (×salt slim rows, batch-sized) and equi-join
+    * the bands table on EXACTLY its bucketing key (band, bucket, pg)
+    * — the stored side plans with zero exchanges (spec-pinned); the
+    * one shuffle is the incoming leg. Pair volume is identical to an
+    * unsalted (band, bucket) join: each stored row lives in exactly
+    * one salt group, and every incoming row visits all of them.
+    */
+  private[graft] def indexCandidatePairs(bandedIn: DataFrame, name: String): DataFrame = {
+    val spark = bandedIn.sparkSession
+    val (_, _, _, _, salt) = indexMeta(spark, name)
+    val in = bandedIn.select(col("doc_id").as("id_in"), col("band"), col("bucket"))
+      .withColumn("pg", explode(sequence(lit(0), lit(salt - 1))))
+    val ref = spark.table(s"${name}_bands")
+      .select(col("doc_id").as("id_ref"), col("band"), col("bucket"), col("pg"))
+    in.join(ref, Seq("band", "bucket", "pg"))
+      .select(col("id_in"), col("id_ref"))
+      .distinct()
+  }
+
   /** [[ngramLshAgainst]] against a STORED index ([[writeNgramLshIndex]]):
     * only the incoming batch is shingled and signed; the reference
-    * side comes off the bucketed tables with zero shuffle (candidate
-    * join and width aggregate on (band, bucket), verify join on
-    * doc_id — each matching its table's bucketing). Banding geometry
-    * is read from `<name>_meta`, so query and index hashes always
-    * agree; output is pair-identical to running [[ngramLshAgainst]]
-    * over the original reference frame (spec-pinned parity).
+    * side comes off the bucketed tables with zero shuffle — the
+    * candidate join keys on exactly the bands table's
+    * (band, bucket, pg) bucketing ([[indexCandidatePairs]]), the
+    * verify join on the grams table's doc_id bucketing. Banding
+    * geometry is read from `<name>_meta`, so query and index hashes
+    * always agree; output is pair-identical to running
+    * [[ngramLshAgainst]] over the original reference frame
+    * (spec-pinned parity).
     */
   def ngramLshAgainstIndex(incoming: DataFrame, name: String,
                            thresholdFs: Long = 9000L): DataFrame = {
     val spark = incoming.sparkSession
-    val meta = spark.table(s"${name}_meta").collect()(0)
-    val (n, perms, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val si = Par.spread(incoming).select(col("doc_id"), grams.as("grams"))
@@ -585,7 +671,7 @@ object Dedup {
     val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
     val gr = spark.table(s"${name}_grams")
       .select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
-    val verified = crossCandidatePairs(bi, spark.table(s"${name}_bands"))
+    val verified = indexCandidatePairs(bi, name)
       .join(gi, "id_in").join(gr, "id_ref")
       .select(col("id_in"), col("id_ref"),
         jaccardFs(spark, col("grams_in"), col("grams_ref")).as("jac_fs"))

@@ -85,4 +85,37 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Rewrite a bucketed table so each bucket is ONE file again — the
+    * maintenance pass for append-accumulated small files, with ZERO
+    * shuffle: forcing the bucketed scan (autoBucketedScan off for the
+    * rewrite) reads each bucket's files as ONE task, and the bucketed
+    * writer then emits exactly one file per bucket. The explicit
+    * `repartition` (same murmur3 `hash pmod buckets` routing as
+    * bucketing) is belt-and-braces: redundant over the aligned scan —
+    * Catalyst elides it — but it keeps the write correct if a future
+    * planner declines the bucketed read. (Without BOTH, the default
+    * planner removes the repartition as satisfied-by-bucketing and
+    * THEN un-buckets the scan — `DisableUnnecessaryBucketedScan` —
+    * leaving misaligned tasks that re-fragment every bucket; probed
+    * on Spark 4.1.)
+    *
+    * Swap is write-tmp → drop → rename: not atomic — callers own
+    * single-writer maintenance windows.
+    */
+  def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
+                      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val tmp = s"${table}__compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      writeBucketed(spark.table(table).repartition(buckets, bucketCols.map(col): _*),
+        tmp, bucketCols, buckets, SaveMode.Overwrite)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    } finally spark.conf.set(autoKey, prev)
+  }
 }

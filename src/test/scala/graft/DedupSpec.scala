@@ -493,13 +493,13 @@ class DedupSpec extends SparkSpec {
     val recomputed = pairsOf(Dedup.ngramLshAgainst(incoming, reference))
     assert(indexed == recomputed,
       s"stored-index pairs must equal the recompute path (${indexed.size} vs ${recomputed.size})")
-    // the layout claim: the salting width aggregate — a groupBy on
-    // exactly the bucketing key — plans with ZERO exchanges
+    // the layout claim: a groupBy on exactly the bucketing key
+    // (band, bucket, pg) plans with ZERO exchanges
     val widths = spark.table("lshidx_spec_bands")
-      .groupBy(col("band"), col("bucket")).count()
+      .groupBy(col("band"), col("bucket"), col("pg")).count()
     val aggExchanges = widths.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(aggExchanges == 0, "width aggregate must read the (band, bucket) bucketing")
+    assert(aggExchanges == 0, "bucket-key aggregate must read the (band, bucket, pg) bucketing")
     // and the grams table joins on doc_id without shuffling itself
     val g = spark.table("lshidx_spec_grams")
     val selfJoin = g.as("a").join(g.as("b"), "doc_id")
@@ -521,10 +521,81 @@ class DedupSpec extends SparkSpec {
       s"every indexed doc must self-flag as an exact dup after append " +
         s"(missing ${indexedIds.diff(later).take(5)})")
     val widthsAfter = spark.table("lshidx_spec_bands")
-      .groupBy(col("band"), col("bucket")).count()
+      .groupBy(col("band"), col("bucket"), col("pg")).count()
     assert(widthsAfter.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
       "appended bands table must keep the shuffle-free layout")
+
+    // IDEMPOTENT append: re-appending an already-folded batch must be
+    // a no-op — duplicated band/gram rows would silently inflate every
+    // later candidate set
+    val bandRowsBefore = spark.table("lshidx_spec_bands").count()
+    val gramRowsBefore = spark.table("lshidx_spec_grams").count()
+    Dedup.appendToNgramLshIndex(accepted, "lshidx_spec")
+    assert(spark.table("lshidx_spec_bands").count() == bandRowsBefore,
+      "double-append must not add band rows for already-indexed doc_ids")
+    assert(spark.table("lshidx_spec_grams").count() == gramRowsBefore,
+      "double-append must not add gram rows for already-indexed doc_ids")
+    val laterAgain = Dedup.ngramLshAgainstIndex(laterBatch, "lshidx_spec", thresholdFs = 10000L)
+      .select(col("id_in")).distinct().collect().map(_.getLong(0)).toSet
+    assert(laterAgain == later, "double-append must leave the candidate set identical")
+
+    // COMPACTION: appends accumulate one file per occupied bucket per
+    // batch; the rewrite merges each bucket back to ONE file while
+    // preserving the candidate set and the shuffle-free layout
+    def tableFiles(t: String): Seq[java.io.File] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Option(new java.io.File(wh, t).listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq.filter(_.getName.startsWith("part-"))
+    }
+    val filesBefore = tableFiles("lshidx_spec_bands").size
+    Dedup.compactNgramLshIndex(spark, "lshidx_spec")
+    val filesAfter = tableFiles("lshidx_spec_bands")
+    assert(filesAfter.size < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> ${filesAfter.size})")
+    // bucket id is the _NNNNN suffix of a bucketed part file
+    val bucketOf = raw".*_(\d{5})\.c.*".r
+    val perBucket = filesAfter.groupBy(f => f.getName match { case bucketOf(b) => b })
+    assert(perBucket.values.forall(_.size == 1),
+      s"each bucket must be one file after compaction, got ${perBucket.view.mapValues(_.size).toMap}")
+    val compacted = Dedup.ngramLshAgainstIndex(laterBatch, "lshidx_spec", thresholdFs = 10000L)
+      .select(col("id_in")).distinct().collect().map(_.getLong(0)).toSet
+    assert(compacted == later, "compaction must preserve the candidate set")
+    val widthsCompacted = spark.table("lshidx_spec_bands")
+      .groupBy(col("band"), col("bucket"), col("pg")).count()
+    assert(widthsCompacted.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "compacted bands table must keep the shuffle-free layout")
+  }
+
+  test("stored-index candidate join: only the incoming batch shuffles, never the bands table") {
+    // The layout claim under test: indexCandidatePairs keys on
+    // EXACTLY the bands table's (band, bucket, pg) bucketing, so the
+    // stored side plans with ZERO exchanges and the one band-key
+    // shuffle in the candidate plan belongs to the incoming batch.
+    // (The r8 design bucketed on (band, bucket) and joined on three
+    // keys — Spark's all-cluster-keys co-partition rule then
+    // re-shuffled the WHOLE index per query batch.) Broadcasts are
+    // disabled so a tiny fixture can't sidestep the partitioning
+    // question the assertion exists to answer.
+    assume(spark.catalog.tableExists("lshidx_spec_bands"),
+      "runs after the stored-index spec builds lshidx_spec")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val bandedIn = Seq((1L, 0, 5L), (2L, 1, 9L)).toDF("doc_id", "band", "bucket")
+      val cand = Dedup.indexCandidatePairs(bandedIn, "lshidx_spec")
+      val lines = cand.queryExecution.executedPlan.toString.linesIterator.toSeq
+      val bandShuffles = lines.count(_.contains("Exchange hashpartitioning(band"))
+      // a shuffled stored side would add its own band-key exchange
+      // over the lshidx_spec_bands scan (count 2+, the r8 defect)
+      assert(bandShuffles == 1,
+        s"exactly one band-key shuffle (the incoming leg) expected, got $bandShuffles:\n" +
+          lines.mkString("\n"))
+      assert(lines.exists(_.contains("lshidx_spec_bands")),
+        "sanity: the stored bands scan must be in the candidate plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("cross-corpus LSH pairs incoming docs against the reference only, never each other") {
