@@ -629,9 +629,12 @@ object Oracles {
       | md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
-  /** text_pack: cumulative-offset packing into 512-token bins within
-    * (source, pack_group) windows — same window frame both engines
-    * (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING, coalesce 0).
+  /** text_pack: cumulative-offset packing into 512-token bins —
+    * within-group running sums windowed over (source, pack_group),
+    * CHAINED by the cumulative per-group totals so bins fill
+    * globally per source (mirrors TextAnalysis.packByWindow). Same
+    * window frames both engines (ROWS UNBOUNDED PRECEDING TO
+    * 1 PRECEDING, coalesce 0); BIGINT casts guard the HUGEINT sums.
     */
   val textPack: String =
     """WITH t AS (SELECT doc_id, source,
@@ -640,12 +643,20 @@ object Oracles {
       |c AS (SELECT doc_id, source, n_tokens, pack_group,
       |        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source, pack_group
       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |          AS BIGINT), 0) AS cum_before
-      |      FROM t)
-      |SELECT doc_id, source, n_tokens, pack_group,
-      | CAST(floor(cum_before/512.0) AS BIGINT) AS bin_id,
-      | cum_before % 512 AS bin_offset
-      |FROM c ORDER BY doc_id""".stripMargin
+      |          AS BIGINT), 0) AS cum_local,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY source, pack_group) AS BIGINT) AS grp_total
+      |      FROM t),
+      |g AS (SELECT DISTINCT source, pack_group, grp_total FROM c),
+      |o AS (SELECT source, pack_group,
+      |        coalesce(CAST(sum(grp_total) OVER (PARTITION BY source
+      |          ORDER BY pack_group ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS BIGINT), 0) AS grp_offset
+      |      FROM g)
+      |SELECT c.doc_id, c.source, c.n_tokens, c.pack_group,
+      | CAST(floor((o.grp_offset + c.cum_local)/512.0) AS BIGINT) AS bin_id,
+      | (o.grp_offset + c.cum_local) % 512 AS bin_offset
+      |FROM c JOIN o ON c.source = o.source AND c.pack_group = o.pack_group
+      |ORDER BY doc_id""".stripMargin
 
   val sampleStratified: String = {
     import graft.operators.Sampling.hexThreshold

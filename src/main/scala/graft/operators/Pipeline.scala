@@ -112,7 +112,7 @@ object Pipeline {
       .chunkPieces(curated, chunkTokens, strideTokens, carryCols = Seq("source", "split"))
       .withColumn("pack_group", floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long"))
     TextAnalysis.packByWindow(chunks,
-      partitionCols = Seq("split", "source", "pack_group"),
+      outerCols = Seq("split", "source"), groupCol = "pack_group",
       orderCols = Seq("doc_id", "chunk_idx"),
       tokenCol = "n_chunk_tokens", binTokens = binTokens)
       .select(col("doc_id"), col("chunk_idx"), col("source"), col("split"),

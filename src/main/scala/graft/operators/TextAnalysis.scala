@@ -287,43 +287,68 @@ object TextAnalysis {
     * standard offline-packing trade for a one-pass, shuffle-light
     * plan (bin-perfect packing is inherently sequential).
     *
-    * Parallelism: packing is windowed over (source, pack_group)
-    * where pack_group buckets `groupDocs` consecutive doc ids — at
+    * Parallelism: the running sum is windowed over
+    * (source, pack_group) where pack_group = ⌊doc_id/groupDocs⌋ — at
     * 100 TB a plain per-source window would serialize each source
-    * into ONE task; group-local packing keeps every window partition
-    * bounded (≤ groupDocs rows) at the cost of at most one
-    * under-filled bin per group boundary. One shuffle on the window
-    * key, nothing else.
+    * into ONE task, while an id block can hold at most `groupDocs`
+    * distinct ids, so every window partition is bounded NO MATTER
+    * how sparse the id space is. Group offsets then CHAIN: each
+    * group's bins start at the cumulative token total of all prior
+    * groups in its source (a second window over the per-group totals
+    * — one slim row per occupied group — joined back on the window
+    * key), so bin_id/bin_offset are exactly what a single global
+    * per-source window would produce. Grouping is a pure parallelism
+    * device: id gaps (post-dedup corpora are full of them) cost
+    * NOTHING in fill — the r8 design restarted bins at every group
+    * boundary and under-filled one bin per group, degenerating to
+    * one doc per bin at high sparsity (spec-pinned equivalence).
     */
   def pack(docs: DataFrame, binTokens: Int = 512, groupDocs: Int = 1000): DataFrame = {
     val n = size(tokens(col("text"))).cast("long")
     val grp = floor(col("doc_id") / lit(groupDocs.toDouble)).cast("long")
     packByWindow(
       docs.select(col("doc_id"), col("source"), n.as("n_tokens"), grp.as("pack_group")),
-      partitionCols = Seq("source", "pack_group"), orderCols = Seq("doc_id"),
+      outerCols = Seq("source"), groupCol = "pack_group", orderCols = Seq("doc_id"),
       tokenCol = "n_tokens", binTokens = binTokens)
       .orderBy(col("doc_id"))
   }
 
   /** The shared cumulative-offset packing core ([[pack]] and
     * [[Pipeline.prepareTraining]] both bin through here, so the
-    * packing contract — bin by starting offset, overflow bounded by
-    * one straddling unit, offsets in [0, binTokens) — lives in ONE
-    * place): appends bin_id/bin_offset from the running token sum
-    * within each (partitionCols) window ordered by orderCols.
+    * packing contract — bin by GLOBAL starting offset within
+    * (outerCols), overflow bounded by one straddling unit, offsets
+    * in [0, binTokens) — lives in ONE place). Three moving parts,
+    * two of which ride the SAME (outerCols, groupCol) shuffle:
+    * the within-group running sum and the per-group token total are
+    * two frames over one window partitioning; the group's starting
+    * offset is a cumulative sum over the DISTINCT per-group totals
+    * (slim: one row per occupied group, windowed per outerCols)
+    * joined back on the group key — AQE broadcasts it at gate scale,
+    * and at any scale it is group-count-sized, never unit-sized.
     */
-  private[graft] def packByWindow(units: DataFrame, partitionCols: Seq[String],
+  private[graft] def packByWindow(units: DataFrame, outerCols: Seq[String], groupCol: String,
                                   orderCols: Seq[String], tokenCol: String,
                                   binTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(partitionCols.map(col): _*)
+    val partAll = (outerCols :+ groupCol).map(col)
+    val w = Window.partitionBy(partAll: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    units
-      .withColumn("cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("bin_id", floor(col("cum_before") / lit(binTokens.toDouble)).cast("long"))
-      .withColumn("bin_offset", col("cum_before") % binTokens)
-      .drop("cum_before")
+    val wg = Window.partitionBy(partAll: _*)
+    val local = units
+      .withColumn("cum_local", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("grp_total", sum(col(tokenCol)).over(wg))
+    val chain = Window.partitionBy(outerCols.map(col): _*).orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .select(partAll :+ col("grp_total"): _*).distinct()
+      .withColumn("grp_offset", coalesce(sum(col("grp_total")).over(chain), lit(0L)))
+      .select(partAll :+ col("grp_offset"): _*)
+    val cum = col("grp_offset") + col("cum_local")
+    local.join(offsets, outerCols :+ groupCol)
+      .withColumn("bin_id", floor(cum / lit(binTokens.toDouble)).cast("long"))
+      .withColumn("bin_offset", cum % binTokens)
+      .drop("cum_local", "grp_total", "grp_offset")
   }
 
   def fingerprints(docs: DataFrame): DataFrame = {
