@@ -107,8 +107,11 @@ object PipelineJob {
       case "bucketed" =>
         Pipeline.curateToBucketed(spark.read.parquet(in), out, minQualityFs = minQ)
       case "training" =>
+        // the UNSORTED pieces form: partitionBy discards row order,
+        // and the sorted form's range-sampling pass would execute the
+        // whole curate/LSH/pack chain twice
         Sinks.writePartitioned(
-          Pipeline.prepareTraining(spark.read.parquet(in), minQualityFs = minQ),
+          Pipeline.prepareTrainingPieces(spark.read.parquet(in), minQualityFs = minQ),
           out, Seq("split", "source"))
       case "stream" =>
         runStream(spark, in, out, minQ)

@@ -103,7 +103,28 @@ object Pipeline {
                       minQualityFs: Long = 5000L,
                       lshThresholdFs: Long = 9000L,
                       maxRepetitionFs: Long = 9000L,
-                      salt: String = "graft#"): DataFrame = {
+                      salt: String = "graft#"): DataFrame =
+    prepareTrainingPieces(docs, binTokens, chunkTokens, strideTokens, groupDocs,
+      minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** [[prepareTraining]] WITHOUT the final global sort — the form a
+    * writer must consume (same rule as [[TextAnalysis.chunkPieces]]
+    * vs chunk): the reporting ORDER BY's range partitioner runs a
+    * sampling pass that re-executes the whole curate/LSH/pack chain,
+    * and a partitioned write discards row order anyway — sorted
+    * input to `partitionBy` is pure double execution. The sorted
+    * form exists for the oracle gate and human inspection.
+    */
+  def prepareTrainingPieces(docs: DataFrame,
+                            binTokens: Int = 512,
+                            chunkTokens: Int = 32,
+                            strideTokens: Int = 24,
+                            groupDocs: Int = 1000,
+                            minQualityFs: Long = 5000L,
+                            lshThresholdFs: Long = 9000L,
+                            maxRepetitionFs: Long = 9000L,
+                            salt: String = "graft#"): DataFrame = {
     val curated = curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
     // the UNSORTED chunk form: the packer's window shuffle follows
     // immediately, and a mid-pipeline ORDER BY would re-execute the
@@ -118,7 +139,6 @@ object Pipeline {
       .select(col("doc_id"), col("chunk_idx"), col("source"), col("split"),
         col("n_chunk_tokens"), col("chunk_md5"), col("pack_group"),
         col("bin_id"), col("bin_offset"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** Land the curated corpus as a doc_id-bucketed, per-bucket-sorted

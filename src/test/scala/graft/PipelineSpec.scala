@@ -69,30 +69,45 @@ class PipelineSpec extends SparkSpec {
       assert(outIds == curatedIds, "chunk rows must cover exactly the curated survivors")
       // bins never mix split or source: recompute every chunk's
       // expected (bin, offset) DRIVER-SIDE from a cumulative sum over
-      // its own (split, source, pack_group) window alone — if the
-      // packer's window dropped either key, offsets would continue
-      // across the boundary and this exact compare would fail
-      val rows = out.select("split", "source", "pack_group", "doc_id", "chunk_idx",
+      // its (split, source) stream in (doc_id, chunk_idx) order —
+      // pack_group offsets CHAIN (r9), so grouping is invisible here,
+      // but if the packer's window dropped split or source, offsets
+      // would continue across that boundary and this exact compare
+      // would fail
+      val rows = out.select("split", "source", "doc_id", "chunk_idx",
         "n_chunk_tokens", "bin_id", "bin_offset").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6), r.getLong(7)))
-      rows.groupBy { case (sp, src, g, _, _, _, _, _) => (sp, src, g) }.foreach {
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      rows.groupBy { case (sp, src, _, _, _, _, _) => (sp, src) }.foreach {
         case (key, grp) =>
           var cum = 0L
-          grp.sortBy { case (_, _, _, d, c, _, _, _) => (d, c) }.foreach {
-            case (_, _, _, d, c, n, binId, binOff) =>
+          grp.sortBy { case (_, _, d, c, _, _, _) => (d, c) }.foreach {
+            case (_, _, d, c, n, binId, binOff) =>
               assert(binId == cum / 64 && binOff == cum % 64,
-                s"chunk ($d,$c) in window $key: got ($binId,$binOff), expected " +
+                s"chunk ($d,$c) in stream $key: got ($binId,$binOff), expected " +
                   s"(${cum / 64},${cum % 64})")
               cum += n
           }
       }
       // bin totals respect budget + one straddling chunk (chunk ≤ 32)
-      val overflow = out.groupBy(col("split"), col("source"), col("pack_group"), col("bin_id"))
+      val overflow = out.groupBy(col("split"), col("source"), col("bin_id"))
         .agg(sum(col("n_chunk_tokens")).as("t")).filter(col("t") > 64L + 31L).count()
       assert(overflow == 0, "bin totals bounded by budget + straddling chunk")
       // offsets live inside the budget
       assert(out.filter(col("bin_offset") < 0 || col("bin_offset") >= 64L).count() == 0)
+      // the writer form: prepareTrainingPieces is the same frame
+      // without the reporting sort — no range exchange anywhere in
+      // its plan, so a partitionBy write never pays the
+      // range-partitioner sampling pass that re-executes the chain
+      val pieces = Pipeline.prepareTrainingPieces(docs, binTokens = 64)
+      assert(!pieces.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+        "pieces form must not range-partition")
+      val sortedPieces = pieces.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))).sorted.toSeq
+      val sortedOut = out.select("doc_id", "chunk_idx", "bin_id", "bin_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      assert(sortedPieces == sortedOut, "pieces must be prepareTraining minus the sort")
     } finally out.unpersist()
   }
 
