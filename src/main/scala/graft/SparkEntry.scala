@@ -49,6 +49,10 @@ object SparkEntry {
     "q14_exists_subquery" -> (Relational.q14ExistsSubquery _),
     "q15_scalar_subquery" -> (Relational.q15ScalarSubquery _),
     "q16_percentile" -> (Relational.q16Percentile _),
+    // rows-only: the GK sketch returns actual group elements under a
+    // RANK-error bound — not value-comparable to DuckDB's different
+    // approx sketch; RelationalSpec gates it against the exact path
+    "q16_percentile_approx" -> ((s, dir) => Relational.approxPercentile(s, dir)),
     "q17_asof_join" -> ((s, dir) => Temporal.asofJoin(Tables.events(s, dir))),
     "q18_range_join" -> ((s, dir) => Temporal.rangeJoinCount(Tables.events(s, dir))),
     "q19_json_agg" -> (Relational.q19JsonAgg _),

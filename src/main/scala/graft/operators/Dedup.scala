@@ -315,18 +315,28 @@ object Dedup {
     * collides in ≥1 table w.p. 1 − (1 − P_t)^tables where
     * P_t = p^planes + (probes−1)(1−p)p^(planes−1), p = 1 − θ/π.
     *
-    * `probes` > 1 turns on MULTI-PROBE (one-sided): ONE join leg also
-    * probes the buckets at hamming distance 1 from its own — flip one
-    * of the first (probes−1) planes' sign bits — while the other leg
-    * stays the plain one-row-per-(vector, table) index. Near misses
-    * that land one plane across a boundary are recovered without
-    * another table, so the same recall needs FEWER tables — and the
-    * persisted banded index (at 100 TB, `tables`× the corpus's
-    * (id, bucket) rows — the dominant state of this operator) shrinks
-    * by the saved tables. The probed leg fans out tables×probes slim
-    * rows per vector, so total join input rises ~(1+probes)/2× vs the
-    * saved index legs — the trade buys index size and distinct
-    * shuffle keys, quantified exactly by the model.
+    * `probes` > 1 turns on MULTI-PROBE: ONE join leg also probes the
+    * buckets at hamming distance 1 from its own — flip one of the
+    * first (probes−1) planes' sign bits — while the other leg stays
+    * the plain one-row-per-(vector, table) index. Near misses that
+    * land one plane across a boundary are recovered without another
+    * table, so the same recall needs FEWER tables — and the persisted
+    * banded index (at 100 TB, `tables`× the corpus's (id, bucket)
+    * rows — the dominant state of this operator) shrinks by the saved
+    * tables. The probed leg fans out tables×probes slim rows per
+    * vector, so total join input rises ~(1+probes)/2× vs the saved
+    * index legs — the trade buys index size and distinct shuffle
+    * keys. CAVEAT for this SELF-dedup path: because every vector sits
+    * on BOTH legs, admission is effectively two-sided — a pair
+    * surfaces if EITHER member probes into the other's bucket — so
+    * while the recall bound from the one-sided model
+    * ([[Similarity.srpMultiProbeCollisionProb]]) stays conservative,
+    * BACKGROUND candidate volume runs up to ~2×(probes−1)/probes
+    * above the one-sided estimate. Size the verify join (and any
+    * geometry tuned against the model's admission side) for roughly
+    * DOUBLE the modeled background; the cross-corpus path
+    * ([[crossCandidatePairs]] callers), whose reference leg is
+    * probe-free, matches the one-sided model exactly.
     *
     * The default geometry is COUPLED to the default threshold, same
     * design rule as [[minhashLsh]]: (7 planes × 8 tables × 4 probes)

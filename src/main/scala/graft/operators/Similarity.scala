@@ -155,6 +155,38 @@ object Similarity {
     require(n > 1 && cosThreshold > 0 && cosThreshold < 1 && targetRecall > 0 && targetRecall < 1,
       s"need n > 1, 0 < cos < 1, 0 < recall < 1; got n=$n cos=$cosThreshold recall=$targetRecall")
     val planes = math.max(4, math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+    cheapestTablesProbes(planes, cosThreshold, targetRecall, maxTables)
+  }
+
+  /** [[suggestSrpGeometry]] for the QUERY workload ([[lshTopK]] /
+    * [[annRecall]]) — a different background budget needs a different
+    * plane rule. Self-dedup admits ≈ n²/2 · 2^−planes background
+    * pairs, hence planes ≈ log2(n); a query batch admits only
+    * nQueries · n · 2^−planes, so the right sizing is against the
+    * per-query candidate budget the verify join can afford:
+    * planes ≈ log2(n / candidatesPerQuery) keeps the expected
+    * background candidates per query per table ≈ candidatesPerQuery.
+    * Re-deriving the self-dedup rule here (as the gate once
+    * hand-tuned around) would demand ~141 tables at sf0.1's
+    * near-orthogonal threshold — the table/probe search rightly
+    * refuses; the workload-correct rule clears the same recall with
+    * a dozen. Same (tables, probes) search: fewest tables first
+    * (tables×n banded rows are the dominant state), probes as the
+    * tie-break.
+    */
+  def suggestSrpQueryGeometry(n: Long, cosThreshold: Double, targetRecall: Double = 0.9,
+                              candidatesPerQuery: Int = 64, maxTables: Int = 64)
+  : (Int, Int, Int) = {
+    require(n > 1 && cosThreshold > 0 && cosThreshold < 1 && targetRecall > 0 && targetRecall < 1,
+      s"need n > 1, 0 < cos < 1, 0 < recall < 1; got n=$n cos=$cosThreshold recall=$targetRecall")
+    require(candidatesPerQuery >= 1, s"candidatesPerQuery must be ≥ 1, got $candidatesPerQuery")
+    val planes = math.max(2,
+      math.ceil(math.log(n.toDouble / candidatesPerQuery) / math.log(2.0)).toInt)
+    cheapestTablesProbes(planes, cosThreshold, targetRecall, maxTables)
+  }
+
+  private def cheapestTablesProbes(planes: Int, cosThreshold: Double, targetRecall: Double,
+                                   maxTables: Int): (Int, Int, Int) = {
     val best = (for {
       tables <- 1 to maxTables
       probes <- 1 to (planes + 1)
@@ -327,26 +359,29 @@ object Similarity {
     * clears `minRecallFs`, so the driver's rows>0 check IS the gate
     * (rows > 0 ⟺ all approximate paths recall ≥ 0.8 by default).
     *
-    * The gate geometries are recall-leaning on purpose: this corpus
-    * is near-orthogonal (top-k neighbors sit at cos ≈ 0.35–0.5, where
-    * the SRP s-curve is shallow — see [[srpCollisionProb]]), so the
-    * gate probes wide (2-plane × 4-table × 3-probe LSH, nprobe =
-    * nlist/2 IVF). The LSH leg demonstrates the multi-probe index
-    * trade clearing the same bar: 4 fully-probed tables carry HALF
-    * the banded index of the 8 single-probed tables the gate used
-    * before, at higher modeled recall
-    * ([[srpMultiProbeCollisionProb]](0.35, 2, 4, 3) ≈ 0.9995 vs
-    * single-probe 8-table 0.977). Real embedding dedup corpora with
-    * true near-dups (cos ≥ 0.8) sit on the steep end and keep recall
-    * with far tighter pruning.
+    * The LSH leg's geometry is DERIVED, not hand-picked:
+    * [[suggestSrpQueryGeometry]](n, cos 0.35, recall 0.9) — the
+    * neighbor-cosine floor of this near-orthogonal corpus (top-k
+    * neighbors sit at cos ≈ 0.35–0.5, the shallow end of the SRP
+    * s-curve; see [[srpCollisionProb]]) fed through the query-workload
+    * sizing rule, so the gate proves the rule end-to-end at every sf
+    * (n = 500 derives 3 planes × 3 tables × 4 probes; n = 5000
+    * derives 7 × 12 × 8). The one extra count() it costs is a
+    * column-pruned scan. IVF probes nprobe = nlist/2. Real embedding
+    * dedup corpora with true near-dups (cos ≥ 0.8) sit on the steep
+    * end and derive far tighter geometries from the same rule.
     */
   def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-                minRecallFs: Long = 8000L): DataFrame = {
+                minRecallFs: Long = 8000L, neighborCosFloor: Double = 0.35): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val n = embeddings.count()
+    val (planes, tables, probes) =
+      suggestSrpQueryGeometry(n, neighborCosFloor, targetRecall = 0.9)
     val brute = bruteTopK(embeddings, nQueries, k).select(col("q_id"), col("c_id"))
     val approx =
-      lshTopK(embeddings, planes = 2, tables = 4, nQueries = nQueries, k = k, probes = 3)
+      lshTopK(embeddings, planes = planes, tables = tables, nQueries = nQueries, k = k,
+          probes = probes)
         .select(col("q_id"), col("c_id")).withColumn("method", lit("lsh"))
       .unionByName(
         ivfTopK(embeddings, nlist = 16, nprobe = 8, nQueries = nQueries, k = k)

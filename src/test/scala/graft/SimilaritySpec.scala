@@ -88,6 +88,34 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](suggestSrpGeometry(100000L, 0.05, 0.999))
   }
 
+  test("query-geometry sizing: planes track log2(n/budget); recall model met; tables minimal") {
+    import Similarity.{srpMultiProbeCollisionProb, suggestSrpGeometry, suggestSrpQueryGeometry}
+    // at cos 0.35 (near-orthogonal corpus) the candidate budget must
+    // scale with n — a fixed 64 at n = 10⁶ is rightly infeasible
+    // within 64 tables (shallow s-curve), so that point passes a
+    // larger verify budget instead
+    for ((n, cpq) <- Seq((500L, 64), (5000L, 64), (1000000L, 4096))) {
+      val (p, t, pr) = suggestSrpQueryGeometry(n, 0.35, targetRecall = 0.9,
+        candidatesPerQuery = cpq)
+      val expectP = math.max(2, math.ceil(math.log(n.toDouble / cpq) / math.log(2.0)).toInt)
+      assert(p == expectP, s"n=$n: planes $p != log2(n/$cpq) rule $expectP")
+      assert(pr >= 1 && pr <= p + 1, s"n=$n: probes $pr out of [1, planes+1]")
+      assert(srpMultiProbeCollisionProb(0.35, p, t, pr) >= 0.9,
+        s"n=$n: derived geometry must clear the modeled recall")
+      // fewest-tables-first: no probe count rescues tables−1
+      assert(t == 1 || (1 to p + 1).forall(q =>
+        srpMultiProbeCollisionProb(0.35, p, t - 1, q) < 0.9),
+        s"n=$n: $t tables must be minimal")
+    }
+    // fixed small budget at 10⁶ near-orthogonal: rightly refuses
+    intercept[IllegalArgumentException](
+      suggestSrpQueryGeometry(1000000L, 0.35, targetRecall = 0.9))
+    // the self-dedup rule at the same near-orthogonal threshold would
+    // blow past any sane table budget at sf0.1 scale — the query rule
+    // exists precisely because the workloads differ
+    intercept[IllegalArgumentException](suggestSrpGeometry(5000L, 0.35, 0.9))
+  }
+
   test("multi-probe flips are query-directed: smallest-|margin| planes first, base always probed") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.col
