@@ -127,6 +127,7 @@ object ScaleRehearsal {
     }
     lazy val docs = spark.read.parquet(corpusPath)
 
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def timed(phase: String)(body: => Long): (String, Double, Long) = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
@@ -152,6 +153,51 @@ object ScaleRehearsal {
         .filter(col("doc_id") =!= col("rep_id")).count()),
       timed("pipeline_curate")(Pipeline.curate(docs).count())
     )
+
+    // ---- composed training layout (r9): curate → chunk → pack ----
+    // The synthetic corpus makes the layout self-checking: every doc
+    // has EXACTLY 60 tokens, so chunking (32 window / 24 stride)
+    // yields exactly ceil(60/24) = 3 chunks and 32+32+12 = 76 chunk
+    // tokens per curated doc — rows, token conservation, offset
+    // range, bin contiguity, and per-bin fill are all closed-form.
+    val trainingChecks = if (nDocs == 0) "" else {
+      spark.sharedState.cacheManager.clearCache()
+      val prepared = Pipeline.prepareTrainingPieces(docs).persist()
+      val t0 = System.nanoTime()
+      val chunkRows = prepared.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[rehearsal] prepare_training      ${sec}%8.2f s  volume=$chunkRows")
+      val agg = prepared.agg(
+        countDistinct(col("doc_id")).as("docs"),
+        sum(col("n_chunk_tokens")).as("tok_sum"),
+        sum(when(col("bin_offset") < 0 || col("bin_offset") >= 512, 1L)
+          .otherwise(0L)).as("bad_offsets")).head()
+      val (curatedDocs, tokSum, badOffsets) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      // fill check: units land in the bin where their first token
+      // falls, and a ≤32-token chunk straddles at most one 512
+      // boundary — so every NON-final bin of a (split, source) must
+      // hold 512±31 starting tokens, and bin ids must be contiguous
+      val fills = prepared.groupBy(col("split"), col("source"), col("bin_id"))
+        .agg(sum(col("n_chunk_tokens")).as("fill"))
+      val withMax = fills.withColumn("max_bin",
+        max(col("bin_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("split"), col("source"))))
+      val g = withMax.agg(
+        sum(when(col("bin_id") === col("max_bin"), col("max_bin") + 1)
+          .otherwise(0L)).as("expect_bins"),
+        count(lit(1)).as("bins"),
+        sum(when(col("bin_id") < col("max_bin") &&
+            (col("fill") < 512 - 31 || col("fill") > 512 + 31), 1L)
+          .otherwise(0L)).as("bad_fill")).head()
+      val (expectBins, bins, badFill) = (g.getLong(0), g.getLong(1), g.getLong(2))
+      prepared.unpersist()
+      s""""training_checks":{"sec":${fmt(sec)},"chunk_rows":$chunkRows,""" +
+        s""""curated_docs":$curatedDocs,"rows_per_doc_ok":${chunkRows == 3 * curatedDocs},""" +
+        s""""tokens_conserved":${tokSum == 76 * curatedDocs},""" +
+        s""""bad_offsets":$badOffsets,"bins":$bins,""" +
+        s""""bins_contiguous":${bins == expectBins},"bad_fill_bins":$badFill},"""
+    }
 
     // ---- ANN / vector paths (r8): 20×+ the bench embedding scale ----
     val embPath = s"$outBase/emb_$nVecs"
@@ -204,7 +250,6 @@ object ScaleRehearsal {
     val nClusters = nDocs / 1000 - (megaN + 999) / 1000
     val clusterDropped = nClusters * 9 // 9 non-base members per cluster
     val expectDropped = clusterDropped + (megaN - 1)
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val phases = (results ++ annResults)
       .map { case (p, s, v) => s""""$p":{"sec":${fmt(s)},"volume":$v}""" }
       .mkString("{", ",", "}")
@@ -215,7 +260,7 @@ object ScaleRehearsal {
       s""""expected_mega_pairs":$megaPairs,"expected_cc_merged":$expectDropped,""" +
       s""""n_vecs":$nVecs,"expected_vec_mega_pairs":$vecMegaPairs,""" +
       s""""expected_vec_cluster_pairs":${(nVecs / 1000 - 2) * 45},""" +
-      s""""ann_truth":${truth.size},"phases":$phases,"cpus":"$cpus"}""")
+      s""""ann_truth":${truth.size},$trainingChecks"phases":$phases,"cpus":"$cpus"}""")
     spark.stop()
   }
 }
