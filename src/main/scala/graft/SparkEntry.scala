@@ -125,6 +125,11 @@ object SparkEntry {
     // isn't SQL-expressible; pixel-truth semantics are spec-pinned)
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeImages(Multimodal.imagePayloads(Tables.documents(s, dir)))),
+    // REAL audio codec path: synthesized valid WAVs decoded by
+    // javax.sound.sampled (rows-only — sample decode isn't
+    // SQL-expressible; sample-truth semantics are spec-pinned)
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(Multimodal.audioPayloads(Tables.documents(s, dir)))),
 
     // ---- beyond §2: corpus-level pipeline ops ----
     "dedup_apply" -> ((s, dir) => {

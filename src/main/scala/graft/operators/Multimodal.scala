@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` payloads + typed
   * metadata, with a per-partition batch "decode" stage.
   *
-  * Two decode paths:
+  * Three decode paths:
   *  - [[decodeImages]] is a REAL codec: pure-JVM `javax.imageio` PNG
   *    decode inside the partition-batched iterator — genuine image
   *    bytes in, pixel-derived features (dimensions, mean luminance,
   *    pixel checksum) out. [[imagePayloads]] synthesizes valid PNGs
   *    deterministically so the path is exercisable without external
   *    media (and the driver gate runs it end-to-end).
+  *  - [[decodeAudio]] is the REAL audio codec twin: pure-JVM
+  *    `javax.sound.sampled` WAV/PCM decode, sample-truth features
+  *    (rate, channels, duration, RMS, peak, checksum) out, fed by
+  *    [[audioPayloads]]'s synthesized genuine WAV containers.
   *  - [[decodeFeatures]] is the generic byte-level baseline for
-  *    payloads whose codec is NOT on the JVM (audio/video in this
-  *    container): a deterministic byte-hash summary standing where a
-  *    codec/model call would go, shape-identical to the real path.
+  *    payloads whose codec is NOT on the JVM (video is the one
+  *    remaining case in this container): a deterministic byte-hash
+  *    summary standing where a codec/model call would go,
+  *    shape-identical to the real paths.
   *
   * Either way the surrounding design is the 100-TB one:
   *  - payloads travel as parquet `binary` columns (columnar, chunked,
@@ -178,6 +183,124 @@ object Multimodal {
           val n = w.toLong * h
           DecodedImage(id, w.toLong, h.toLong, n,
             math.floorDiv(10000L * sumLumaMilli, 255000L * n), crc)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic WAV synthesis: a RIFF/WAVE container with 16-bit
+    * mono PCM at 8 kHz written through the real `javax.sound.sampled`
+    * encoder — the payload carries genuine, decodable audio bytes
+    * (magic `RIFF…WAVE`), not a placeholder. Sample i is an integer
+    * hash mix of (id, i) mapped onto the full signed 16-bit range:
+    * full-scale white noise, so RMS concentrates at 1/√3 of
+    * full-scale — a planted amplitude truth the decode spec pins.
+    * Length varies with id (512 + id mod 512 samples) so duration is
+    * a per-row decoded fact, not a constant.
+    */
+  private[graft] def synthesizeWav(id: Long): Array[Byte] = {
+    val n = (512 + math.floorMod(id, 512L)).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      // splitmix-style finalizer: the plain linear mix the PNG twin
+      // uses leaves the LOW 16 bits ramping with i (a sawtooth, not
+      // noise — its RMS misses the planted 1/√3 truth)
+      var m = id * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      m ^= m >>> 27; m *= 0x94D049BB133111EBL; m ^= m >>> 31
+      val s = ((m & 0xffffL) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Audio-corpus layout from a doc id column: one synthesized WAV
+    * payload per doc + typed metadata carrying the TRUE sample count
+    * and rate as the CLAIM that [[decodeAudio]] re-derives from the
+    * container (spec-pinned equality) — the audio twin of
+    * [[imagePayloads]], same per-partition synthesis shape.
+    */
+  def audioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthesizeWav(id))))
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("audio/wav").as("mime"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit(8000L).as("sample_rate"),
+          (lit(512L) + pmod(col("doc_id"), lit(512L))).as("n_samples")).as("meta"))
+  }
+
+  /** One decoded audio payload's sample-level features. */
+  case class DecodedAudio(doc_id: Long, sample_rate: Long, channels: Long,
+                          n_samples: Long, duration_ms: Long, rms_fs: Long,
+                          peak: Long, sample_checksum: Long)
+
+  /** REAL audio decode: `javax.sound.sampled` WAV/PCM decode per
+    * payload inside the partition-batched iterator — the second real
+    * JVM codec behind the multimodal stage (PNG via [[decodeImages]]
+    * was the first; [[decodeFeatures]] remains the stand-in only for
+    * formats with no JVM codec, video now being the sole one). Emits
+    * sample-truth features: container-read sample rate / channel
+    * count / sample count (vs the metadata CLAIM — equality is
+    * spec-pinned), duration, RMS amplitude as fixed-point
+    * floor(1e4 · rms/32768) from exact integer sample-square sums,
+    * peak |sample|, and a rolling sample checksum.
+    *
+    * Scale shape: identical to [[decodeImages]] — narrow typed
+    * mapPartitions, codec init amortized per partition, slim numeric
+    * rows out so downstream filters (clipping gates, silence drops,
+    * duration buckets) never touch payload bytes again.
+    */
+  def decodeAudio(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"doc $id: expected 16-bit little-endian PCM, got $fmt")
+          val data = ais.readAllBytes()
+          ais.close()
+          val channels = fmt.getChannels
+          val n = data.length / 2 // total 16-bit samples across channels
+          var sumSq = 0L
+          var peak = 0L
+          var crc = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            crc = (crc * 31 + (s & 0xffffL)) % 1000000007L
+            i += 1
+          }
+          val frames = if (channels > 0) n / channels else 0
+          val rate = fmt.getSampleRate.toLong
+          DecodedAudio(id, rate, channels.toLong, frames.toLong,
+            if (rate > 0) frames * 1000L / rate else 0L,
+            if (n > 0) math.floor(10000.0 * math.sqrt(sumSq.toDouble / n) / 32768.0).toLong
+            else 0L,
+            peak, crc)
         }
       }
       .toDF()

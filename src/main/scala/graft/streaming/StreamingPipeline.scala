@@ -54,4 +54,32 @@ object StreamingPipeline {
       .filter(col("rep_fs") <= maxRepetitionFs)
       .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
   }
+
+  /** Streaming twin of the chunk fan-out stage of
+    * [[graft.operators.Pipeline.prepareTraining]]: [[curateStream]] →
+    * [[graft.operators.TextAnalysis.chunkPieces]]. Chunking is a pure
+    * stateless map-side projection (tokenize → explode → slice → md5),
+    * so it streams as-is — a chunk row is identical whether its doc
+    * arrived streaming or in a batch load (spec-pinned); provenance
+    * (source, split) rides the same projection.
+    *
+    * Sequence PACKING is deliberately ABSENT — the same boundary as
+    * LSH near-dup dedup in [[curateStream]]: a chunk's
+    * (bin_id, bin_offset) is a cumulative sum over ALL prior chunks
+    * of its (split, source), which is unbounded state on an unbounded
+    * stream, and any incremental assignment would be reshuffled by
+    * the next arrival anyway (bins are a TRAINING-RUN layout, not an
+    * ingest artifact). Packing is the periodic batch compaction pass
+    * ([[graft.operators.Pipeline.prepareTraining]] /
+    * [[graft.operators.TextAnalysis.pack]]) over the accumulated
+    * curated chunks this stream lands.
+    */
+  def chunkStream(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                  chunkTokens: Int = 32, strideTokens: Int = 24,
+                  minQualityFs: Long = 5000L,
+                  maxRepetitionFs: Long = 9000L,
+                  salt: String = "graft#"): DataFrame =
+    graft.operators.TextAnalysis.chunkPieces(
+      curateStream(docs, tsCol, watermarkDelay, minQualityFs, maxRepetitionFs, salt),
+      chunkTokens, strideTokens, carryCols = Seq("source", "split"))
 }

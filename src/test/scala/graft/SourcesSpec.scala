@@ -90,6 +90,73 @@ class SourcesSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2990L)), "red: Rec.601 0.299 weight")
   }
 
+  test("audio payloads are genuine WAVs; real decode recovers planted sample truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(0L, 1L, 27L, 511L).toDF("doc_id")
+    val mm = Multimodal.audioPayloads(docs)
+    // the payloads are REAL RIFF/WAVE containers, not fakes
+    mm.select(col("doc_id"), col("payload")).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+        b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(11) == 'E'.toByte,
+        s"doc ${r.getLong(0)}: payload lacks the RIFF/WAVE signature")
+    }
+    val out = Multimodal.decodeAudio(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val meta = mm.select(col("doc_id"), col("meta.sample_rate"), col("meta.n_samples"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    meta.foreach { case (id, (rate, n)) =>
+      val d = out(id)
+      // decoded container truth must equal the metadata CLAIM
+      assert(d.getAs[Long]("sample_rate") == rate && d.getAs[Long]("n_samples") == n,
+        s"doc $id: decoded ${d.getAs[Long]("sample_rate")}Hz×${d.getAs[Long]("n_samples")} " +
+          s"vs meta ${rate}Hz×$n")
+      assert(d.getAs[Long]("channels") == 1L)
+      assert(d.getAs[Long]("duration_ms") == n * 1000L / rate)
+      // full-scale white noise: RMS concentrates at 1/√3 of full scale
+      // (fs ≈ 5773); ±5% covers sampling variance at n ≥ 512
+      val rms = d.getAs[Long]("rms_fs")
+      assert(rms > 5480L && rms < 6070L, s"doc $id: rms_fs $rms not near 1/√3 ≈ 5773")
+    }
+    // determinism: same ids → identical checksums across invocations
+    val again = Multimodal.decodeAudio(Multimodal.audioPayloads(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sample_checksum")).toMap
+    out.foreach { case (id, r) => assert(again(id) == r.getAs[Long]("sample_checksum")) }
+  }
+
+  test("decodeAudio recovers exact planted sample statistics from hand-built WAVs") {
+    import spark.implicits._
+    // hand-encode WAVs OUTSIDE the operator under test
+    def wav(samples: Array[Short], channels: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong / channels)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val mm = Seq(
+      (1L, wav(Array.fill[Short](800)(0), 1)),            // 100 ms silence
+      (2L, wav(Array.fill[Short](400)(16384), 1)),        // half-scale DC
+      (3L, wav(Array.fill[Short](200)(-32768), 2))        // full-scale stereo
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("channels"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("duration_ms"),
+        r.getAs[Long]("rms_fs"), r.getAs[Long]("peak"))).toMap
+    assert(out(1L) == ((1L, 800L, 100L, 0L, 0L)), "silence: zero rms and peak")
+    // half-scale DC: floor(1e4 · 16384/32768) = 5000
+    assert(out(2L) == ((1L, 400L, 50L, 5000L, 16384L)), "half-scale: rms_fs 5000")
+    // full-scale stereo: 200 samples over 2 channels = 100 frames
+    assert(out(3L) == ((2L, 100L, 12L, 10000L, 32768L)), "stereo frame accounting")
+  }
+
   test("frame sampling fans one payload row into nFrames deterministic frame rows") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")

@@ -278,6 +278,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk fan-out emits exactly the batch pipeline's chunk rows") {
+    implicit val ctx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    val good2 = "many words describing a different and quite original document about boats on water"
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = StreamingPipeline.chunkStream(docs, "ts", "10 minutes",
+        chunkTokens = 8, strideTokens = 5, minQualityFs = 4000L)
+      .writeStream.format("memory").queryName("schunk").outputMode("append").start()
+    try {
+      // doc 2 is a content dup of doc 1 arriving in the SAME batch;
+      // doc 3 arrives a micro-batch later — chunk rows must be
+      // arrival-shape-independent
+      ms.addData(
+        (1L, good, "src0", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, good, "src1", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      ms.addData((3L, good2, "src1", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_md5, source, split FROM schunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getString(5))).toSet
+      val batchDocs = Seq(
+        (1L, good, "en", "src0", good.length.toLong),
+        (2L, good, "en", "src1", good.length.toLong),
+        (3L, good2, "en", "src1", good2.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val expect = operators.TextAnalysis.chunkPieces(
+          operators.Pipeline.curateFull(batchDocs, minQualityFs = 4000L),
+          chunkTokens = 8, strideTokens = 5, carryCols = Seq("source", "split"))
+        .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_md5", "source", "split")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getString(5))).toSet
+      assert(expect.map(_._1) == Set(1L, 3L), s"dup doc 2 must not chunk, got $expect")
+      assert(got == expect,
+        s"streaming chunk rows must equal the batch pipeline's; got $got vs $expect")
+    } finally q.stop()
+  }
+
   test("streaming curation CLI path: incremental file-stream runs land a partitioned curated corpus") {
     import java.nio.file.Files
     import spark.implicits._
