@@ -31,7 +31,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_KEYS=a,b,c isolates keys when profiling a hot
+    // operator on this noisy host (unset = the full driver contract)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(ks contains _._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

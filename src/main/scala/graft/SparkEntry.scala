@@ -191,8 +191,11 @@ object SparkEntry {
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
     "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
     // the composed end-to-end training layout: curate → chunk → pack
-    // (rows-only — the curation stage is LSH-based, not SQL-expressible)
-    "pipeline_training" -> ((s, dir) => Pipeline.prepareTraining(Tables.documents(s, dir)))
+    // (rows-only — the curation stage is LSH-based, not SQL-expressible;
+    // the UNSORTED writer form: a rows-only check gains nothing from
+    // prepareTraining's reporting ORDER BY, whose range-sampling pass
+    // would execute the whole curate/LSH/pack chain twice)
+    "pipeline_training" -> ((s, dir) => Pipeline.prepareTrainingPieces(Tables.documents(s, dir)))
   )
 
   /** DuckDB twins (see Oracles.scala). Keys absent here are rows-only

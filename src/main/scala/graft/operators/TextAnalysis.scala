@@ -318,11 +318,15 @@ object TextAnalysis {
     * packing contract — bin by GLOBAL starting offset within
     * (outerCols), overflow bounded by one straddling unit, offsets
     * in [0, binTokens) — lives in ONE place). Three moving parts,
-    * two of which ride the SAME (outerCols, groupCol) shuffle:
+    * two of which ride the SAME (outerCols, groupCol) exchange:
     * the within-group running sum and the per-group token total are
-    * two frames over one window partitioning; the group's starting
+    * two stacked Window operators over one partitioning (a groupBy
+    * twin for the totals would plan its partial aggregate below a
+    * SECOND exchange over a different child — no exchange reuse, the
+    * whole upstream pipeline executed twice); the group's starting
     * offset is a cumulative sum over the DISTINCT per-group totals
-    * (slim: one row per occupied group, windowed per outerCols)
+    * (the distinct's map-side partial agg collapses each window
+    * partition to one slim row before its exchange moves anything)
     * joined back on the group key — AQE broadcasts it at gate scale,
     * and at any scale it is group-count-sized, never unit-sized.
     */
@@ -334,21 +338,34 @@ object TextAnalysis {
     val w = Window.partitionBy(partAll: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // The unit frame is a DIAMOND: the running-sum window and the
+    // per-group offsets both consume it, and Spark's exchange reuse
+    // does not unify the two branches (measured on the composed
+    // training layout: the whole curate/LSH/chunk upstream planned
+    // TWICE — 28 scans, 66 exchanges, 0 reused). Persist the slim
+    // branch point (no text — token counts + keys only) for the one
+    // action that consumes the result; ScopedCache releases it after.
+    val cached = units.persist()
+    // grp_total rides the SAME partitioning as the running sum: one
+    // Exchange, two stacked Window operators
     val wg = Window.partitionBy(partAll: _*)
-    val local = units
+    val local = cached
       .withColumn("cum_local", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("grp_total", sum(col(tokenCol)).over(wg))
     val chain = Window.partitionBy(outerCols.map(col): _*).orderBy(col(groupCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the distinct's map-side partial aggregate collapses each window
+    // partition to one slim row before its exchange moves anything
     val offsets = local
       .select(partAll :+ col("grp_total"): _*).distinct()
       .withColumn("grp_offset", coalesce(sum(col("grp_total")).over(chain), lit(0L)))
       .select(partAll :+ col("grp_offset"): _*)
     val cum = col("grp_offset") + col("cum_local")
-    local.join(offsets, outerCols :+ groupCol)
+    val out = local.join(offsets, outerCols :+ groupCol)
       .withColumn("bin_id", floor(cum / lit(binTokens.toDouble)).cast("long"))
       .withColumn("bin_offset", cum % binTokens)
       .drop("cum_local", "grp_total", "grp_offset")
+    ScopedCache.releaseAfterAction(out, Seq(cached))
   }
 
   def fingerprints(docs: DataFrame): DataFrame = {
