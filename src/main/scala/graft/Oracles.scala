@@ -629,6 +629,29 @@ object Oracles {
       | md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** text_passage_dedup: per-doc boilerplate accounting — chunks (the
+    * [[textChunk]] CTE) whose md5 lands in ≥ 2 distinct docs are
+    * boilerplate; LEFT JOIN the boilerplate hash set back and count.
+    * CAST guards: DuckDB count/sum produce BIGINT/HUGEINT — pin both
+    * engines to BIGINT.
+    */
+  val textPassageDedup: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(ceil(len(toks)/24.0) AS BIGINT))) AS chunk_idx
+      |      FROM t WHERE len(toks) > 0),
+      |ch AS (SELECT doc_id,
+      |        CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_chunk_tokens,
+      |        md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_md5
+      |       FROM c),
+      |b AS (SELECT chunk_md5, TRUE AS is_boiler FROM ch
+      |      GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      | CAST(coalesce(sum(CASE WHEN b.is_boiler THEN 1 END), 0) AS BIGINT) AS n_boilerplate,
+      | CAST(coalesce(sum(CASE WHEN b.is_boiler IS NULL THEN n_chunk_tokens END), 0) AS BIGINT) AS kept_tokens
+      |FROM ch LEFT JOIN b USING (chunk_md5)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   /** text_pack: cumulative-offset packing into 512-token bins —
     * within-group running sums windowed over (source, pack_group),
     * CHAINED by the cumulative per-group totals so bins fill

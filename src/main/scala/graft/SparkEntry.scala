@@ -183,6 +183,7 @@ object SparkEntry {
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(Tables.documents(s, dir))),
+    "text_passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(Tables.documents(s, dir))),
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
@@ -247,6 +248,7 @@ object SparkEntry {
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
     "text_chunk" -> Oracles.textChunk,
+    "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,

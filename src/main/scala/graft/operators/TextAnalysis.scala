@@ -368,6 +368,51 @@ object TextAnalysis {
     ScopedCache.releaseAfterAction(out, Seq(cached))
   }
 
+  /** Repeated-passage (boilerplate) removal accounting — the
+    * corpus-level C4 rule ("drop any line occurring ≥ 3 times in the
+    * corpus") at this engine's passage granularity: a context-window
+    * chunk whose content hash appears in ≥ `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, licence
+    * headers — content repeated ACROSS documents is template, not
+    * signal; WITHIN-doc repetition is [[repetition]]'s job). Emits
+    * per-doc accounting (total / boilerplate / kept chunks and kept
+    * tokens) — the frame a curation pipeline filters and reports on.
+    *
+    * Granularity caveat: stride-anchored chunks only match when the
+    * shared passage sits at the same token offset modulo stride in
+    * both documents (C4's lines are newline-anchored and need no
+    * alignment). Exact-duplicate and common-prefix boilerplate —
+    * the dominant web cases — always align; mid-document shared
+    * passages at different offsets need the shingle-based
+    * [[graft.operators.Dedup.ngramLshPairs]] instead.
+    *
+    * Scale shape: map-side chunk fan-out → ONE partial-agg groupBy
+    * on the 16-byte hash → hash equi-join back (AQE broadcasts the
+    * boilerplate set when small, as in practice) → one doc_id
+    * groupBy. After the fan-out no shuffled row carries text — only
+    * (hash, ids, counts). The slim chunk frame is the same diamond
+    * as [[packByWindow]]'s and is persisted the same scoped way.
+    */
+  def passageDedup(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
+                   minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"boilerplate needs at least 2 docs, got $minDocs")
+    val chunks = chunkPieces(docs, chunkTokens, strideTokens)
+      .select(col("doc_id"), col("n_chunk_tokens"), col("chunk_md5")).persist()
+    val boiler = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_md5"), lit(true).as("is_boiler"))
+    val out = chunks.join(boiler, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("is_boiler"), 1L)), lit(0L)).as("n_boilerplate"),
+        coalesce(sum(when(col("is_boiler").isNull, col("n_chunk_tokens"))), lit(0L))
+          .as("kept_tokens"))
+      .orderBy(col("doc_id"))
+    ScopedCache.releaseAfterAction(out, Seq(chunks))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
     val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

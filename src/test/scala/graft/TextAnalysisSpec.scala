@@ -173,6 +173,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2.length == 1 && c2(0).getAs[Long]("n_chunk_tokens") == 2L)
   }
 
+  test("passage dedup: chunks shared across docs are boilerplate; within-doc repeats are not") {
+    // chunk 4 / stride 4 (no overlap, for countable chunks):
+    // docs 1 and 2 share an identical aligned 4-token passage
+    // ("nav bar home login"); doc 3 repeats its own passage twice
+    // (within-doc — NOT boilerplate); doc 4 is all-unique
+    val shared = "nav bar home login"
+    val d = Seq(
+      (1L, s"$shared u11 u12 u13 u14"),
+      (2L, s"$shared u21 u22 u23 u24"),
+      (3L, "rep rep2 rep3 rep4 rep rep2 rep3 rep4"),
+      (4L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = TextAnalysis.passageDedup(d, chunkTokens = 4, strideTokens = 4, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[Long]("kept_tokens"))).toMap
+    assert(out(1L) == ((2L, 1L, 4L)), s"doc 1: shared passage flagged, got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 4L)), s"doc 2: shared passage flagged, got ${out(2L)}")
+    // doc 3's repeat lives in ONE doc → count(DISTINCT doc) = 1 < 2
+    assert(out(3L) == ((2L, 0L, 8L)), s"doc 3: within-doc repeat kept, got ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, 6L)), s"doc 4: unique doc untouched, got ${out(4L)}")
+  }
+
   test("chunk invariants hold for every document in the corpus") {
     import org.apache.spark.sql.functions.{ceil => sqlCeil, col, countDistinct, lit, max, min, sum}
     val docs = Tables.documents(spark, sfDir)
