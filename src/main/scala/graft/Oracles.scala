@@ -691,4 +691,17 @@ object Oracles {
        |       ELSE '$lo' END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** sample_cap_source: keep the 15 lowest-md5 docs per source. The
+    * oracle uses the ONE-LEVEL window definition — the Spark side's
+    * two-level refinement must be result-identical to it (that IS the
+    * prefix-closure claim under test).
+    */
+  val sampleCapSource: String =
+    """WITH r AS (SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY md5('graft#' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 15 ORDER BY doc_id""".stripMargin
 }

@@ -188,6 +188,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
+    "sample_cap_source" -> ((s, dir) =>
+      Sampling.capPerStratum(Tables.documents(s, dir), maxDocs = 15)),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
     "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
@@ -253,6 +255,7 @@ object SparkEntry {
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,
     "sample_split" -> Oracles.sampleSplit,
-    "sample_stratified" -> Oracles.sampleStratified
+    "sample_stratified" -> Oracles.sampleStratified,
+    "sample_cap_source" -> Oracles.sampleCapSource
   )
 }

@@ -81,4 +81,40 @@ object Sampling {
       .select(col(idCol), col(stratumCol))
       .orderBy(col(idCol))
   }
+
+  /** Deterministic per-stratum document cap — the "domain cap" web
+    * curation applies so no single source dominates the mixture: keep
+    * the `maxDocs` docs per stratum with the LOWEST md5(salt || id),
+    * the same selector family as [[split]]/[[stratifiedSample]], so
+    * the kept set is engine/run/partitioning-stable and redrawable by
+    * salt. Unlike a fraction, the cap is EXACT: heavy strata keep
+    * exactly `maxDocs`, light strata keep everything.
+    *
+    * Scale shape: a naive row_number over (stratum) serializes each
+    * stratum into ONE window task — the heaviest domain becomes the
+    * job's straggler. Keep-lowest-N is PREFIX-CLOSED under any
+    * refinement of the ranking partitioning (a stratum's lowest N are
+    * a subset of the union of its subgroups' lowest N), so level 1
+    * ranks within (stratum, first-2-hex-chars subgroup) — 256
+    * hash-uniform bounded partitions per stratum — and level 2 ranks
+    * only the ≤ 256·maxDocs survivors. The same two-level device as
+    * [[TextAnalysis.packByWindow]]'s pack groups; both windows
+    * shuffle slim (id, stratum, hash) rows only.
+    */
+  def capPerStratum(df: DataFrame, maxDocs: Int, stratumCol: String = "source",
+                    idCol: String = "doc_id", salt: String = "graft#"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val pre = df.select(col(idCol), col(stratumCol))
+      .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
+    val w1 = Window.partitionBy(col(stratumCol), substring(col("h"), 1, 2))
+      .orderBy(col("h"), col(idCol))
+    val survivors = pre.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= maxDocs).drop("r1")
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    survivors.withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= maxDocs)
+      .select(col(idCol), col(stratumCol), col("rnk"))
+      .orderBy(col(idCol))
+  }
 }

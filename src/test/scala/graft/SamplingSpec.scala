@@ -43,6 +43,38 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexThreshold(0.75, 2) == "c0")
   }
 
+  test("capPerStratum: exact cap, light strata untouched, two-level ≡ one-level window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // src0..src3 carry 500 docs each; src_light only 7 — under any cap
+    val light = (9000L until 9007L).map(i => (i, "src_light")).toDF("doc_id", "source")
+    val d = docs.unionByName(light)
+    val out = Sampling.capPerStratum(d, maxDocs = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Seq("src0", "src1", "src2", "src3").forall(bySrc(_) == 20),
+      s"heavy strata keep exactly the cap, got $bySrc")
+    assert(bySrc("src_light") == 7, "light stratum keeps everything")
+    assert(out.forall { case (_, _, r) => r >= 1 && r <= 20 })
+    // the prefix-closure claim: the two-level refinement returns
+    // EXACTLY the one-level stratum-wide window's lowest-20 set
+    val oneLevel = d
+      .withColumn("h", md5(concat(lit("graft#"), col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("source"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.toSet == oneLevel, "two-level ranking must be result-identical")
+    // determinism + salt redraw
+    val again = Sampling.capPerStratum(d, maxDocs = 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    val redrawn = Sampling.capPerStratum(d, maxDocs = 20, salt = "other#").collect()
+      .map(_.getLong(0)).toSet
+    assert(redrawn != out.map(_._1).toSet, "salt must redraw the kept set")
+  }
+
   test("sampling plans are pure map-side (no shuffle before the output sort)") {
     val plan = Sampling.stratifiedSample(docs).queryExecution.executedPlan.toString
     // one Exchange allowed: the final rangepartitioning for ORDER BY
