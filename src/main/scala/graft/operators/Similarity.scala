@@ -286,6 +286,168 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Persist an IVF index as a metastore layout — the vector-path
+    * twin of [[Dedup.writeNgramLshIndex]]: at 100 TB the corpus is
+    * embedded ONCE and queried by every batch after it, so the
+    * quantization must be paid at write time, not per query batch.
+    *
+    *  - `<name>_lists` (c_id, cv, cn; PARTITIONED by cluster): the
+    *    inverted lists. Directory partitioning on the cluster id is
+    *    the point — a probe join on `cluster` dynamic-partition-
+    *    prunes every unprobed list, so a query batch READS only the
+    *    nprobe/nlist fraction of the corpus it ranks (spec-pinned
+    *    via the plan's dynamicpruning filter);
+    *  - `<name>_ids` (c_id, bucketed by c_id): the append-idempotence
+    *    anti-join probe, shuffle-free on the stored side by layout;
+    *  - `<name>_centroids` / `<name>_meta`: the trained coarse
+    *    quantizer (k rows) and geometry, read back by query/append so
+    *    a batch can never probe with mismatched centroids.
+    *
+    * Centroids are FROZEN at build (standard IVF practice: appended
+    * vectors quantize against the build-time codebook; retrain =
+    * rewrite). Training is [[KMeans.lloyd]] with the same
+    * deterministic init as [[ivfTopK]] — an index built and queried
+    * with equal geometry returns bit-identical rankings to the
+    * in-memory path (spec-pinned).
+    */
+  def writeIvfIndex(embeddings: DataFrame, name: String, dim: Int = 64, nlist: Int = 16,
+                    iters: Int = 2, buckets: Int = 32): Unit = {
+    import graft.operators.KMeans
+    import graft.sources.Sinks
+    import org.apache.spark.sql.SaveMode
+    val spark = embeddings.sparkSession
+    val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val (assigned0, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
+    // same geometry rule as ivfTopK: lists must be built against the
+    // FINAL centroids the queries will probe, not lloyd's
+    // pre-final-update assignment
+    val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
+    val lists = assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
+      .withColumn("cn", l2norm(col("cv")))
+    lists.select(col("c_id"), col("cv"), col("cn"), col("cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("cluster").saveAsTable(s"${name}_lists")
+    Sinks.writeBucketed(lists.select(col("c_id")), s"${name}_ids", Seq("c_id"), buckets,
+      SaveMode.Overwrite)
+    import spark.implicits._
+    cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_centroids")
+    Seq((dim, nlist, buckets)).toDF("dim", "nlist", "buckets")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${name}_meta")
+  }
+
+  /** Stored-index geometry + codebook, read BY NAME with an
+    * exactly-one-row meta guard (same contract as the LSH index's
+    * meta reader — positional reads would miswire silently).
+    */
+  private def ivfIndexMeta(spark: org.apache.spark.sql.SparkSession, name: String)
+  : (Int, Int, Int, Seq[(Long, Array[Double])]) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1,
+      s"${name}_meta must hold exactly one geometry row, got ${rows.length}")
+    val m = rows(0)
+    val cents = spark.table(s"${name}_centroids").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Seq[Double]]("centroid").toArray))
+      .sortBy(_._1).toSeq
+    (m.getAs[Int]("dim"), m.getAs[Int]("nlist"), m.getAs[Int]("buckets"), cents)
+  }
+
+  /** Query a stored IVF index ([[writeIvfIndex]]): each query ranks
+    * only the vectors in its `nprobe` nearest lists. Queries carry
+    * (vec_id, embedding); a query id also present in the corpus is
+    * excluded as self (the [[ivfTopK]] convention, so the two paths
+    * compare row-for-row).
+    *
+    * Scale shape: the probe frame is queries×nprobe slim rows,
+    * broadcast; the lists scan is DYNAMIC-PARTITION-PRUNED by the
+    * broadcast join to exactly the probed clusters — I/O ∝ probed
+    * volume, not index size. Centroid distances are a codegen'd
+    * literal-array expression (nlist × dim doubles — driver-bounded
+    * by the codebook, the same bound [[ivfTopK]] carries).
+    */
+  def ivfAgainstIndex(queries: DataFrame, name: String, nprobe: Int = 4, k: Int = 5)
+  : DataFrame = {
+    val spark = queries.sparkSession
+    val (_, _, _, cents) = ivfIndexMeta(spark, name)
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe must be in [1, ${cents.length}], got $nprobe")
+    val q = queries.select(col("vec_id").cast("long").as("q_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val distStructs = array(cents.map { case (cid, c) =>
+      struct(l2sq(col("qv"), typedlit(c)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val probed = transform(slice(array_sort(distStructs), 1, nprobe), s => s.getField("cid"))
+    val qp = q.withColumn("cluster", explode(probed))
+    val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
+    spark.table(s"${name}_lists").join(broadcast(qp), Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosFs(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))).as("cos_fs"))
+      .withColumn("rnk", row_number().over(byQ).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Fold new vectors into a stored IVF index without rebuilding:
+    * quantize ONLY the incoming batch against the frozen codebook and
+    * append its list and id rows. IDEMPOTENT — already-indexed
+    * vec_ids are skipped via an anti-join probing the c_id-bucketed
+    * ids table (shuffle-free on the stored side by layout), so crash
+    * retries and at-least-once upstreams cannot inflate lists.
+    * Append cost ∝ batch size, never index size.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, name: String): Unit = {
+    import graft.operators.KMeans
+    import graft.sources.Sinks
+    import org.apache.spark.sql.SaveMode
+    val spark = newVectors.sparkSession
+    val (_, _, buckets, cents) = ivfIndexMeta(spark, name)
+    val pts = newVectors.select(col("vec_id").cast("long").as("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val fresh = pts.join(spark.table(s"${name}_ids"),
+      pts("vec_id") === col("c_id"), "left_anti")
+    val (cl, _) = KMeans.assignExpr(col("v"), cents)
+    val rows = fresh
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), cl.as("cluster"))
+      .withColumn("cn", l2norm(col("cv")))
+      .persist() // feeds the lists insert AND the ids append
+    // insertInto is positional; the partition column sits LAST in a
+    // partitioned table's schema
+    rows.select(col("c_id"), col("cv"), col("cn"), col("cluster"))
+      .write.mode(SaveMode.Append).insertInto(s"${name}_lists")
+    Sinks.writeBucketed(rows.select(col("c_id")), s"${name}_ids", Seq("c_id"), buckets,
+      SaveMode.Append)
+    rows.unpersist(false)
+  }
+
+  /** Rewrite the stored lists so each cluster directory holds ONE
+    * file again (appends add a file per touched partition per batch).
+    * Costs one cluster-keyed shuffle of the lists — unlike the
+    * bucketed-table compaction ([[graft.sources.Sinks.compactBucketed]])
+    * a directory-partitioned layout carries no task-aligned read to
+    * exploit, and the rewrite is the rare maintenance pass. Same
+    * non-atomic write-tmp → drop → rename swap; single-writer
+    * ownership assumed. The ids table compacts zero-shuffle.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.SaveMode
+    val (_, _, buckets, _) = ivfIndexMeta(spark, name)
+    val tmp = s"${name}_lists__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(s"${name}_lists").repartition(col("cluster"))
+      .select(col("c_id"), col("cv"), col("cn"), col("cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("cluster").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE ${name}_lists")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${name}_lists")
+    Sinks.compactBucketed(spark, s"${name}_ids", Seq("c_id"), buckets)
+  }
+
   /** LSH-bucketed approximate top-k: per query, rank candidates that
     * collide with it in ≥1 of `tables` independent sign-pattern hash
     * tables (standard multi-table SRP amplification — see
