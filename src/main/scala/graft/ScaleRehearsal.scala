@@ -116,6 +116,7 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", s"$outBase/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -222,6 +223,15 @@ object ScaleRehearsal {
           probes = 4))),
       timed("ann_ivf")(hits(
         Similarity.ivfTopK(emb, dim = 64, nlist = 32, nprobe = 8, nQueries = 50, k = 10))),
+      // stored IVF: pay quantization at WRITE time, then query with
+      // DPP-pruned list reads — same geometry as ann_ivf, so stored
+      // hits must EQUAL ann_ivf's (frozen codebook = same centroids)
+      timed("ivf_index_build")({
+        Similarity.writeIvfIndex(emb, "ivfidx_rehearsal", nlist = 32)
+        spark.table("ivfidx_rehearsal_lists").count()
+      }),
+      timed("ivf_index_query")(hits(Similarity.ivfAgainstIndex(
+        emb.filter(col("vec_id") < 50), "ivfidx_rehearsal", nprobe = 8, k = 10))),
       // production-threshold vector dedup (τ = 0.8): PLANES MUST
       // SCALE ~log2(n) — the textbook LSH sizing this rehearsal
       // enforces empirically. At n = 100k the corpus has 5e9
