@@ -232,6 +232,20 @@ object ScaleRehearsal {
       }),
       timed("ivf_index_query")(hits(Similarity.ivfAgainstIndex(
         emb.filter(col("vec_id") < 50), "ivfidx_rehearsal", nprobe = 8, k = 10))),
+      // production-geometry stored IVF: nlist = 4√n (the FAISS rule via
+      // suggestIvfGeometry) exceeds the literal-codebook range at any
+      // rehearsal scale, so these phases exercise the BROADCAST
+      // build/probe path — the one a 10⁶+-vector corpus must take
+      timed("ivf_largek_build")({
+        val (nl, _) = Similarity.suggestIvfGeometry(nVecs)
+        Similarity.writeIvfIndex(emb, "ivfidx_largek", nlist = nl)
+        spark.table("ivfidx_largek_lists").count()
+      }),
+      timed("ivf_largek_query")({
+        val (_, np) = Similarity.suggestIvfGeometry(nVecs)
+        hits(Similarity.ivfAgainstIndex(
+          emb.filter(col("vec_id") < 50), "ivfidx_largek", nprobe = np, k = 10))
+      }),
       // production-threshold vector dedup (τ = 0.8): PLANES MUST
       // SCALE ~log2(n) — the textbook LSH sizing this rehearsal
       // enforces empirically. At n = 100k the corpus has 5e9

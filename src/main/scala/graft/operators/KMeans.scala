@@ -69,6 +69,71 @@ object KMeans {
       .collect().sortBy(_.getLong(0))
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getDouble(1), r.getDouble(2)) }.toSeq
 
+  /** Nearest-centroid assignment for LARGE codebooks. [[assignExpr]]
+    * compiles k×dim literal constants into the projection — the right
+    * call to a few hundred centroids (whole-stage codegen, zero
+    * broadcast), but a 4096-list IVF codebook (the nlist ≈ 4√n rule
+    * at n = 10⁶) overflows JVM method/constant-pool limits and falls
+    * back to interpreted expressions. This variant BROADCASTS the
+    * codebook once and computes the argmin in a flat JVM loop per
+    * partition (the MLlib shape): O(k·dim) multiply-adds per row, no
+    * expression blowup, cost independent of k at plan-compile time.
+    *
+    * Bit-parity with [[assignExpr]] is deliberate and spec-pinned:
+    * the distance accumulates dimensions in the same order (same IEEE
+    * result) and strict `<` keeps the FIRST minimum (lowest cid wins
+    * ties, centroids kept cid-sorted) — so the two paths are
+    * interchangeable at any k where both run.
+    */
+  def assignBroadcast(points: DataFrame, idCol: String, vecCol: String,
+                      centroids: Centroids): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "assignBroadcast needs a non-empty codebook")
+    val bc = spark.sparkContext.broadcast(
+      (centroids.map(_._1).toArray, centroids.map(_._2).toArray))
+    points.select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (cids, cents) = bc.value
+        it.map { case (id, vSeq) =>
+          val v = vSeq.toArray
+          var bestI = 0
+          var bestD = Double.PositiveInfinity
+          var i = 0
+          while (i < cents.length) {
+            val c = cents(i)
+            var d = 0.0
+            var j = 0
+            while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; bestI = i }
+            i += 1
+          }
+          (id, vSeq, cids(bestI), bestD)
+        }
+      }
+      .toDF("id", "v", "cluster", "d")
+  }
+
+  /** [[lloyd]] with the broadcast-codebook assignment — identical
+    * contract and (spec-pinned) identical output; use when k is past
+    * the literal-expression range (see [[assignBroadcast]]).
+    */
+  def lloydBroadcast(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+                     dim: Int): (DataFrame, Centroids) = {
+    require(iters >= 1, s"lloyd needs at least one round, got iters=$iters")
+    val pts = Par.spread(points)
+      .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+      .cache()
+    var centroids = initCentroids(pts, "id", "v", k)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignBroadcast(pts, "id", "v", centroids)
+      centroids = updateCentroids(assigned, "v", dim)
+    }
+    (scopedAssignment(assigned, pts), centroids)
+  }
+
   /** One Lloyd update: per-cluster mean rounded to 6 dp. The agg
     * ships k×dim partials per partition — broadcast-scale.
     */

@@ -310,21 +310,50 @@ object Similarity {
     * with equal geometry returns bit-identical rankings to the
     * in-memory path (spec-pinned).
     */
+  /** Largest codebook the literal-expression path compiles well: past
+    * a few hundred centroids the k×dim constants overflow JVM
+    * method/constant-pool limits and Catalyst falls back to
+    * interpretation — build, append, and probe all switch to the
+    * broadcast-codebook JVM loop ([[KMeans.assignBroadcast]]) above
+    * this, bit-parity spec-pinned. nlist ≈ 4√n puts the crossover
+    * near n ≈ 1000² = 10⁶ vectors.
+    */
+  private[graft] val LiteralCodebookMax = 128
+
+  /** The FAISS sizing guideline as a function: nlist ≈ 4√n (lists of
+    * ~√n/4 vectors balance quantizer cost against list-scan cost),
+    * nprobe ≈ nlist/8 with a floor of 8 (recall is corpus-dependent —
+    * this is the starting point, [[annRecall]] is the measurement).
+    */
+  def suggestIvfGeometry(n: Long): (Int, Int) = {
+    require(n > 0, s"need n > 0, got $n")
+    val nlist = math.max(16, math.min(65536, (4 * math.sqrt(n.toDouble)).toInt))
+    (nlist, math.min(math.max(8, nlist / 8), nlist))
+  }
+
   def writeIvfIndex(embeddings: DataFrame, name: String, dim: Int = 64, nlist: Int = 16,
-                    iters: Int = 2, buckets: Int = 32): Unit = {
+                    iters: Int = 2, buckets: Int = 32,
+                    literalMax: Int = LiteralCodebookMax): Unit = {
     import graft.operators.KMeans
     import graft.sources.Sinks
     import org.apache.spark.sql.SaveMode
     val spark = embeddings.sparkSession
     val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
-    val (assigned0, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
+    val literal = nlist <= literalMax
+    val (assigned0, cents) =
+      if (literal) KMeans.lloyd(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
+      else KMeans.lloydBroadcast(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
     // same geometry rule as ivfTopK: lists must be built against the
     // FINAL centroids the queries will probe, not lloyd's
     // pre-final-update assignment
-    val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
-    val lists = assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
-      .withColumn("cn", l2norm(col("cv")))
+    val lists = (if (literal) {
+      val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
+      assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
+    } else {
+      KMeans.assignBroadcast(assigned0.select(col("id"), col("v")), "id", "v", cents)
+        .select(col("id").as("c_id"), col("v").as("cv"), col("cluster"))
+    }).withColumn("cn", l2norm(col("cv")))
     lists.select(col("c_id"), col("cv"), col("cn"), col("cluster"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy("cluster").saveAsTable(s"${name}_lists")
@@ -367,8 +396,8 @@ object Similarity {
     * literal-array expression (nlist × dim doubles — driver-bounded
     * by the codebook, the same bound [[ivfTopK]] carries).
     */
-  def ivfAgainstIndex(queries: DataFrame, name: String, nprobe: Int = 4, k: Int = 5)
-  : DataFrame = {
+  def ivfAgainstIndex(queries: DataFrame, name: String, nprobe: Int = 4, k: Int = 5,
+                      literalMax: Int = LiteralCodebookMax): DataFrame = {
     val spark = queries.sparkSession
     val (_, _, _, cents) = ivfIndexMeta(spark, name)
     require(nprobe >= 1 && nprobe <= cents.length,
@@ -376,11 +405,7 @@ object Similarity {
     val q = queries.select(col("vec_id").cast("long").as("q_id"),
         toDoubleArray(col("embedding")).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    val distStructs = array(cents.map { case (cid, c) =>
-      struct(l2sq(col("qv"), typedlit(c)).as("d"), lit(cid).as("cid"))
-    }: _*)
-    val probed = transform(slice(array_sort(distStructs), 1, nprobe), s => s.getField("cid"))
-    val qp = q.withColumn("cluster", explode(probed))
+    val qp = probeClusters(q, cents, nprobe, literalMax)
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
     spark.table(s"${name}_lists").join(broadcast(qp), Seq("cluster"))
       .filter(col("c_id") =!= col("q_id"))
@@ -392,6 +417,61 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** nprobe-nearest-centroid expansion of a (q_id, qv, qn) query
+    * frame → (q_id, qv, qn, cluster) rows, nprobe per query. Two
+    * paths with pinned-identical results ([[LiteralCodebookMax]]):
+    * the literal path sorts (distance, cid) structs lexicographically
+    * in one codegen'd expression; the broadcast path runs a bounded
+    * insertion over the broadcast codebook with the SAME (d, cid)
+    * order, so ties break identically.
+    */
+  private def probeClusters(q: DataFrame, cents: Seq[(Long, Array[Double])],
+                            nprobe: Int, literalMax: Int): DataFrame = {
+    if (cents.length <= literalMax) {
+      val distStructs = array(cents.map { case (cid, c) =>
+        struct(l2sq(col("qv"), typedlit(c)).as("d"), lit(cid).as("cid"))
+      }: _*)
+      val probed = transform(slice(array_sort(distStructs), 1, nprobe), s => s.getField("cid"))
+      q.withColumn("cluster", explode(probed))
+    } else {
+      val spark = q.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(
+        (cents.map(_._1).toArray, cents.map(_._2).toArray))
+      val take = math.min(nprobe, cents.length)
+      q.select(col("q_id"), col("qv"), col("qn")).as[(Long, Seq[Double], Double)]
+        .mapPartitions { it =>
+          val (cids, cs) = bc.value
+          it.flatMap { case (qid, qvSeq, qn) =>
+            val qv = qvSeq.toArray
+            val bestD = Array.fill(take)(Double.PositiveInfinity)
+            val bestC = Array.fill(take)(Long.MaxValue)
+            var i = 0
+            while (i < cs.length) {
+              val c = cs(i)
+              var d = 0.0
+              var j = 0
+              while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+              val cid = cids(i)
+              var pos = take
+              while (pos > 0 &&
+                  (d < bestD(pos - 1) || (d == bestD(pos - 1) && cid < bestC(pos - 1))))
+                pos -= 1
+              if (pos < take) {
+                var m = take - 1
+                while (m > pos) { bestD(m) = bestD(m - 1); bestC(m) = bestC(m - 1); m -= 1 }
+                bestD(pos) = d
+                bestC(pos) = cid
+              }
+              i += 1
+            }
+            (0 until take).iterator.map(p => (qid, qvSeq, qn, bestC(p)))
+          }
+        }
+        .toDF("q_id", "qv", "qn", "cluster")
+    }
+  }
+
   /** Fold new vectors into a stored IVF index without rebuilding:
     * quantize ONLY the incoming batch against the frozen codebook and
     * append its list and id rows. IDEMPOTENT — already-indexed
@@ -400,7 +480,8 @@ object Similarity {
     * retries and at-least-once upstreams cannot inflate lists.
     * Append cost ∝ batch size, never index size.
     */
-  def appendToIvfIndex(newVectors: DataFrame, name: String): Unit = {
+  def appendToIvfIndex(newVectors: DataFrame, name: String,
+                       literalMax: Int = LiteralCodebookMax): Unit = {
     import graft.operators.KMeans
     import graft.sources.Sinks
     import org.apache.spark.sql.SaveMode
@@ -410,10 +491,13 @@ object Similarity {
       toDoubleArray(col("embedding")).as("v"))
     val fresh = pts.join(spark.table(s"${name}_ids"),
       pts("vec_id") === col("c_id"), "left_anti")
-    val (cl, _) = KMeans.assignExpr(col("v"), cents)
-    val rows = fresh
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), cl.as("cluster"))
-      .withColumn("cn", l2norm(col("cv")))
+    val rows = (if (cents.length <= literalMax) {
+      val (cl, _) = KMeans.assignExpr(col("v"), cents)
+      fresh.select(col("vec_id").as("c_id"), col("v").as("cv"), cl.as("cluster"))
+    } else {
+      KMeans.assignBroadcast(fresh, "vec_id", "v", cents)
+        .select(col("id").as("c_id"), col("v").as("cv"), col("cluster"))
+    }).withColumn("cn", l2norm(col("cv")))
       .persist() // feeds the lists insert AND the ids append
     // insertInto is positional; the partition column sits LAST in a
     // partitioned table's schema

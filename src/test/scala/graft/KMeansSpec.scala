@@ -40,6 +40,31 @@ class KMeansSpec extends SparkSpec {
       KMeans.metrics(a2).collect().map(_.toSeq).toSeq)
   }
 
+  test("broadcast-codebook assignment is bit-identical to the literal-expression path") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    // full lloyd parity: same init, same rounds -> same centroids and
+    // same (id, cluster, d) triples, bit for bit
+    val (aL, cL) = KMeans.lloyd(emb, "vec_id", "embedding", 5, 2, 64)
+    val (aB, cB) = KMeans.lloydBroadcast(emb, "vec_id", "embedding", 5, 2, 64)
+    assert(cL.map { case (i, c) => (i, c.toSeq) } == cB.map { case (i, c) => (i, c.toSeq) },
+      "centroids must agree between literal and broadcast Lloyd")
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("cluster"), col("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(triples(aL) == triples(aB),
+      "assignments and distances must be bit-identical (same summation order, same tie-break)")
+    // tie-break parity on an exact tie: equidistant point goes to the
+    // LOWEST cid on both paths
+    val cents: KMeans.Centroids = Seq((0L, Array(0.0, 0.0)), (1L, Array(2.0, 0.0)))
+    val pts = Seq((7L, Seq(1.0, 0.0))).toDF("id", "v")
+    val bTriple = KMeans.assignBroadcast(pts, "id", "v", cents)
+      .select(col("cluster")).head().getLong(0)
+    val (clExpr, _) = KMeans.assignExpr(col("v"), cents)
+    val lTriple = pts.select(clExpr.as("cluster")).head().getLong(0)
+    assert(bTriple == 0L && lTriple == 0L, "exact ties must break to the lowest cid on both paths")
+  }
+
   test("lloydConverged stops early on an easy corpus and reports the round count") {
     val (assigned, cents, rounds) = KMeans.lloydConverged(
       toyPoints.select(col("id"), array(col("x"), col("y")).as("v")),

@@ -240,6 +240,32 @@ class SimilaritySpec extends SparkSpec {
       "compaction must not change results")
   }
 
+  test("large-codebook IVF: broadcast build/probe/append path is result-identical to literal") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    // literalMax = 0 forces the broadcast-codebook path at a codebook
+    // size where the literal path also runs - the two stored indexes
+    // must then answer identically
+    Similarity.writeIvfIndex(emb, "ivflit_spec", nlist = 8, buckets = 8)
+    Similarity.writeIvfIndex(emb, "ivfbc_spec", nlist = 8, buckets = 8, literalMax = 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("cos_fs"))).toSeq
+    val lit = rows(Similarity.ivfAgainstIndex(queries, "ivflit_spec", nprobe = 3, k = 5))
+    val bc = rows(Similarity.ivfAgainstIndex(queries, "ivfbc_spec", nprobe = 3, k = 5,
+      literalMax = 0))
+    assert(lit == bc, s"broadcast-path index must answer exactly like the literal one")
+    // cross-path: broadcast PROBE against the literal-built index
+    val cross = rows(Similarity.ivfAgainstIndex(queries, "ivflit_spec", nprobe = 3, k = 5,
+      literalMax = 0))
+    assert(cross == lit, "broadcast probing must pick the same clusters as the literal sort")
+    // sizing rule shape: nlist tracks 4*sqrt(n) within clamps, nprobe nlist/8 floored at 8
+    assert(Similarity.suggestIvfGeometry(100L) == ((40, 8)))
+    assert(Similarity.suggestIvfGeometry(1000000L) == ((4000, 500)))
+    assert(Similarity.suggestIvfGeometry(1L) == ((16, 8)))
+  }
+
   test("ann recall gate: both approximate methods clear the 0.8 bar vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val rows = Similarity.annRecall(emb).collect()
