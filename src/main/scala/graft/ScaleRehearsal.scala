@@ -246,25 +246,37 @@ object ScaleRehearsal {
         hits(Similarity.ivfAgainstIndex(
           emb.filter(col("vec_id") < 50), "ivfidx_largek", nprobe = np, k = 10))
       }),
-      // production-threshold vector dedup (τ = 0.8): PLANES MUST
-      // SCALE ~log2(n) — the textbook LSH sizing this rehearsal
-      // enforces empirically. At n = 100k the corpus has 5e9
-      // background pairs; an 8-plane table admits 2^-8 of them
-      // (~235M distinct candidates — the first run of this phase
-      // filled the disk inside the vector-carrying verify join). 17
-      // planes ≈ log2(n) admit 5e9·2^-17 ≈ 40k per table, so
-      // candidate volume stays ∝ true-dup count. Recall at the
-      // planted cos ≈ 0.94 is bought back with tables — and THIS is
-      // where multi-probe pays most: 8 tables probing 8 buckets each
-      // match 16 single-probed on the conservative model
-      // (srpMultiProbeCollisionProb(0.94, 17, 8, 8) = 0.904 vs
-      // single-probe 0.903) at HALF the banded index state — and
-      // query-directed probing realizes ABOVE the model (measured in
-      // PERF.md).
-      timed("cosine_lsh_single")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 16,
-        thresholdFs = 8000L, probes = 1).count()),
-      timed("cosine_lsh_probed")(Dedup.cosineLsh(emb, dim = 64, planes = 17, tables = 8,
-        thresholdFs = 8000L, probes = 8).count())
+      // production-threshold vector dedup (τ = 0.8): geometry DERIVED
+      // per scale via suggestSrpGeometry — planes ≈ log2(n) bounds
+      // each table's background admission at ≈ n/2 candidates. This
+      // lesson has now been paid for TWICE: r8's first run took an
+      // sf0.1-coupled 8-plane geometry to n = 10⁵ (2⁻⁸ of 5·10⁹
+      // pairs — disk full), and the r9 1M run took r8's hand-derived
+      // 17-plane geometry to n = 10⁶ (2⁻¹⁷ of 5·10¹¹ pairs ≈ 3.8M per
+      // table × 8 tables × two-sided probing — disk full again).
+      // Hand-coupled geometry rots at the next scale-up; the sizing
+      // function is the fix, and at n = 10⁵ it reproduces r8's
+      // hand-derived 17 planes / 16 single-probe tables exactly.
+      // Recall at the planted cos ≈ 0.94 is bought with tables, and
+      // multi-probe pays most here: the probed geometry clears the
+      // same 0.9 model with a fraction of the single-probe tables
+      // (= banded index state), trading candidate-join width.
+      timed("cosine_lsh_single")({
+        val (pl, _, _) = Similarity.suggestSrpGeometry(nVecs, 0.94)
+        val singleTables = (1 to 64)
+          .find(t => Similarity.srpCollisionProb(0.94, pl, t) >= 0.9).getOrElse(64)
+        System.err.println(s"[rehearsal] cosine geometry: $pl planes, " +
+          s"single $singleTables tables")
+        Dedup.cosineLsh(emb, dim = 64, planes = pl, tables = singleTables,
+          thresholdFs = 8000L, probes = 1).count()
+      }),
+      timed("cosine_lsh_probed")({
+        val (pl, tb, pr) = Similarity.suggestSrpGeometry(nVecs, 0.94)
+        System.err.println(s"[rehearsal] cosine geometry probed: $pl planes, $tb tables, " +
+          s"$pr probes")
+        Dedup.cosineLsh(emb, dim = 64, planes = pl, tables = tb,
+          thresholdFs = 8000L, probes = pr).count()
+      })
     )
 
     // planted truth the volumes must be consistent with: the mega
