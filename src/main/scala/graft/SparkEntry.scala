@@ -130,6 +130,11 @@ object SparkEntry {
     // SQL-expressible; sample-truth semantics are spec-pinned)
     "multimodal_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(Multimodal.audioPayloads(Tables.documents(s, dir)))),
+    // REAL video codec path: synthesized valid YUV4MPEG2 streams
+    // parsed frame-by-frame (rows-only — planar-frame decode isn't
+    // SQL-expressible; luma-truth semantics are spec-pinned)
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.decodeVideo(Multimodal.videoPayloads(Tables.documents(s, dir)))),
 
     // ---- beyond §2: corpus-level pipeline ops ----
     "dedup_apply" -> ((s, dir) => {

@@ -591,6 +591,34 @@ object Dedup {
     Sinks.compactBucketed(spark, s"${name}_grams", Seq("doc_id"), buckets)
   }
 
+  /** RETRACT docs from a stored index ([[writeNgramLshIndex]]) — the
+    * lifecycle step append and compaction don't cover: takedowns,
+    * opt-outs, and license retractions must STOP seeding candidate
+    * pairs, not merely stop being emitted downstream. Implemented as
+    * the same zero-shuffle per-bucket rewrite as compaction with a
+    * broadcast anti-join against the delete set folded in — each
+    * task reads one bucket's files, drops the retracted doc_ids, and
+    * writes the bucket back as one file, so a delete pass IS a
+    * compaction pass (retries are idempotent: deleting an absent
+    * doc_id is a no-op).
+    *
+    * Contract: `docIds` is a bounded retraction list (broadcast to
+    * every rewrite task). Retraction sets in crawl pipelines are
+    * orders of magnitude below corpus size; a retraction so large it
+    * can't broadcast is a rebuild ([[writeNgramLshIndex]]), not a
+    * delete. Cost is one index rewrite (∝ index size, zero shuffle)
+    * regardless of |docIds| — batch retractions and run one pass.
+    */
+  def deleteFromNgramLshIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                              docIds: DataFrame): Unit = {
+    import graft.sources.Sinks
+    val (_, _, _, buckets, _) = indexMeta(spark, name)
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val drop = (df: DataFrame) => df.join(ids, Seq("doc_id"), "left_anti")
+    Sinks.rewriteBucketed(spark, s"${name}_bands", Seq("band", "bucket", "pg"), buckets, drop)
+    Sinks.rewriteBucketed(spark, s"${name}_grams", Seq("doc_id"), buckets, drop)
+  }
+
   /** Fold accepted docs into a stored index ([[writeNgramLshIndex]])
     * WITHOUT rebuilding it — the step after an incremental crawl
     * passes its dedup gate: sign only the new docs, append their band

@@ -521,15 +521,54 @@ object Similarity {
     import graft.sources.Sinks
     import org.apache.spark.sql.SaveMode
     val (_, _, buckets, _) = ivfIndexMeta(spark, name)
+    rewriteIvfLists(spark, name, identity)
+    Sinks.compactBucketed(spark, s"${name}_ids", Seq("c_id"), buckets)
+  }
+
+  /** The in-place lists rewrite behind compaction and retraction:
+    * write-tmp → drop → rename, then RECOVER PARTITIONS — the rename
+    * moves the directory and updates the TABLE location, but each
+    * partition's catalog entry still points at the old tmp path, so
+    * without recovery every later scan silently reads ZERO rows
+    * (probed on Spark 4.1; count-preservation is spec-pinned against
+    * exactly this).
+    */
+  private def rewriteIvfLists(spark: org.apache.spark.sql.SparkSession, name: String,
+                              transform: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.SaveMode
     val tmp = s"${name}_lists__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    spark.table(s"${name}_lists").repartition(col("cluster"))
+    transform(spark.table(s"${name}_lists")).repartition(col("cluster"))
       .select(col("c_id"), col("cv"), col("cn"), col("cluster"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy("cluster").saveAsTable(tmp)
     spark.sql(s"DROP TABLE ${name}_lists")
     spark.sql(s"ALTER TABLE $tmp RENAME TO ${name}_lists")
-    Sinks.compactBucketed(spark, s"${name}_ids", Seq("c_id"), buckets)
+    spark.sql(s"MSCK REPAIR TABLE ${name}_lists")
+  }
+
+  /** RETRACT vectors from a stored IVF index — the vector-path twin
+    * of [[graft.operators.Dedup.deleteFromNgramLshIndex]]: retracted
+    * embeddings (takedowns, re-embedded docs) must stop surfacing as
+    * neighbors, not merely be filtered downstream. The lists rewrite
+    * rides the same cluster-keyed compaction pass with a broadcast
+    * anti-join folded in (a delete IS a compaction; absent vec_ids
+    * are a no-op, so retries are idempotent); the ids table rewrites
+    * zero-shuffle per bucket. The frozen codebook is untouched —
+    * deletes thin lists but never move centroids, the same contract
+    * as append (re-train = rebuild via [[writeIvfIndex]]).
+    *
+    * Contract: `vecIds` is a bounded retraction list (broadcast); a
+    * retraction too large to broadcast is a rebuild, not a delete.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                         vecIds: DataFrame): Unit = {
+    import graft.sources.Sinks
+    val (_, _, buckets, _) = ivfIndexMeta(spark, name)
+    val ids = broadcast(vecIds.select(col("vec_id").cast("long").as("c_id")).distinct())
+    rewriteIvfLists(spark, name, df => df.join(ids, Seq("c_id"), "left_anti"))
+    Sinks.rewriteBucketed(spark, s"${name}_ids", Seq("c_id"), buckets,
+      df => df.join(ids, Seq("c_id"), "left_anti"))
   }
 
   /** LSH-bucketed approximate top-k: per query, rank candidates that

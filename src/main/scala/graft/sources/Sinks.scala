@@ -104,7 +104,23 @@ object Sinks {
     * single-writer maintenance windows.
     */
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
-                      buckets: Int): Unit = {
+                      buckets: Int): Unit =
+    rewriteBucketed(spark, table, bucketCols, buckets, identity)
+
+  /** The general in-place bucketed rewrite behind [[compactBucketed]]:
+    * scan the table bucket-aligned, apply `transform` (which must
+    * PRESERVE the hash partitioning — a broadcast anti-join or a
+    * filter does; a shuffle-inducing transform would re-fragment the
+    * layout), and write each bucket back as one file. This is how a
+    * plain-parquet metastore expresses row-level maintenance — the
+    * compaction pass (identity transform) and the retraction pass
+    * (anti-join against a bounded delete set) are the same rewrite.
+    *
+    * Swap is write-tmp → drop → rename: not atomic — callers own
+    * single-writer maintenance windows.
+    */
+  def rewriteBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
+                      buckets: Int, transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(autoKey)
@@ -112,7 +128,8 @@ object Sinks {
     try {
       val tmp = s"${table}__compact"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      writeBucketed(spark.table(table).repartition(buckets, bucketCols.map(col): _*),
+      writeBucketed(
+        transform(spark.table(table)).repartition(buckets, bucketCols.map(col): _*),
         tmp, bucketCols, buckets, SaveMode.Overwrite)
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")

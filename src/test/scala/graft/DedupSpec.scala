@@ -566,6 +566,28 @@ class DedupSpec extends SparkSpec {
     assert(widthsCompacted.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
       "compacted bands table must keep the shuffle-free layout")
+
+    // RETRACTION: deleted doc_ids must stop seeding candidates — and
+    // ONLY they may disappear; the rewrite must keep the layout
+    import spark.implicits._
+    val retract = later.take(3).toSeq
+    Dedup.deleteFromNgramLshIndex(spark, "lshidx_spec", retract.toDF("doc_id"))
+    val afterDelete = Dedup.ngramLshAgainstIndex(laterBatch, "lshidx_spec", thresholdFs = 10000L)
+      .select(col("id_in")).distinct().collect().map(_.getLong(0)).toSet
+    assert(afterDelete == later -- retract,
+      s"delete must remove exactly the retracted ids (diff ${(afterDelete -- (later -- retract)).take(5)})")
+    assert(spark.table("lshidx_spec_grams").filter(col("doc_id").isin(retract: _*)).count() == 0,
+      "retracted gram rows must be physically gone")
+    // idempotent: deleting an absent id is a no-op
+    val rowsAfter = spark.table("lshidx_spec_bands").count()
+    Dedup.deleteFromNgramLshIndex(spark, "lshidx_spec", retract.toDF("doc_id"))
+    assert(spark.table("lshidx_spec_bands").count() == rowsAfter,
+      "re-deleting retracted ids must change nothing")
+    val widthsDeleted = spark.table("lshidx_spec_bands")
+      .groupBy(col("band"), col("bucket"), col("pg")).count()
+    assert(widthsDeleted.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "post-delete bands table must keep the shuffle-free layout")
   }
 
   test("stored-index candidate join: only the incoming batch shuffles, never the bands table") {

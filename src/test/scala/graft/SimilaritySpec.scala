@@ -228,7 +228,15 @@ class SimilaritySpec extends SparkSpec {
         .filter(_.getName.startsWith("part-"))
     }
     val filesBefore = listFiles().size
+    val rowsBeforeCompact = spark.table("ivfidx_spec_lists").count()
     Similarity.compactIvfIndex(spark, "ivfidx_spec")
+    // count preservation FIRST: the partitioned-table rename leaves
+    // partition catalog entries pointing at the dropped tmp path, so
+    // without MSCK recovery the table silently reads ZERO rows — and
+    // an empty==empty result comparison would pass vacuously (the r9
+    // defect this line exists to catch)
+    assert(spark.table("ivfidx_spec_lists").count() == rowsBeforeCompact,
+      "compaction must preserve every list row")
     assert(listFiles().size < filesBefore,
       s"compaction must shrink the lists file count ($filesBefore -> ${listFiles().size})")
     val afterCompact = rows(Similarity.ivfAgainstIndex(queries, "ivfidx_spec", nprobe = 3, k = 5))
@@ -238,6 +246,29 @@ class SimilaritySpec extends SparkSpec {
     assert(afterCompact == rows(
       Similarity.ivfAgainstIndex(queries, "ivfidx_spec", nprobe = 3, k = 5)),
       "compaction must not change results")
+
+    // RETRACTION: a deleted vector must stop surfacing as a neighbor
+    // — and only it; the codebook stays frozen so surviving rankings
+    // are unchanged except where the deleted id held a slot
+    import spark.implicits._
+    val victim = stored.head._3 // a c_id that provably ranks for some query
+    Similarity.deleteFromIvfIndex(spark, "ivfidx_spec", Seq(victim).toDF("vec_id"))
+    val afterDelete = rows(Similarity.ivfAgainstIndex(queries, "ivfidx_spec", nprobe = 8, k = 500))
+    assert(!afterDelete.exists(_._3 == victim), "retracted vector must never surface")
+    assert(afterDelete.map(t => (t._1, t._3, t._4)).toSet ==
+      fullProbe.filter(_._3 != victim).map(t => (t._1, t._3, t._4)).toSet,
+      "delete must remove exactly the retracted vector's rows (scores untouched)")
+    assert(spark.table("ivfidx_spec_ids").filter(col("c_id") === victim).count() == 0,
+      "retracted id must be gone from the ids table")
+    // idempotent: re-deleting is a no-op; appending the victim back
+    // re-indexes it (the ids anti-join no longer blocks it)
+    val listsAfterDelete = spark.table("ivfidx_spec_lists").count()
+    Similarity.deleteFromIvfIndex(spark, "ivfidx_spec", Seq(victim).toDF("vec_id"))
+    assert(spark.table("ivfidx_spec_lists").count() == listsAfterDelete,
+      "re-deleting a retracted id must change nothing")
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") === victim), "ivfidx_spec")
+    assert(spark.table("ivfidx_spec_lists").count() == listsAfterDelete + 1,
+      "a retracted id must be re-appendable after delete")
   }
 
   test("large-codebook IVF: broadcast build/probe/append path is result-identical to literal") {

@@ -157,6 +157,78 @@ class SourcesSpec extends SparkSpec {
     assert(out(3L) == ((2L, 100L, 12L, 10000L, 32768L)), "stereo frame accounting")
   }
 
+  test("video payloads are genuine Y4M streams; real parse recovers planted frame truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(0L, 1L, 27L, 91L).toDF("doc_id")
+    val mm = Multimodal.videoPayloads(docs)
+    // the payloads open with the YUV4MPEG2 stream magic, not a fake
+    mm.select(col("doc_id"), col("payload")).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(new String(b, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2",
+        s"doc ${r.getLong(0)}: payload lacks the YUV4MPEG2 signature")
+    }
+    val out = Multimodal.decodeVideo(mm).collect()
+    val meta = mm.select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    meta.foreach { case (id, (w, h, nf)) =>
+      val fr = out.filter(_.getAs[Long]("doc_id") == id)
+      // container-truth frame count, dimensions, and 25fps timestamps
+      // must equal the metadata CLAIM
+      assert(fr.length == nf.toInt, s"doc $id: ${fr.length} frames vs meta $nf")
+      fr.foreach { d =>
+        assert(d.getAs[Long]("width") == w && d.getAs[Long]("height") == h,
+          s"doc $id: decoded ${d.getAs[Long]("width")}×${d.getAs[Long]("height")} vs meta $w×$h")
+        assert(d.getAs[Long]("n_frames") == nf)
+        assert(d.getAs[Long]("ts_ms") == d.getAs[Long]("frame_idx") * 40L, "25 fps → 40 ms/frame")
+        // hash-mixed planes: mean luma concentrates at 127.5/255 ≈ fs 5000
+        val luma = d.getAs[Long]("mean_luma_fs")
+        assert(luma > 4000L && luma < 6000L, s"doc $id: mean_luma_fs $luma not near 5000")
+      }
+    }
+    // determinism: same ids → identical per-frame checksums across invocations
+    val again = Multimodal.decodeVideo(Multimodal.videoPayloads(docs)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        r.getAs[Long]("y_checksum")).toMap
+    out.foreach { r =>
+      assert(again((r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"))) ==
+        r.getAs[Long]("y_checksum"))
+    }
+  }
+
+  test("decodeVideo recovers exact planted luma statistics from hand-built Y4M containers") {
+    import spark.implicits._
+    // hand-encode Y4M OUTSIDE the operator under test
+    def y4m(w: Int, h: Int, chroma: String, frameLumas: Seq[Int]): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      baos.write(s"YUV4MPEG2 W$w H$h F30000:1001 Ip A1:1 C$chroma\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val cb = if (chroma == "444") 2 * w * h else 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      frameLumas.foreach { luma =>
+        baos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        (0 until w * h).foreach(_ => baos.write(luma))
+        (0 until cb).foreach(_ => baos.write(128)) // neutral chroma
+      }
+      baos.toByteArray
+    }
+    val mm = Seq(
+      (1L, y4m(2, 2, "444", Seq(0, 255))),      // black frame then white frame
+      (2L, y4m(4, 2, "420jpeg", Seq(51)))       // 4:2:0 subsampled chroma, luma 0.2
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideo(mm).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[Long]("width"), r.getAs[Long]("height"), r.getAs[Long]("n_frames"),
+          r.getAs[Long]("ts_ms"), r.getAs[Long]("mean_luma_fs"))).toMap
+    // NTSC 30000/1001 fps: frame 1 lands at floor(1000·1001/30000) = 33 ms
+    assert(out((1L, 0L)) == ((2L, 2L, 2L, 0L, 0L)), "black frame: zero luminance")
+    assert(out((1L, 1L)) == ((2L, 2L, 2L, 33L, 10000L)), "white frame: full luminance")
+    // 4:2:0: chroma planes are quarter-size — a mis-sized chroma skip
+    // would fail the parser's FRAME bounds check, so passing here pins
+    // the subsampled plane arithmetic
+    assert(out((2L, 0L)) == ((4L, 2L, 1L, 0L, 2000L)), "4:2:0 luma 51/255 = fs 2000")
+  }
+
   test("frame sampling fans one payload row into nFrames deterministic frame rows") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
