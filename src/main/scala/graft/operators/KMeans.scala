@@ -267,17 +267,25 @@ object KMeans {
     * of [[lloyd]] without the returned-assignment cache scoping
     * (callers here want just the k×dim literal, not the assignment,
     * so the input cache is released eagerly when training ends
-    * instead of riding a listener).
+    * instead of riding a listener). Past `literalMax` centroids the
+    * assign pass switches to the broadcast-codebook loop
+    * ([[assignBroadcast]], bit-parity spec-pinned), same as the IVF
+    * build path.
     */
-  private def trainCentroids(pts: DataFrame, k: Int, iters: Int): Centroids = {
+  private[graft] def trainCentroids(pts: DataFrame, k: Int, iters: Int,
+                                    literalMax: Int = Int.MaxValue): Centroids = {
     val cached = Par.spread(pts).cache()
     try {
       var cents = initCentroids(cached, "id", "v", k)
       if (iters > 0) {
         val dim = cents.head._2.length
         for (_ <- 1 to iters) {
-          val (cl, _) = assignExpr(col("v"), cents)
-          cents = updateCentroids(cached.select(col("v"), cl.as("cluster")), "v", dim)
+          val assigned =
+            if (k <= literalMax) {
+              val (cl, _) = assignExpr(col("v"), cents)
+              cached.select(col("v"), cl.as("cluster"))
+            } else assignBroadcast(cached, "id", "v", cents).select(col("v"), col("cluster"))
+          cents = updateCentroids(assigned, "v", dim)
         }
       }
       cents

@@ -425,8 +425,8 @@ object Similarity {
     * insertion over the broadcast codebook with the SAME (d, cid)
     * order, so ties break identically.
     */
-  private def probeClusters(q: DataFrame, cents: Seq[(Long, Array[Double])],
-                            nprobe: Int, literalMax: Int): DataFrame = {
+  private[graft] def probeClusters(q: DataFrame, cents: Seq[(Long, Array[Double])],
+                                   nprobe: Int, literalMax: Int): DataFrame = {
     if (cents.length <= literalMax) {
       val distStructs = array(cents.map { case (cid, c) =>
         struct(l2sq(col("qv"), typedlit(c)).as("d"), lit(cid).as("cid"))
