@@ -29,7 +29,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the metrics JSON from the
+    // process tail, and a stray WARN interleaved near the final line
+    // broke the r9 capture (BENCH_r09 "parsed": null)
+    spark.sparkContext.setLogLevel("ERROR")
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     // SPARK_GRAFT_BENCH_KEYS=a,b,c isolates keys when profiling a hot
     // operator on this noisy host (unset = the full driver contract)

@@ -104,9 +104,17 @@ object RelationalRehearsal {
       dateCol(id % DateSpan).as("o_orderdate"),
       pick(Priorities, id % 5).as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // l_suppkey derives from the ORDER (not the line id): with
+    // 25 | nSupp and 25 | nCust this makes s_nationkey =
+    // l_orderkey mod 25 = c_nationkey on every line, so q5's
+    // local-supplier join is satisfiable for all 25 nations (the
+    // old `id % nSupp` coupled supplier nation to lineid mod 25
+    // while customer nation rode lineid div 4 — the congruence
+    // 3q+r ≡ 0 (mod 25), r ≤ 3 excluded every ASIA nation and q5
+    // returned 0 rows at every scale)
     spark.range(sz.nLine).select(expr("id div 4").as("l_orderkey"),
       (id % (20000L * sz.s)).as("l_partkey"),
-      (id % sz.nSupp).as("l_suppkey"),
+      (expr("id div 4") % sz.nSupp).as("l_suppkey"),
       (id % 4 + 1).cast("int").as("l_linenumber"),
       (id % 50 + 1).cast("double").as("l_quantity"),
       (lit(900L) + id % 100000).cast("double").as("l_extendedprice"),
@@ -230,10 +238,17 @@ object RelationalRehearsal {
     check("q4_counts", q4.forall(_.getAs[Long]("n_cust") == sz.nCust / 25),
       q4.map(_.getAs[Long]("n_cust")).distinct.mkString(","))
 
-    // q5: the 5 ASIA nations (regionkey 2) all see revenue
+    // q5: every line is a local-supplier line by construction, so
+    // exactly the 5 ASIA nations (n_nationkey ≡ 2 mod 5) see
+    // revenue > 0. Revenue VALUES are money aggregates — per the
+    // exactness rule they belong to the sf0.01 DuckDB oracle, not
+    // the closed form.
     val q5 = Relational.q5MultiJoin(spark, dir).collect()
+    val asiaNations = Set(2, 7, 12, 17, 22).map(n => s"NATION$n")
     check("q5_asia", q5.length == 5 &&
-      q5.forall(_.getAs[Double]("revenue") > 0), s"${q5.length} rows")
+      q5.map(_.getAs[String]("n_name")).toSet == asiaNations &&
+      q5.forall(_.getAs[Double]("revenue") > 0),
+      s"${q5.length} rows: ${q5.map(_.getAs[String]("n_name")).mkString(",")}")
 
     // q6: custkey < 200 → 200 customers × nOrders/nCust orders each;
     // the max rank within each customer IS that per-customer count
@@ -301,10 +316,14 @@ object RelationalRehearsal {
     val phaseJson = phases.map { case (p, sec) => s""""$p":${fmt(sec)}""" }
       .mkString("{", ",", "}")
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val allPass = checks.values.forall(identity)
     println(s"""{"metric":"relational_rehearsal","s":$s,"n_lineitem":${sz.nLine},""" +
       s""""n_orders":${sz.nOrders},"n_customers":${sz.nCust},"n_events":${sz.nEvents},""" +
-      s""""all_checks_pass":${checks.values.forall(identity)},""" +
+      s""""all_checks_pass":$allPass,""" +
       s""""checks":$checkJson,"phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
+    // a rehearsal whose failure cannot fail anything is no rehearsal:
+    // propagate check failures to the exit code
+    if (!allPass) sys.exit(1)
   }
 }

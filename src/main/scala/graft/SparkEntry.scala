@@ -107,7 +107,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_ngram_lsh" -> ((s, dir) => Dedup.ngramLsh(Tables.documents(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
-    "dedup_cosine_lsh" -> ((s, dir) => Dedup.cosineLsh(Tables.embeddings(s, dir))),
+    // the benchmark pins the fixed coupled geometry (7×8×4) so its
+    // operating point stays comparable round over round; the operator
+    // DEFAULT now derives per corpus via suggestSrpGeometry (r10)
+    "dedup_cosine_lsh" -> ((s, dir) => Dedup.cosineLsh(Tables.embeddings(s, dir),
+      planes = 7, tables = 8, probes = 4)),
     "sim_topk_cosine" -> ((s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir))),
     "sim_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),

@@ -355,29 +355,46 @@ object Dedup {
     * own quantiles prune weakly no matter the geometry (ρ → 1 as
     * p1 → p2), and the EXACT low-τ path is [[embedCosine]].
     *
-    * Sizing for YOUR corpus: the default geometry is coupled to the
-    * benchmark scale; at other (n, τ, recall) targets call
-    * [[Similarity.suggestSrpGeometry]] — planes must grow ~log2(n)
-    * or background candidates swamp the verify join (measured: an
-    * sf0.1-tuned 8-plane geometry at n = 10⁵ admits 2⁻⁸ of 5·10⁹
-    * background pairs — see PERF.md round-8 rehearsal).
+    * Sizing for YOUR corpus: geometry left at the 0-sentinels is
+    * DERIVED per corpus — n = count(embeddings) fed through
+    * [[Similarity.suggestSrpGeometry]] at the caller's verify
+    * threshold, the rule the 100k and 1M rehearsals paid for twice
+    * (planes must grow ~log2(n) or background candidates swamp the
+    * verify join: an sf0.1-tuned 8-plane geometry at n = 10⁵ admits
+    * 2⁻⁸ of 5·10⁹ background pairs — disk full, PERF.md rounds 8–9).
+    * The derivation REFUSES (IllegalArgumentException) when the
+    * threshold sits too close to the background for any geometry
+    * within the table budget to prune — a loud stop instead of the
+    * silent disk-fill; the exact path for those thresholds is
+    * [[embedCosine]]. The benchmark gate pins the fixed coupled
+    * (7 × 8 × 4) explicitly ([[graft.SparkEntry]]) so its measured
+    * operating point stays comparable round over round. Pass either
+    * ALL THREE of planes/tables/probes or none — a half-specified
+    * geometry is rejected (deriving around a hand-picked member
+    * would silently decouple the s-curve from the threshold).
     */
-  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 7, tables: Int = 8,
-                thresholdFs: Long = 3000L, probes: Int = 4): DataFrame = {
+  def cosineLsh(embeddings: DataFrame, dim: Int = 64, planes: Int = 0, tables: Int = 0,
+                thresholdFs: Long = 3000L, probes: Int = 0): DataFrame = {
     import graft.operators.{Similarity => Sim}
-    require(probes >= 1 && probes <= planes + 1, s"probes must be in [1, planes+1], got $probes")
+    val explicitGeometry = Seq(planes, tables, probes).count(_ > 0)
+    require(explicitGeometry == 0 || explicitGeometry == 3,
+      s"pass all of planes/tables/probes or none (got planes=$planes tables=$tables probes=$probes)")
     // persist: feeds the bucket explode and both verify-join sides
     val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pl, tb, pr) =
+      if (explicitGeometry == 3) (planes, tables, probes)
+      else Sim.suggestSrpGeometry(math.max(2L, e.count()), thresholdFs / 10000.0)
+    require(pr >= 1 && pr <= pl + 1, s"probes must be in [1, planes+1], got $pr")
     // slim (id, table, bucket) rows — vectors never ride the explode
-    val bucketStructs = array((0 until tables).map { t =>
-      struct(lit(t).as("band"), Sim.srpBucketSeeded(col("v"), dim, planes, s"t$t#").as("bucket"))
+    val bucketStructs = array((0 until tb).map { t =>
+      struct(lit(t).as("band"), Sim.srpBucketSeeded(col("v"), dim, pl, s"t$t#").as("bucket"))
     }: _*)
     val banded = e.select(col("vec_id").as("doc_id"), explode(bucketStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val candidates =
-      if (probes == 1) candidatePairs(banded)
+      if (pr == 1) candidatePairs(banded)
       else {
         // probed leg: the exact bucket plus (probes−1) query-directed
         // one-bit flips (smallest-|margin| planes first —
@@ -387,7 +404,7 @@ object Dedup {
         // the triangle-salt split); an unordered pair surfaces
         // whenever EITHER member probes into the other's bucket,
         // canonicalized to (lo, hi) before the verify.
-        val qProbeStructs = Sim.srpProbeStructs(col("v"), dim, planes, tables, probes, "band")
+        val qProbeStructs = Sim.srpProbeStructs(col("v"), dim, pl, tb, pr, "band")
         val bandedProbed = e.select(col("vec_id").as("doc_id"), explode(qProbeStructs).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
         crossCandidatePairs(bandedProbed, banded)

@@ -27,6 +27,14 @@ import graft.functions.VectorFunctions._
   */
 object KMeans {
 
+  /** Past this many centroids the literal-expression assign pass
+    * overflows JVM method/constant-pool limits and Spark falls back
+    * to interpreted expressions — switch to the broadcast-codebook
+    * loop ([[assignBroadcast]]) instead. Shared with the IVF build
+    * (Similarity.LiteralCodebookMax aliases this).
+    */
+  private[graft] val LiteralCentroidMax = 128
+
   /** (cid, centroid-vector) list, kept sorted by cid. */
   type Centroids = Seq[(Long, Array[Double])]
   type Centroids2d = Seq[(Long, Double, Double)]
@@ -150,9 +158,14 @@ object KMeans {
     * centroids — exactly `iters` assign passes and `iters` updates,
     * matching the unrolled oracle SQL.
     */
-  def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int, dim: Int)
+  def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int, dim: Int,
+            literalMax: Int = LiteralCentroidMax)
   : (DataFrame, Centroids) = {
     require(iters >= 1, s"lloyd needs at least one round, got iters=$iters")
+    // past the codegen limit the literal assign pass degrades to
+    // interpreted expressions — hand off to the broadcast twin
+    // (identical output, spec-pinned)
+    if (k > literalMax) return lloydBroadcast(points, idCol, vecCol, k, iters, dim)
     // cache the projected points: every iteration re-reads them (same
     // reason MLlib KMeans caches its input — without this each of the
     // iters+1 jobs rescans the source)
@@ -319,24 +332,35 @@ object KMeans {
     *
     * Scale shape: `trainIters` bounded Lloyd passes (k rows per
     * partition shuffled each) + one narrow assign pass (k×dim literal
-    * centroids in the projection) + one shuffle on cluster for the
-    * window stats — the same single-exchange shape as every window
-    * family here.
+    * centroids in the projection up to `literalMax` clusters, the
+    * broadcast-codebook loop past it — bit-parity spec-pinned) + one
+    * shuffle on cluster for the window stats — the same
+    * single-exchange shape as every window family here.
     */
   def outliers(points: DataFrame, idCol: String, vecCol: String, k: Int,
-               zThresholdMilli: Long = 1000L, trainIters: Int = 3): DataFrame = {
+               zThresholdMilli: Long = 1000L, trainIters: Int = 3,
+               literalMax: Int = LiteralCentroidMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = points.select(col(idCol).cast("long").as("id"),
       toDoubleArray(col(vecCol)).as("v"))
-    val cents = trainCentroids(pts, k, trainIters)
-    val (cl, d) = assignExpr(col("v"), cents)
+    val cents = trainCentroids(pts, k, trainIters, literalMax)
     val byC = Window.partitionBy(col("cluster"))
     val muFs = col("s1").cast("double") / col("n")
     val varFs = (col("s2").cast("double") -
       col("s1").cast("double") * col("s1").cast("double") / col("n")) / (col("n") - 1)
     val z = lit(1000.0) * (col("d2_fs") - muFs) / sqrt(varFs)
-    pts.select(col("id").as("vec_id"), cl.as("cluster"),
-        round(d * 10000).cast("long").as("d2_fs"))
+    // final assign pass: same literal-vs-broadcast dispatch as
+    // training (cents.length, not k — empty clusters drop out)
+    val assigned =
+      if (cents.length <= literalMax) {
+        val (cl, d) = assignExpr(col("v"), cents)
+        pts.select(col("id").as("vec_id"), cl.as("cluster"),
+          round(d * 10000).cast("long").as("d2_fs"))
+      } else
+        assignBroadcast(pts, "id", "v", cents)
+          .select(col("id").as("vec_id"), col("cluster"),
+            round(col("d") * 10000).cast("long").as("d2_fs"))
+    assigned
       .withColumn("n", count(lit(1)).over(byC))
       .withColumn("s1", sum(col("d2_fs")).over(byC))
       .withColumn("s2", sum(col("d2_fs") * col("d2_fs")).over(byC))

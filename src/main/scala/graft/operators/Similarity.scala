@@ -318,7 +318,7 @@ object Similarity {
     * this, bit-parity spec-pinned. nlist ≈ 4√n puts the crossover
     * near n ≈ 1000² = 10⁶ vectors.
     */
-  private[graft] val LiteralCodebookMax = 128
+  private[graft] val LiteralCodebookMax = KMeans.LiteralCentroidMax
 
   /** The FAISS sizing guideline as a function: nlist ≈ 4√n (lists of
     * ~√n/4 vectors balance quantizer cost against list-scan cost),

@@ -237,7 +237,7 @@ class DedupSpec extends SparkSpec {
     pairs ++ bg
   }
 
-  test("multi-probe cosineLsh default recalls on par with the retired 15-table geometry at half the index") {
+  test("multi-probe cosineLsh benchmark coupling recalls on par with the retired 15-table geometry at half the index") {
     val corpus = plantedCosineCorpus(dim = 16, cosines = Seq(0.9, 0.7, 0.5),
       nPairs = 20, nBackground = 80)
     val emb = corpus.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
@@ -247,7 +247,10 @@ class DedupSpec extends SparkSpec {
         .intersect(planted)
     val retired = found(graft.operators.Dedup.cosineLsh(emb, dim = 16,
       planes = 6, tables = 15, probes = 1))
-    val current = found(graft.operators.Dedup.cosineLsh(emb, dim = 16))
+    // the gate's pinned benchmark coupling (no longer the operator
+    // default — that derives per corpus, pinned in the next spec)
+    val current = found(graft.operators.Dedup.cosineLsh(emb, dim = 16,
+      planes = 7, tables = 8, probes = 4))
     // model expectation over 20 pairs each of cos 0.9/0.7/0.5:
     // retired ≈ 20 + 18.9 + 15.0 ≈ 54, default ≈ 20 + 18.2 + 14.4 ≈ 53
     // (and query-directed probing realizes ABOVE the model — see
@@ -257,6 +260,31 @@ class DedupSpec extends SparkSpec {
     assert(current.size >= retired.size - 5,
       s"default (7×8×4) found ${current.size}, retired (6×15×1) found ${retired.size} — " +
         "multi-probe must hold recall parity at half the index")
+  }
+
+  test("cosineLsh with no geometry derives it from the corpus via suggestSrpGeometry") {
+    // r10: the operator default is DERIVED (the twice-paid rehearsal
+    // lesson — hand geometry rots at the next scale-up). Wiring pin:
+    // the no-geometry call must equal the call that passes the
+    // derivation's own output explicitly, bit for bit — and a
+    // half-specified geometry is rejected loudly.
+    val corpus = plantedCosineCorpus(dim = 16, cosines = Seq(0.9, 0.7), nPairs = 10,
+      nBackground = 40)
+    val emb = corpus.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val (p, t, pr) = graft.operators.Similarity.suggestSrpGeometry(corpus.size.toLong, 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.operators.Dedup.cosineLsh(emb, dim = 16)) ==
+      rows(graft.operators.Dedup.cosineLsh(emb, dim = 16, planes = p, tables = t, probes = pr)),
+      s"derived default must equal the explicit ($p×$t×$pr) call")
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.cosineLsh(emb, dim = 16, planes = 7))
+    // the rehearsal-verified operating point (planted cos ≈ 0.94):
+    // n = 10⁵ → 17 planes, and never more tables than the 16
+    // single-probe tables the r8 rehearsal hand-derived
+    val (p5, t5, _) = graft.operators.Similarity.suggestSrpGeometry(100000L, 0.94)
+    assert(p5 == 17 && t5 <= 16, s"n=1e5 cos=0.94 derived ($p5 planes, $t5 tables)")
+    val (p6, _, _) = graft.operators.Similarity.suggestSrpGeometry(1000000L, 0.94)
+    assert(p6 == 20, s"n=1e6 must derive ceil(log2 1e6) = 20 planes, got $p6")
   }
 
   test("multi-probe cosineLsh candidates are a superset at fixed geometry") {

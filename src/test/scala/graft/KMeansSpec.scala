@@ -153,6 +153,23 @@ class KMeansSpec extends SparkSpec {
     assert(graft.operators.KMeans.outliers(flat, "vec_id", "embedding", k = 2).collect().isEmpty)
   }
 
+  test("outliers via the broadcast-codebook path is bit-identical to the literal path") {
+    // literalMax = 0 forces BOTH training and the final assign pass
+    // onto assignBroadcast — the large-k route (k > 128) must produce
+    // the same flags, distances, and z-scores as the codegen'd
+    // literal-expression route it replaces (r9 left the final assign
+    // pass literal-only; this pins the end-to-end dispatch)
+    val emb = Tables.embeddings(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val literal = KMeans.outliers(emb, "vec_id", "embedding", k = 5, zThresholdMilli = 500L)
+    val bcast = KMeans.outliers(emb, "vec_id", "embedding", k = 5, zThresholdMilli = 500L,
+      literalMax = 0)
+    assert(rows(literal).nonEmpty, "fixture must flag at least one outlier to be probative")
+    assert(rows(literal) == rows(bcast),
+      "broadcast-path outliers must be bit-identical to the literal path")
+  }
+
   test("metrics sizes sum to the point count and wcss is nonnegative") {
     val (assigned, _) = KMeans.lloyd2d(toyPoints, "id", "x", "y", 2, 2)
     val m = KMeans.metrics(assigned).collect()
