@@ -365,6 +365,113 @@ object Similarity {
       .saveAsTable(s"${name}_centroids")
     Seq((dim, nlist, buckets)).toDF("dim", "nlist", "buckets")
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${name}_meta")
+    // build-time list stats — the drift baseline ivfDriftReport
+    // compares appends against (k rows; one bounded scan of the
+    // just-written lists)
+    ivfListStats(spark, name)
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_stats")
+  }
+
+  /** Current per-list occupancy and mean squared assign-distance of a
+    * stored IVF index: one row per CODEBOOK entry (empty lists show
+    * n = 0), mean_d2 = mean ‖v − centroid(list(v))‖² over the list's
+    * members — the observable quantization error. Distance rides a
+    * broadcast centroid join (k rows), never a literal expression, so
+    * the same plan serves any nlist. Cost: one scan of the lists
+    * table + a k-group aggregate — the maintenance-pass budget.
+    */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    val centsDf = spark.table(s"${name}_centroids")
+    // inner join broadcasts the k-row codebook (an outer join could
+    // only broadcast the BIG side — preserved-side rule), then the
+    // k-row left join re-admits empty lists at no cost
+    val occupied = spark.table(s"${name}_lists")
+      .join(broadcast(centsDf), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(col("c_id")).as("n0"),
+        avg(l2sq(col("cv"), col("centroid"))).as("d0"))
+    centsDf.select(col("cluster"))
+      .join(occupied, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n0"), lit(0L)).as("n"),
+        coalesce(col("d0"), lit(0.0)).as("mean_d2"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Codebook drift after appends/deletes: the frozen build-time
+    * codebook quantizes every appended vector, so when the corpus
+    * grows past the build distribution the lists skew and the mean
+    * assign-distance climbs — recall then degrades SILENTLY (queries
+    * probe nprobe lists sized for the build-time balance). This is
+    * the observable for "is the codebook still the corpus's
+    * codebook": one summary row comparing now vs build —
+    *
+    *   n_build / n_now           corpus growth since build
+    *   skew_build / skew_now     max/mean list occupancy (1 = balanced)
+    *   mean_d2_build / mean_d2_now   corpus-weighted quantization error
+    *   dist_growth, skew_growth  the ratios the threshold rule reads
+    *
+    * Threshold rule ([[ivfNeedsRecluster]], the documented default):
+    * recluster when mean_d2 grows past 1.5× build or occupancy skew
+    * past 2× build. Both proxies move together under genuine
+    * distribution shift (a new mass far from every centroid lands in
+    * few lists AND far from their centroids); the OR keeps either
+    * failure mode loud on its own.
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    def summary(stats: DataFrame): (Long, Double, Double) = {
+      val r = stats.agg(
+        sum(col("n")).as("n_total"),
+        (max(col("n")) / avg(col("n"))).as("skew"),
+        (sum(col("n") * col("mean_d2")) / sum(col("n"))).as("mean_d2")).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (nB, skewB, d2B) = summary(spark.table(s"${name}_stats"))
+    val (nN, skewN, d2N) = summary(ivfListStats(spark, name))
+    val eps = 1e-12
+    Seq((nB, nN, skewB, skewN, d2B, d2N,
+      d2N / math.max(d2B, eps), skewN / math.max(skewB, eps)))
+      .toDF("n_build", "n_now", "skew_build", "skew_now",
+        "mean_d2_build", "mean_d2_now", "dist_growth", "skew_growth")
+  }
+
+  /** The documented recluster trigger — see [[ivfDriftReport]] for
+    * the rule and its rationale. A crawl pipeline appending for
+    * months calls this after each batch (two bounded scans) and
+    * rebuilds via [[reclusterIvfIndex]] when it fires.
+    */
+  def ivfNeedsRecluster(spark: org.apache.spark.sql.SparkSession, name: String,
+                        maxDistGrowth: Double = 1.5, maxSkewGrowth: Double = 2.0): Boolean = {
+    val r = ivfDriftReport(spark, name).head()
+    r.getAs[Double]("dist_growth") > maxDistGrowth ||
+      r.getAs[Double]("skew_growth") > maxSkewGrowth
+  }
+
+  /** Retrain the codebook on the CURRENT stored corpus and rebuild
+    * the index in place: reads every (c_id, cv) back, stages it in a
+    * side table (the rebuild overwrites the tables it would otherwise
+    * still be reading), and reruns the full [[writeIvfIndex]] build —
+    * same nlist/buckets/dim from the index meta, fresh Lloyd
+    * training, fresh build-time stats baseline. Deliberately a FULL
+    * rebuild, not an incremental centroid nudge: recluster is the
+    * rare maintenance pass (the drift rule fires on real
+    * distribution shift, not per batch) and a partial refresh would
+    * leave lists and codebook mid-disagreement on failure. Same
+    * single-writer contract as compaction.
+    */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                        iters: Int = 2, literalMax: Int = LiteralCodebookMax): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val (dim, nlist, buckets, _) = ivfIndexMeta(spark, name)
+    val src = s"${name}_recluster_src"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.table(s"${name}_lists")
+      .select(col("c_id").as("vec_id"), col("cv").as("embedding"))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(src)
+    writeIvfIndex(spark.table(src), name, dim = dim, nlist = nlist, iters = iters,
+      buckets = buckets, literalMax = literalMax)
+    spark.sql(s"DROP TABLE $src")
   }
 
   /** Stored-index geometry + codebook, read BY NAME with an
@@ -526,25 +633,32 @@ object Similarity {
   }
 
   /** The in-place lists rewrite behind compaction and retraction:
-    * write-tmp → drop → rename, then RECOVER PARTITIONS — the rename
-    * moves the directory and updates the TABLE location, but each
-    * partition's catalog entry still points at the old tmp path, so
-    * without recovery every later scan silently reads ZERO rows
-    * (probed on Spark 4.1; count-preservation is spec-pinned against
-    * exactly this).
+    * stage the new generation as an EXTERNAL table at a versioned
+    * location, FLIP the live table to it with one `ALTER TABLE SET
+    * LOCATION` ([[graft.sources.Sinks.flipToGeneration]] — no drop,
+    * no rename, so a concurrent reader always resolves a live table),
+    * then RECOVER PARTITIONS: a partitioned table's per-partition
+    * catalog entries still point at the PREVIOUS generation until the
+    * MSCK completes — a reader in that window sees the old snapshot
+    * (whose directory is only deleted after the repair), never zero
+    * rows (the r9 rename-swap defect; count-preservation is
+    * spec-pinned against exactly this).
     */
   private def rewriteIvfLists(spark: org.apache.spark.sql.SparkSession, name: String,
                               transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.SaveMode
-    val tmp = s"${name}_lists__compact"
+    import graft.sources.Sinks
+    val table = s"${name}_lists"
+    val tmp = s"${table}__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    transform(spark.table(s"${name}_lists")).repartition(col("cluster"))
+    val (oldLoc, newLoc) = Sinks.nextGenLocation(spark, table)
+    transform(spark.table(table)).repartition(col("cluster"))
       .select(col("c_id"), col("cv"), col("cn"), col("cluster"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
+      .write.mode(SaveMode.Overwrite).format("parquet").option("path", newLoc)
       .partitionBy("cluster").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE ${name}_lists")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${name}_lists")
-    spark.sql(s"MSCK REPAIR TABLE ${name}_lists")
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newLoc'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    Sinks.flipCleanup(spark, tmp, oldLoc)
   }
 
   /** RETRACT vectors from a stored IVF index — the vector-path twin

@@ -100,8 +100,9 @@ object Sinks {
     * leaving misaligned tasks that re-fragment every bucket; probed
     * on Spark 4.1.)
     *
-    * Swap is write-tmp → drop → rename: not atomic — callers own
-    * single-writer maintenance windows.
+    * Swap is a versioned-location POINTER FLIP (see
+    * [[flipToGeneration]]) — a concurrent reader always resolves a
+    * live table (spec-pinned under a hammering reader thread).
     */
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
                       buckets: Int): Unit =
@@ -116,8 +117,13 @@ object Sinks {
     * compaction pass (identity transform) and the retraction pass
     * (anti-join against a bounded delete set) are the same rewrite.
     *
-    * Swap is write-tmp → drop → rename: not atomic — callers own
-    * single-writer maintenance windows.
+    * The new generation is written to a versioned location as an
+    * EXTERNAL staging table, then the live table FLIPS to it with one
+    * `ALTER TABLE SET LOCATION` — never dropped, never renamed, so a
+    * concurrent reader resolving the table by name always finds it
+    * (the r9 drop→rename swap had a missing-table window). See
+    * [[flipToGeneration]] for the residual race and the writer
+    * contract.
     */
   def rewriteBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
                       buckets: Int, transform: DataFrame => DataFrame): Unit = {
@@ -128,11 +134,63 @@ object Sinks {
     try {
       val tmp = s"${table}__compact"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      writeBucketed(
-        transform(spark.table(table)).repartition(buckets, bucketCols.map(col): _*),
-        tmp, bucketCols, buckets, SaveMode.Overwrite)
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      val (oldLoc, newLoc) = nextGenLocation(spark, table)
+      transform(spark.table(table)).repartition(buckets, bucketCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .format("parquet").option("path", newLoc)
+        .saveAsTable(tmp)
+      flipToGeneration(spark, table, tmp, oldLoc, newLoc)
     } finally spark.conf.set(autoKey, prev)
+  }
+
+  /** (current location, next generation's location) for a maintenance
+    * rewrite: generations are sibling directories `<base>__gN` so the
+    * live directory is never written into nor renamed away.
+    */
+  private[graft] def nextGenLocation(spark: SparkSession, table: String)
+  : (java.net.URI, String) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
+    val s = loc.toString.stripSuffix("/")
+    val i = s.lastIndexOf("__g")
+    val (base, gen) =
+      if (i > 0 && s.length > i + 3 && s.drop(i + 3).forall(_.isDigit))
+        (s.take(i), s.drop(i + 3).toLong + 1)
+      else (s, 1L)
+    (loc, s"${base}__g$gen")
+  }
+
+  /** The maintenance-swap commit: point the live table at the staged
+    * generation with ONE catalog operation (`ALTER TABLE SET
+    * LOCATION`), drop the external staging entry (metadata only — an
+    * external drop never touches data), and delete the previous
+    * generation's directory. A reader resolving the table BY NAME at
+    * any instant finds a live table over a complete generation — the
+    * catalog-level missing-table window of a drop→rename swap cannot
+    * occur. Residual race, documented: a reader that planned file
+    * handles against the OLD generation and is still mid-scan when
+    * its directory deletes will fail that scan — eliminating that too
+    * needs snapshot-isolated retention (keep N generations, vacuum
+    * later) or a transactional table format; single-WRITER ownership
+    * of maintenance passes remains the contract either way.
+    */
+  private[graft] def flipToGeneration(spark: SparkSession, table: String, stagingTable: String,
+                                      oldLoc: java.net.URI, newLoc: String): Unit = {
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newLoc'")
+    flipCleanup(spark, stagingTable, oldLoc)
+  }
+
+  /** The flip's second half, separated so partitioned tables can run
+    * their `MSCK REPAIR` between the location flip and the old
+    * generation's deletion (readers on stale partition entries read
+    * the old snapshot until the repair lands).
+    */
+  private[graft] def flipCleanup(spark: SparkSession, stagingTable: String,
+                                 oldLoc: java.net.URI): Unit = {
+    spark.sql(s"DROP TABLE $stagingTable")
+    val p = new org.apache.hadoop.fs.Path(oldLoc)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 }

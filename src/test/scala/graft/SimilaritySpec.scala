@@ -297,6 +297,88 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.suggestIvfGeometry(1L) == ((16, 8)))
   }
 
+  test("IVF codebook drift: skewed appends degrade recall, recluster restores it and resets the baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def v(parts: Double*): Array[Float] = parts.map(_.toFloat).toArray
+    def jit(i: Int): Double = (i % 5) * 0.05 - 0.1
+    // build corpus: two tight blobs on the ±x axis → codebook ≈ {P̄, Q̄}
+    val blobP = (100 to 119).map(i => (i.toLong, v(10.0 + jit(i), jit(i + 1), 0, 0)))
+    val blobQ = (120 to 139).map(i => (i.toLong, v(-10.0 + jit(i), jit(i + 2), 0, 0)))
+    // nlist = 3: the post-drift corpus has three natural blobs, so
+    // the recluster optimum is {P},{Q},{B} — at nlist = 2 even the
+    // GLOBAL optimum mirror-splits B (two symmetric mixed clusters
+    // cost less than {B},{P∪Q}), which is a codebook-capacity
+    // problem, not a drift problem
+    Similarity.writeIvfIndex((blobP ++ blobQ).toDF("vec_id", "embedding"),
+      "ivfdrift_spec", dim = 4, nlist = 3, buckets = 4)
+    val r0 = Similarity.ivfDriftReport(spark, "ivfdrift_spec").head()
+    assert(math.abs(r0.getAs[Double]("dist_growth") - 1.0) < 1e-9 &&
+      math.abs(r0.getAs[Double]("skew_growth") - 1.0) < 1e-9,
+      "fresh index must report unit growth against its own baseline")
+    assert(!Similarity.ivfNeedsRecluster(spark, "ivfdrift_spec"))
+
+    // drift: a NEW mass far from both centroids, straddling their
+    // boundary — members with x > 0 quantize into P's-side list,
+    // x < 0 into Q's, so the frozen codebook SPLITS a true neighbor
+    // cluster across lists (the silent-recall-decay failure mode).
+    // The x-offsets fan the members angularly with 0.1-steps and an
+    // asymmetric ±-side offset (0.5 vs 0.55): every cosine to the
+    // queries below is distinct by ≥ ~5 fs units at the top-5
+    // boundary (no floor knife-edges), and the TRUE top-5 provably
+    // interleaves both sides (ids 0,2,1,4,3 shaped)
+    val blobB = (0 to 39).map { i =>
+      val x = if (i % 2 == 0) 0.5 + 0.1 * (i / 2) else -(0.55 + 0.1 * (i / 2))
+      (i.toLong, v(x, 10.0, 0, 0))
+    }
+    Similarity.appendToIvfIndex(blobB.toDF("vec_id", "embedding"), "ivfdrift_spec")
+    val r1 = Similarity.ivfDriftReport(spark, "ivfdrift_spec").head()
+    assert(r1.getAs[Double]("dist_growth") > 10.0,
+      s"far-mass appends must explode mean assign-distance, got ${r1.getAs[Double]("dist_growth")}")
+    assert(Similarity.ivfNeedsRecluster(spark, "ivfdrift_spec"),
+      "the documented threshold rule must fire after the skewed append")
+
+    // recall@5 at nprobe=1 for B-targeted queries sitting just off
+    // the fan's axis: their true top-5 spans BOTH sides of the split
+    // (so the drifted index provably misses), vs exact truth ranked
+    // EXACTLY as ivfAgainstIndex ranks (floor-1e4 cos, id tie-break)
+    val queries = (0 to 3).map { i =>
+      (1000L + i, v(0.01 * (i + 1), 10.0, 0, 0))
+    }
+    val corpus = (blobP ++ blobQ ++ blobB).map { case (id, a) => (id, a.map(_.toDouble)) }
+    def cosFs(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(10000.0 * dot / (na * nb)).toLong
+    }
+    def trueTop5(q: Array[Float]): Set[Long] = {
+      val qd = q.map(_.toDouble)
+      corpus.map { case (id, cv) => (id, cosFs(qd, cv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }
+    def recallAtProbe1(): Double = {
+      val got = Similarity.ivfAgainstIndex(queries.toDF("vec_id", "embedding"),
+          "ivfdrift_spec", nprobe = 1, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map { case (qid, qv) =>
+        val t = trueTop5(qv)
+        got.getOrElse(qid, Set.empty[Long]).count(t.contains).toDouble / t.size
+      }.sum / queries.size
+    }
+    val before = recallAtProbe1()
+    Similarity.reclusterIvfIndex(spark, "ivfdrift_spec", iters = 8)
+    val after = recallAtProbe1()
+    assert(spark.table("ivfdrift_spec_lists").count() == 80,
+      "recluster must preserve every stored vector")
+    assert(before <= 0.8, s"drifted index should measurably miss at nprobe=1, recall $before")
+    assert(after > before && after >= 0.99,
+      s"recluster must restore nprobe=1 recall (before $before, after $after)")
+    assert(!Similarity.ivfNeedsRecluster(spark, "ivfdrift_spec"),
+      "recluster must reset the drift baseline")
+  }
+
   test("ann recall gate: both approximate methods clear the 0.8 bar vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val rows = Similarity.annRecall(emb).collect()

@@ -332,4 +332,55 @@ class SourcesSpec extends SparkSpec {
     val n = mm.filter(org.apache.spark.sql.functions.col("meta.n_bytes") > 100).count()
     assert(n > 0 && n < 500)
   }
+
+  test("maintenance flip keeps a concurrent reader on a live table through repeated compactions") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Sinks
+    val n = 10000L
+    Sinks.writeBucketed(
+      spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v")),
+      "flip_spec", Seq("k"), 8, SaveMode.Overwrite)
+    // hammer reads from another thread across many flip cycles. The
+    // r9 drop→rename swap had a catalog window where the table did
+    // not EXIST — any read planned inside it threw table-not-found.
+    // The SET LOCATION flip pins: every read resolves a live table
+    // and every completed count is the full row count. The one
+    // allowed failure class is the DOCUMENTED residual (a scan that
+    // planned the OLD generation's files and straddled its deletion
+    // — file-level, not catalog-level; see Sinks.flipToGeneration).
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicLong()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val c = spark.table("flip_spec").count()
+          if (c != n) failures.add(new AssertionError(s"read $c of $n rows"))
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t) }
+      }
+    })
+    reader.start()
+    try (1 to 6).foreach(_ => Sinks.compactBucketed(spark, "flip_spec", Seq("k"), 8))
+    finally { stop = true; reader.join(60000) }
+    def isResidualFileRace(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).exists { c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFound"))
+      }
+    val catalogFailures = failures.toArray(Array.empty[Throwable]).filterNot(isResidualFileRace)
+    assert(catalogFailures.isEmpty,
+      s"reads must never lose the table or see partial data: ${catalogFailures.headOption}")
+    assert(reads.get() > 0, "the reader thread must have completed reads during the flips")
+    // generations advance in place of drop→rename, old ones deleted
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("flip_spec")).location.toString
+    assert(loc.stripSuffix("/").endsWith("__g6"), s"6 flips must land on generation 6, got $loc")
+    val wh = new java.io.File(new java.net.URI(loc)).getParentFile
+    val gens = wh.listFiles().map(_.getName).filter(_.startsWith("flip_spec"))
+    assert(gens.sameElements(Array(s"flip_spec__g6")),
+      s"previous generations must be deleted, found ${gens.mkString(",")}")
+  }
 }

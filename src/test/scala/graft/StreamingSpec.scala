@@ -318,6 +318,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequence packing is batch-only: packing a stream is rejected at analysis, not silently wrong") {
+    // the documented compaction boundary (StreamingPipeline.chunkStream
+    // scaladoc): (bin_id, bin_offset) is a cumulative sum over ALL
+    // prior chunks of a (split, source) — unbounded state on an
+    // unbounded stream. This pin makes the boundary STRUCTURAL: if a
+    // future round wires pack's non-time window onto a streaming
+    // frame, Spark must refuse the plan up front (AnalysisException at
+    // start), not emit per-micro-batch offsets that silently restart
+    // at every arrival.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "text", "source")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      operators.TextAnalysis.pack(docs)
+        .writeStream.format("memory").queryName("spack").outputMode("append").start()
+    }
+    assert(e.getMessage.toLowerCase.contains("window") ||
+      e.getMessage.toLowerCase.contains("streaming"),
+      s"the refusal must name the streaming/window conflict: ${e.getMessage}")
+  }
+
   test("streaming curation CLI path: incremental file-stream runs land a partitioned curated corpus") {
     import java.nio.file.Files
     import spark.implicits._
