@@ -329,6 +329,40 @@ object Oracles {
        |FROM m3 GROUP BY cid ORDER BY cluster""".stripMargin
   }
 
+  /** dedup_semantic: the same 3 unrolled Lloyd rounds as
+    * kmeansLloydEmbed (trained centroids c3), a 4th assignment m4,
+    * then exact cosine on WITHIN-CLUSTER pairs only and the greedy
+    * keep-lowest-id rule — kept = 1 iff no lower-id same-cluster
+    * partner clears the threshold; drop_for = that lowest partner,
+    * −1 sentinel when kept (BIGINT 0/1 and −1 instead of booleans/
+    * NULLs so the dtype-strict hash compare has no cross-engine
+    * null/bool representation to disagree on).
+    */
+  val dedupSemantic: String = {
+    val iters = (1 to 3).map { i =>
+      val prev = if (i == 1) "init" else s"c${i - 1}"
+      assignEmb(s"d$i", s"m$i", prev) + ",\n" + updateEmb(s"c$i", s"m$i")
+    }.mkString(",\n")
+    s"""WITH $embFlat,
+       |$iters,
+       |${assignEmb("d4", "m4", "c3")},
+       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
+       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v*b.v) AS dp
+       |      FROM f a JOIN f b ON a.i=b.i AND a.vec_id < b.vec_id
+       |      JOIN m4 ma ON ma.vec_id = a.vec_id
+       |      JOIN m4 mb ON mb.vec_id = b.vec_id AND mb.cid = ma.cid
+       |      GROUP BY a.vec_id, b.vec_id),
+       |v AS (SELECT ia, ib FROM p
+       |      JOIN nr na ON na.vec_id = p.ia JOIN nr nb ON nb.vec_id = p.ib
+       |      WHERE CAST(floor(10000.0*(dp/(na.nrm*nb.nrm))) AS BIGINT) >= 3000),
+       |drp AS (SELECT ib AS vec_id, min(ia) AS drop_for FROM v GROUP BY ib)
+       |SELECT m4.vec_id AS vec_id, m4.cid AS cluster,
+       |  CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       |  CAST(COALESCE(drp.drop_for, -1) AS BIGINT) AS drop_for
+       |FROM m4 LEFT JOIN drp ON drp.vec_id = m4.vec_id
+       |ORDER BY m4.vec_id""".stripMargin
+  }
+
   val featureScale: String =
     """WITH s AS (SELECT CAST(min(c_acctbal) AS DOUBLE) AS mn, CAST(max(c_acctbal) AS DOUBLE) AS mx,
       |             round(avg(c_acctbal),6) AS mu, round(stddev_samp(c_acctbal),6) AS sigma

@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_ngram_lsh" -> ((s, dir) => Dedup.ngramLsh(Tables.documents(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     // the benchmark pins the fixed coupled geometry (7×8×4) so its
     // operating point stays comparable round over round; the operator
     // DEFAULT now derives per corpus via suggestSrpGeometry (r10)
@@ -248,6 +249,7 @@ object SparkEntry {
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_embed_cosine" -> Oracles.dedupEmbedCosine,
+    "dedup_semantic" -> Oracles.dedupSemantic,
     "sim_topk_cosine" -> Oracles.simTopkCosine,
     "text_tokens" -> Oracles.textTokens,
     "text_quality" -> Oracles.textQuality,

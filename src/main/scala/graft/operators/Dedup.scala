@@ -424,6 +424,65 @@ object Dedup {
       verified.orderBy(col("id_a"), col("id_b")), Seq(e, verified))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (the public algorithm of Abbas et
+    * al., "SemDeDup: data-efficient learning at web-scale through
+    * semantic deduplication", 2023): cluster the embedding corpus
+    * with TRAINED k-means centroids, then prune near-duplicates
+    * WITHIN each cluster — the scale answer to all-pairs embedding
+    * dedup. All-pairs exact cosine is Θ(n²); clustering first bounds
+    * the pairwise stage to Σ width² (with the FAISS-rule k ≈ 4√n,
+    * expected width √n/4 ⇒ ~n^1.5/64 pairs), and the coarse index is
+    * the SAME artifact IVF search already builds. The price is
+    * boundary misses: a true pair split across two clusters is never
+    * compared — the documented SemDeDup approximation, spec-pinned on
+    * a planted fixture (the LSH paths [[cosineLsh]] are the
+    * recall-modeled alternative; this one trades modeled recall for
+    * cluster-locality and a reusable index).
+    *
+    * Mechanics: [[KMeans.trainCentroids]] (`trainIters` Lloyd rounds
+    * from the deterministic init, literal/broadcast dispatch past
+    * `literalMax`) → final assign → within-cluster candidate pairs
+    * through [[candidatePairs]] with the CLUSTER as the bucket key —
+    * a mega-cluster triangle-salts exactly like an LSH mega-bucket —
+    * → exact fixed-point cosine verify on candidates only → greedy
+    * keep-lowest-id (the [[applyPairs]] rule). One row per input
+    * vector: (vec_id, cluster, kept 1/0, drop_for = lowest verified
+    * same-cluster partner, −1 if kept).
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 10, trainIters: Int = 3,
+                    thresholdFs: Long = 3000L,
+                    literalMax: Int = KMeans.LiteralCentroidMax): DataFrame = {
+    val pts = Par.spread(embeddings)
+      .select(col("vec_id").cast("long").as("id"), toDoubleArray(col("embedding")).as("v"))
+    val cents = KMeans.trainCentroids(pts, k, trainIters, literalMax)
+    // persist: feeds the pair generator and both verify-join sides
+    val assigned = (
+      if (cents.length <= literalMax) {
+        val (cl, _) = KMeans.assignExpr(col("v"), cents)
+        pts.select(col("id"), col("v"), cl.as("cluster"))
+      } else
+        KMeans.assignBroadcast(pts, "id", "v", cents)
+          .select(col("id"), col("v"), col("cluster")))
+      .withColumn("nrm", l2norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(assigned.select(col("id").as("doc_id"),
+      lit(0).as("band"), col("cluster").as("bucket")))
+    val ea = assigned.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = assigned.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = pairs.join(ea, "id_a").join(eb, "id_b")
+      .filter(floor(lit(10000.0) *
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb"))) >= thresholdFs)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("drop_for"))
+      .select(col("id_b").as("id"), col("drop_for"))
+    val out = assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        when(col("drop_for").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("drop_for"), lit(-1L)).as("drop_for"))
+      .orderBy(col("vec_id"))
+    ScopedCache.releaseAfterAction(out, Seq(assigned))
+  }
+
   /** Cross-corpus candidate pairs from two banded frames: the
     * incoming×reference equi-join on (band, bucket) — the two-corpus
     * analogue of [[candidatePairs]] (no id ordering filter: the

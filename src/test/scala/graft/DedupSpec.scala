@@ -287,6 +287,44 @@ class DedupSpec extends SparkSpec {
     assert(p6 == 20, s"n=1e6 must derive ceil(log2 1e6) = 20 planes, got $p6")
   }
 
+  test("semanticDedup prunes within trained clusters, keeps lowest ids, misses only cross-cluster pairs") {
+    // Anchors 0/1 are the two LOWEST ids, one per blob, so the
+    // deterministic init puts one centroid in each and Lloyd is
+    // trivially stable: cluster P = {0,2,3,6,7} (x > 0), cluster
+    // Q = {1,4,5,8} (x < 0). Planted:
+    //  - 2/3 near-identical with anchor 0 -> both drop for 0;
+    //  - 4/5 near-identical with anchor 1 -> both drop for 1;
+    //  - 6 angularly far from every P member -> kept;
+    //  - 7/8 are a TRUE near-dup pair (cos ≈ 0.997) straddling the
+    //    cluster boundary (x = ±0.4): assigned to different clusters,
+    //    never compared, BOTH kept — the documented SemDeDup
+    //    boundary-miss approximation.
+    def v(parts: Double*): Array[Float] = parts.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(10, 0, 0, 0)), (1L, v(-10, 0, 0, 0)),
+      (2L, v(10, 0.1, 0, 0)), (3L, v(10, 0, 0.1, 0)),
+      (4L, v(-10, 0.1, 0, 0)), (5L, v(-10, 0, 0.1, 0)),
+      (6L, v(0.3, 0, 9.9, 0)),
+      (7L, v(0.4, 10, 0, 0)), (8L, v(-0.4, 10, 0.01, 0))
+    ).toDF("vec_id", "embedding")
+    // threshold 9000 = cos >= 0.9: only the planted near-identicals
+    val rows = graft.operators.Dedup.semanticDedup(emb, k = 2, thresholdFs = 9000L).collect()
+    val out = rows.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Long]("kept"), r.getAs[Long]("drop_for")))).toMap
+    assert(out.size == 9, "one row per input vector")
+    assert(out(0L) == ((1L, -1L)) && out(2L) == ((0L, 0L)) && out(3L) == ((0L, 0L)),
+      s"blob-P near-identicals must drop for anchor 0: $out")
+    assert(out(1L) == ((1L, -1L)) && out(4L) == ((0L, 1L)) && out(5L) == ((0L, 1L)),
+      s"blob-Q near-identicals must drop for anchor 1: $out")
+    assert(out(6L)._1 == 1L, s"the angularly-far member must survive: $out")
+    assert(out(7L)._1 == 1L && out(8L)._1 == 1L,
+      "the boundary-straddling true pair is never compared (the documented SemDeDup miss)")
+    val clusters = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(7L) == clusters(0L) && clusters(8L) == clusters(1L) &&
+      clusters(0L) != clusters(1L),
+      s"the straddling pair must split across the trained clusters: $clusters")
+  }
+
   test("multi-probe cosineLsh candidates are a superset at fixed geometry") {
     val corpus = plantedCosineCorpus(dim = 16, cosines = Seq(0.7), nPairs = 10, nBackground = 40)
     val emb = corpus.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
