@@ -107,7 +107,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_ngram_lsh" -> ((s, dir) => Dedup.ngramLsh(Tables.documents(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
-    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
+    // k = 10 pinned: the DuckDB twin unrolls Lloyd from a 10-id init;
+    // the operator default derives k ≈ 4√n per corpus
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir), k = 10)),
     // the benchmark pins the fixed coupled geometry (7×8×4) so its
     // operating point stays comparable round over round; the operator
     // DEFAULT now derives per corpus via suggestSrpGeometry (r10)

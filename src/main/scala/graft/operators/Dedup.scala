@@ -448,13 +448,21 @@ object Dedup {
     * keep-lowest-id (the [[applyPairs]] rule). One row per input
     * vector: (vec_id, cluster, kept 1/0, drop_for = lowest verified
     * same-cluster partner, −1 if kept).
+    *
+    * `k` left at the 0-sentinel DERIVES per corpus — the FAISS
+    * nlist rule ([[Similarity.suggestIvfGeometry]], k ≈ 4√n), which
+    * balances the quantizer against Σ width² pairwise cost exactly as
+    * it balances IVF list scans; the benchmark gate pins k = 10
+    * explicitly (the unrolled-SQL oracle's init size), same
+    * derive-by-default / gate-pins-explicitly rule as [[cosineLsh]].
     */
-  def semanticDedup(embeddings: DataFrame, k: Int = 10, trainIters: Int = 3,
+  def semanticDedup(embeddings: DataFrame, k: Int = 0, trainIters: Int = 3,
                     thresholdFs: Long = 3000L,
                     literalMax: Int = KMeans.LiteralCentroidMax): DataFrame = {
     val pts = Par.spread(embeddings)
       .select(col("vec_id").cast("long").as("id"), toDoubleArray(col("embedding")).as("v"))
-    val cents = KMeans.trainCentroids(pts, k, trainIters, literalMax)
+    val kk = if (k > 0) k else Similarity.suggestIvfGeometry(math.max(1L, pts.count()))._1
+    val cents = KMeans.trainCentroids(pts, kk, trainIters, literalMax)
     // persist: feeds the pair generator and both verify-join sides
     val assigned = (
       if (cents.length <= literalMax) {

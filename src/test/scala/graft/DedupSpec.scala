@@ -323,6 +323,13 @@ class DedupSpec extends SparkSpec {
     assert(clusters(7L) == clusters(0L) && clusters(8L) == clusters(1L) &&
       clusters(0L) != clusters(1L),
       s"the straddling pair must split across the trained clusters: $clusters")
+    // derive wiring: k left at the sentinel sizes via the FAISS nlist
+    // rule (the gate pins k = 10 for its unrolled-SQL oracle)
+    val (kDerived, _) = graft.operators.Similarity.suggestIvfGeometry(9L)
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(all(graft.operators.Dedup.semanticDedup(emb)) ==
+      all(graft.operators.Dedup.semanticDedup(emb, k = kDerived)),
+      "the no-k call must equal the explicitly-derived-k call")
   }
 
   test("multi-probe cosineLsh candidates are a superset at fixed geometry") {
