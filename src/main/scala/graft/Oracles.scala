@@ -443,23 +443,59 @@ object Oracles {
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
+  /** The md5-minhash banded candidate CTEs (the DuckDB twin of
+    * Dedup.minhashMd5Pairs at the default 32-perm / 4-band geometry):
+    * h_p(tok) = int(substr(md5(p ∥ '#' ∥ tok), 1, 15), 16) — md5 is
+    * bit-identical across engines and 15 hex chars (60 bits) cast
+    * sign-safely to BIGINT on both — band bucket = '#'-join of the 8
+    * row minima in permutation order. Yields CTE `p`
+    * (id_a, id_b, jac_fs): DISTINCT banded collisions verified with
+    * exact unigram Jaccard ≥ the threshold.
+    */
+  private def md5LshPairCtes(perms: Int = 32, bands: Int = 4,
+                             minJaccardFs: Long = 9000L): String = {
+    val rows = perms / bands
+    s"""tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+       |       FROM documents),
+       |mh AS (SELECT doc_id, r.p AS p,
+       |         min(CAST(('0x' || substr(md5(CAST(r.p AS VARCHAR) || '#' || tok),1,15))
+       |             AS BIGINT)) AS h
+       |       FROM tk CROSS JOIN range($perms) r(p) GROUP BY doc_id, r.p),
+       |bd AS (SELECT doc_id, CAST(p // $rows AS INT) AS band,
+       |         string_agg(CAST(h AS VARCHAR), '#' ORDER BY p) AS bucket
+       |       FROM mh GROUP BY doc_id, p // $rows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+       |p AS (SELECT id_a, id_b,
+       |        CAST(floor(10000.0 * (CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |          / len(list_distinct(ta.toks || tb.toks)))) AS BIGINT) AS jac_fs
+       |      FROM cand JOIN tt ta ON ta.doc_id = cand.id_a
+       |                JOIN tt tb ON tb.doc_id = cand.id_b
+       |      WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+       |          / len(list_distinct(ta.toks || tb.toks)))) AS BIGINT) >= $minJaccardFs)""".stripMargin
+  }
+
+  /** dedup_minhash_md5: the banded pair set itself, hash-verified. */
+  val dedupMinhashMd5: String =
+    s"""WITH ${md5LshPairCtes()}
+       |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
+
   /** Greedy dedup application: survivors after dropping the higher id
-    * of every blocked-Jaccard near-dup pair (mirrors Dedup.applyPairs
-    * over Dedup.ngramJaccard).
+    * of every verified near-dup pair (mirrors Dedup.applyPairs) —
+    * since r10 over the BANDED md5-minhash generator
+    * ([[md5LshPairCtes]]) instead of the blocked quadratic baseline,
+    * so the gate key is subquadratic and still hash-checked.
     */
   val dedupApply: String =
-    """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
-      |             list_distinct(string_split(text,' ')) AS toks FROM documents),
-      |p AS (SELECT b.doc_id AS id_b
-      |      FROM d a JOIN d b ON a.lang=b.lang AND a.lb=b.lb AND a.doc_id<b.doc_id
-      |      WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
-      |        / len(list_distinct(a.toks || b.toks)))) AS BIGINT) >= 9000)
-      |SELECT doc_id, lang, n_chars FROM documents
-      |WHERE doc_id NOT IN (SELECT id_b FROM p)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH ${md5LshPairCtes()}
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM p)
+       |ORDER BY doc_id""".stripMargin
 
-  /** Connected-component min-id labels over the ngram-Jaccard pair
-    * graph, unrolled to the same fixed iteration count as
+  /** Connected-component min-id labels over the banded md5-minhash
+    * pair graph, unrolled to the same fixed iteration count as
     * Dedup.ccLabels (both engines run EXACTLY `iters` rounds, so the
     * oracle matches even on chains that haven't fully converged).
     */
@@ -472,12 +508,7 @@ object Oracles {
          |      LEFT JOIN l${i - 1} n ON n.doc_id = e.v
          |      GROUP BY l.doc_id, l.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
-       |             list_distinct(string_split(text,' ')) AS toks FROM documents),
-       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |      FROM d a JOIN d b ON a.lang=b.lang AND a.lb=b.lb AND a.doc_id<b.doc_id
-       |      WHERE CAST(floor(10000.0 * (CAST(len(list_intersect(a.toks,b.toks)) AS DOUBLE)
-       |        / len(list_distinct(a.toks || b.toks)))) AS BIGINT) >= 9000),
+    s"""WITH ${md5LshPairCtes()},
        |edges AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
        |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
        |$rounds

@@ -144,15 +144,21 @@ object SparkEntry {
       Multimodal.decodeVideo(Multimodal.videoPayloads(Tables.documents(s, dir)))),
 
     // ---- beyond §2: corpus-level pipeline ops ----
+    // r10: apply/cc consume the BANDED md5-minhash generator — the
+    // cross-engine-reproducible LSH twin — so these keys are
+    // subquadratic AND hash-checked (r6–r9 used the blocked quadratic
+    // ngramJaccardPairs here, the gate's only weak components, because
+    // the xxhash banding wasn't SQL-expressible)
+    "dedup_minhash_md5" -> ((s, dir) => Dedup.minhashMd5Pairs(Tables.documents(s, dir))),
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.applyPairs(docs, Dedup.ngramJaccardPairs(docs))
+      Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
     "dedup_apply_cc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.ccLabels(docs, Dedup.ngramJaccardPairs(docs))
+      Dedup.ccLabels(docs, Dedup.minhashMd5Pairs(docs))
     }),
     // the SCALE-SAFE apply compositions: same greedy/cc application,
     // pairs from the LSH generator instead of the blocked oracle
@@ -256,6 +262,7 @@ object SparkEntry {
     "text_tokens" -> Oracles.textTokens,
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
+    "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_redact" -> Oracles.textRedact,

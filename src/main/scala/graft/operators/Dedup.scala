@@ -139,6 +139,64 @@ object Dedup {
       verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
   }
 
+  /** The cross-engine-REPRODUCIBLE twin of [[minhashLsh]]: identical
+    * banding shape, candidate generator, and exact-Jaccard verify,
+    * but the permutation hashes derive from md5 — a digest Spark and
+    * DuckDB implement bit-identically — so the banded candidate set,
+    * and every composition over it, is expressible as oracle SQL:
+    *
+    *   h_p(tok)    = int(substr(md5(p ∥ '#' ∥ tok), 1, 15), 16)
+    *                 (60 bits — sign-safe in a BIGINT on both engines)
+    *   bucket(b)   = '#'-join of the band's rowsPerBand row minima
+    *
+    * Per-token cost is `perms` md5 digests vs [[minhashSignature]]'s
+    * one-pass universal family, so the PRODUCTION path stays
+    * [[minhashLsh]]; this twin exists because oracle parity for the
+    * LSH → greedy-apply / CC compositions previously forced them onto
+    * the blocked quadratic [[ngramJaccardPairs]] generator (r6–r9's
+    * only `weak` components) — with a SQL-expressible banded
+    * generator, the apply/CC gate keys are subquadratic AND
+    * hash-verified end-to-end. Recall model identical to
+    * [[minhashLsh]] at equal geometry
+    * ([[graft.functions.HashFunctions.lshCollisionProb]]); the
+    * default verify threshold here is the apply-composition setting
+    * (J ≥ 0.9, collision ≈ 89% at the 4×8 default).
+    */
+  def minhashMd5Pairs(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
+                      minJaccardFs: Long = 9000L): DataFrame = {
+    require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
+    val docs = Par.spread(docs0)
+    val rowsPerBand = perms / bands
+    val toksCol = array_distinct(tokens(col("text")))
+    val hs = (0 until perms).map { p =>
+      array_min(transform(col("toks"), t =>
+        conv(substring(md5(concat(lit(s"$p#"), t)), 1, 15), 16, 10).cast("long"))).as(s"h$p")
+    }
+    // persist: feeds both legs of the band self-join and both verify
+    // sides (the md5 signature pass is the expensive stage here)
+    val shingled = docs.select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(Seq(col("doc_id"), col("toks")) ++ hs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("#", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          .as("bucket"))
+    }: _*)
+    val banded = shingled.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = candidatePairs(banded)
+    val ta = shingled.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    val verified = candidates.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardFs(docs0.sparkSession, col("toks_a"), col("toks_b")).as("jac_fs"))
+      .filter(col("jac_fs") >= minJaccardFs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
+  }
+
   /** SimHash fingerprints: one 64-bit sketch per doc. [[simhashPairs]]
     * splits them into chunk keys for the hamming-bucketed candidate
     * join (pigeonhole: hamming < chunks ⇒ some chunk matches exactly).
@@ -850,12 +908,23 @@ object Dedup {
   def ccLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 4,
                idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist: edges embeds the entire pair-generation pipeline (a
-    // blocked/LSH self-join) and is re-joined every iteration — without
-    // this it would re-execute `iters` times
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    // edges embeds the entire pair-generation pipeline (a blocked/LSH
+    // self-join): persist + ONE eager count runs that pipeline exactly
+    // once (and lets a scoped-cache generator upstream release its own
+    // persists), then localCheckpoint TRUNCATES the lineage — the
+    // label iteration references `labels` twice per round, so the
+    // analyzed plan doubles every round, and with a large generator
+    // plan as the base (the 32-permutation md5 pipeline is ~10× the
+    // blocked join's tree) rounds 3–4 spend seconds in the ANALYZER
+    // alone (measured: 46 s → 12 s for the full cc at sf0.1 from this
+    // truncation; data-path cost was never the problem — the same
+    // plan-explosion lesson starCcLabels documents at 16×/round)
+    val edges0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
+    edges0.count()
+    val edges = edges0.localCheckpoint(true)
+    edges0.unpersist(false)
     // both edge directions are present, so `u` alone covers every vertex
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
@@ -907,9 +976,14 @@ object Dedup {
   def convergedCcLabels(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50,
                         idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    // one eager pipeline run + lineage truncation — see ccLabels for
+    // the measured plan-explosion rationale
+    val edges0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(MEMORY_AND_DISK)
+    edges0.count()
+    val edges = edges0.localCheckpoint(true)
+    edges0.unpersist(false)
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     var prevCached: DataFrame = null

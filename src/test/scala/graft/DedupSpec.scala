@@ -287,6 +287,35 @@ class DedupSpec extends SparkSpec {
     assert(p6 == 20, s"n=1e6 must derive ceil(log2 1e6) = 20 planes, got $p6")
   }
 
+  test("md5-minhash pairs recall across the length-block boundary the quadratic generator misses") {
+    // docs 1/2 share an IDENTICAL token set (J = 1.0) but doc 2's
+    // repeated tokens push its n_chars across the old generator's
+    // floor(n_chars/100) block boundary — ngramJaccardPairs can never
+    // pair them (its length-block equality is part of its bounded-
+    // baseline contract), while the banded md5 generator must:
+    // identical token sets give identical minima in every permutation,
+    // so they collide in every band
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val long = base + (" alpha" * 20)
+    val d = Seq(
+      (1L, base, "en", base.length.toLong),
+      (2L, long, "en", long.length.toLong),
+      (3L, "something else entirely different here", "en", 38L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    assert(base.length < 100 && long.length > 100, "fixture must straddle the 100-char block")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val md5Pairs = pairsOf(graft.operators.Dedup.minhashMd5Pairs(d))
+    val blocked = pairsOf(graft.operators.Dedup.ngramJaccardPairs(d))
+    assert(md5Pairs == Set((1L, 2L)), s"banded md5 generator must find the cross-block pair: $md5Pairs")
+    assert(!blocked.contains((1L, 2L)),
+      "the blocked baseline must miss it (the documented limitation the md5 generator retires)")
+    // jac_fs is the exact set Jaccard: identical sets -> 10000
+    val jac = graft.operators.Dedup.minhashMd5Pairs(d).collect()
+      .map(r => r.getAs[Long]("jac_fs")).head
+    assert(jac == 10000L, s"identical token sets must verify at J = 1.0, got $jac")
+  }
+
   test("semanticDedup prunes within trained clusters, keeps lowest ids, misses only cross-cluster pairs") {
     // Anchors 0/1 are the two LOWEST ids, one per blob, so the
     // deterministic init puts one centroid in each and Lloyd is
