@@ -160,13 +160,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.ccLabels(docs, Dedup.minhashMd5Pairs(docs))
     }),
-    // the SCALE-SAFE apply compositions: same greedy/cc application,
-    // pairs from the LSH generator instead of the blocked oracle
-    // baseline (rows-only keys — LSH candidate sets aren't
-    // SQL-expressible). NOT a subset relation to the blocked twins:
-    // the generators verify different gram units (unigram vs bigram
-    // Jaccard), so each drops pairs the other doesn't; the behavioral
-    // difference is fixture-pinned in DedupSpec.
+    // the xxhash-LSH apply compositions: same greedy/cc application,
+    // pairs from the BIGRAM ngram-LSH generator (rows-only keys — the
+    // xxhash banding isn't SQL-expressible; the md5 twins above are).
+    // NOT a subset relation to the unigram generators: different gram
+    // units verify different Jaccards, so each drops pairs the other
+    // doesn't; the behavioral difference is fixture-pinned in
+    // DedupSpec.
     "dedup_apply_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyPairs(docs, Dedup.ngramLshPairs(docs))

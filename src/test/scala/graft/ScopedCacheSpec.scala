@@ -41,6 +41,11 @@ class ScopedCacheSpec extends SparkSpec {
       ("starCcLabels", () => Dedup.starCcLabels(docs, Dedup.ngramLshPairs(docs))),
       ("ccLabelsExactFirst", () => Dedup.ccLabelsExactFirst(docs, Dedup.ngramLshPairs(_),
         (d, p) => Dedup.convergedCcLabels(d, p))),
+      ("minhashMd5Pairs via applyPairs", () =>
+        Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))),
+      ("ccLabels over minhashMd5Pairs", () =>
+        Dedup.ccLabels(docs, Dedup.minhashMd5Pairs(docs))),
+      ("semanticDedup", () => Dedup.semanticDedup(emb, k = 4)),
       ("lshTopK", () => Similarity.lshTopK(emb)),
       ("ivfTopK", () => Similarity.ivfTopK(emb)),
       ("annRecall", () => Similarity.annRecall(emb)),
