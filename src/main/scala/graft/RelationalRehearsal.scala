@@ -6,7 +6,7 @@ import java.time.temporal.ChronoUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational
+import graft.operators.{Relational, Temporal}
 
 /** Scale rehearsal for the RELATIONAL suite beyond the driver's sf0.1
   * corpus (TESTDATA.md caps at sf0.1, read-only) — the B-suite twin
@@ -112,11 +112,17 @@ object RelationalRehearsal {
     // while customer nation rode lineid div 4 — the congruence
     // 3q+r ≡ 0 (mod 25), r ≤ 3 excluded every ASIA nation and q5
     // returned 0 rows at every scale)
+    // quantity modulus 47 (not a round 50): 20000·s mod 47 ≠ 0 at the
+    // rehearsed scales, so quantities VARY within each partkey class
+    // and q15's 1.8×avg predicate is non-degenerate — and 47 is
+    // verified (driver-side, every run) to put NO class exactly ON
+    // the 1.8×avg boundary, where the operator's 6-dp avg rounding
+    // could flip a row the exact integer oracle counts differently
     spark.range(sz.nLine).select(expr("id div 4").as("l_orderkey"),
       (id % (20000L * sz.s)).as("l_partkey"),
       (expr("id div 4") % sz.nSupp).as("l_suppkey"),
       (id % 4 + 1).cast("int").as("l_linenumber"),
-      (id % 50 + 1).cast("double").as("l_quantity"),
+      (id % 47 + 1).cast("double").as("l_quantity"),
       (lit(900L) + id % 100000).cast("double").as("l_extendedprice"),
       ((id % 11).cast("double") / 100.0).as("l_discount"),
       ((id % 9).cast("double") / 100.0).as("l_tax"),
@@ -129,11 +135,15 @@ object RelationalRehearsal {
     // the q12 session layout is exactly ceil(PerUser/SessionRun)
     // sessions of SessionRun events per user, by construction
     val k = expr(s"id div ${sz.nUsers}")
+    // event_type cycles with k (the per-user sequence index), NOT the
+    // raw id: nUsers is a multiple of 5, so `id % 5` would freeze
+    // every user on ONE type and the temporal joins (q17 as-of, q18
+    // range) would have no cross-type pairs to find
     spark.range(sz.nEvents).select(id.as("event_id"),
       timestamp_seconds(lit(BaseEpochS) + k * 60L +
         expr(s"(id div ${sz.nUsers}) div $SessionRun") * 3600L).as("ts"),
       (id % sz.nUsers).as("user_id"),
-      pick(EventTypes, id % 5).as("event_type"),
+      pick(EventTypes, k % 5).as("event_type"),
       (id % 1000).cast("double").as("value"),
       concat(lit("{\"k\":"), id % 10, lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -182,10 +192,17 @@ object RelationalRehearsal {
       "q5_multi_join" -> Relational.q5MultiJoin(spark, dir),
       "q6_window" -> Relational.q6Window(spark, dir),
       "q7_distinct_agg" -> Relational.q7DistinctAgg(spark, dir),
+      "q8_semi_anti" -> Relational.q8SemiAnti(spark, dir),
       "q10_topk" -> Relational.q10TopK(spark, dir),
       "q11_events_window" -> Relational.q11EventsWindow(spark, dir),
       "q12_sessionize" -> Relational.q12Sessionize(spark, dir),
-      "q13_case_agg" -> Relational.q13CaseAgg(spark, dir))
+      "q13_case_agg" -> Relational.q13CaseAgg(spark, dir),
+      "q15_scalar_subquery" -> Relational.q15ScalarSubquery(spark, dir),
+      // the gate binds click/error over the driver corpus; this
+      // fixture's five types make click/view the equivalent non-empty
+      // pairing — same operator, same plan shape
+      "q17_asof_join" -> Temporal.asofJoin(Tables.events(spark, dir), "click", "view"),
+      "q18_range_join" -> Temporal.rangeJoinCount(Tables.events(spark, dir), "view", "click"))
     queries.foreach { case (key, df) =>
       timed(key)(df.write.format("noop").mode("overwrite").save())
     }
@@ -198,14 +215,14 @@ object RelationalRehearsal {
     }
 
     // q1: ids passing the shipdate cutoff, their count and exact
-    // integer quantity sum, from one lcm(1460, 50) = 7300 block
+    // integer quantity sum, from one lcm(1460, 47) = 68620 block
     val cutoffDay = ChronoUnit.DAYS.between(Epoch, LocalDate.of(1998, 9, 1))
     var q1Cnt = 0L; var q1Qty = 0L
-    (0L until 7300L).foreach { r =>
+    (0L until 68620L).foreach { r =>
       if (r % DateSpan <= cutoffDay) {
-        val o = occ(sz.nLine, 7300L, r)
+        val o = occ(sz.nLine, 68620L, r)
         q1Cnt += o
-        q1Qty += o * (r % 50 + 1)
+        q1Qty += o * (r % 47 + 1)
       }
     }
     val q1 = Relational.q1Agg(spark, dir).collect()
@@ -215,14 +232,14 @@ object RelationalRehearsal {
     check("q1_sum_qty", q1.map(_.getAs[Double]("sum_qty")).sum.toLong == q1Qty,
       s"${q1.map(_.getAs[Double]("sum_qty")).sum.toLong} vs $q1Qty")
 
-    // q2: selectivity from one lcm(1460, 11, 50) = 80300 block
+    // q2: selectivity from one lcm(1460, 11, 47) = 754820 block
     val from97 = ChronoUnit.DAYS.between(Epoch, LocalDate.of(1997, 1, 1))
     val from98 = ChronoUnit.DAYS.between(Epoch, LocalDate.of(1998, 1, 1))
     var q2Cnt = 0L
-    (0L until 80300L).foreach { r =>
+    (0L until 754820L).foreach { r =>
       val d = r % DateSpan
-      if (d >= from97 && d < from98 && r % 11 >= 7 && r % 50 <= 3)
-        q2Cnt += occ(sz.nLine, 80300L, r)
+      if (d >= from97 && d < from98 && r % 11 >= 7 && r % 47 <= 3)
+        q2Cnt += occ(sz.nLine, 754820L, r)
     }
     check("q2_count", Relational.q2FilterProject(spark, dir).count() == q2Cnt, "selectivity")
 
@@ -266,6 +283,66 @@ object RelationalRehearsal {
     check("q7_ncust", q7.forall(_.getAs[Long]("n_cust") == sz.nCust / 5),
       q7.map(_.getAs[Long]("n_cust")).distinct.mkString(","))
     check("q7_nord", q7.map(_.getAs[Long]("n_ord")).sum == sz.nOrders, "order total")
+
+    // q8: every custkey owns exactly 10 orders (nOrders = 10·nCust,
+    // o_custkey = o_orderkey mod nCust), so the anti side is EMPTY by
+    // construction and the semi side holds every customer — 5 segment
+    // rows of exactly nCust/5, n_without 0 (the anti join still
+    // executes at full scale; its emptiness is the planted truth)
+    val q8 = Relational.q8SemiAnti(spark, dir).collect()
+    check("q8_segments", q8.length == 5 &&
+      q8.forall(r => r.getAs[Long]("n_with") == sz.nCust / 5 &&
+        r.getAs[Long]("n_without") == 0L),
+      q8.map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("n_with"),
+        r.getAs[Long]("n_without"))).mkString(","))
+
+    // q15: P | nLine exactly (nLine = 30·P), so every partkey class
+    // holds 30 rows whose quantities depend only on (partkey mod 47,
+    // P mod 47) — the expected row count is a 47-class integer loop.
+    // Strictness guard: no class may sit exactly ON the 1.8×avg
+    // boundary (300·v == 18·Σ), where the operator's 6-dp avg
+    // rounding could legitimately differ from this exact count; the
+    // modulus 47 was chosen to keep that set empty at every scale,
+    // and the guard makes the choice self-verifying.
+    val qMod = 47L
+    val partP = 20000L * s
+    val kq = partP % qMod
+    val rowsPerPart = (sz.nLine / partP).toInt
+    var q15Cnt = 0L
+    var q15Boundary = 0L
+    (0L until qMod).foreach { r =>
+      val vs = (0 until rowsPerPart).map(j => ((r + kq * j) % qMod) + 1)
+      val sum = vs.sum
+      q15Boundary += vs.count(v => 300 * v == 18 * sum)
+      q15Cnt += occ(partP, qMod, r) * vs.count(v => 300 * v > 18 * sum)
+    }
+    check("q15_no_boundary_classes", q15Boundary == 0, s"$q15Boundary boundary rows per class")
+    check("q15_count", Relational.q15ScalarSubquery(spark, dir).count() == q15Cnt,
+      s"expected $q15Cnt")
+
+    // q17 (as-of, click←view): per user, clicks sit at k ≡ 0 (mod 5)
+    // and views at k ≡ 1, so every click k ≥ 5 as-ofs the view at
+    // k−4; k = 0 has none (NULL). The gap is 240 s except across the
+    // planted hour jump (k ∈ {20,40,60,80}: +3600) — per-user gap sum
+    // 15·240 + 4·3840 = 18960, exact integers
+    val q17 = Temporal.asofJoin(Tables.events(spark, dir), "click", "view")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("asof_ts_s").isNull, 1)).as("n_null"),
+        sum(col("ts_s") - col("asof_ts_s")).as("gap_sum")).head()
+    check("q17_rows", q17.getLong(0) == sz.nUsers * 20, s"${q17.getLong(0)} click rows")
+    check("q17_nulls", q17.getLong(1) == sz.nUsers, s"${q17.getLong(1)} null as-ofs")
+    check("q17_gap_sum", q17.getLong(2) == sz.nUsers * 18960L,
+      s"${q17.getLong(2)} vs ${sz.nUsers * 18960L}")
+
+    // q18 (range, view→clicks within 600 s): a view at block offset
+    // {1, 6, 11, 16} is followed within 600 s by {2, 2, 1, 0} clicks
+    // (the +4/+9 neighbors, minus those across the block's hour
+    // jump) — 5 follows per 20-block, 5 blocks per user
+    val q18 = Temporal.rangeJoinCount(Tables.events(spark, dir), "view", "click")
+      .agg(count(lit(1)).as("n"), sum(col("n_follow")).as("follow_sum")).head()
+    check("q18_rows", q18.getLong(0) == sz.nUsers * 20, s"${q18.getLong(0)} view rows")
+    check("q18_follow_sum", q18.getLong(1) == sz.nUsers * 25L,
+      s"${q18.getLong(1)} vs ${sz.nUsers * 25L}")
 
     // q10: 100 rows, extendedprice at the domain maximum on top
     val q10 = Relational.q10TopK(spark, dir).collect()
