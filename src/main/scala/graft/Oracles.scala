@@ -445,9 +445,14 @@ object Oracles {
 
   /** The md5-minhash banded candidate CTEs (the DuckDB twin of
     * Dedup.minhashMd5Pairs at the default 32-perm / 4-band geometry):
-    * h_p(tok) = int(substr(md5(p ∥ '#' ∥ tok), 1, 15), 16) — md5 is
-    * bit-identical across engines and 15 hex chars (60 bits) cast
-    * sign-safely to BIGINT on both — band bucket = '#'-join of the 8
+    * ONE md5 per token (r11 — previously one per permutation):
+    * h = int(substr(md5(tok),1,14),16) (56 bits), split into halves
+    * h1 = h >> 28, h2 = h mod 2²⁸, with every permutation a
+    * Carter-Wegman combination h_p = (a_p·h1 + b_p·h2) mod 1e9+7 over
+    * the literal coefficient table `cw` (the same constants
+    * HashFunctions.md5CwParams feeds the Spark side — products < 2⁵⁸,
+    * so the checked BIGINT arithmetic is overflow-free and
+    * bit-identical across engines). Band bucket = '#'-join of the 8
     * row minima in permutation order. Yields CTE `p`
     * (id_a, id_b, jac_fs): DISTINCT banded collisions verified with
     * exact unigram Jaccard ≥ the threshold.
@@ -455,12 +460,19 @@ object Oracles {
   private def md5LshPairCtes(perms: Int = 32, bands: Int = 4,
                              minJaccardFs: Long = 9000L): String = {
     val rows = perms / bands
+    val cwRows = graft.functions.HashFunctions.md5CwParams(perms).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    val prime = graft.functions.HashFunctions.Prime
     s"""tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
        |       FROM documents),
-       |mh AS (SELECT doc_id, r.p AS p,
-       |         min(CAST(('0x' || substr(md5(CAST(r.p AS VARCHAR) || '#' || tok),1,15))
-       |             AS BIGINT)) AS h
-       |       FROM tk CROSS JOIN range($perms) r(p) GROUP BY doc_id, r.p),
+       |hx AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(tok),1,14)) AS BIGINT) AS h
+       |       FROM tk),
+       |cw(p, a, b) AS (VALUES $cwRows),
+       |mh AS (SELECT hx.doc_id, cw.p AS p,
+       |         min((CAST(cw.a AS BIGINT)*(hx.h >> 28)
+       |              + CAST(cw.b AS BIGINT)*(hx.h % 268435456)) % $prime) AS h
+       |       FROM hx CROSS JOIN cw GROUP BY hx.doc_id, cw.p),
        |bd AS (SELECT doc_id, CAST(p // $rows AS INT) AS band,
        |         string_agg(CAST(h AS VARCHAR), '#' ORDER BY p) AS bucket
        |       FROM mh GROUP BY doc_id, p // $rows),

@@ -42,6 +42,28 @@ object HashFunctions {
     (0 until perms).map(i => (draw(s"minhash-a#$i", Prime - 1) + 1L, draw(s"minhash-b#$i", Prime)))
   }
 
+  /** Carter-Wegman coefficients for the CROSS-ENGINE md5-minhash
+    * family (Dedup.minhashMd5Pairs and its DuckDB oracle twin):
+    * h_i(tok) = (a_i·h1 + b_i·h2) mod Prime, where h1/h2 are the two
+    * 28-bit halves of ONE md5 digest per token (hex chars 1–7 and
+    * 8–14). One digest replaces the previous perms-digests-per-token
+    * formulation at identical recall geometry. Bounds: a_i, b_i ∈
+    * [1, Prime) < 2³⁰ and h1, h2 < 2²⁸, so each product < 2⁵⁸ and the
+    * sum < 2⁵⁹ — overflow-free (hence bit-identical) under both
+    * Spark ANSI arithmetic and DuckDB's checked BIGINT. Drawn from
+    * MD5 of the permutation index like [[minhashParams]]: fixed
+    * forever, engine-independent, and reproducible in plain SQL as
+    * literal constants.
+    */
+  private[graft] def md5CwParams(perms: Int): IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(tag: String): Long = {
+      val h = md.digest(tag.getBytes("UTF-8"))
+      math.floorMod(java.nio.ByteBuffer.wrap(h).getLong, Prime - 1) + 1L
+    }
+    (0 until perms).map(i => (draw(s"md5cw-a#$i"), draw(s"md5cw-b#$i")))
+  }
+
   /** MinHash signature: `perms` min-hashes over the shingle array via
     * universal hashing — each shingle is xxhash64'd ONCE into a base
     * value, and the permutations are cheap affine maps of that base.

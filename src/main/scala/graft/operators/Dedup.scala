@@ -145,18 +145,25 @@ object Dedup {
     * DuckDB implement bit-identically — so the banded candidate set,
     * and every composition over it, is expressible as oracle SQL:
     *
-    *   h_p(tok)    = int(substr(md5(p ∥ '#' ∥ tok), 1, 15), 16)
-    *                 (60 bits — sign-safe in a BIGINT on both engines)
+    *   h           = int(substr(md5(tok), 1, 14), 16)   (56 bits)
+    *   h1, h2      = h >> 28, h mod 2²⁸  (the two 28-bit halves)
+    *   h_p(tok)    = (a_p·h1 + b_p·h2) mod 1e9+7
+    *                 (Carter-Wegman family, HashFunctions.md5CwParams
+    *                 — products < 2⁵⁸, overflow-free in both engines)
     *   bucket(b)   = '#'-join of the band's rowsPerBand row minima
     *
-    * Per-token cost is `perms` md5 digests vs [[minhashSignature]]'s
-    * one-pass universal family, so the PRODUCTION path stays
-    * [[minhashLsh]]; this twin exists because oracle parity for the
-    * LSH → greedy-apply / CC compositions previously forced them onto
-    * the blocked quadratic [[ngramJaccardPairs]] generator (r6–r9's
-    * only `weak` components) — with a SQL-expressible banded
-    * generator, the apply/CC gate keys are subquadratic AND
-    * hash-verified end-to-end. Recall model identical to
+    * Per-token cost is ONE md5 digest (r11 — previously `perms`
+    * digests: each permutation re-hashed `p ∥ '#' ∥ tok`; the
+    * Carter-Wegman split derives all permutations from one digest,
+    * the same trick [[minhashSignature]] plays with xxhash64, cutting
+    * this key's dominant cost ~perms-fold). The PRODUCTION path stays
+    * [[minhashLsh]] (xxhash64 beats md5 per digest); this twin exists
+    * because oracle parity for the LSH → greedy-apply / CC
+    * compositions previously forced them onto the blocked quadratic
+    * [[ngramJaccardPairs]] generator (r6–r9's only `weak`
+    * components) — with a SQL-expressible banded generator, the
+    * apply/CC gate keys are subquadratic AND hash-verified
+    * end-to-end. Recall model identical to
     * [[minhashLsh]] at equal geometry
     * ([[graft.functions.HashFunctions.lshCollisionProb]]); the
     * default verify threshold here is the apply-composition setting
@@ -168,14 +175,26 @@ object Dedup {
     val docs = Par.spread(docs0)
     val rowsPerBand = perms / bands
     val toksCol = array_distinct(tokens(col("text")))
-    val hs = (0 until perms).map { p =>
-      array_min(transform(col("toks"), t =>
-        conv(substring(md5(concat(lit(s"$p#"), t)), 1, 15), 16, 10).cast("long"))).as(s"h$p")
+    // ONE md5 per token, materialized as a 56-bit long in its own
+    // projection step (a single md5 node — inside a HOF lambda there
+    // is no subexpression elimination, so a reused `md5(t)` Column
+    // would still evaluate per reference); the 32 per-perm minima
+    // below split the halves with shift/mod, cheap affine maps over
+    // the same materialized array
+    val tokDigest = transform(col("toks"), t =>
+      conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
+    val P = graft.functions.HashFunctions.Prime
+    val half = 1L << 28
+    val hs = graft.functions.HashFunctions.md5CwParams(perms).zipWithIndex.map {
+      case ((a, b), p) =>
+        array_min(transform(col("th"), h =>
+          (lit(a) * shiftright(h, 28) + lit(b) * (h % lit(half))) % lit(P))).as(s"h$p")
     }
     // persist: feeds both legs of the band self-join and both verify
-    // sides (the md5 signature pass is the expensive stage here)
+    // sides (the md5 digest pass is the expensive stage here)
     val shingled = docs.select(col("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
+      .withColumn("th", tokDigest)
       .select(Seq(col("doc_id"), col("toks")) ++ hs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { b =>
