@@ -40,8 +40,17 @@ object IvfDriftRehearsal {
   def main(args: Array[String]): Unit = {
     val nVecs = args.lift(0).map(_.toLong).getOrElse(100000L)
     val outBase = args.lift(1).getOrElse("tmp/ivf_drift_rehearsal")
+    // idempotence: a completed run leaves managed-table data under
+    // $outBase/warehouse that a FRESH session's DROP TABLE IF EXISTS
+    // can't see (the in-memory catalog starts empty), so the CTAS
+    // would die with LOCATION_ALREADY_EXISTS on any second run —
+    // clear the rehearsal dir before the session starts
+    Rehearsals.rmTree(outBase)
     val nAppend = nVecs / 5
-    val nQueries = 500
+    // capped at the shifted-batch size: a fixed 500 with nAppend < 500
+    // would overcount the recall denominator (nQueries*k) and deflate
+    // both recall numbers at small scales
+    val nQueries = math.min(500L, nAppend)
     val nprobe = 8
     val k = 10
     val dim = 64

@@ -109,6 +109,12 @@ object ScaleRehearsal {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(500000L)
     val outBase = args.lift(1).getOrElse("tmp/scale_rehearsal")
     val nVecs = args.lift(2).map(_.toLong).getOrElse(100000L)
+    // idempotence: managed index tables from a previous run would fail
+    // the CTAS with LOCATION_ALREADY_EXISTS (empty fresh catalog ⇒
+    // DROP IF EXISTS is a no-op). Only the warehouse is cleared — the
+    // synthesized parquet corpora under $outBase are overwrite-mode
+    // and the nDocs=0 fast path deliberately reuses them.
+    Rehearsals.rmTree(s"$outBase/warehouse")
     val megaN = 3000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
