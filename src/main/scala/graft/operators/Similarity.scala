@@ -621,8 +621,9 @@ object Similarity {
     * bucketed-table compaction ([[graft.sources.Sinks.compactBucketed]])
     * a directory-partitioned layout carries no task-aligned read to
     * exploit, and the rewrite is the rare maintenance pass. Same
-    * non-atomic write-tmp → drop → rename swap; single-writer
-    * ownership assumed. The ids table compacts zero-shuffle.
+    * versioned-location pointer-flip swap as the bucketed tables;
+    * single-writer ownership assumed. The ids table compacts
+    * zero-shuffle.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     import graft.sources.Sinks
@@ -658,6 +659,10 @@ object Similarity {
       .partitionBy("cluster").saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newLoc'")
     spark.sql(s"MSCK REPAIR TABLE $table")
+    // MSCK is add-only: pre-existing partition specs keep their old-
+    // generation locations (wrong on a Hive metastore once cleanup
+    // reaches that directory) — rebase them onto the new generation
+    Sinks.syncPartitionLocations(spark, table)
     Sinks.flipCleanup(spark, tmp, oldLoc)
   }
 

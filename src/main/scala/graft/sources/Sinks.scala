@@ -151,15 +151,36 @@ object Sinks {
     */
   private[graft] def nextGenLocation(spark: SparkSession, table: String)
   : (java.net.URI, String) = {
+    val (base, gen) = splitGen(currentLocation(spark, table))
+    (spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location,
+      s"${base}__g${gen + 1}")
+  }
+
+  /** Normalized current location string of `table` (no trailing /). */
+  private[graft] def currentLocation(spark: SparkSession, table: String): String = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    val loc = spark.sessionState.catalog.getTableMetadata(ident).location
-    val s = loc.toString.stripSuffix("/")
+    spark.sessionState.catalog.getTableMetadata(ident).location.toString.stripSuffix("/")
+  }
+
+  /** Split a generation location into (base, N): `<base>__gN` → N,
+    * an unversioned location is generation 0.
+    */
+  private def splitGen(s: String): (String, Long) = {
     val i = s.lastIndexOf("__g")
-    val (base, gen) =
-      if (i > 0 && s.length > i + 3 && s.drop(i + 3).forall(_.isDigit))
-        (s.take(i), s.drop(i + 3).toLong + 1)
-      else (s, 1L)
-    (loc, s"${base}__g$gen")
+    if (i > 0 && s.length > i + 3 && s.drop(i + 3).forall(_.isDigit))
+      (s.take(i), s.drop(i + 3).toLong)
+    else (s, 0L)
+  }
+
+  /** The generation directory immediately BEFORE `loc` in its chain
+    * (base counts as generation 0); None when `loc` is the base.
+    */
+  private def prevGenOf(loc: java.net.URI): Option[String] = {
+    val (base, gen) = splitGen(loc.toString.stripSuffix("/"))
+    if (gen == 0) None
+    else if (gen == 1) Some(base)
+    else Some(s"${base}__g${gen - 1}")
   }
 
   /** The maintenance-swap commit: point the live table at the staged
@@ -169,12 +190,17 @@ object Sinks {
     * generation's directory. A reader resolving the table BY NAME at
     * any instant finds a live table over a complete generation — the
     * catalog-level missing-table window of a drop→rename swap cannot
-    * occur. Residual race, documented: a reader that planned file
-    * handles against the OLD generation and is still mid-scan when
-    * its directory deletes will fail that scan — eliminating that too
-    * needs snapshot-isolated retention (keep N generations, vacuum
-    * later) or a transactional table format; single-WRITER ownership
-    * of maintenance passes remains the contract either way.
+    * occur. RETENTION (r11): the generation being flipped away from is
+    * KEPT on disk; only the one before it (N−2 relative to the new
+    * live generation) is deleted — a reader that planned file handles
+    * against the old generation right before the flip finishes its
+    * scan against intact files, and the delete only reaches a
+    * directory two maintenance passes stale. Residual, documented: a
+    * scan still running after a FULL further maintenance cycle can
+    * lose its directory — bounding that too is [[vacuumGenerations]]'
+    * job (run it instead of eager deletes when such readers exist) or
+    * a transactional table format; single-WRITER ownership of
+    * maintenance passes remains the contract either way.
     */
   private[graft] def flipToGeneration(spark: SparkSession, table: String, stagingTable: String,
                                       oldLoc: java.net.URI, newLoc: String): Unit = {
@@ -185,12 +211,69 @@ object Sinks {
   /** The flip's second half, separated so partitioned tables can run
     * their `MSCK REPAIR` between the location flip and the old
     * generation's deletion (readers on stale partition entries read
-    * the old snapshot until the repair lands).
+    * the old snapshot until the repair lands). Deletes the generation
+    * BEFORE `oldLoc` — `oldLoc` itself is retained for one more
+    * maintenance cycle (see [[flipToGeneration]]).
     */
   private[graft] def flipCleanup(spark: SparkSession, stagingTable: String,
                                  oldLoc: java.net.URI): Unit = {
     spark.sql(s"DROP TABLE $stagingTable")
-    val p = new org.apache.hadoop.fs.Path(oldLoc)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    prevGenOf(oldLoc).foreach { prev =>
+      val p = new org.apache.hadoop.fs.Path(prev)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** Rebase every partition entry of `table` onto its CURRENT
+    * location. `MSCK REPAIR` after a generation flip is ADD-only: a
+    * partition spec that already exists in the catalog keeps its
+    * pre-flip location (pointing into the previous generation) — on
+    * the in-memory catalog readers re-resolve and never notice, but a
+    * Hive metastore would serve partition paths that the NEXT flip's
+    * cleanup deletes. One metadata-only batch (`alterPartitions`), no
+    * data movement; partition directory leaf names (`col=value`) are
+    * location-invariant across generations because every generation
+    * is a full rewrite of the same partitioning.
+    */
+  private[graft] def syncPartitionLocations(spark: SparkSession, table: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cat = spark.sessionState.catalog
+    val cur = currentLocation(spark, table)
+    val stale = cat.listPartitions(ident).filter(p =>
+      p.storage.locationUri.exists(u => !(u.toString.stripSuffix("/") + "/").startsWith(cur + "/")))
+    if (stale.nonEmpty) cat.alterPartitions(ident, stale.map { p =>
+      val leaf = new org.apache.hadoop.fs.Path(p.storage.locationUri.get).getName
+      p.copy(storage = p.storage.copy(
+        locationUri = Some(java.net.URI.create(s"$cur/$leaf"))))
+    })
+  }
+
+  /** Reclaim ALL non-live generation directories of `table` — the
+    * explicit counterpart to [[flipCleanup]]'s keep-one retention.
+    * Run when no reader can still hold plans against an old snapshot
+    * (e.g. a quiet maintenance window); returns the number of
+    * directories deleted. Only siblings that are provably members of
+    * this table's generation chain (`<base>` or `<base>__gN`) are
+    * touched, so unrelated tables sharing the warehouse are safe.
+    */
+  def vacuumGenerations(spark: SparkSession, table: String): Int = {
+    val cur = currentLocation(spark, table)
+    val (base, _) = splitGen(cur)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = basePath.getParent
+    val name = basePath.getName
+    val curName = new org.apache.hadoop.fs.Path(cur).getName
+    if (parent == null || !fs.exists(parent)) 0
+    else {
+      val victims = fs.listStatus(parent).map(_.getPath).filter { p =>
+        val n = p.getName
+        val inChain = n == name ||
+          (n.startsWith(name + "__g") && n.drop(name.length + 3).forall(_.isDigit))
+        inChain && n != curName
+      }
+      victims.foreach(fs.delete(_, true))
+      victims.length
+    }
   }
 }

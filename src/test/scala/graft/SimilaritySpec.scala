@@ -220,9 +220,14 @@ class SimilaritySpec extends SparkSpec {
 
     // compaction: appends added a file per touched cluster dir; the
     // rewrite restores ~one file per cluster and preserves results
+    // resolve the CURRENT location from the catalog — after the r10
+    // versioned-location flip the compacted lists live at a __gN
+    // sibling, so a fixed warehouse path would list 0 files and make
+    // the shrink assertion below pass vacuously
     def listFiles(): Seq[java.io.File] = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Option(new java.io.File(wh, "ivfidx_spec_lists").listFiles()).getOrElse(Array.empty)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("ivfidx_spec_lists")).location
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
         .toSeq.filter(_.getName.startsWith("cluster="))
         .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
         .filter(_.getName.startsWith("part-"))
@@ -239,6 +244,18 @@ class SimilaritySpec extends SparkSpec {
       "compaction must preserve every list row")
     assert(listFiles().size < filesBefore,
       s"compaction must shrink the lists file count ($filesBefore -> ${listFiles().size})")
+    assert(listFiles().nonEmpty, "the current-location listing must see the compacted files")
+    // every partition catalog entry must point INSIDE the current
+    // generation — MSCK alone is add-only and would leave pre-flip
+    // entries on the previous generation (Sinks.syncPartitionLocations)
+    locally {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier("ivfidx_spec_lists")
+      val cur = spark.sessionState.catalog.getTableMetadata(ident).location.toString.stripSuffix("/")
+      val stray = spark.sessionState.catalog.listPartitions(ident)
+        .filter(p => p.storage.locationUri.exists(u => !u.toString.startsWith(cur)))
+      assert(stray.isEmpty,
+        s"partition entries must live in the current generation, stray: ${stray.take(3).map(_.storage.locationUri)}")
+    }
     val afterCompact = rows(Similarity.ivfAgainstIndex(queries, "ivfidx_spec", nprobe = 3, k = 5))
     // the original build's rankings still hold (appended ids don't
     // enter these queries' top-5 at cos-ranked 3-probe on this corpus

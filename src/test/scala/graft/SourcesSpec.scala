@@ -374,13 +374,28 @@ class SourcesSpec extends SparkSpec {
     assert(catalogFailures.isEmpty,
       s"reads must never lose the table or see partial data: ${catalogFailures.headOption}")
     assert(reads.get() > 0, "the reader thread must have completed reads during the flips")
-    // generations advance in place of drop→rename, old ones deleted
+    // retention (r11): a reader that PLANNED file handles against the
+    // pre-flip generation must finish its scan after the flip — the
+    // flipped-away generation is kept one more maintenance cycle
+    val plannedFiles = spark.table("flip_spec").inputFiles
+    Sinks.compactBucketed(spark, "flip_spec", Seq("k"), 8) // flip 7
+    val lateScan = spark.read.parquet(plannedFiles.toIndexedSeq: _*).count()
+    assert(lateScan == n,
+      s"a scan planned before the flip must still read the full old generation, got $lateScan")
+    // generations advance in place of drop→rename; keep-one retention
+    // leaves exactly the live generation plus its predecessor
     val loc = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier("flip_spec")).location.toString
-    assert(loc.stripSuffix("/").endsWith("__g6"), s"6 flips must land on generation 6, got $loc")
+    assert(loc.stripSuffix("/").endsWith("__g7"), s"7 flips must land on generation 7, got $loc")
     val wh = new java.io.File(new java.net.URI(loc)).getParentFile
-    val gens = wh.listFiles().map(_.getName).filter(_.startsWith("flip_spec"))
-    assert(gens.sameElements(Array(s"flip_spec__g6")),
-      s"previous generations must be deleted, found ${gens.mkString(",")}")
+    def gensOnDisk() = wh.listFiles().map(_.getName).filter(_.startsWith("flip_spec")).toSet
+    assert(gensOnDisk() == Set("flip_spec__g6", "flip_spec__g7"),
+      s"keep-one retention must leave g6+g7, found ${gensOnDisk().mkString(",")}")
+    // explicit vacuum reclaims everything but the live generation
+    val vacuumed = Sinks.vacuumGenerations(spark, "flip_spec")
+    assert(vacuumed == 1, s"vacuum must delete exactly the retained g6, deleted $vacuumed")
+    assert(gensOnDisk() == Set("flip_spec__g7"),
+      s"post-vacuum only the live generation remains, found ${gensOnDisk().mkString(",")}")
+    assert(spark.table("flip_spec").count() == n, "the live table must survive the vacuum")
   }
 }
