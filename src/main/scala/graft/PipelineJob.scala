@@ -18,6 +18,8 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs]
   *   tools/run.sh graft.PipelineJob training <docsParquet> <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
+  *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
+  *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
   *   quality + repetition gates → split tag, one composed plan.
@@ -29,6 +31,15 @@ import graft.streaming.StreamingPipeline
   *   (curate → context-window chunks → packed sequences), partitioned
   *   by (split, source) so a trainer reads one mixture component per
   *   directory with partition pruning.
+  * maintain-ivf / maintain-lsh: one INDEX-MAINTENANCE step per
+  *   invocation — the per-batch loop of a long-running crawl:
+  *   append the batch, then recluster the IVF index when the drift
+  *   rule fires ([[graft.operators.Similarity.maintainIvfIndex]]) /
+  *   compact the LSH index when per-bucket files cross the threshold
+  *   ([[graft.operators.Dedup.maintainNgramLshIndex]]). The index
+  *   must already exist (writeIvfIndex / writeNgramLshIndex); the
+  *   session's warehouse must be the one holding it
+  *   (SPARK_GRAFT_WAREHOUSE).
   * stream: [[StreamingPipeline.curateStream]] over a checkpointed
   *   parquet FILE STREAM — each new file dropped into `docsDir` is a
   *   micro-batch. Runs with Trigger.AvailableNow: processes everything
@@ -84,20 +95,51 @@ object PipelineJob {
     q.awaitTermination()
   }
 
+  /** One job-level index-maintenance step: read the batch, dispatch
+    * to the index family's append→maintain loop, report whether the
+    * heavy pass (recluster / compaction) fired. Factored out of
+    * [[main]] so the E2E spec drives the exact job path.
+    */
+  def runMaintain(spark: SparkSession, mode: String, batchPath: String,
+                  indexName: String): Boolean = {
+    val batch = spark.read.parquet(batchPath)
+    val fired = mode match {
+      case "maintain-ivf" =>
+        graft.operators.Similarity.maintainIvfIndex(batch, indexName)
+      case "maintain-lsh" =>
+        graft.operators.Dedup.maintainNgramLshIndex(batch, indexName)
+    }
+    val pass = if (mode == "maintain-ivf") "recluster" else "compaction"
+    println(s"index maintenance: $indexName (mode=$mode) $pass ${if (fired) "RAN" else "not needed"}")
+    fired
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3 && Set("batch", "bucketed", "training", "stream")(args(0)),
-      "usage: PipelineJob batch|bucketed|training|stream <docsPath> <outDir|tableName> [minQualityFs]")
+    val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh")
+    require(args.length >= 3 && modes(args(0)),
+      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh " +
+        "<docsPath> <outDir|tableName|indexName> [minQualityFs]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    // the maintenance modes operate on managed index tables — point
+    // the session at the warehouse that holds them
+    val spark = sys.env.get("SPARK_GRAFT_WAREHOUSE")
+      .fold(builder)(w => builder.config("spark.sql.warehouse.dir", w))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode.startsWith("maintain-")) {
+      runMaintain(spark, mode, in, out)
+      spark.stop()
+      return
+    }
 
     mode match {
       case "batch" =>

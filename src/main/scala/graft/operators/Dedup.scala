@@ -739,11 +739,11 @@ object Dedup {
     * joins) is preserved, spec-pinned along with candidate-set
     * parity across compaction.
     *
-    * Not atomic: the swap is write-tmp → drop → rename (the plain
-    * metastore has no transactional commit). Run it from the single
-    * writer that owns the index — the same ownership the append path
-    * already assumes; a transactional table format would make this a
-    * commit.
+    * The swap is the versioned-location pointer flip with keep-one
+    * retention ([[graft.sources.Sinks.flipToGeneration]]). Run it
+    * from the single writer that owns the index — the same ownership
+    * the append path already assumes; a transactional table format
+    * would make this a commit.
     */
   def compactNgramLshIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     import graft.sources.Sinks
@@ -821,6 +821,28 @@ object Dedup {
     Sinks.writeBucketed(shingled.select(col("doc_id"), col("grams")), s"${name}_grams",
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Append)
     shingled.unpersist(false)
+  }
+
+  /** ONE maintenance step of a stored n-gram LSH index — the
+    * append-then-compact loop a crawl pipeline runs per accepted
+    * batch: fold the batch in ([[appendToNgramLshIndex]], idempotent)
+    * and compact when per-bucket file accumulation crosses the
+    * threshold (each append adds up to one file per occupied bucket;
+    * past `maxFilesPerBucket` the k-files-per-bucket-scan tax
+    * outweighs one zero-shuffle rewrite). Returns true iff a
+    * compaction ran. The file count reads from the catalog's file
+    * index — no data scan. Wired as a CLI mode in
+    * [[graft.PipelineJob]] (`maintain-lsh`).
+    */
+  def maintainNgramLshIndex(newDocs: DataFrame, name: String,
+                            maxFilesPerBucket: Int = 4): Boolean = {
+    val spark = newDocs.sparkSession
+    appendToNgramLshIndex(newDocs, name)
+    val (_, _, _, buckets, _) = indexMeta(spark, name)
+    val files = spark.table(s"${name}_bands").inputFiles.length
+    val fires = files > maxFilesPerBucket.toLong * buckets
+    if (fires) compactNgramLshIndex(spark, name)
+    fires
   }
 
   /** The stored-index candidate join, factored out so its plan is

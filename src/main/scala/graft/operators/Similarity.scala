@@ -474,6 +474,26 @@ object Similarity {
     spark.sql(s"DROP TABLE $src")
   }
 
+  /** ONE maintenance step of a stored IVF index — the loop a crawl
+    * pipeline runs per ingest batch, previously left to the caller to
+    * hand-roll from the scaladocs: append the batch, evaluate the
+    * drift rule against the persisted build baseline, and retrain
+    * when it fires. Returns true iff a recluster ran. Cost when the
+    * rule stays quiet is the append (∝ batch) plus the two bounded
+    * stats scans of [[ivfDriftReport]]; the recluster is the rare
+    * full rebuild by design. Wired as a CLI mode in
+    * [[graft.PipelineJob]] (`maintain-ivf`).
+    */
+  def maintainIvfIndex(batch: DataFrame, name: String,
+                       maxDistGrowth: Double = 1.5, maxSkewGrowth: Double = 2.0,
+                       iters: Int = 2): Boolean = {
+    val spark = batch.sparkSession
+    appendToIvfIndex(batch, name)
+    val fires = ivfNeedsRecluster(spark, name, maxDistGrowth, maxSkewGrowth)
+    if (fires) reclusterIvfIndex(spark, name, iters = iters)
+    fires
+  }
+
   /** Stored-index geometry + codebook, read BY NAME with an
     * exactly-one-row meta guard (same contract as the LSH index's
     * meta reader — positional reads would miswire silently).

@@ -127,4 +127,80 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(lax == Seq(1L, 2L), "gate at 10000 admits everything")
   }
+
+  test("maintain-ivf job mode: batched appends trigger exactly ONE recluster when drift crosses the rule") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val dim = 16
+    val name = "maintidx"
+    Seq(s"${name}_lists", s"${name}_ids", s"${name}_meta", s"${name}_centroids",
+      s"${name}_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val base = ScaleRehearsal.synthesizeEmbeddings(spark, 1500L, dim)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(base, name, dim = dim, nlist = 16, iters = 2, buckets = 8)
+
+    // three ingest batches through the JOB path: in-distribution,
+    // planted drift (+2.0 on every component — far outside the build
+    // cube), in-distribution again after the rule has re-baselined
+    def batch(offset: Long, shift: Float): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"maint_batch_$offset").toString
+      ScaleRehearsal.synthesizeEmbeddings(spark, 300L, dim)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x + lit(shift)).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val fired = Seq(
+      PipelineJob.runMaintain(spark, "maintain-ivf", batch(1000000L, 0.0f), name),
+      PipelineJob.runMaintain(spark, "maintain-ivf", batch(2000000L, 2.0f), name),
+      PipelineJob.runMaintain(spark, "maintain-ivf", batch(3000000L, 0.0f), name))
+    assert(fired == Seq(false, true, false),
+      s"exactly the planted-drift batch must recluster, got $fired")
+    // every batch is in the index (append survived recluster cycles),
+    // and the post-recluster baseline reflects the mixed corpus (rule quiet)
+    assert(spark.table(s"${name}_lists").count() == 1500L + 3 * 300L,
+      "all appended batches must survive the maintenance cycles")
+    assert(!Similarity.ivfNeedsRecluster(spark, name),
+      "the re-baselined rule must be quiet after in-distribution appends")
+    // the maintained index still answers: a shifted query must find
+    // shifted neighbors (only indexable post-recluster centroids cover
+    // that region well)
+    val q = ScaleRehearsal.synthesizeEmbeddings(spark, 5L, dim)
+      .select((col("vec_id") + 9000000L).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(2.0f)).cast("float")).as("embedding"))
+    val res = Similarity.ivfAgainstIndex(q, name, nprobe = 4, k = 3).collect()
+    assert(res.length == 15, s"5 shifted queries x k=3 results, got ${res.length}")
+    assert(res.forall(_.getAs[Long]("c_id") >= 2000000L),
+      "shifted queries must rank shifted-batch vectors as neighbors")
+  }
+
+  test("maintain-lsh: append folds in, compaction fires only past the file threshold, idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    Seq("maintlsh_bands", "maintlsh_grams", "maintlsh_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeNgramLshIndex(docs.filter(col("doc_id") % 2 === 0), "maintlsh", buckets = 4)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    val b3 = docs.filter(col("doc_id") % 4 === 3)
+    // generous threshold: append lands, compaction stays quiet
+    assert(!Dedup.maintainNgramLshIndex(b1, "maintlsh", maxFilesPerBucket = 1000),
+      "compaction must not fire under the threshold")
+    val gramsAfterB1 = spark.table("maintlsh_grams").count()
+    val filesAfterB1 = spark.table("maintlsh_bands").inputFiles.length
+    // threshold 1: the accumulated per-bucket files cross it, one
+    // zero-shuffle rewrite reclaims them
+    assert(Dedup.maintainNgramLshIndex(b3, "maintlsh", maxFilesPerBucket = 1),
+      "compaction must fire past the threshold")
+    assert(spark.table("maintlsh_bands").inputFiles.length <= filesAfterB1,
+      "the compaction pass must reclaim the per-append file accumulation")
+    assert(spark.table("maintlsh_grams").count() > gramsAfterB1,
+      "the batch must be folded in before the compaction check")
+    // idempotence rides the append path: re-running the same batch
+    // adds nothing
+    val grams = spark.table("maintlsh_grams").count()
+    Dedup.maintainNgramLshIndex(b3, "maintlsh", maxFilesPerBucket = 1000)
+    assert(spark.table("maintlsh_grams").count() == grams,
+      "a retried batch must not duplicate index rows")
+  }
 }
