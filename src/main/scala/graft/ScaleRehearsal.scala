@@ -285,6 +285,48 @@ object ScaleRehearsal {
       })
     )
 
+    // ---- SemDeDup at the DERIVED operating point (r11): k = 0
+    // sentinel ⇒ 4√n clusters (past literalMax at this scale, so the
+    // BROADCAST codebook path trains and assigns), τ = 0.8. The gate
+    // pins k = 10 only for oracle tractability; this phase evidences
+    // the Σ width² + quantizer balance at the default users get.
+    // Closed-form truths: the identical-vector mega block must drop
+    // ENTIRELY for its minimum id (identical vectors always share a
+    // cluster — no approximation), background uniform vectors at
+    // dim 64 admit zero τ = 0.8 pairs, and the 10-member near-dup
+    // groups recover up to the documented cluster-boundary miss.
+    val (semPhase, semanticChecks) = {
+      val sem = Dedup.semanticDedup(emb, thresholdFs = 8000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val phase = timed("semantic_dedup_derived_k")(
+        sem.filter(col("kept") === 0L).count())
+      val vid = col("vec_id")
+      val isMegaV = vid >= 1000L && vid < 3000L
+      val isClusterV = !isMegaV && vid % 1000L < 10
+      val a = sem.agg(
+        sum(when(isMegaV && col("kept") === 0L && col("drop_for") === 1000L, 1L)
+          .otherwise(0L)).as("mega_drop"),
+        sum(when(isMegaV && col("kept") === 1L, 1L).otherwise(0L)).as("mega_kept"),
+        sum(when(isClusterV && col("kept") === 0L, 1L).otherwise(0L)).as("cl_drop"),
+        sum(when(!isMegaV && !isClusterV && col("kept") === 0L, 1L).otherwise(0L))
+          .as("bg_drop")).head()
+      sem.unpersist()
+      val (megaDrop, megaKept, clDrop, bgDrop) =
+        (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+      val numBlocks = nVecs / 1000
+      val megaCount = math.max(0L, math.min(nVecs, 3000L) - 1000L)
+      val megaBlocks = (megaCount + 999) / 1000
+      val expectCl = (numBlocks - megaBlocks) * 9
+      val derivedK = Similarity.suggestIvfGeometry(nVecs)._1
+      (phase,
+        s""""semantic_checks":{"derived_k":$derivedK,""" +
+          s""""mega_dropped_for_min":$megaDrop,""" +
+          s""""mega_ok":${megaDrop == megaCount - 1 && megaKept == 1},""" +
+          s""""cluster_dropped":$clDrop,"cluster_expected":$expectCl,""" +
+          s""""cluster_recovery_ok":${clDrop >= expectCl * 8 / 10 && clDrop <= expectCl},""" +
+          s""""background_dropped":$bgDrop,"background_ok":${bgDrop == 0L}},""")
+    }
+
     // planted truth the volumes must be consistent with: the mega
     // block spans ids [0, megaN) — ⌈megaN/1000⌉ whole 1000-blocks
     // whose rank<10 docs are mega members, NOT near-dup clusters
@@ -292,7 +334,7 @@ object ScaleRehearsal {
     val nClusters = nDocs / 1000 - (megaN + 999) / 1000
     val clusterDropped = nClusters * 9 // 9 non-base members per cluster
     val expectDropped = clusterDropped + (megaN - 1)
-    val phases = (results ++ annResults)
+    val phases = (results ++ annResults :+ semPhase)
       .map { case (p, s, v) => s""""$p":{"sec":${fmt(s)},"volume":$v}""" }
       .mkString("{", ",", "}")
     // vector-corpus planted truth: blocks 1–2 are the identical-vector
@@ -302,7 +344,7 @@ object ScaleRehearsal {
       s""""expected_mega_pairs":$megaPairs,"expected_cc_merged":$expectDropped,""" +
       s""""n_vecs":$nVecs,"expected_vec_mega_pairs":$vecMegaPairs,""" +
       s""""expected_vec_cluster_pairs":${(nVecs / 1000 - 2) * 45},""" +
-      s""""ann_truth":${truth.size},$trainingChecks"phases":$phases,"cpus":"$cpus"}""")
+      s""""ann_truth":${truth.size},$trainingChecks$semanticChecks"phases":$phases,"cpus":"$cpus"}""")
     spark.stop()
   }
 }
