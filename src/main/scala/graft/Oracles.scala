@@ -494,6 +494,38 @@ object Oracles {
     s"""WITH ${md5LshPairCtes()}
        |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
 
+  /** dedup_simhash_md5 (the DuckDB twin of Dedup.simhashMd5Pairs):
+    * per-token bits off the first 16 hex chars of md5(token), per-doc
+    * bit sums over distinct tokens (ties → 0), the 64-bit fingerprint
+    * held as FOUR 16-bit chunk integers (band = chunk index, bucket =
+    * chunk value — the pigeonhole-complete plan for hamming ≤ 3), and
+    * the exact hamming verify as per-chunk bit_count(xor) summed.
+    * SUMs cast to BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT, which
+    * the driver's dtype-strict compare rejects — the q19 lesson).
+    */
+  val dedupSimhashMd5: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+       |            FROM documents),
+       |hx AS (SELECT doc_id, substr(md5(tok),1,16) AS h FROM tk),
+       |jj AS (SELECT CAST(range AS INT) AS j FROM range(64)),
+       |bi AS (SELECT doc_id, j,
+       |         SUM(CASE WHEN (CAST(('0x' || substr(h, 1 + (j // 4), 1)) AS BIGINT)
+       |                        >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |       FROM hx CROSS JOIN jj GROUP BY doc_id, j),
+       |ck AS (SELECT doc_id, CAST(j // 16 AS INT) AS band,
+       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << (j % 16)
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cv
+       |       FROM bi GROUP BY doc_id, j // 16),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM ck a JOIN ck b
+       |           ON a.band = b.band AND a.cv = b.cv AND a.doc_id < b.doc_id),
+       |hm AS (SELECT cand.id_a, cand.id_b,
+       |         CAST(SUM(bit_count(xor(ca.cv, cb.cv))) AS BIGINT) AS hamming
+       |       FROM cand JOIN ck ca ON ca.doc_id = cand.id_a
+       |                 JOIN ck cb ON cb.doc_id = cand.id_b AND cb.band = ca.band
+       |       GROUP BY cand.id_a, cand.id_b)
+       |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   /** Greedy dedup application: survivors after dropping the higher id
     * of every verified near-dup pair (mirrors Dedup.applyPairs) —
     * since r10 over the BANDED md5-minhash generator

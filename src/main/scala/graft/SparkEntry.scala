@@ -150,6 +150,10 @@ object SparkEntry {
     // ngramJaccardPairs here, the gate's only weak components, because
     // the xxhash banding wasn't SQL-expressible)
     "dedup_minhash_md5" -> ((s, dir) => Dedup.minhashMd5Pairs(Tables.documents(s, dir))),
+    // the simhash family's oracle bridge (r11): md5-derived bits make
+    // the fingerprints, the banded candidates, and the hamming verify
+    // SQL-expressible — production path stays dedup_simhash
+    "dedup_simhash_md5" -> ((s, dir) => Dedup.simhashMd5Pairs(Tables.documents(s, dir))),
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))
@@ -263,6 +267,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
+    "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_redact" -> Oracles.textRedact,

@@ -278,6 +278,90 @@ object Dedup {
       verified.orderBy(col("id_a"), col("id_b")), Seq(fp, verified))
   }
 
+  /** The cross-engine-REPRODUCIBLE twin of [[simhashPairs]] — the
+    * simhash counterpart of [[minhashMd5Pairs]]: identical pigeonhole
+    * banding shape, candidate generator, and exact-hamming verify,
+    * but every token's 64 bit contributions come off the first 16 hex
+    * chars of md5(token) — a digest both Spark and DuckDB implement
+    * bit-identically — so the fingerprints, the banded candidate set,
+    * and the verified pair set are all expressible as oracle SQL:
+    *
+    *   bit_j(tok)  = nibble(md5(tok), j/4) >> (3 − j%4) & 1
+    *   s_j(doc)    = Σ over distinct tokens of (2·bit_j − 1)
+    *   fp bit j    = 1 iff s_j > 0           (ties → 0, both engines)
+    *   chunk_c     = bits [16c, 16c+16) as an integer, c = 0..3
+    *
+    * Banding is the fixed 4 × 16-bit chunk split: pigeonhole-complete
+    * for the default hamming ≤ 3 radius (the same plan
+    * [[graft.functions.HashFunctions.simhashBandPlan]] derives for
+    * maxHamming = 3), and kept FIXED here because the DuckDB twin
+    * mirrors it literally. The verify is exact: per-chunk
+    * bit_count(xor) summed — both engines' bit_count/xor agree on
+    * 64-bit integers. The PRODUCTION path stays [[simhashPairs]]
+    * (one codegen'd xxhash-based sketch per doc beats one md5 per
+    * token); this twin exists so the simhash family — previously
+    * rows-only by necessity — has a hash-checked gate key, the same
+    * bridge [[minhashMd5Pairs]] built for the minhash family in r10.
+    *
+    * Plan shape: tokens explode to slim (doc_id, digest-prefix) rows,
+    * ONE partial-agged groupBy reduces them to 64 per-doc bit sums
+    * (shuffle volume = 64 longs per doc regardless of doc length),
+    * chunks project map-side, and candidates route through the salted
+    * [[candidatePairs]] generator like every other LSH path here.
+    */
+  private val SimhashMd5Chunks = 4
+
+  /** The md5-simhash fingerprint as its four 16-bit chunk integers
+    * (doc_id, c0..c3) — factored out so the spec can brute-force the
+    * full pairwise hamming matrix on a fixture and assert
+    * [[simhashMd5Pairs]] recalls EXACTLY the ≤ maxHamming pairs.
+    */
+  private[graft] def simhashMd5Fingerprints(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      val nib = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
+      sum(bit * lit(2) - lit(1)).as(s"s$j")
+    }
+    val chunkCols = (0 until SimhashMd5Chunks).map { c =>
+      (0 until 16).map { i =>
+        when(col(s"s${c * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"c$c")
+    }
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: chunkCols: _*)
+  }
+
+  def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
+    val docs = Par.spread(docs0)
+    val chunks = SimhashMd5Chunks
+    // persist: the 4-chunk fingerprint frame feeds the band explode
+    // AND both verify sides — the md5 + 64-sum agg runs once
+    val fp = simhashMd5Fingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until chunks).map { c =>
+      struct(lit(c).as("band"), col(s"c$c").cast("string").as("bucket"))
+    }: _*)
+    val banded = fp.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val fa = fp.select(col("doc_id").as("id_a") +:
+      (0 until chunks).map(c => col(s"c$c").as(s"a$c")): _*)
+    val fb = fp.select(col("doc_id").as("id_b") +:
+      (0 until chunks).map(c => col(s"c$c").as(s"b$c")): _*)
+    val verified = candidatePairs(banded).join(fa, "id_a").join(fb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (0 until chunks).map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(fp, verified))
+  }
+
   /** Blocked word-set Jaccard pairs: candidates share a metadata block
     * (lang × length-bucket) — the classic cheap blocking key; exact
     * Jaccard computed only within blocks. jac_fs = floor(1e4·J).

@@ -645,9 +645,15 @@ class DedupSpec extends SparkSpec {
     // COMPACTION: appends accumulate one file per occupied bucket per
     // batch; the rewrite merges each bucket back to ONE file while
     // preserving the candidate set and the shuffle-free layout
+    // resolve the table's CURRENT location from the catalog — after a
+    // maintenance flip the live generation is a __gN directory and the
+    // previous one is retained (keep-one), so a fixed warehouse path
+    // would count the stale generation and pass/fail vacuously (the
+    // r11 ADVICE item, fixed here the same way as SimilaritySpec)
     def tableFiles(t: String): Seq[java.io.File] = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Option(new java.io.File(wh, t).listFiles()).getOrElse(Array.empty[java.io.File])
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty[java.io.File])
         .toSeq.filter(_.getName.startsWith("part-"))
     }
     val filesBefore = tableFiles("lshidx_spec_bands").size
@@ -862,5 +868,31 @@ class DedupSpec extends SparkSpec {
     val fps = d2.select(HashFunctions.rollingFingerprint(split(col("text"), " ")).as("fp"))
       .collect().map(_.getLong(0))
     assert(fps(0) != fps(1), "permuted token order must change the rolling hash")
+  }
+
+  test("md5-simhash pairs are EXACTLY the hamming<=3 pairs (brute-force parity on the fingerprints)") {
+    // planted structure: 20 distinct docs sharing a 60-token base (so
+    // fingerprints cluster but diverge by a few bits), one exact-dup
+    // pair, and a one-token drift of the base
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val rows = (0L until 20L).map(i => (i, s"$base uniq$i x$i y$i z$i")) ++
+      Seq((100L, base), (101L, base), (102L, s"$base drift1"))
+    val d = rows.toDF("doc_id", "text")
+    val fp = Dedup.simhashMd5Fingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(c => r.getAs[Long](s"c$c"))).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val ids = fp.keys.toSeq.sorted
+    val truth = (for { a <- ids; b <- ids if a < b; h = ham(fp(a), fp(b)) if h <= 3 }
+      yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashMd5Pairs(d).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming"))).toSet
+    // pigeonhole completeness (every true pair surfaces through some
+    // chunk band) AND exact-verify soundness (nothing else does)
+    assert(truth.exists(_._3 == 0L), "fixture must plant an exact-dup (hamming 0) pair")
+    assert(got == truth, s"banded pair set must equal the brute-force truth " +
+      s"(missing=${(truth -- got).take(5)}, extra=${(got -- truth).take(5)})")
+    // each chunk is 16 bits — fingerprint chunks stay in [0, 2^16)
+    assert(fp.values.flatten.forall(c => c >= 0L && c < (1L << 16)))
   }
 }
