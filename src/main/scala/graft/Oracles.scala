@@ -813,4 +813,26 @@ object Oracles {
       |  FROM documents)
       |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 15 ORDER BY doc_id""".stripMargin
+
+  /** snapshot_diff (the DuckDB twin of Snapshot.diff over the gate's
+    * derived snapshots): full-outer digest join, churn rows only,
+    * absent-side digests coalesced to '' so both engines emit
+    * non-null comparable strings.
+    */
+  val snapshotDiff: String =
+    """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+      |           WHERE doc_id % 10 <> 3),
+      |n AS (SELECT doc_id,
+      |        md5(CASE WHEN doc_id % 10 = 1 THEN text || ' v2' ELSE text END) AS new_md5
+      |      FROM documents WHERE doc_id % 10 <> 7),
+      |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5
+      |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN old_md5 IS NULL THEN 'added'
+      |       WHEN new_md5 IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change,
+      |  coalesce(old_md5, '') AS old_md5, coalesce(new_md5, '') AS new_md5
+      |FROM j
+      |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
+      |ORDER BY doc_id""".stripMargin
 }

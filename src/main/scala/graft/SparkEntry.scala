@@ -214,6 +214,18 @@ object SparkEntry {
       Sampling.capPerStratum(Tables.documents(s, dir), maxDocs = 15)),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
+    // two snapshots derived deterministically from one corpus: ids
+    // ending in 3 absent from OLD (→ added), ending in 7 absent from
+    // NEW (→ removed), ending in 1 re-crawled with drifted text
+    // (→ changed) — everything else unchanged and dropped
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Snapshot.diff(
+        docs.filter(col("doc_id") % 10 =!= 3),
+        docs.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text", when(col("doc_id") % 10 === 1,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
     // the composed end-to-end training layout: curate → chunk → pack
     // (rows-only — the curation stage is LSH-based, not SQL-expressible;
@@ -281,6 +293,7 @@ object SparkEntry {
     "text_encode" -> Oracles.textEncode,
     "sample_split" -> Oracles.sampleSplit,
     "sample_stratified" -> Oracles.sampleStratified,
+    "snapshot_diff" -> Oracles.snapshotDiff,
     "sample_cap_source" -> Oracles.sampleCapSource
   )
 }
