@@ -814,6 +814,27 @@ object Oracles {
       |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 15 ORDER BY doc_id""".stripMargin
 
+  /** sample_mixture (the DuckDB twin of Sampling.mixtureSample at the
+    * gate's pinned 5/3/2 recipe over src0/src1/src2, W = 10): the
+    * integer budget/cap rule verbatim — B = min((n·10) // w),
+    * cap = (B·w) // 10 — then the one-level keep-lowest-md5 rank (the
+    * Spark side's two-level window must be result-identical, the same
+    * prefix-closure claim sample_cap_source pins).
+    */
+  val sampleMixture: String =
+    """WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+      |c AS (SELECT w.source, w.w, count(d.doc_id) AS n
+      |      FROM w LEFT JOIN documents d ON d.source = w.source GROUP BY 1, 2),
+      |b AS (SELECT min((n * 10) // w) AS budget FROM c),
+      |cap AS (SELECT source, ((SELECT budget FROM b) * w) // 10 AS cap FROM c),
+      |r AS (SELECT d.doc_id, d.source,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY md5('graft#' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+      |      FROM documents d JOIN w ON w.source = d.source)
+      |SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+      |FROM r JOIN cap ON cap.source = r.source
+      |WHERE r.rnk <= cap.cap ORDER BY r.doc_id""".stripMargin
+
   /** snapshot_diff (the DuckDB twin of Snapshot.diff over the gate's
     * derived snapshots): full-outer digest join, churn rows only,
     * absent-side digests coalesced to '' so both engines emit

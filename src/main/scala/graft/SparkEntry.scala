@@ -214,6 +214,10 @@ object SparkEntry {
       Sampling.capPerStratum(Tables.documents(s, dir), maxDocs = 15)),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
+    // a 50/30/20 recipe over three of the twenty sources: the binding
+    // stratum sets the budget, the rest downsample to their share
+    "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
+      weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L))),
     // two snapshots derived deterministically from one corpus: ids
     // ending in 3 absent from OLD (→ added), ending in 7 absent from
     // NEW (→ removed), ending in 1 re-crawled with drifted text
@@ -294,6 +298,7 @@ object SparkEntry {
     "sample_split" -> Oracles.sampleSplit,
     "sample_stratified" -> Oracles.sampleStratified,
     "snapshot_diff" -> Oracles.snapshotDiff,
+    "sample_mixture" -> Oracles.sampleMixture,
     "sample_cap_source" -> Oracles.sampleCapSource
   )
 }

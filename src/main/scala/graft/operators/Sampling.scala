@@ -103,17 +103,75 @@ object Sampling {
     */
   def capPerStratum(df: DataFrame, maxDocs: Int, stratumCol: String = "source",
                     idCol: String = "doc_id", salt: String = "graft#"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
-    val pre = df.select(col(idCol), col(stratumCol))
+    cappedByLowestHash(df, lit(maxDocs.toLong), stratumCol, idCol, salt)
+  }
+
+  /** Mixture-weighted downsampling to TARGET proportions: given
+    * integer weights w_s per source (w_s / Σw is the share source s
+    * must hold in the output), keep the LARGEST corpus that exactly
+    * satisfies them — the static mixture-reweighting step (the
+    * DoReMi/Pile-style "data recipe") that turns a crawl whose natural
+    * composition is wrong into a training mix that matches the recipe.
+    *
+    * The rule, exact in integer arithmetic in both engines:
+    *
+    *   budget B  = min over weighted s of  (n_s · W) div w_s
+    *   cap_s     = (B · w_s) div W
+    *
+    * B is the largest total size every stratum can supply its share
+    * of; heavy-supply strata downsample, the scarcest stratum binds.
+    * A weighted stratum ABSENT from the corpus yields B = 0 and an
+    * empty result — a recipe naming a source the corpus lacks is
+    * unsatisfiable, and silently renormalizing around it would ship
+    * the wrong mixture (spec-pinned). Unweighted strata are dropped.
+    *
+    * Selection within a stratum is keep-lowest-md5 — the same
+    * engine/partitioning-stable selector as [[capPerStratum]], same
+    * two-level window, so the kept set is reproducible and redrawable
+    * by salt. Plan shape: one partial-agged count per stratum, the
+    * caps frame stays broadcast-size (strata are a bounded dimension),
+    * and the ranking shuffles slim (id, stratum, hash) rows only.
+    */
+  def mixtureSample(df: DataFrame, weights: Map[String, Long],
+                    stratumCol: String = "source", idCol: String = "doc_id",
+                    salt: String = "graft#"): DataFrame = {
+    require(weights.nonEmpty, "mixtureSample needs at least one weighted stratum")
+    require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bigW = weights.values.sum
+    val wdf = weights.toSeq.toDF(stratumCol, "w")
+    val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // left join so an absent weighted stratum counts 0 (→ budget 0)
+    val counts = broadcast(wdf).join(cnt, Seq(stratumCol), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val budget = counts.select(min(expr(s"(n * $bigW) div w")).as("budget"))
+    val caps = counts.crossJoin(broadcast(budget))
+      .select(col(stratumCol), expr(s"CAST((budget * w) div $bigW AS BIGINT)").as("cap"))
+    cappedByLowestHash(df.join(broadcast(caps), stratumCol),
+      col("cap"), stratumCol, idCol, salt)
+  }
+
+  /** The shared keep-lowest-md5 exact cap: rank within each stratum by
+    * the salted hash and keep ranks ≤ `cap` (a per-row Column — a
+    * literal for [[capPerStratum]], the joined mixture cap for
+    * [[mixtureSample]]). Two-level window (see [[capPerStratum]]'s
+    * scale note); `cap` must be functionally determined by the stratum
+    * so both levels see one value per partition.
+    */
+  private def cappedByLowestHash(df: DataFrame, cap: Column, stratumCol: String,
+                                 idCol: String, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = df.select(col(idCol), col(stratumCol), cap.as("cap_"))
       .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
     val w1 = Window.partitionBy(col(stratumCol), substring(col("h"), 1, 2))
       .orderBy(col("h"), col(idCol))
     val survivors = pre.withColumn("r1", row_number().over(w1))
-      .filter(col("r1") <= maxDocs).drop("r1")
+      .filter(col("r1") <= col("cap_")).drop("r1")
     val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
     survivors.withColumn("rnk", row_number().over(w2).cast("long"))
-      .filter(col("rnk") <= maxDocs)
+      .filter(col("rnk") <= col("cap_"))
       .select(col(idCol), col(stratumCol), col("rnk"))
       .orderBy(col(idCol))
   }

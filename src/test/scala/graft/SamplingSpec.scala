@@ -75,6 +75,37 @@ class SamplingSpec extends SparkSpec {
     assert(redrawn != out.map(_._1).toSet, "salt must redraw the kept set")
   }
 
+  test("mixtureSample hits the recipe exactly: binding stratum, derived caps, unsatisfiable recipe → empty") {
+    // src0..src3 have 500 docs each; src_scarce only 40. Recipe
+    // 5/3/2 over (src0, src1, src_scarce), W = 10: the scarce stratum
+    // binds — B = min(500·10//5, 500·10//3, 40·10//2) = 200, caps
+    // (100, 60, 40): exact 50/30/20 proportions at the largest size
+    val scarce = (9100L until 9140L).map(i => (i, "src_scarce")).toDF("doc_id", "source")
+    val d = docs.unionByName(scarce)
+    val weights = Map("src0" -> 5L, "src1" -> 3L, "src_scarce" -> 2L)
+    val out = Sampling.mixtureSample(d, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("src0" -> 100, "src1" -> 60, "src_scarce" -> 40),
+      s"caps must realize the 50/30/20 recipe at the binding budget, got $bySrc")
+    assert(out.forall { case (_, s, r) => r >= 1 && r <= bySrc(s) })
+    // unweighted strata (src2, src3) are dropped entirely
+    assert(!out.exists(o => o._2 == "src2" || o._2 == "src3"))
+    // selection = the per-stratum lowest-md5 prefix (same selector as
+    // capPerStratum): kept set is exactly ranks 1..cap_s
+    val expected = Sampling.capPerStratum(
+      d.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      maxDocs = 100).collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2 == "src0").map(_._1).toSet == expected,
+      "mixture selection within a stratum must equal the capped lowest-md5 prefix")
+    // determinism
+    assert(Sampling.mixtureSample(d, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == out.toSet)
+    // a recipe naming an absent source is unsatisfiable: budget 0,
+    // empty output — NOT a silent renormalization around the gap
+    assert(Sampling.mixtureSample(d, weights + ("src_missing" -> 1L)).count() == 0)
+  }
+
   test("sampling plans are pure map-side (no shuffle before the output sort)") {
     val plan = Sampling.stratifiedSample(docs).queryExecution.executedPlan.toString
     // one Exchange allowed: the final rangepartitioning for ORDER BY
