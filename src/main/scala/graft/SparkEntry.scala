@@ -142,6 +142,17 @@ object SparkEntry {
     // SQL-expressible; luma-truth semantics are spec-pinned)
     "multimodal_video" -> ((s, dir) =>
       Multimodal.decodeVideo(Multimodal.videoPayloads(Tables.documents(s, dir)))),
+    // perceptual-hash image dedup over a corpus with planted
+    // re-uploads (every id%10==0 payload re-appears under a high id):
+    // real PNG decode → 8×8 aHash → the shared chunk-banded pair
+    // engine (rows-only — pixel hashing isn't SQL-expressible;
+    // hamming-truth parity is spec-pinned)
+    "multimodal_phash" -> ((s, dir) => {
+      val pay = Multimodal.imagePayloads(Tables.documents(s, dir))
+      val reuploads = pay.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Multimodal.imagePhashPairs(pay.unionByName(reuploads))
+    }),
 
     // ---- beyond §2: corpus-level pipeline ops ----
     // r10: apply/cc consume the BANDED md5-minhash generator — the

@@ -337,11 +337,22 @@ object Dedup {
   def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
-    val docs = Par.spread(docs0)
+    chunkBandedPairs(simhashMd5Fingerprints(Par.spread(docs0)), maxHamming)
+  }
+
+  /** Hamming-banded pairs over ANY 64-bit fingerprint held as four
+    * 16-bit chunk columns (doc_id, c0..c3) — the shared engine behind
+    * [[simhashMd5Pairs]] (text sketches) and
+    * [[Multimodal.imagePhashPairs]] (perceptual image hashes):
+    * pigeonhole banding (band = chunk index, bucket = chunk value,
+    * complete for hamming ≤ 3) through the salted [[candidatePairs]]
+    * generator, then the exact per-chunk bit_count(xor) verify.
+    */
+  private[graft] def chunkBandedPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = SimhashMd5Chunks
     // persist: the 4-chunk fingerprint frame feeds the band explode
-    // AND both verify sides — the md5 + 64-sum agg runs once
-    val fp = simhashMd5Fingerprints(docs)
+    // AND both verify sides — the upstream fingerprint pass runs once
+    val fp = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until chunks).map { c =>
       struct(lit(c).as("band"), col(s"c$c").cast("string").as("bucket"))

@@ -490,6 +490,77 @@ object Multimodal {
     * row-multiplying step happens BEFORE any shuffle, so downstream
     * per-frame operators (embed, dedup, filter) see ordinary rows.
     */
+  /** Perceptual average-hash (aHash) of a decoded image as four
+    * 16-bit chunk columns (doc_id, c0..c3): the image reduces to an
+    * 8×8 grid of block-mean luminances and bit (cy·8 + cx) is set iff
+    * its cell is brighter than the global mean — all in exact integer
+    * arithmetic (cellSum·N > totalSum·cellN), so the hash is
+    * deterministic across JVMs and partitionings. Re-encoded,
+    * resized-by-integer-factor, or lightly-perturbed copies of an
+    * image land within a few bits; unrelated images differ in ~32.
+    *
+    * Same stage contract as [[decodeImages]]: real `javax.imageio`
+    * decode per payload inside typed mapPartitions, slim numeric rows
+    * out. The chunk layout is EXACTLY
+    * [[Dedup.chunkBandedPairs]]'s input, so image near-dup mining
+    * reuses the text-sketch banding engine unchanged.
+    */
+  def phashImages(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val cellSum = new Array[Long](64)  // Σ luma-milli per 8×8 cell
+          val cellN = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+              val c = cy * 8 + x * 8 / w
+              cellSum(c) += luma
+              cellN(c) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val totalSum = cellSum.sum
+          val totalN = w.toLong * h
+          val chunks = new Array[Long](4)
+          var c = 0
+          while (c < 64) {
+            // cell mean > global mean, cross-multiplied (integer-exact)
+            if (cellSum(c) * totalN > totalSum * cellN(c))
+              chunks(c / 16) |= 1L << (c % 16)
+            c += 1
+          }
+          (id, chunks(0), chunks(1), chunks(2), chunks(3))
+        }
+      }
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+  }
+
+  /** Image near-dup pairs within perceptual-hash hamming ≤ maxHamming
+    * — re-uploads, re-encodes, and lightly-edited copies — through
+    * the SAME salted pigeonhole banding + exact verify engine as the
+    * text sketches ([[Dedup.chunkBandedPairs]]): band = chunk index,
+    * bucket = chunk value, candidates Σ bucket², never |corpus|².
+    */
+  def imagePhashPairs(mm: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"the 4x16 chunk banding is pigeonhole-complete only for hamming <= 3; got $maxHamming")
+    Dedup.chunkBandedPairs(phashImages(mm), maxHamming)
+  }
+
   def frameSample(mm: DataFrame, nFrames: Int = 4): DataFrame = {
     val spark = mm.sparkSession
     import spark.implicits._

@@ -90,6 +90,54 @@ class SourcesSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2990L)), "red: Rec.601 0.299 weight")
   }
 
+  test("image phash: re-encodes pair at hamming 0, a one-cell edit at hamming 1, inverses never pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 32×32 half-black/half-white images: every 4×4 aHash cell is
+    // uniformly 0 or 255 luma, far from the global mean, so cell bits
+    // are exactly the planted pattern and a one-CELL edit is a
+    // one-BIT edit
+    def splitPng(whiteLeft: Boolean, whiteCells: Set[(Int, Int)]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach { y =>
+        (0 until 32).foreach { x =>
+          val baseWhite = if (whiteLeft) x < 16 else x >= 16
+          val cellWhite = whiteCells.contains((x / 4, y / 4))
+          img.setRGB(x, y, if (baseWhite || cellWhite) 0xffffff else 0x000000)
+        }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val mm = Seq(
+      (1L, splitPng(whiteLeft = true, Set.empty)),            // A
+      (2L, splitPng(whiteLeft = true, Set.empty)),            // re-upload of A
+      (3L, splitPng(whiteLeft = true, Set((7, 0)))),          // A with one black cell whitened
+      (4L, splitPng(whiteLeft = false, Set.empty))            // inverse of A — hamming 64
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.imagePhashPairs(mm).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming"))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"planted hamming structure must surface exactly, got $got")
+    // brute-force parity on the fingerprints (same claim as the
+    // text-sketch banding spec): banded pairs == all hamming<=3 pairs
+    val fp = Multimodal.phashImages(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(c => r.getAs[Long](s"c$c"))).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(fp(1L), fp(4L)) == 64, "the inverse image must complement every bit")
+    val ids = fp.keys.toSeq.sorted
+    val truth = (for { a <- ids; b <- ids if a < b; h = ham(fp(a), fp(b)) if h <= 3 }
+      yield (a, b, h.toLong)).toSet
+    assert(got == truth)
+    // determinism across decode invocations
+    val fp2 = Multimodal.phashImages(mm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(c => r.getAs[Long](s"c$c"))).toMap
+    assert(fp2 == fp)
+  }
+
   test("audio payloads are genuine WAVs; real decode recovers planted sample truth") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
