@@ -66,6 +66,74 @@ object Sinks {
   def readAssignments(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
 
+  /** The Z-address of `cols` as a Column: each column min/max-scales
+    * onto a 16-bit grid, and the grid cells' bits interleave
+    * (bit i of column j lands at position i·n + j), so rows close in
+    * EVERY clustered dimension are close in the one-dimensional sort
+    * key. A static shift/mask expression tree (16·n terms) — fully
+    * codegen'd, no UDF. Bounds come in as literals
+    * ([[writeZOrdered]] computes them with one tiny agg); a
+    * degenerate dimension (min == max) contributes constant bits.
+    */
+  private[graft] def zValue(cols: Seq[String], mins: Seq[Long], maxs: Seq[Long]) = {
+    import org.apache.spark.sql.functions._
+    val n = cols.length
+    val cells = cols.zipWithIndex.map { case (c, j) =>
+      val span = math.max(1L, maxs(j) - mins(j))
+      // floor((v - min) · 65535 / span), clamped to the grid; double
+      // intermediate (overflow-safe for spans < 2^53 — a layout key
+      // needs locality, not cross-engine bit parity)
+      least(lit(65535L), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(mins(j).toDouble)) * lit(65535.0) / lit(span.toDouble))
+          .cast("long")))
+    }
+    (0 until 16).flatMap { i =>
+      cells.zipWithIndex.map { case (cell, j) =>
+        shiftleft(shiftright(cell, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered parquet — multi-dimensional data skipping for
+    * numeric filter columns where directory partitioning is wrong
+    * (high cardinality) and bucketing doesn't help filters (hash
+    * destroys range locality). Rows sort by the interleaved
+    * [[zValue]] and range-partition into `partitions` files, so
+    * parquet's always-written file/row-group min-max statistics
+    * become TIGHT boxes in every clustered dimension at once: a
+    * reader's conjunctive range predicate prunes to the few files
+    * whose box intersects it — a linear sort gives that for its
+    * leading column only, leaving trailing-column predicates
+    * unprunable (spec-pinned: an aligned 1/8 × 1/8 box touches ≤ half
+    * the files the linear layout touches). At 100 TB this is the
+    * difference between scanning a curve-adjacent sliver and a full
+    * leading-dimension stripe.
+    *
+    * Cost: one bounded min/max agg (2 longs per clustered column) +
+    * the same range-exchange a plain global sort pays. The z column
+    * is dropped before the write; the layout IS the artifact.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    partitions: Int, saveMode: SaveMode = SaveMode.Overwrite,
+                    blockBytes: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.nonEmpty, "writeZOrdered needs at least one clustering column")
+    val aggExprs = zCols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val bounds = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    val mins = zCols.indices.map(j => bounds.getLong(2 * j))
+    val maxs = zCols.indices.map(j => bounds.getLong(2 * j + 1))
+    val writer = df.withColumn("__z", zValue(zCols, mins, maxs))
+      .repartitionByRange(partitions, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(saveMode)
+    // smaller parquet row groups = finer min-max skipping granularity
+    // (the z-sort makes every row group a tight box, so more groups
+    // means proportionally less data read per pruned query)
+    (if (blockBytes > 0) writer.option("parquet.block.size", blockBytes) else writer)
+      .parquet(path)
+  }
+
   /** Bucketed tables require the metastore path (saveAsTable); the
     * session's warehouse dir decides physical placement.
     */

@@ -90,6 +90,92 @@ class SourcesSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, 2990L)), "red: Rec.601 0.299 weight")
   }
 
+  test("z-ordered layout: a 2-D box predicate prunes to fewer files than the linear sort; results identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic uniform mix over [0, 65535]² — the cell grid maps
+    // values 1:1, so the test box is an exactly-aligned z-quad
+    // two sentinel rows pin min/max to the exact grid corners so the
+    // aligned test box maps onto aligned z-quads
+    val d = ((0 until 200000).map { i =>
+      val m = i.toLong * 6364136223846793005L + 1442695040888963407L
+      ((m >>> 16) & 65535L, (m >>> 40) & 65535L)
+    } ++ Seq((0L, 0L), (65535L, 65535L))).toDF("a", "b")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val linDir = s"$base/linear"
+    val zDir = s"$base/zorder"
+    // small parquet blocks → many row groups per file: the assertion
+    // unit is the ROW GROUP, the granularity parquet min-max skipping
+    // actually prunes at (file-count granularity is too coarse: the
+    // test box holds only ~half a file of rows)
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", 2000)
+    try {
+      d.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+        .write.option("parquet.block.size", 64 * 1024).parquet(linDir)
+      graft.sources.Sinks.writeZOrdered(d, zDir, Seq("a", "b"), 8,
+        blockBytes = 64 * 1024)
+    } finally spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    val (aLo, aHi, bLo, bHi) = (16384L, 24575L, 32768L, 40959L) // 1/8 × 1/8 aligned box
+    // row-group (a, b) boxes straight from the parquet footers — the
+    // statistics a reader's predicate prunes with
+    def rowGroupBoxes(dir: String): Seq[(Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            def mm(name: String): (Long, Long) = {
+              val st = blk.getColumns.asScala.find(_.getPath.toDotString == name).get.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            }
+            val (al, ah) = mm("a"); val (bl, bh) = mm("b")
+            (al, ah, bl, bh)
+          } finally r.close()
+        }
+    }
+    def candidates(boxes: Seq[(Long, Long, Long, Long)],
+                   lo: (Long, Long), hi: (Long, Long)): Int =
+      boxes.count { case (al, ah, bl, bh) =>
+        !(ah < lo._1 || al > hi._1 || bh < lo._2 || bl > hi._2) }
+    val linBoxes = rowGroupBoxes(linDir)
+    val zBoxes = rowGroupBoxes(zDir)
+    assert(linBoxes.size >= 24 && zBoxes.size >= 24,
+      s"the small block size must yield many row groups (${linBoxes.size}/${zBoxes.size})")
+    val lin = candidates(linBoxes, (aLo, bLo), (aHi, bHi))
+    val zc = candidates(zBoxes, (aLo, bLo), (aHi, bHi))
+    info(s"2-D box candidates: linear=$lin of ${linBoxes.size} row groups, " +
+      s"z-ordered=$zc of ${zBoxes.size}")
+    // the linear sort prunes on `a` only: ~1/8 of row groups survive
+    // the a-range but every survivor spans all of b
+    assert(lin * 8 >= linBoxes.size - 8,
+      s"linear layout should leave the full a-stripe as candidates, got $lin")
+    // the z layout localizes BOTH dimensions: the aligned 1/64-area
+    // box is ONE contiguous z-run
+    assert(zc * 2 <= lin, s"z-order must at least halve the 2-D candidate set ($zc vs $lin)")
+    // the stripe where a linear sort is helpless: a TRAILING-column
+    // predicate (b alone) prunes nothing on the a-sorted layout but
+    // the z layout still localizes it
+    val linB = candidates(linBoxes, (Long.MinValue, bLo), (Long.MaxValue, bHi))
+    val zcB = candidates(zBoxes, (Long.MinValue, bLo), (Long.MaxValue, bHi))
+    info(s"b-stripe candidates: linear=$linB of ${linBoxes.size}, z-ordered=$zcB of ${zBoxes.size}")
+    assert(linB == linBoxes.size, "the a-sorted layout cannot prune a b-only predicate")
+    assert(zcB * 2 <= linB, s"z-order must at least halve the b-stripe candidates ($zcB vs $linB)")
+    // identical query results on both layouts, with the box pushed
+    // down to the parquet scan
+    val pred = col("a").between(aLo, aHi) && col("b").between(bLo, bHi)
+    def res(dir: String) = spark.read.parquet(dir).filter(pred)
+      .agg(count(lit(1)), sum(col("a") * 3 + col("b"))).collect()(0)
+    assert(res(linDir) == res(zDir))
+    val scanPlan = spark.read.parquet(zDir).filter(pred).queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters") && scanPlan.contains("GreaterThanOrEqual(a,"),
+      s"box predicate must reach the parquet scan:\n$scanPlan")
+  }
+
   test("image phash: re-encodes pair at hamming 0, a one-cell edit at hamming 1, inverses never pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
