@@ -220,6 +220,17 @@ object SparkEntry {
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
+    // distributed BPE over the word-frequency table (rows-only — the
+    // merge loop's greedy fixed point isn't single-query SQL; the
+    // trainer is pinned merge-for-merge to a reference implementation
+    // in BpeSpec): 10 learned merges, then the corpus re-encoded with
+    // them as the map-side fold chain
+    "text_bpe_train" -> ((s, dir) => Bpe.train(Tables.documents(s, dir), numMerges = 10)),
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.encode(docs, Bpe.train(docs, numMerges = 10))
+        .orderBy(col("doc_id"), col("word_pos"), col("piece_pos"))
+    }),
     "sample_split" -> ((s, dir) => Sampling.split(Tables.documents(s, dir))),
     "sample_cap_source" -> ((s, dir) =>
       Sampling.capPerStratum(Tables.documents(s, dir), maxDocs = 15)),
