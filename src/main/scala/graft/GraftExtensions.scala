@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, MinHashSig, NgramStats, SimHash64}
+import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain, MinHashSig, NgramStats, SimHash64}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -44,5 +44,8 @@ object GraftExtensions {
       arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), c(1)))),
     (FunctionIdentifier("graft_ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getCanonicalName, "graft_ngram_stats"),
-      arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))))
+      arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getCanonicalName, "graft_bloom_might_contain"),
+      arity("graft_bloom_might_contain", 2)(c => BloomMightContain(c(0), c(1)))))
 }

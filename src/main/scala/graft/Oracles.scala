@@ -835,6 +835,17 @@ object Oracles {
       |FROM r JOIN cap ON cap.source = r.source
       |WHERE r.rnk <= cap.cap ORDER BY r.doc_id""".stripMargin
 
+  /** dedup_cross_exact (the DuckDB twin of ExactIndex.flagKnown over
+    * the gate's derived reference): the bloom is invisible here by
+    * design — it only prunes the confirm join; the RESULT is the
+    * plain exact digest membership.
+    */
+  val dedupCrossExact: String =
+    """WITH r AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+      |SELECT d.doc_id, md5(d.text) AS h, (r.h IS NOT NULL) AS is_known
+      |FROM documents d LEFT JOIN r ON md5(d.text) = r.h
+      |ORDER BY d.doc_id""".stripMargin
+
   /** snapshot_diff (the DuckDB twin of Snapshot.diff over the gate's
     * derived snapshots): full-outer digest join, churn rows only,
     * absent-side digests coalesced to '' so both engines emit

@@ -236,6 +236,14 @@ object SparkEntry {
       Sampling.capPerStratum(Tables.documents(s, dir), maxDocs = 15)),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
       fractions = Map("src0" -> 0.5, "src1" -> 0.5))),
+    // bloom-accelerated exact cross-corpus dedup: reference = the
+    // even-id half, batch = everything; the sketch prunes the confirm
+    // join to bloom-positives while results stay EXACT (oracle-checked)
+    "dedup_cross_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      ExactIndex.flagKnown(docs, docs.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
     // a 50/30/20 recipe over three of the twenty sources: the binding
     // stratum sets the budget, the rest downsample to their share
     "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
@@ -321,6 +329,7 @@ object SparkEntry {
     "sample_stratified" -> Oracles.sampleStratified,
     "snapshot_diff" -> Oracles.snapshotDiff,
     "sample_mixture" -> Oracles.sampleMixture,
+    "dedup_cross_exact" -> Oracles.dedupCrossExact,
     "sample_cap_source" -> Oracles.sampleCapSource
   )
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.BloomMightContain
+
+/** Stored EXACT-dedup index — the cheap companion of the stored
+  * n-gram LSH index for incremental crawls: "have we seen this exact
+  * content before?" answered per batch without joining the batch
+  * against the full stored corpus.
+  *
+  * Layout: `<name>_digests` — the content digests, BUCKETED on the
+  * digest so the confirm join never shuffles the stored side (the
+  * same write-time-layout contract as the LSH index's bands table);
+  * `<name>_bloom` — a Bloom filter over those digests (1 binary row +
+  * geometry meta). Per query batch:
+  *
+  *   1. probe the bloom MAP-SIDE ([[BloomMightContain]], codegen'd):
+  *      bloom-negative rows are DEFINITIVELY new (no false
+  *      negatives) and never reach a join;
+  *   2. only bloom-positive rows (true dups + the fpp sliver) join
+  *      the digests table for exact confirmation — so the join input
+  *      is ∝ |batch ∩ corpus|, not |batch|.
+  *
+  * At 100 TB the digests table is the source of truth and scales
+  * freely; the bloom is the accelerator and its size is bound by the
+  * build-time `expectedItems` (~1.2 GB per 10⁹ digests at fpp 0.03).
+  * Corpora beyond what one sketch should carry: raise fpp (the
+  * confirm join absorbs false positives exactly) or skip the bloom
+  * and take the plain bucketed semi-join — correctness never depends
+  * on the sketch. Append folds new digests in idempotently and
+  * MERGES a same-geometry batch sketch into the stored bloom
+  * (bit-OR; `expectedItems` fixed at build time — the meta tracks
+  * the indexed count so callers can see saturation and rebuild).
+  */
+object ExactIndex {
+
+  /** In-memory form: classify `batch` docs against a `reference`
+    * corpus frame — (doc_id, h, is_known), exact semantics, with the
+    * bloom pruning the confirm join to bloom-positives. This is the
+    * one-shot shape ([[write]]/[[flagAgainstIndex]] is the stored
+    * lifecycle twin).
+    */
+  def flagKnown(batch: DataFrame, reference: DataFrame,
+                expectedItems: Long = 0L, fpp: Double = 0.03,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val refDigests = reference.select(md5(col(textCol)).as("h")).distinct()
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(1000L, refDigests.count())
+    val bloom = buildBloom(refDigests, n, fpp)
+    classify(batch.sparkSession,
+      batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")),
+      refDigests, bloom)
+  }
+
+  /** One aggregation pass over the digest frame → the serialized
+    * sketch (driver-held, size set by (expectedItems, fpp) at
+    * creation — NOT by the data).
+    */
+  private def buildBloom(digests: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
+    val bf = digests.stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The codegen'd sketch probe when the session has GraftExtensions;
+    * constant-true otherwise — every row then takes the exact confirm
+    * join, so results never depend on the sketch (the bloom is purely
+    * the accelerator).
+    */
+  private def bloomProbe(spark: SparkSession, c: Column, bytes: Array[Byte]): Column =
+    if (spark.catalog.functionExists("graft_bloom_might_contain"))
+      call_function("graft_bloom_might_contain", c, lit(bytes))
+    else lit(true)
+
+  /** The split-confirm-union: bloom-negatives tag `false` map-side;
+    * bloom-positives left-join the digests for the exact verdict.
+    */
+  private def classify(spark: SparkSession, batch: DataFrame, digests: DataFrame,
+                       bloomBytes: Array[Byte]): DataFrame = {
+    val probed = batch.withColumn("maybe", bloomProbe(spark, col("h"), bloomBytes))
+    val definiteNew = probed.filter(!col("maybe"))
+      .select(col("doc_id"), col("h"), lit(false).as("is_known"))
+    val confirmed = probed.filter(col("maybe"))
+      .join(digests.select(col("h"), lit(true).as("hit")), Seq("h"), "left")
+      .select(col("doc_id"), col("h"), coalesce(col("hit"), lit(false)).as("is_known"))
+    definiteNew.unionByName(confirmed)
+  }
+
+  /** Build the stored index: bucketed digests + bloom + meta. */
+  def write(docs: DataFrame, name: String, buckets: Int = 64,
+            expectedItems: Long = 0L, fpp: Double = 0.03,
+            textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import graft.sources.Sinks
+    val digests = docs.select(md5(col(textCol)).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = digests.count()
+    val n = if (expectedItems > 0) expectedItems else math.max(1000L, nItems * 4)
+    Sinks.writeBucketed(digests, s"${name}_digests", "h", buckets)
+    writeBloomAndMeta(spark, name, buildBloom(digests, n, fpp), n, fpp, nItems, buckets)
+    digests.unpersist()
+  }
+
+  private def writeBloomAndMeta(spark: SparkSession, name: String, bloom: Array[Byte],
+                                expectedItems: Long, fpp: Double, nItems: Long,
+                                buckets: Int): Unit = {
+    import spark.implicits._
+    Seq((bloom, expectedItems, fpp, nItems, buckets))
+      .toDF("bloom", "expected_items", "fpp", "n_items", "buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_bloom")
+  }
+
+  private def readBloomMeta(spark: SparkSession, name: String)
+  : (Array[Byte], Long, Double, Long, Int) = {
+    val rows = spark.table(s"${name}_bloom").collect()
+    require(rows.length == 1, s"${name}_bloom must hold exactly one row, got ${rows.length}")
+    val r = rows(0)
+    (r.getAs[Array[Byte]]("bloom"), r.getAs[Long]("expected_items"),
+      r.getAs[Double]("fpp"), r.getAs[Long]("n_items"), r.getAs[Int]("buckets"))
+  }
+
+  /** Classify a batch against the STORED index: same exact semantics
+    * as [[flagKnown]]; the confirm join reads the digest bucketing
+    * (stored side never reshuffles).
+    */
+  def flagAgainstIndex(batch: DataFrame, name: String,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val (bloom, _, _, _, _) = readBloomMeta(spark, name)
+    classify(spark, batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")),
+      spark.table(s"${name}_digests"), bloom)
+  }
+
+  /** Fold a batch's digests into the stored index, idempotently:
+    * already-indexed digests anti-join away (bucketed, stored side
+    * shuffle-free), the remainder appends to the digests table, and a
+    * same-geometry sketch of the NEW digests bit-ORs into the stored
+    * bloom. Meta's n_items advances so saturation stays observable
+    * (rebuild via [[write]] when n_items outgrows expected_items).
+    */
+  def append(docs: DataFrame, name: String, textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val (bloomBytes, expectedItems, fpp, nItems, buckets) = readBloomMeta(spark, name)
+    val fresh = docs.select(md5(col(textCol)).as("h")).distinct()
+      .join(spark.table(s"${name}_digests"), Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNew = fresh.count()
+    if (nNew > 0) {
+      // sketch the fresh digests BEFORE the table write: inserting
+      // into the digests table re-materializes any cached plan that
+      // reads it, and `fresh` anti-joins that table — post-insert it
+      // would recompute EMPTY and the batch sketch would be null
+      val batchBloomBytes = buildBloom(fresh, expectedItems, fpp)
+      fresh.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "h").sortBy("h").format("parquet")
+        .saveAsTable(s"${name}_digests")
+      val stored = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+      val batchBloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(batchBloomBytes))
+      stored.mergeInPlace(batchBloom)
+      val bos = new java.io.ByteArrayOutputStream()
+      stored.writeTo(bos)
+      writeBloomAndMeta(spark, name, bos.toByteArray, expectedItems, fpp,
+        nItems + nNew, buckets)
+    }
+    fresh.unpersist()
+  }
+}
