@@ -138,19 +138,23 @@ object Sampling {
                     salt: String = "graft#"): DataFrame = {
     require(weights.nonEmpty, "mixtureSample needs at least one weighted stratum")
     require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
-    val sp = df.sparkSession
-    import sp.implicits._
     val bigW = weights.values.sum
-    val wdf = weights.toSeq.toDF(stratumCol, "w")
-    val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-    // left join so an absent weighted stratum counts 0 (→ budget 0)
-    val counts = broadcast(wdf).join(cnt, Seq(stratumCol), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
-    val budget = counts.select(min(expr(s"(n * $bigW) div w")).as("budget"))
-    val caps = counts.crossJoin(broadcast(budget))
-      .select(col(stratumCol), expr(s"CAST((budget * w) div $bigW AS BIGINT)").as("cap"))
-    cappedByLowestHash(df.join(broadcast(caps), stratumCol),
-      col("cap"), stratumCol, idCol, salt)
+    // bounded driver decision (the Lloyd-centroids pattern): strata
+    // are a dims-table-sized dimension, so the per-stratum counts
+    // collect to a handful of rows and the caps compile into a CASE
+    // literal — the ranking pass below then has ZERO extra joins
+    val counts = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // absent weighted stratum → n = 0 → budget 0 → empty result (an
+    // unsatisfiable recipe must not silently renormalize)
+    val budget = weights.map { case (s, w) => counts.getOrElse(s, 0L) * bigW / w }.min
+    val caps = weights.map { case (s, w) => s -> budget * w / bigW }
+    val capExpr = caps.foldLeft(lit(-1L)) { case (acc, (s, c)) =>
+      when(col(stratumCol) === s, lit(c)).otherwise(acc)
+    }
+    cappedByLowestHash(df.filter(col(stratumCol).isin(weights.keys.toSeq: _*)),
+      capExpr, stratumCol, idCol, salt)
   }
 
   /** The shared keep-lowest-md5 exact cap: rank within each stratum by
