@@ -116,6 +116,17 @@ object SparkEntry {
     "dedup_cosine_lsh" -> ((s, dir) => Dedup.cosineLsh(Tables.embeddings(s, dir),
       planes = 7, tables = 8, probes = 4)),
     "sim_topk_cosine" -> ((s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir))),
+    // product quantization: trained per-subspace codebooks, ADC
+    // ranking over the compressed codes (rows-only — iterative
+    // k-means training isn't single-query SQL; ADC-lookup = exact
+    // reconstructed distance and the recall gate are spec-pinned)
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.adcTopKReranked(emb, Pq.train(emb))
+    }),
+    // rows>0 ⟺ two-stage PQ recall@5 vs the exact cosine baseline
+    // ≥ 0.9 — the honesty gate for ranking from 6-bit codes
+    "sim_pq_recall" -> ((s, dir) => Pq.pqRecall(Tables.embeddings(s, dir))),
     "sim_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "sim_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),

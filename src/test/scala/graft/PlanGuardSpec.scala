@@ -22,7 +22,12 @@ package graft
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private val boundedByDesign = Set("sim_topk_cosine")
+  /** `sim_pq_topk` shares `sim_topk_cosine`'s declared shape: the ADC
+    * scorer broadcasts its BOUNDED query set (nQueries rows, each
+    * carrying its m·ks lookup table) against the code frame with the
+    * same non-equi self-exclusion predicate.
+    */
+  private val boundedByDesign = Set("sim_topk_cosine", "sim_pq_topk")
 
   test("no unbounded cartesian or nested-loop join anywhere in the query suite") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
