@@ -129,6 +129,15 @@ object SparkEntry {
     "sim_pq_recall" -> ((s, dir) => Pq.pqRecall(Tables.embeddings(s, dir))),
     "sim_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
     "sim_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // residual IVF-PQ (FAISS IVFPQ shape): coarse probe prunes the
+    // scan, 6-bit residual codes score it, exact re-rank orders the
+    // shortlist — rows-only (two trained quantizers aren't
+    // single-query SQL); exactness-of-output and the stored-index
+    // lifecycle are spec-pinned
+    "sim_ivfpq_topk" -> ((s, dir) => IvfPq.ivfPqTopK(Tables.embeddings(s, dir))),
+    // rows>0 ⟺ IVF-PQ recall@5 vs exact cosine ≥ 0.9 — lossy twice
+    // (unprobed lists AND residual codes), so it ships with its gate
+    "sim_ivfpq_recall" -> ((s, dir) => IvfPq.recallGate(Tables.embeddings(s, dir))),
     "sim_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),

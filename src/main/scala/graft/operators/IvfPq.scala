@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Sinks
+
+/** IVF-PQ — the composition that makes 100 TB of embeddings
+  * searchable from a compressed index (Jégou et al. 2011, the FAISS
+  * `IVFPQ` architecture): an IVF coarse quantizer prunes the search
+  * to `nprobe` lists, and within each list candidates are scored from
+  * PQ codes of their RESIDUAL r = v − centroid(list(v)) — so the scan
+  * side of the index holds m small ints per vector instead of dim
+  * floats, and the full vectors are only fetched for the shortlist's
+  * exact re-rank.
+  *
+  * Residual encoding matters: residuals concentrate near 0 with far
+  * less variance than raw vectors, so the same m·ks codebook budget
+  * quantizes them much more finely. The price is that the ADC lookup
+  * table becomes per-(query, probed list) — ‖q − (c + r̂)‖² =
+  * ‖(q − c) − r̂‖², a fresh table for each probed centroid c — which
+  * is exactly nprobe slim rows per query here, each carrying its m·ks
+  * array, broadcast to the code scan.
+  *
+  * Scale shape, stored form ([[writeIndex]] / [[queryIndex]]):
+  *  - `name_codes`  (c_id, codes, cluster) — partitioned by cluster:
+  *    the compressed scan side, DYNAMIC-PARTITION-PRUNED to the
+  *    probed lists per query batch; I/O ∝ probed fraction × m bytes
+  *    per vector, not corpus × dim floats.
+  *  - `name_vecs`   (c_id, cv) — bucketed by c_id: the exact-vector
+  *    store, touched only by the shortlist re-rank join (stored side
+  *    shuffle-free by layout) and the append anti-join.
+  *  - `name_centroids` / `name_pqbooks` / `name_meta` — driver-bounded
+  *    (nlist·dim + m·ks·dim/m doubles).
+  *
+  * Accuracy contract: recall is bounded by the probe (a true neighbor
+  * in an unprobed list is unreachable — the IVF trade) and measured,
+  * not assumed: [[recallGate]] is the rows>0 ⟺ recall ≥ target gate,
+  * the same discipline as [[Similarity.annRecall]] / [[Pq.pqRecall]].
+  */
+object IvfPq {
+
+  /** A trained model: the coarse codebook plus the residual PQ books.
+    * Driver-held and bounded (nlist·dim + ks·dim doubles).
+    */
+  case class Model(cents: KMeans.Centroids, cb: Pq.Codebooks)
+
+  /** Train on the L2-normalized corpus: `coarseIters` Lloyd rounds
+    * for the IVF codebook (final-centroid assignment, the
+    * [[Similarity.writeIvfIndex]] convention), then residual PQ books
+    * via [[Pq.trainOn]] — residuals are NOT re-normalized (their
+    * length is their information).
+    */
+  def train(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16, m: Int = 8,
+            ks: Int = 64, coarseIters: Int = 2, pqIters: Int = 3,
+            literalMax: Int = Similarity.LiteralCodebookMax): Model = {
+    val pts = Pq.normalized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = coarseIters, dim = dim)
+    val cb = Pq.trainOn(
+      residuals(pts, cents, literalMax).select(col("vec_id").as("id"), col("rv").as("v")),
+      dim, m, ks, pqIters)
+    pts.unpersist()
+    Model(cents, cb)
+  }
+
+  /** (vec_id, v, cluster, rv = v − centroid(cluster)) against the
+    * FINAL coarse centroids — the literal argmin expression within
+    * the codegen bound, the broadcast twin past it (the
+    * [[KMeans.lloyd]] dispatch rule); the centroid subtraction rides
+    * a broadcast k-row join either way.
+    */
+  private def residuals(pts: DataFrame, cents: KMeans.Centroids,
+                        literalMax: Int): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val assigned =
+      if (cents.length <= literalMax)
+        pts.withColumn("cluster", KMeans.assignExpr(col("v"), cents)._1)
+      else
+        KMeans.assignBroadcast(pts, "vec_id", "v", cents)
+          .select(col("id").as("vec_id"), col("v"), col("cluster"))
+    val centsDf = cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "centroid")
+    assigned.join(broadcast(centsDf), Seq("cluster"))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        zip_with(col("v"), col("centroid"), (a, b) => a - b).as("rv"))
+  }
+
+  /** The probe frame: (q_id, cluster, qtab) — `nprobe` rows per
+    * query, each carrying the ADC table of the query's residual
+    * AGAINST THAT LIST's centroid. Bounded by construction
+    * (nQueries · nprobe · m·ks doubles), broadcast to the code scan.
+    */
+  private def probeTables(q: DataFrame, model: Model, nprobe: Int,
+                          literalMax: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centsDf = model.cents.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster", "centroid")
+    Similarity.probeClusters(q.withColumn("qn", lit(1.0)), model.cents, nprobe, literalMax)
+      .join(broadcast(centsDf), Seq("cluster"))
+      .select(col("q_id"), col("cluster"),
+        Pq.adcTableExpr(zip_with(col("qv"), col("centroid"), (a, b) => a - b),
+          model.cb).as("qtab"))
+  }
+
+  /** ADC shortlist + exact re-rank over in-memory (cluster, codes) and
+    * vector frames — the shared back half of [[ivfPqTopK]] and
+    * [[queryIndex]]. `codes` must carry (c_id, codes, cluster);
+    * `vecs` (c_id, cv) with UNIT-norm cv.
+    */
+  private def rankAgainst(codes: DataFrame, vecs: DataFrame, q: DataFrame,
+                          model: Model, nprobe: Int, k: Int, shortlist: Int,
+                          literalMax: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val qp = probeTables(q, model, nprobe, literalMax)
+    val byAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_fs"), col("c_id"))
+    val cand = codes.join(broadcast(qp), Seq("cluster"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        floor(lit(1000000.0) * Pq.adcScoreExpr(col("qtab"), col("codes"), model.cb))
+          .as("adc_fs"))
+      .withColumn("srnk", row_number().over(byAdc))
+      .filter(col("srnk") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    val byCos = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
+    // the shortlist is bounded (nQueries · shortlist): broadcast it so
+    // the vector store never shuffles
+    vecs.join(broadcast(cand), "c_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"))), "q_id")
+      .select(col("q_id"), col("c_id"),
+        floor(lit(1000000.0) * dot(col("qv"), col("cv"))).as("cos_fs"))
+      .withColumn("rnk", row_number().over(byCos).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** In-memory IVF-PQ top-k: the first `nQueries` vec_ids query the
+    * corpus through the probe → compressed-scan → re-rank pipeline.
+    * Output schema equals [[Similarity.bruteTopK]]; a probe covering
+    * the truth makes the two identical (spec-pinned on the planted
+    * corpus).
+    */
+  def ivfPqTopK(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16,
+                nprobe: Int = 8, m: Int = 8, ks: Int = 64, nQueries: Int = 10,
+                k: Int = 5, shortlist: Int = 200,
+                literalMax: Int = Similarity.LiteralCodebookMax): DataFrame = {
+    val model = train(embeddings, dim, nlist, m, ks, literalMax = literalMax)
+    val pts = Pq.normalized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rs = residuals(pts, model.cents, literalMax)
+    val codes = rs.select(col("vec_id").as("c_id"),
+      Pq.codesExpr(col("rv"), model.cb).as("codes"), col("cluster"))
+    val vecs = pts.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val q = pts.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val out = rankAgainst(codes, vecs, q, model, nprobe, k, shortlist, literalMax)
+    ScopedCache.releaseAfterAction(out, Seq(pts))
+  }
+
+  /** The IVF-PQ honesty gate: rows>0 ⟺ recall@k of [[ivfPqTopK]] vs
+    * the exact cosine baseline ≥ `minRecallFs`/10⁴. Lossy twice over
+    * (unprobed lists AND 6-bit residual codes) — which is exactly why
+    * it ships with its own measurement.
+    */
+  def recallGate(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16,
+                 nprobe: Int = 8, m: Int = 8, ks: Int = 64, nQueries: Int = 10,
+                 k: Int = 5, shortlist: Int = 200,
+                 minRecallFs: Long = 9000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val brute = Similarity.bruteTopK(embeddings, nQueries, k)
+      .select(col("q_id"), col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = ivfPqTopK(embeddings, dim, nlist, nprobe, m, ks, nQueries, k, shortlist)
+      .select(col("q_id"), col("c_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHit = approx.join(brute, Seq("q_id", "c_id"), "left_semi").count()
+    val nTruth = brute.count()
+    brute.unpersist()
+    approx.unpersist()
+    val recallFs = if (nTruth == 0) 0L else math.floor(10000.0 * nHit / nTruth).toLong
+    Seq(("ivfpq", recallFs)).toDF("method", "recall_fs")
+      .filter(col("recall_fs") >= minRecallFs)
+  }
+
+  /** Persist an IVF-PQ index (layout in the object scaladoc). The
+    * codes table is the scan side a 1000-executor cluster keeps hot;
+    * the vecs table is the cold exact store only the re-rank touches.
+    */
+  def writeIndex(embeddings: DataFrame, name: String, dim: Int = 64,
+                 nlist: Int = 16, m: Int = 8, ks: Int = 64, coarseIters: Int = 2,
+                 pqIters: Int = 3, buckets: Int = 32,
+                 literalMax: Int = Similarity.LiteralCodebookMax): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = train(embeddings, dim, nlist, m, ks, coarseIters, pqIters, literalMax)
+    val pts = Pq.normalized(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    residuals(pts, model.cents, literalMax)
+      .select(col("vec_id").as("c_id"),
+        Pq.codesExpr(col("rv"), model.cb).as("codes"), col("cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("cluster").saveAsTable(s"${name}_codes")
+    Sinks.writeBucketed(pts.select(col("vec_id").as("c_id"), col("v").as("cv")),
+      s"${name}_vecs", Seq("c_id"), buckets, SaveMode.Overwrite)
+    pts.unpersist()
+    model.cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_centroids")
+    model.cb.books.zipWithIndex
+      .flatMap { case (book, s) => book.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+      .toDF("s", "code", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_pqbooks")
+    Seq((dim, nlist, m, ks, buckets)).toDF("dim", "nlist", "m", "ks", "buckets")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${name}_meta")
+  }
+
+  /** Stored geometry + codebooks, read BY NAME with the
+    * exactly-one-row meta guard (the house stored-index contract).
+    */
+  private def indexMeta(spark: SparkSession, name: String): (Int, Int, Model) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1,
+      s"${name}_meta must hold exactly one geometry row, got ${rows.length}")
+    val meta = rows(0)
+    val (dim, nlist) = (meta.getAs[Int]("dim"), meta.getAs[Int]("nlist"))
+    val (m, ks) = (meta.getAs[Int]("m"), meta.getAs[Int]("ks"))
+    val cents = spark.table(s"${name}_centroids").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Seq[Double]]("centroid").toArray))
+      .sortBy(_._1).toSeq
+    val bookRows = spark.table(s"${name}_pqbooks").collect()
+      .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("code")),
+        r.getAs[Seq[Double]]("centroid").toArray)).toMap
+    require(bookRows.size == m * ks,
+      s"${name}_pqbooks must hold m·ks = ${m * ks} rows, got ${bookRows.size}")
+    val books = (0 until m).map(s => (0 until ks).map(c => bookRows((s, c))))
+    (nlist, meta.getAs[Int]("buckets"), Model(cents, Pq.Codebooks(dim, m, ks, books)))
+  }
+
+  /** Query a stored IVF-PQ index: probe → dynamic-partition-pruned
+    * compressed scan → bucketed exact re-rank. Queries carry
+    * (vec_id, embedding); a query id also present in the corpus is
+    * excluded as self (the [[Similarity.ivfAgainstIndex]] convention).
+    */
+  def queryIndex(queries: DataFrame, name: String, nprobe: Int = 8, k: Int = 5,
+                 shortlist: Int = 200,
+                 literalMax: Int = Similarity.LiteralCodebookMax): DataFrame = {
+    val spark = queries.sparkSession
+    val (_, _, model) = indexMeta(spark, name)
+    require(nprobe >= 1 && nprobe <= model.cents.length,
+      s"nprobe must be in [1, ${model.cents.length}], got $nprobe")
+    val q = Pq.normalized(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    rankAgainst(spark.table(s"${name}_codes"), spark.table(s"${name}_vecs"),
+      q, model, nprobe, k, shortlist, literalMax)
+  }
+
+  /** Fold new vectors into a stored IVF-PQ index against the FROZEN
+    * codebooks (coarse and PQ — retrain = rebuild via [[writeIndex]],
+    * the [[Similarity.appendToIvfIndex]] contract). IDEMPOTENT:
+    * already-indexed vec_ids are skipped via an anti-join probing the
+    * c_id-bucketed vecs table (stored side shuffle-free by layout).
+    * Append cost ∝ batch size, never index size.
+    */
+  def appendToIndex(newVectors: DataFrame, name: String,
+                    literalMax: Int = Similarity.LiteralCodebookMax): Unit = {
+    val spark = newVectors.sparkSession
+    val (_, buckets, model) = indexMeta(spark, name)
+    val fresh = Pq.normalized(newVectors)
+      .join(spark.table(s"${name}_vecs"), col("vec_id") === col("c_id"), "left_anti")
+      .persist() // feeds the codes insert AND the vecs append
+    // insertInto is positional; the partition column sits LAST
+    residuals(fresh, model.cents, literalMax)
+      .select(col("vec_id").as("c_id"),
+        Pq.codesExpr(col("rv"), model.cb).as("codes"), col("cluster"))
+      .write.mode(SaveMode.Append).insertInto(s"${name}_codes")
+    Sinks.writeBucketed(fresh.select(col("vec_id").as("c_id"), col("v").as("cv")),
+      s"${name}_vecs", Seq("c_id"), buckets, SaveMode.Append)
+    fresh.unpersist(false)
+  }
+}

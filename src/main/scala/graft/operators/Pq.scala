@@ -43,7 +43,7 @@ object Pq {
     def dsub: Int = dim / m
   }
 
-  private def normalized(embeddings: DataFrame): DataFrame =
+  private[graft] def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id").cast("long").as("vec_id"),
         toDoubleArray(col("embedding")).as("v0"))
@@ -97,13 +97,23 @@ object Pq {
     * normalized frame is persisted once across all m subspaces.
     */
   def train(embeddings: DataFrame, dim: Int = 64, m: Int = 8, ks: Int = 64,
-            iters: Int = 3): Codebooks = {
+            iters: Int = 3): Codebooks =
+    trainOn(normalized(embeddings).select(col("vec_id").as("id"), col("v")),
+      dim, m, ks, iters)
+
+  /** Codebook training over an already-PREPARED (id, v) frame — the
+    * piece [[train]] runs after normalizing, split out so residual
+    * IVF-PQ can train on coarse-quantizer residuals (which must NOT
+    * be re-normalized: a residual's length IS its information).
+    */
+  private[graft] def trainOn(prepared: DataFrame, dim: Int, m: Int, ks: Int,
+                             iters: Int): Codebooks = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val pts = normalized(embeddings)
+    val pts = prepared
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = (0 until m).map { s =>
-      val sub = pts.select(col("vec_id").as("id"), subvec(col("v"), s, dsub).as("v"))
+      val sub = pts.select(col("id"), subvec(col("v"), s, dsub).as("v"))
       var cents = farthestPointSeeds(sub, ks)
       for (_ <- 1 to iters) {
         val (cl, d) = KMeans.assignExpr(col("v"), cents)
@@ -130,14 +140,39 @@ object Pq {
   def encode(embeddings: DataFrame, cb: Codebooks): DataFrame =
     encodeNormalized(normalized(embeddings), cb)
 
-  private def encodeNormalized(pts: DataFrame, cb: Codebooks): DataFrame = {
-    val codeCols = (0 until cb.m).map { s =>
+  private def encodeNormalized(pts: DataFrame, cb: Codebooks): DataFrame =
+    pts.select(col("vec_id"), codesExpr(col("v"), cb).as("codes"))
+
+  /** The m-argmin code array for one vector column — a pure codegen'd
+    * expression (no shuffle, no state): `codes(s)` is the nearest
+    * centroid of subspace s.
+    */
+  private[graft] def codesExpr(v: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { s =>
       val cents: KMeans.Centroids =
         cb.books(s).zipWithIndex.map { case (c, i) => (i.toLong, c) }
-      KMeans.assignExpr(subvec(col("v"), s, cb.dsub), cents)._1.cast("int")
-    }
-    pts.select(col("vec_id"), array(codeCols: _*).as("codes"))
-  }
+      KMeans.assignExpr(subvec(v, s, cb.dsub), cents)._1.cast("int")
+    }: _*)
+
+  /** The per-query ADC lookup table: all m·ks subspace distances of
+    * `v` to every codebook centroid, flattened as `s·ks + code`.
+    * Computed ONCE per (query[, probed cluster]) row; candidates then
+    * score with [[adcScoreExpr]]'s m array lookups.
+    */
+  private[graft] def adcTableExpr(v: Column, cb: Codebooks): Column =
+    array((0 until cb.m).flatMap { s =>
+      (0 until cb.ks).map { c =>
+        l2sq(subvec(v, s, cb.dsub), typedlit(cb.books(s)(c)))
+      }
+    }: _*)
+
+  /** ADC candidate score = Σ_s qtab[s·ks + codes[s]] — m element_at
+    * lookups against the precomputed table, the whole point of PQ.
+    */
+  private[graft] def adcScoreExpr(qtab: Column, codes: Column, cb: Codebooks): Column =
+    (0 until cb.m).map { s =>
+      element_at(qtab, lit(s * cb.ks) + element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
 
   /** ADC top-k over the encoded corpus: the first `nQueries` vec_ids
     * query the rest. Per query row, `qtab` holds all m·ks subspace
@@ -167,18 +202,11 @@ object Pq {
   private def adcRanked(pts: DataFrame, cb: Codebooks, nQueries: Int,
                         limit: Int): DataFrame = {
     val codes = encodeNormalized(pts, cb).select(col("vec_id").as("c_id"), col("codes"))
-    val qtab = array((0 until cb.m).flatMap { s =>
-      (0 until cb.ks).map { c =>
-        l2sq(subvec(col("qv"), s, cb.dsub), typedlit(cb.books(s)(c)))
-      }
-    }: _*)
     val q = pts.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("qtab", qtab)
+      .withColumn("qtab", adcTableExpr(col("qv"), cb))
       .select(col("q_id"), col("qtab"))
-    val score = (0 until cb.m).map { s =>
-      element_at(col("qtab"), lit(s * cb.ks) + element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    val score = adcScoreExpr(col("qtab"), col("codes"), cb)
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("adc_fs"), col("c_id"))
     codes.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), floor(lit(1000000.0) * score).as("adc_fs"))
