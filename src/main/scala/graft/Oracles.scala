@@ -835,6 +835,42 @@ object Oracles {
       |FROM r JOIN cap ON cap.source = r.source
       |WHERE r.rnk <= cap.cap ORDER BY r.doc_id""".stripMargin
 
+  /** sample_weighted (the DuckDB twin of Sampling.weightedSample at
+    * the gate's length-bucket weight, k = 100): the integer-exact
+    * A-ES key verbatim — max of w salted md5 strings per doc, top-k
+    * by (key desc, id). The two engines agree digest-for-digest, so
+    * the SAMPLE SET matches exactly, not just in distribution.
+    */
+  val sampleWeighted: String =
+    """WITH kd AS (SELECT doc_id,
+      |  least(5, 1 + length(text) // 100) AS w,
+      |  list_max(list_transform(range(1, least(5, 1 + length(text) // 100) + 1),
+      |    r -> md5('graft#' || CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)))) AS k_
+      |  FROM documents),
+      |r AS (SELECT doc_id, w, row_number() OVER (ORDER BY k_ DESC, doc_id) AS rnk FROM kd)
+      |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 100 ORDER BY doc_id""".stripMargin
+
+  /** sample_epochs (the DuckDB twin of Sampling.epochMix at the
+    * gate's 2.5/1.0/0.25 recipe): whole-epoch copies plus the
+    * hex-threshold fractional selector, unnested to one row per
+    * (doc, copy).
+    */
+  val sampleEpochs: String = {
+    import graft.operators.Sampling.hexThreshold
+    val t50 = hexThreshold(0.5, 4)
+    val t0 = hexThreshold(0.0, 4)
+    val t25 = hexThreshold(0.25, 4)
+    s"""WITH e(source, whole, thr) AS
+       |  (VALUES ('src0', 2, '$t50'), ('src1', 1, '$t0'), ('src2', 0, '$t25')),
+       |d AS (SELECT d.doc_id, d.source,
+       |        e.whole + CASE WHEN substr(md5('graft#' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+       |                         < e.thr THEN 1 ELSE 0 END AS reps
+       |      FROM documents d JOIN e ON e.source = d.source)
+       |SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS BIGINT) AS copy
+       |FROM d WHERE reps > 0 ORDER BY doc_id, copy""".stripMargin
+  }
+
   /** dedup_cross_exact (the DuckDB twin of ExactIndex.flagKnown over
     * the gate's derived reference): the bloom is invisible here by
     * design — it only prunes the confirm join; the RESULT is the

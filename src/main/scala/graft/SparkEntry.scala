@@ -268,6 +268,14 @@ object SparkEntry {
     // stratum sets the budget, the rest downsample to their share
     "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
       weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L))),
+    // quality-weighted k-sample (integer A-ES): weight = the 100-char
+    // length bucket capped at 5, so longer docs are up to 5× likelier
+    "sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir),
+      k = 100, weight = expr("least(5, 1 + length(text) div 100)"))),
+    // fractional-epoch recipe: src0 seen ~2.5 times, src1 once,
+    // src2 downsampled to a quarter — repeats carry a copy ordinal
+    "sample_epochs" -> ((s, dir) => Sampling.epochMix(Tables.documents(s, dir),
+      epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))),
     // two snapshots derived deterministically from one corpus: ids
     // ending in 3 absent from OLD (→ added), ending in 7 absent from
     // NEW (→ removed), ending in 1 re-crawled with drifted text
@@ -349,6 +357,8 @@ object SparkEntry {
     "sample_stratified" -> Oracles.sampleStratified,
     "snapshot_diff" -> Oracles.snapshotDiff,
     "sample_mixture" -> Oracles.sampleMixture,
+    "sample_weighted" -> Oracles.sampleWeighted,
+    "sample_epochs" -> Oracles.sampleEpochs,
     "dedup_cross_exact" -> Oracles.dedupCrossExact,
     "sample_cap_source" -> Oracles.sampleCapSource
   )

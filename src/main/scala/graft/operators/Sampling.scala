@@ -157,6 +157,82 @@ object Sampling {
       capExpr, stratumCol, idCol, salt)
   }
 
+  /** Weighted sampling WITHOUT replacement — pick `k` documents with
+    * inclusion probability proportional to an integer per-row weight
+    * (quality-weighted downsampling: a weight-5 doc is 5× as likely
+    * to survive as a weight-1 doc at every step), via the
+    * Efraimidis–Spirakis A-ES scheme made INTEGER-EXACT: for an
+    * integer weight w, the A-ES key u^(1/w) is distribution-equal to
+    * the MAXIMUM of w independent uniform draws, so each row's key is
+    * `array_max` of w salted md5 strings — pure fixed-width-hex
+    * string comparison, engine/run/partitioning-stable like every
+    * selector in this object, no floating-point ln/pow to disagree
+    * across engines. Top-k by (key desc, id) is the sample.
+    *
+    * Scale shape: the key is a narrow codegen'd projection (w ≤
+    * `maxWeight` digests per row, map-side); the only coordination is
+    * one global top-k — `TakeOrderedAndProject`, per-partition heaps
+    * merged on the driver, the [[Relational.q10TopK]] shape. Weights
+    * outside [1, maxWeight] raise rather than silently reshaping the
+    * distribution.
+    */
+  def weightedSample(df: DataFrame, k: Int, weight: Column,
+                     idCol: String = "doc_id", salt: String = "graft#",
+                     maxWeight: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val w = when(weight.cast("long").between(1L, maxWeight.toLong), weight.cast("int"))
+      .otherwise(raise_error(concat(lit(s"weightedSample weight outside [1, $maxWeight]: "),
+        weight.cast("string"))))
+    val key = array_max(transform(sequence(lit(1), w), r =>
+      md5(concat(lit(salt), col(idCol).cast("string"), lit("#"), r.cast("string")))))
+    val top = df.select(col(idCol), w.cast("long").as("w"), key.as("k_"))
+      .orderBy(col("k_").desc, col(idCol)).limit(k)
+    // the global rank window runs AFTER the top-k cut — ≤ k rows, a
+    // bounded single task by construction
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("k_").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("w"), col("rnk"))
+      .orderBy(col(idCol))
+  }
+
+  /** Fractional-epoch source mixing WITH replacement — the "books ×
+    * 2.5 epochs, web × 1, boilerplate × 0.25" data recipe: every doc
+    * of a source with epochs e appears floor(e) times, and a
+    * deterministic frac(e) share of the source's docs (the house
+    * md5-threshold selector, so the share is exact to 1/65536 and
+    * redrawable by salt) appears once more. e < 1 degenerates to
+    * plain downsampling; sources absent from the recipe are dropped
+    * (an explicit recipe, like [[mixtureSample]]'s). Output carries a
+    * `copy` ordinal so downstream shuffles/packing treat repeats as
+    * distinct rows.
+    *
+    * Scale shape: pure map-side fan-out (a CASE over the bounded
+    * source dimension + one `explode(sequence)`), zero shuffle, zero
+    * joins — the repeat factor never materializes on the driver.
+    */
+  def epochMix(df: DataFrame, epochs: Map[String, Double],
+               stratumCol: String = "source", idCol: String = "doc_id",
+               salt: String = "graft#"): DataFrame = {
+    require(epochs.nonEmpty, "epochMix needs at least one source in the recipe")
+    require(epochs.values.forall(e => e > 0 && e <= 64),
+      s"epochs must be in (0, 64], got $epochs")
+    val reps = epochs.foldLeft(lit(0L)) { case (acc, (s, e)) =>
+      val whole = math.floor(e).toLong
+      val thr = hexThreshold(e - whole, 4)
+      when(col(stratumCol) === s,
+        lit(whole) + when(hexKey(col(idCol), salt, 4) < lit(thr), 1L).otherwise(0L))
+        .otherwise(acc)
+    }
+    df.filter(col(stratumCol).isin(epochs.keys.toSeq: _*))
+      .select(col(idCol), col(stratumCol), reps.as("reps"))
+      .filter(col("reps") > 0)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(1L), col("reps"))).as("copy"))
+      .orderBy(col(idCol), col("copy"))
+  }
+
   /** The shared keep-lowest-md5 exact cap: rank within each stratum by
     * the salted hash and keep ranks ≤ `cap` (a per-row Column — a
     * literal for [[capPerStratum]], the joined mixture cap for

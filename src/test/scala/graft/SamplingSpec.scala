@@ -106,6 +106,79 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureSample(d, weights + ("src_missing" -> 1L)).count() == 0)
   }
 
+  test("weightedSample: exact k, partitioning-stable, weight-monotone, distribution tracks weights") {
+    import org.apache.spark.sql.functions._
+    val weighted = docs.withColumn("w", when(col("source") === "src0", 9).otherwise(1))
+    val out = Sampling.weightedSample(weighted, k = 200, weight = col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 200)
+    assert(out.map(_._3).sorted.toSeq == (1L to 200L), "ranks must be a 1..k permutation")
+    val again = Sampling.weightedSample(weighted.repartition(13), k = 200, weight = col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq, "the sample must not depend on partitioning")
+    // weight-9 docs (500 of 2000) must dominate the sample: E ≈ 9/12
+    // of 200 without-replacement-adjusted; require a loose > 1/2
+    val heavy = out.count(_._2 == 9L)
+    assert(heavy > 100, s"weight-9 docs should dominate the 200-sample, got $heavy")
+    // monotonicity: raising ONE doc's weight leaves every other key
+    // unchanged and only GROWS its own (a max over a superset of
+    // draws) — so the sample is either unchanged, or the boosted doc
+    // displaces exactly the old boundary rank
+    val outIds = out.map(_._1).toSet
+    val missing = (0L until 2000L).find(!outIds.contains(_)).get
+    val boundary = out.find(_._3 == 200L).get._1
+    val boosted = docs.withColumn("w",
+      when(col("source") === "src0", 9).otherwise(1) +
+        when(col("doc_id") === missing, 55).otherwise(0))
+    val withBoost = Sampling.weightedSample(boosted, k = 200, weight = col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(withBoost == outIds || withBoost == outIds - boundary + missing,
+      "boosting one doc's weight must displace at most the boundary rank")
+    // all weights equal ⟹ reduces to the unweighted lowest/highest-hash
+    // draw: doubling every weight must then leave the sample unchanged
+    // in LAW but not digest-for-digest — instead pin the exact-w case:
+    val w1 = Sampling.weightedSample(docs, k = 50, weight = lit(1)).collect().map(_.getLong(0)).toSet
+    val w1b = Sampling.weightedSample(docs.repartition(5), k = 50, weight = lit(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(w1 == w1b && w1.size == 50)
+    // out-of-range weights raise instead of silently reshaping
+    intercept[Exception] {
+      Sampling.weightedSample(docs, k = 5, weight = lit(0)).collect()
+    }
+  }
+
+  test("epochMix: exact whole+fractional copies, copy ordinals, recipe-only sources") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.epochMix(docs, Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // src3 is not in the recipe: dropped
+    assert(out.forall(_._2 != "src3"))
+    // every src1 doc appears exactly once (frac 0 ⟹ threshold "0000"
+    // admits nobody)
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("src1").length == 500)
+    assert(bySrc("src1").forall(_._3 == 1L))
+    // src0: every doc 2 or 3 times; the 3-copy share is the exact
+    // hex-threshold count (deterministic, ±0 — recompute it here)
+    val perDoc0 = bySrc("src0").groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc0.size == 500 && perDoc0.values.forall(n => n == 2 || n == 3))
+    val expected3 = docs.filter(col("source") === "src0")
+      .filter(substring(md5(concat(lit("graft#"), col("doc_id").cast("string"))), 1, 4)
+        < Sampling.hexThreshold(0.5, 4)).count()
+    assert(perDoc0.values.count(_ == 3) == expected3,
+      "the fractional-copy set must be exactly the hex-threshold selection")
+    // copy ordinals are 1..reps per doc
+    assert(bySrc("src0").groupBy(_._1).values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.length)))
+    // src2 at 0.25 epochs downsamples: only threshold-selected docs, once
+    assert(bySrc.get("src2").forall(g => g.forall(_._3 == 1L) && g.length < 250))
+    // partitioning stability
+    val again = Sampling.epochMix(docs.repartition(11),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("sampling plans are pure map-side (no shuffle before the output sort)") {
     val plan = Sampling.stratifiedSample(docs).queryExecution.executedPlan.toString
     // one Exchange allowed: the final rangepartitioning for ORDER BY
