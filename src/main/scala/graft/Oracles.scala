@@ -159,6 +159,22 @@ object Oracles {
       |  SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate)=1996)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  val q25: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_ord, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY priority, status""".stripMargin
+
+  val q26: String =
+    """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin
+
   val q10: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem

