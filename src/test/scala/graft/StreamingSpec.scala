@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.Sinks
-import graft.streaming.{StreamingAgg, StreamingDedup, StreamingKMeans, StreamingPipeline, StreamingSessionize}
+import graft.streaming.{StreamingAgg, StreamingDedup, StreamingJoin, StreamingKMeans, StreamingPipeline, StreamingSessionize}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -198,6 +198,83 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(streamed.toSeq == batch.toSeq,
         s"stream sessions ${streamed.toSeq} must equal batch sessions ${batch.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch twin and honors the two-sided bound") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val vs = MemoryStream[(Long, Timestamp, Long)]
+    val cs = MemoryStream[(Long, Timestamp, Long)]
+    val views = vs.toDF().toDF("user_id", "l_ts", "view_id")
+    val clicks = cs.toDF().toDF("user_id", "r_ts", "click_id")
+    val q = StreamingJoin.intervalJoin(views, clicks, "user_id", "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("sjoin").outputMode("append").start()
+    try {
+      val vData = Seq((1L, ts("00:00:00"), 10L), (2L, ts("00:05:00"), 20L))
+      val cData = Seq(
+        (1L, ts("00:04:00"), 100L),  // inside the window
+        (1L, ts("00:10:00"), 101L),  // exactly l_ts + within: inclusive
+        (1L, ts("00:10:01"), 102L),  // one second past: excluded
+        (2L, ts("00:04:00"), 200L),  // BEFORE the view: excluded
+        (3L, ts("00:07:00"), 300L))  // keyless click: excluded
+      vs.addData(vData: _*)
+      cs.addData(cData: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT view_id, click_id FROM sjoin ORDER BY view_id, click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((10L, 100L), (10L, 101L)),
+        s"two-sided bound must admit exactly the in-window same-key pairs, got $got")
+      // the SAME function on batch frames (watermark a no-op there)
+      // must produce the same pairs — batch-twin parity
+      val twin = StreamingJoin.intervalJoin(
+          vData.toDF("user_id", "l_ts", "view_id"),
+          cData.toDF("user_id", "r_ts", "click_id"),
+          "user_id", "10 minutes", "20 minutes")
+        .select(col("view_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(twin == got, s"batch twin must match the streamed join, got $twin")
+    } finally q.stop()
+  }
+
+  test("left-outer interval join: outer rows trail the watermark, join state evicts") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val vs = MemoryStream[(Long, Timestamp, Long)]
+    val cs = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingJoin.intervalJoin(
+        vs.toDF().toDF("user_id", "l_ts", "view_id"),
+        cs.toDF().toDF("user_id", "r_ts", "click_id"),
+        "user_id", "10 minutes", "20 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("sjoin_outer").outputMode("append").start()
+    try {
+      // a view with no click: NOT emitted yet — a match could still arrive
+      vs.addData((7L, ts("00:00:00"), 70L))
+      cs.addData((8L, ts("00:00:00"), 800L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sjoin_outer").count() == 0,
+        "no outer emission before the watermark proves no match can arrive")
+      // far-future events on BOTH inputs (global watermark = min) push
+      // the watermark past 00:10 + 20 min
+      vs.addData((9L, ts("02:00:00"), 90L))
+      cs.addData((9L, ts("02:00:00"), 900L))
+      q.processAllAvailable()
+      // one more batch applies the advanced watermark: view 70 emits
+      // with a null click AND the expired buffered rows evict
+      vs.addData((9L, ts("02:00:01"), 91L))
+      q.processAllAvailable()
+      val outer = spark.sql("SELECT click_id FROM sjoin_outer WHERE view_id = 70").collect()
+      assert(outer.length == 1 && outer(0).isNullAt(0),
+        "the unmatched view must emit exactly once, with null right columns")
+      val matched = spark.sql("SELECT view_id, click_id FROM sjoin_outer WHERE view_id = 90")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(matched.toSeq == Seq((90L, 900L)), "in-window pairs still join")
+      // the bounded-state claim, observed: state rows DROP when the
+      // watermark passes the buffered rows' windows
+      val stateRows = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal)
+      assert(stateRows.sliding(2).exists(w => w.length == 2 && w(1) < w(0)),
+        s"join state must evict expired rows, saw $stateRows")
     } finally q.stop()
   }
 
