@@ -581,6 +581,27 @@ object Oracles {
       |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** text_lm_score (the DuckDB twin of TextAnalysis.lmScore with the
+    * even-id reference): add-one unigram costs fixed-pointed PER
+    * DISTINCT TOKEN before the integer per-doc aggregate, so
+    * summation order cannot move the result in either engine; ln of
+    * an identical correctly-rounded integer ratio is the only
+    * cross-engine freedom (see the operator's scaladoc).
+    */
+  val textLmScore: String =
+    """WITH rt AS (SELECT unnest(string_split(text, ' ')) AS token
+      |            FROM documents WHERE doc_id % 2 = 0),
+      |cnt AS (SELECT token, count(*) AS c FROM rt GROUP BY token),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+      |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |sc AS (SELECT doc_id,
+      |         CAST(floor(1000000.0 * ln(CAST(t.n + t.v AS DOUBLE)
+      |           / (coalesce(c.c, 0) + 1))) AS BIGINT) AS fs
+      |       FROM dt CROSS JOIN tot t LEFT JOIN cnt c USING (token))
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(sum(fs) // count(*) AS BIGINT) AS lm_cost_fs
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textLangid: String = {
     val langs = TextFunctions.stopwords
     val scoreCols = langs.map { case (l, words) =>

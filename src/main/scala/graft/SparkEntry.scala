@@ -237,6 +237,12 @@ object SparkEntry {
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    // CCNet-style reference-LM scoring: the even-id half plays the
+    // clean reference corpus, every doc scores against its unigram LM
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 2 === 0))
+    }),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(Tables.documents(s, dir))),
     "text_passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(Tables.documents(s, dir))),
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
@@ -352,6 +358,7 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
+    "text_lm_score" -> Oracles.textLmScore,
     "text_chunk" -> Oracles.textChunk,
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_pack" -> Oracles.textPack,

@@ -163,6 +163,51 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_count"))
       .orderBy(col("token"))
 
+  /** CCNet-style unigram LM quality scoring: train add-one-smoothed
+    * token probabilities on a REFERENCE corpus (CCNet scores web text
+    * against a Wikipedia LM — docs whose tokens the reference finds
+    * surprising are gibberish/boilerplate candidates), then score
+    * every doc by its mean token cost −ln p(tok), p = (c+1)/(N+V).
+    * Higher `lm_cost_fs` = less reference-like; the caller filters or
+    * buckets on it exactly as [[quality]]'s heuristic score.
+    *
+    * Determinism discipline: each DISTINCT (token count) gets ONE
+    * fixed-point cost floor(10⁶·ln((N+V)/(c+1))) — the division of
+    * two integers is correctly-rounded IEEE (identical in any
+    * engine), ln's last ulp is the only cross-engine freedom and the
+    * 10⁻⁶ floor granularity makes a flip ~10⁻⁹-probable per distinct
+    * token — and docs then aggregate by INTEGER sum + truncating
+    * division, so partitioning/summation order cannot move the
+    * result (the same reason [[KMeans.outliers]] z-stats integer-sum
+    * their fixed-point d²; contrast [[tfidfTopK]], which avoids the
+    * log entirely because a RANKING never needed it).
+    *
+    * Scale shape: token counts are one partial-agged groupBy; the
+    * count table is the LM's parameter set (vocabulary-bounded, the
+    * codebook pattern) and broadcasts to the scoring join, so the
+    * corpus-sized side never shuffles; N and V are a bounded driver
+    * decision. Docs with zero tokens have no rows to score and are
+    * absent from the output.
+    */
+  def lmScore(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val cnt = reference.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cnt.agg(sum(col("c")), count(lit(1))).head()
+    val (n, v) = (tot.getLong(0), tot.getLong(1))
+    require(n > 0, "lmScore needs a non-empty reference corpus")
+    val fs = floor(lit(1000000.0) *
+      log(lit((n + v).toDouble) / (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double")))
+      .cast("long")
+    val out = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(cnt), Seq("token"), "left")
+      .select(col("doc_id"), fs.as("fs"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), expr("sum(fs) div count(1)").as("lm_cost_fs"))
+      .orderBy(col("doc_id"))
+    ScopedCache.releaseAfterAction(out, Seq(cnt))
+  }
+
   /** Top-k characteristic terms per document by an integer tf-idf
     * proxy: score = (tf × 10⁶) div doc_freq — monotone in
     * tf × (1/df), so the ranking matches tf-idf with an idf ∝ 1/df

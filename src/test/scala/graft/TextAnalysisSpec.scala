@@ -153,6 +153,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._1 != out(1L)._1 && out(3L)._2 == 1L)
   }
 
+  test("lmScore: hand-computed add-one costs, unseen tokens cost the max, reference-like docs score lowest") {
+    import graft.operators.TextAnalysis
+    // reference: "a" appears 3×, "b" 1× → N = 4, V = 2,
+    // p(a) = 4/6, p(b) = 2/6, p(unseen) = 1/6
+    val ref = Seq((100L, "a a a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a a"),      // pure high-probability tokens
+      (2L, "b b"),      // mid
+      (3L, "z q"),      // pure unseen
+      (4L, "a z")       // mixed — must land strictly between 1 and 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def fs(nOverC1: Double) = math.floor(1e6 * math.log(nOverC1)).toLong
+    val (ca, cb, cz) = (fs(6.0 / 4), fs(6.0 / 2), fs(6.0 / 1))
+    assert(out(1L) == (2L, ca), s"doc 1 must cost exactly ln(6/4), got ${out(1L)}")
+    assert(out(2L) == (2L, cb))
+    assert(out(3L) == (2L, cz))
+    assert(out(4L) == (2L, (ca + cz) / 2), "mixed doc = integer mean of its token costs")
+    assert(out(1L)._2 < out(4L)._2 && out(4L)._2 < out(3L)._2,
+      "cost must rise with reference surprise")
+  }
+
   test("chunk: stride windows cover every token with the documented overlap; tail truncates") {
     // 7 tokens, chunk 4 / stride 3 → chunks at 0,3,6: sizes 4,4,1;
     // ceil(7/3) = 3 chunks exactly
