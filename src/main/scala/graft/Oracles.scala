@@ -602,6 +602,22 @@ object Oracles {
       |  CAST(sum(fs) // count(*) AS BIGINT) AS lm_cost_fs
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** text_entropy (the DuckDB twin of TextAnalysis.entropyScore):
+    * per-(count, length) fixed-point terms, integer per-doc sum —
+    * the lmScore determinism discipline.
+    */
+  val textEntropy: String =
+    """WITH ch AS (SELECT doc_id, length(text) AS len,
+      |              unnest(string_split(text, '')) AS ch FROM documents),
+      |ct AS (SELECT doc_id, len, ch, count(*) AS c FROM ch GROUP BY doc_id, len, ch),
+      |tm AS (SELECT doc_id, len,
+      |         CAST(floor(1000000.0 * (c / CAST(len AS DOUBLE))
+      |           * ln(CAST(len AS DOUBLE) / c)) AS BIGINT) AS fs
+      |       FROM ct)
+      |SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
+      |  CAST(sum(fs) AS BIGINT) AS entropy_fs
+      |FROM tm GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
+
   val textLangid: String = {
     val langs = TextFunctions.stopwords
     val scoreCols = langs.map { case (l, words) =>

@@ -237,6 +237,7 @@ object SparkEntry {
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    "text_entropy" -> ((s, dir) => TextAnalysis.entropyScore(Tables.documents(s, dir))),
     // CCNet-style reference-LM scoring: the even-id half plays the
     // clean reference corpus, every doc scores against its unigram LM
     "text_lm_score" -> ((s, dir) => {
@@ -359,6 +360,7 @@ object SparkEntry {
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
     "text_lm_score" -> Oracles.textLmScore,
+    "text_entropy" -> Oracles.textEntropy,
     "text_chunk" -> Oracles.textChunk,
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_pack" -> Oracles.textPack,

@@ -163,6 +163,30 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_count"))
       .orderBy(col("token"))
 
+  /** Character-entropy scoring — the gibberish/binary-paste heuristic
+    * complementary to [[quality]]'s ratio features: Shannon entropy
+    * H = Σ (c/L)·ln(L/c) over the doc's character counts. Natural
+    * text sits in a narrow entropy band; base64 blobs and key-mash
+    * run high, repeated-character padding runs low. Same determinism
+    * discipline as [[lmScore]]: each (c, L) term fixed-points
+    * independently (integer ratios divide identically everywhere; ln
+    * contributes at most an ulp), then the per-doc aggregate is an
+    * INTEGER sum. One explode + one (doc, char) groupBy — the shuffle
+    * carries character counts, bounded by |charset| per doc.
+    */
+  def entropyScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("len"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("len"),
+        floor(lit(1000000.0) * (col("c") / col("len"))
+          * log(col("len") / col("c"))).cast("long").as("fs"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(sum(col("fs")).as("entropy_fs"))
+      .select(col("doc_id"), col("len").as("n_chars"), col("entropy_fs"))
+      .orderBy(col("doc_id"))
+
   /** CCNet-style unigram LM quality scoring: train add-one-smoothed
     * token probabilities on a REFERENCE corpus (CCNet scores web text
     * against a Wikipedia LM — docs whose tokens the reference finds

@@ -153,6 +153,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._1 != out(1L)._1 && out(3L)._2 == 1L)
   }
 
+  test("entropyScore: hand-computed Shannon terms, degenerate and uniform extremes") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaa"),     // one symbol: H = 0 exactly
+      (2L, "abab"),     // two equiprobable symbols: H = ln 2
+      (3L, "abcd")      // four: H = ln 4 — uniform maximizes H for its charset
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.entropyScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def term(c: Long, l: Long) =
+      math.floor(1e6 * (c.toDouble / l) * math.log(l.toDouble / c)).toLong
+    assert(out(1L) == (4L, 0L), "a single repeated character carries zero entropy")
+    assert(out(2L) == (4L, 2 * term(2, 4)))
+    assert(out(3L) == (4L, 4 * term(1, 4)))
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+  }
+
   test("lmScore: hand-computed add-one costs, unseen tokens cost the max, reference-like docs score lowest") {
     import graft.operators.TextAnalysis
     // reference: "a" appears 3×, "b" 1× → N = 4, V = 2,
