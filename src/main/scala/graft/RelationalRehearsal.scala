@@ -197,6 +197,8 @@ object RelationalRehearsal {
       "q11_events_window" -> Relational.q11EventsWindow(spark, dir),
       "q12_sessionize" -> Relational.q12Sessionize(spark, dir),
       "q13_case_agg" -> Relational.q13CaseAgg(spark, dir),
+      "q25_grouping_sets" -> Relational.q25GroupingSets(spark, dir),
+      "q26_lateral_topn" -> Relational.q26LateralTopN(spark, dir),
       "q15_scalar_subquery" -> Relational.q15ScalarSubquery(spark, dir),
       // the gate binds click/error over the driver corpus; this
       // fixture's five types make click/view the equivalent non-empty
@@ -376,6 +378,34 @@ object RelationalRehearsal {
     check("q13_users", q13.getLong(0) == sz.nUsers && q13.getLong(1) == PerUser &&
       q13.getLong(2) == PerUser, s"${q13.getLong(0)} users, ${q13.getLong(1)}..${q13.getLong(2)}")
 
+    // q25: the grouping-set marginals are the exact modulo splits
+    // (5 | nOrders and 3 | nOrders by construction); exactly the two
+    // declared sets — no detail cell, no grand total
+    val q25 = Relational.q25GroupingSets(spark, dir).collect()
+    check("q25_rows", q25.length == 8, s"${q25.length} rows")
+    check("q25_priority_marginal", q25.filter(_.getString(1) == "ALL")
+      .forall(_.getAs[Long]("n_ord") == sz.nOrders / 5), "nOrders/5 per priority")
+    check("q25_status_marginal", q25.filter(_.getString(0) == "ALL")
+      .forall(_.getAs[Long]("n_ord") == sz.nOrders / 3), "nOrders/3 per status")
+
+    // q26: nation k's top balance is residue 9975+k of the acctbal
+    // modulus (25 | 10000 makes nation = balance-residue mod 25), and
+    // with nCust ≥ 30000 at least three customers share it — so the
+    // top-3 are custkeys 9975+k, +10000, +20000 at EQUAL balance
+    // 4975+k, tie-broken by custkey exactly as the operator declares
+    val q26 = Relational.q26LateralTopN(spark, dir).collect()
+    check("q26_rows", q26.length == 75, s"${q26.length} rows")
+    if (sz.nCust >= 30000) {
+      val q26ok = (0 until 25).forall { k =>
+        val rows = q26.filter(_.getString(0) == s"NATION$k")
+        rows.length == 3 &&
+          rows.forall(_.getAs[Double]("acctbal") == 4975.0 + k) &&
+          rows.map(_.getAs[Long]("c_custkey")).sorted.toSeq ==
+            Seq(9975L + k, 19975L + k, 29975L + k)
+      }
+      check("q26_topk_closed_form", q26ok, "per-nation residue top-3")
+    }
+
     // ---- plan-shape assertions at scale ----
     def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
     val q2Plan = plan(Relational.q2FilterProject(spark, dir))
@@ -385,6 +415,9 @@ object RelationalRehearsal {
       .contains("BroadcastHashJoin"), "the 25-row dim must broadcast")
     check("plan_q10_takeordered", plan(Relational.q10TopK(spark, dir))
       .contains("TakeOrderedAndProject"), "global top-k must not global-sort")
+    check("plan_q26_group_limit", plan(Relational.q26LateralTopN(spark, dir))
+      .contains("WindowGroupLimit"),
+      "the correlated LIMIT must decorrelate to a group-limit window")
     val nested = queries.map { case (key, df) => key -> plan(df) }
       .filter { case (_, p) => p.contains("CartesianProduct") ||
         p.contains("BroadcastNestedLoopJoin") }
