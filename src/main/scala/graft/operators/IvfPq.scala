@@ -218,6 +218,11 @@ object IvfPq {
       .saveAsTable(s"${name}_pqbooks")
     Seq((dim, nlist, m, ks, buckets)).toDF("dim", "nlist", "m", "ks", "buckets")
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(s"${name}_meta")
+    // build-time stats baseline — driftReport compares appends
+    // against it (k rows; one bounded scan of the fresh index)
+    listStats(spark, name)
+      .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_stats")
   }
 
   /** Stored geometry + codebooks, read BY NAME with the
@@ -257,6 +262,146 @@ object IvfPq {
     val q = Pq.normalized(queries).select(col("vec_id").as("q_id"), col("v").as("qv"))
     rankAgainst(spark.table(s"${name}_codes"), spark.table(s"${name}_vecs"),
       q, model, nprobe, k, shortlist, literalMax)
+  }
+
+  /** Per-list occupancy and mean squared assign-distance of a stored
+    * IVF-PQ index — the [[Similarity.ivfListStats]] twin. The exact
+    * vectors live in the c_id-bucketed vecs store, so the join back
+    * to the slim (c_id, cluster) codes rows is shuffle-free on the
+    * stored side by layout; the k-row codebook broadcasts. One row
+    * per codebook entry (empty lists show n = 0).
+    */
+  def listStats(spark: SparkSession, name: String): DataFrame = {
+    val centsDf = spark.table(s"${name}_centroids")
+    val occupied = spark.table(s"${name}_codes").select(col("c_id"), col("cluster"))
+      .join(spark.table(s"${name}_vecs"), "c_id")
+      .join(broadcast(centsDf), Seq("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(col("c_id")).as("n0"), avg(l2sq(col("cv"), col("centroid"))).as("d0"))
+    centsDf.select(col("cluster"))
+      .join(occupied, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n0"), lit(0L)).as("n"),
+        coalesce(col("d0"), lit(0.0)).as("mean_d2"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Codebook drift vs the persisted build-time baseline — same
+    * observables and threshold rationale as
+    * [[Similarity.ivfDriftReport]]: appends quantized by a frozen
+    * coarse codebook skew the lists and push the mean assign-distance
+    * up as the corpus outgrows the build distribution; for IVF-PQ the
+    * residual codebooks rot on exactly the same signal (they were
+    * trained on the build-time residual distribution).
+    */
+  def driftReport(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    def summary(stats: DataFrame): (Long, Double, Double) = {
+      val r = stats.agg(
+        sum(col("n")).as("n_total"),
+        (max(col("n")) / avg(col("n"))).as("skew"),
+        (sum(col("n") * col("mean_d2")) / sum(col("n"))).as("mean_d2")).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    val (nB, skewB, d2B) = summary(spark.table(s"${name}_stats"))
+    val (nN, skewN, d2N) = summary(listStats(spark, name))
+    val eps = 1e-12
+    Seq((nB, nN, skewB, skewN, d2B, d2N,
+      d2N / math.max(d2B, eps), skewN / math.max(skewB, eps)))
+      .toDF("n_build", "n_now", "skew_build", "skew_now",
+        "mean_d2_build", "mean_d2_now", "dist_growth", "skew_growth")
+  }
+
+  /** The recluster trigger — [[Similarity.ivfNeedsRecluster]]'s rule
+    * (1.5× distance growth OR 2× occupancy-skew growth).
+    */
+  def needsRecluster(spark: SparkSession, name: String,
+                     maxDistGrowth: Double = 1.5, maxSkewGrowth: Double = 2.0): Boolean = {
+    val r = driftReport(spark, name).head()
+    r.getAs[Double]("dist_growth") > maxDistGrowth ||
+      r.getAs[Double]("skew_growth") > maxSkewGrowth
+  }
+
+  /** Full retrain-and-rebuild on the CURRENT stored corpus (coarse
+    * codebook AND residual books — both were fitted to the build
+    * distribution), staged through a side table because the rebuild
+    * overwrites the tables it reads. Same deliberate full-rebuild
+    * stance as [[Similarity.reclusterIvfIndex]].
+    */
+  def reclusterIndex(spark: SparkSession, name: String, coarseIters: Int = 2,
+                     pqIters: Int = 3,
+                     literalMax: Int = Similarity.LiteralCodebookMax): Unit = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"${name}_meta must hold exactly one geometry row")
+    val m0 = rows(0)
+    val src = s"${name}_recluster_src"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.table(s"${name}_vecs")
+      .select(col("c_id").as("vec_id"), col("cv").as("embedding"))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(src)
+    writeIndex(spark.table(src), name, dim = m0.getAs[Int]("dim"),
+      nlist = m0.getAs[Int]("nlist"), m = m0.getAs[Int]("m"), ks = m0.getAs[Int]("ks"),
+      coarseIters = coarseIters, pqIters = pqIters, buckets = m0.getAs[Int]("buckets"),
+      literalMax = literalMax)
+    spark.sql(s"DROP TABLE $src")
+  }
+
+  /** ONE maintenance step — append the batch, evaluate the drift
+    * rule, retrain when it fires ([[Similarity.maintainIvfIndex]]'s
+    * loop for the compressed index). Returns true iff a recluster
+    * ran.
+    */
+  def maintainIndex(batch: DataFrame, name: String,
+                    maxDistGrowth: Double = 1.5, maxSkewGrowth: Double = 2.0): Boolean = {
+    val spark = batch.sparkSession
+    appendToIndex(batch, name)
+    val fires = needsRecluster(spark, name, maxDistGrowth, maxSkewGrowth)
+    if (fires) reclusterIndex(spark, name)
+    fires
+  }
+
+  /** Rewrite the partitioned codes table through the versioned-
+    * location pointer flip ([[graft.sources.Sinks.flipToGeneration]]
+    * contract: a concurrent reader always resolves a live table, the
+    * previous generation is retained one flip).
+    */
+  private def rewriteCodes(spark: SparkSession, name: String,
+                           transform: DataFrame => DataFrame): Unit = {
+    val table = s"${name}_codes"
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val (oldLoc, newLoc) = Sinks.nextGenLocation(spark, table)
+    transform(spark.table(table)).repartition(col("cluster"))
+      .select(col("c_id"), col("codes"), col("cluster"))
+      .write.mode(SaveMode.Overwrite).format("parquet").option("path", newLoc)
+      .partitionBy("cluster").saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newLoc'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    Sinks.syncPartitionLocations(spark, table)
+    Sinks.flipCleanup(spark, tmp, oldLoc)
+  }
+
+  /** Compact append fragments: one file per cluster directory again;
+    * the vecs store compacts zero-shuffle per bucket.
+    */
+  def compactIndex(spark: SparkSession, name: String): Unit = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"${name}_meta must hold exactly one geometry row")
+    rewriteCodes(spark, name, identity)
+    Sinks.compactBucketed(spark, s"${name}_vecs", Seq("c_id"), rows(0).getAs[Int]("buckets"))
+  }
+
+  /** RETRACT vectors (takedowns, re-embeds) from both stores — a
+    * delete IS a compaction pass with a broadcast anti-join folded
+    * in; absent ids are a no-op, so retries are idempotent. Frozen
+    * codebooks untouched (retrain = [[reclusterIndex]]).
+    */
+  def deleteFromIndex(spark: SparkSession, name: String, vecIds: DataFrame): Unit = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"${name}_meta must hold exactly one geometry row")
+    val ids = broadcast(vecIds.select(col("vec_id").cast("long").as("c_id")).distinct())
+    rewriteCodes(spark, name, df => df.join(ids, Seq("c_id"), "left_anti"))
+    Sinks.rewriteBucketed(spark, s"${name}_vecs", Seq("c_id"),
+      rows(0).getAs[Int]("buckets"), df => df.join(ids, Seq("c_id"), "left_anti"))
   }
 
   /** Fold new vectors into a stored IVF-PQ index against the FROZEN

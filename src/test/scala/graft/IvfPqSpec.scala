@@ -44,6 +44,73 @@ class IvfPqSpec extends SparkSpec {
     assert(gate.count() == 1, "recall@5 under a 2/8 probe must clear 0.9 on the planted corpus")
   }
 
+  test("stored index lifecycle: planted drift fires the rule, recluster resets it, compact and delete preserve results") {
+    val base = planted(0.04)
+    IvfPq.writeIndex(base, "ivfpq_life", dim = DIM, nlist = 8, m = 4, ks = 16, buckets = 8)
+    assert(spark.table("ivfpq_life_stats").count() == 8,
+      "build must persist the per-list stats baseline")
+    assert(!IvfPq.needsRecluster(spark, "ivfpq_life"),
+      "a fresh index must not report drift against its own baseline")
+
+    // a concentrated shifted batch: 200 new vectors all near the
+    // all-ones direction (far from every one-hot coarse centroid) —
+    // they pile into few lists AND sit far from their centroids, so
+    // both drift observables move
+    val shifted = (0 until 200).map { i =>
+      val v = Array.tabulate(DIM) { d =>
+        1.0 + (((i * 131 + d * 17) % 100) / 100.0 - 0.5) * 0.02
+      }
+      ((1000 + i).toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val reclustered = IvfPq.maintainIndex(shifted, "ivfpq_life")
+    assert(reclustered, "the planted concentrated shift must fire the drift rule")
+    assert(!IvfPq.needsRecluster(spark, "ivfpq_life"),
+      "after the rebuild the stored corpus IS the baseline again")
+    assert(spark.table("ivfpq_life_codes").count() == 192 + 200)
+
+    // appended-then-reclustered vectors are findable with exact scores
+    val q = base.filter(col("vec_id") < 3)
+    def hitRows() = IvfPq.queryIndex(q, "ivfpq_life", nprobe = 8, k = 400, shortlist = 400)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("cos_fs"))).toSeq
+    val before = hitRows()
+    assert(before.exists(_._2 >= 1000L), "shifted vectors must be searchable post-recluster")
+
+    // compaction: append fragments collapse to ~one file per cluster
+    // dir, resolved from the catalog's CURRENT location (post-flip the
+    // live generation is a __gN sibling); results must not change
+    IvfPq.appendToIndex((0 until 3).map { i =>
+      ((2000 + i).toLong, Seq.tabulate(DIM)(d => if (d == i) 1.0 else 0.01))
+    }.toDF("vec_id", "embedding"), "ivfpq_life")
+    def codeFiles(): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("ivfpq_life_codes")).location
+      Option(new java.io.File(loc).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("cluster="))
+        .map(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.startsWith("part-"))).sum
+    }
+    val filesBefore = codeFiles()
+    val preCompact = hitRows()
+    IvfPq.compactIndex(spark, "ivfpq_life")
+    assert(codeFiles() < filesBefore,
+      s"compaction must shrink the codes file count (was $filesBefore)")
+    assert(hitRows() == preCompact, "compaction must not change any result row")
+
+    // retraction: a deleted vector stops surfacing; re-delete no-ops
+    import spark.implicits._
+    val victim = before.head._2
+    val codesBefore = spark.table("ivfpq_life_codes").count()
+    IvfPq.deleteFromIndex(spark, "ivfpq_life", Seq(victim).toDF("vec_id"))
+    assert(spark.table("ivfpq_life_codes").count() == codesBefore - 1)
+    assert(spark.table("ivfpq_life_vecs").count() == codesBefore - 1,
+      "both stores must retract together")
+    assert(!hitRows().exists(_._2 == victim), "a retracted vector must stop surfacing")
+    IvfPq.deleteFromIndex(spark, "ivfpq_life", Seq(victim).toDF("vec_id"))
+    assert(spark.table("ivfpq_life_codes").count() == codesBefore - 1,
+      "re-deleting an absent id must be a no-op")
+  }
+
   test("stored index: parity with in-memory path, DPP-pruned codes scan, idempotent append") {
     val emb = Tables.embeddings(spark, sfDir)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
