@@ -32,6 +32,13 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
+  /** Vocabulary-size ceiling for broadcasting the encoded vocab in
+    * [[encode]] — ~1M words × (word + pieces) ≈ low-hundreds of MB,
+    * comfortably under executor broadcast budgets; larger vocabs take
+    * the shuffle join.
+    */
+  val MaxBroadcastVocab: Long = 1L << 20
+
   private def initialSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(EndOfWord)))
 
@@ -69,7 +76,10 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the corpus-sized step: word frequencies (one explode + count)
+    // the corpus-sized step: word frequencies (one explode + count).
+    // No Par.spread here: the groupBy's exchange already restores
+    // parallelism, and the pre-exchange work is a slim partial agg
+    // (A/B-measured: a spread repartition costs more than it saves)
     var words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word") =!= "")
@@ -105,12 +115,33 @@ object Bpe {
   }
 
   /** Encode a corpus with a learned merge table: every word splits to
-    * its alphabet and replays the merges in rank order — pure map-side
-    * (the merge table compiles into a static chain of `numMerges`
-    * folds; no join, no shuffle), emitting one (doc_id, pos, piece)
-    * row per subword token. `merges` must be a BOUNDED learned table
-    * (it collects — tokenizer merge tables are ≤ ~100k rows by
-    * construction).
+    * its alphabet and replays the merges in rank order (the merge
+    * table compiles into a static chain of `numMerges` folds),
+    * emitting one (doc_id, pos, piece) row per subword token.
+    * `merges` must be a BOUNDED learned table (it collects —
+    * tokenizer merge tables are ≤ ~100k rows by construction).
+    *
+    * The fold chain runs once per DISTINCT word — the same
+    * word-frequency-table insight [[train]] exploits: token instances
+    * follow Zipf, so the corpus has orders of magnitude fewer
+    * distinct words than instances, and paying the `numMerges`-deep
+    * array fold per instance (the original formulation) made this
+    * the single most expensive gate key (11.3 s/run at sf0.1 —
+    * ~40 pieces-of-work per instance for an ~8700× instance/vocab
+    * ratio). Encoding the vocabulary then joining instances back on
+    * `word` cuts the fold volume by that ratio. The JOIN SIDE
+    * matters: the vocab must be the BUILD side so the instance scan
+    * stays parallel and map-side — left to the optimizer, the
+    * file-scan side's tiny size estimate won the broadcast and AQE
+    * coalesced the vocab stream side to ONE task carrying the whole
+    * join + piece fan-out (measured 14.7 s single-threaded). The
+    * vocab is usually broadcast-sized but not invariant-bounded
+    * (web-scale corpora inflate distinct words with typos/URLs), so
+    * the hint is sized by an explicit vocab count — a cheap
+    * column-pruned distinct, the same bounded-driver-decision shape
+    * as the merge-table collect; an over-budget vocab falls back to
+    * the plain shuffle join (instance-side skew on stopwords is
+    * AQE's skew-join case, and the fold volume stays vocab-sized).
     */
   def encode(docs: DataFrame, merges: DataFrame): DataFrame = {
     val ms = merges.select(col("rank"), col("left"), col("right"))
@@ -119,9 +150,26 @@ object Bpe {
     val sym = ms.foldLeft(initialSymbols(col("word"))) {
       case (acc, (l, r)) => applyMerge(acc, l, r)
     }
-    docs
+    // Par.spread on the fact leg: with a single-file corpus the scan
+    // is ONE split, and since the vocab joins in as a broadcast there
+    // is no exchange anywhere downstream to restore parallelism — the
+    // whole join + piece fan-out would run in one task (measured
+    // 14.7 s single-threaded at sf0.1 vs 0.7 s spread)
+    val toks = Par.spread(docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("word_pos", "word")))
-      .select(col("doc_id"), col("word_pos"), posexplode(sym).as(Seq("piece_pos", "piece")))
+    val vocab = toks.select(col("word")).distinct()
+    val vocabEnc0 = vocab.select(col("word"), sym.as("syms"))
+    val vocabEnc =
+      if (vocab.count() <= MaxBroadcastVocab) broadcast(vocabEnc0) else vocabEnc0
+    // posexplode_OUTER: plain posexplode makes Catalyst infer a
+    // `size(syms) > 0` filter that pushes through the join and below
+    // the vocab distinct — re-evaluating the whole merge fold per
+    // token INSTANCE on that leg, the exact cost the vocab pass
+    // exists to avoid (measured 4.6 s of the 5.8 s run). syms is
+    // never empty (initialSymbols always appends EndOfWord) nor null
+    // (inner join), so outer-explode output is identical.
+    toks.join(vocabEnc, "word")
+      .select(col("doc_id"), col("word_pos"), posexplode_outer(col("syms")).as(Seq("piece_pos", "piece")))
       .select(col("doc_id"),
         (col("word_pos").cast("long")).as("word_pos"),
         col("piece_pos").cast("long").as("piece_pos"), col("piece"))
