@@ -60,23 +60,17 @@ object Pq {
     s
   }
 
-  /** Deterministic farthest-point (greedy k-center) seeds from a
-    * BOUNDED sample — the lowest-md5(id) `sampleN` subvectors, the
-    * house engine/partitioning-stable selector. First-k-by-id init
-    * (fine for oracle-locked Lloyd on generic corpora) collapses when
-    * ids correlate with cluster structure: every seed lands in the
-    * same few directions and Lloyd cannot un-merge the rest (k-means
-    * local minimum, spec-demonstrated). Farthest-point spreads seeds
-    * across all directions present in the sample; the Lloyd rounds
-    * then refine them distributedly.
+  /** Deterministic farthest-point (greedy k-center) seeds over an
+    * in-memory sample. First-k-by-id init (fine for oracle-locked
+    * Lloyd on generic corpora) collapses when ids correlate with
+    * cluster structure: every seed lands in the same few directions
+    * and Lloyd cannot un-merge the rest (k-means local minimum,
+    * spec-demonstrated). Farthest-point spreads seeds across all
+    * directions present in the sample; the Lloyd rounds then refine
+    * them.
     */
-  private def farthestPointSeeds(sub: DataFrame, ks: Int,
-                                 sampleN: Int = 1024): KMeans.Centroids = {
-    val sample = sub
-      .withColumn("hk", md5(concat(lit("pq#"), col("id").cast("string"))))
-      .orderBy(col("hk"), col("id")).limit(sampleN)
-      .select(col("id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  private def farthestPointSeeds(sample: Array[(Long, Array[Double])],
+                                 ks: Int): KMeans.Centroids = {
     require(sample.nonEmpty, "cannot train a codebook over an empty corpus")
     val seeds = scala.collection.mutable.ArrayBuffer(sample.minBy(_._1))
     val minD = scala.collection.mutable.Map(
@@ -89,43 +83,134 @@ object Pq {
     seeds.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
   }
 
+  /** The bounded deterministic training sample: the `n` lowest-md5(id)
+    * prepared vectors, hash-then-id ordered (the house
+    * engine/partitioning-stable selector). Hash order means the first
+    * 1024 entries of a larger sample are exactly the seed sample a
+    * 1024-row collect would have produced.
+    */
+  private def collectSample(prepared: DataFrame, n: Int): Array[(Long, Array[Double])] =
+    prepared
+      .withColumn("hk", md5(concat(lit("pq#"), col("id").cast("string"))))
+      .orderBy(col("hk"), col("id")).limit(n)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** One driver-side Lloyd round over an in-memory sample, mirroring
+    * the distributed [[KMeans.assignExpr]] + [[KMeans.updateCentroids]]
+    * semantics: first strict minimum wins the argmin (lowest cid on
+    * ties, centroids kept cid-sorted), empty clusters drop out of the
+    * update, and means round to 6 decimals HALF_UP (the same
+    * `round(avg, 6)` determinism discipline).
+    */
+  private def localLloydStep(pts: Array[(Long, Array[Double])],
+                             cents: KMeans.Centroids): KMeans.Centroids = {
+    val ca = cents.toArray
+    val dsub = ca(0)._2.length
+    val sums = scala.collection.mutable.Map[Long, Array[Double]]()
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    pts.foreach { case (_, v) =>
+      var best = 0; var bd = dist2(v, ca(0)._2); var i = 1
+      while (i < ca.length) {
+        val d = dist2(v, ca(i)._2)
+        if (d < bd) { bd = d; best = i }
+        i += 1
+      }
+      val cid = ca(best)._1
+      val acc = sums.getOrElseUpdate(cid, new Array[Double](dsub))
+      var j = 0; while (j < dsub) { acc(j) += v(j); j += 1 }
+      counts(cid) = counts.getOrElse(cid, 0L) + 1L
+    }
+    sums.toSeq.sortBy(_._1).map { case (cid, acc) =>
+      val n = counts(cid)
+      (cid, acc.map(x => BigDecimal.decimal(x / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+  }
+
   /** Train m subspace codebooks of ks centroids each over the
-    * L2-normalized corpus: farthest-point seeds from a bounded
-    * deterministic sample, refined by `iters` distributed Lloyd
-    * rounds ([[KMeans.assignExpr]] + [[KMeans.updateCentroids]] — the
-    * same slim partial-agg round shape as [[KMeans.lloyd]]); the
-    * normalized frame is persisted once across all m subspaces.
+    * L2-normalized corpus: farthest-point seeds + `iters` Lloyd
+    * rounds, fitted on a BOUNDED deterministic sample (lowest-md5(id),
+    * max(1024, 100·ks) vectors) — the FAISS practice: codebooks carry
+    * at most ks·dim doubles of information, so fitting them on
+    * ~100 vectors per centroid is statistically equivalent to a
+    * full-corpus fit, and at 100 TB it replaces m·iters full-corpus
+    * Lloyd passes with ONE bounded top-n collect. A corpus at or
+    * below the sample size trains on everything (sampled ≡ full).
+    * [[trainOnFull]] keeps the distributed full-corpus rounds, and a
+    * spec pins sample-trained vs full-trained recall parity.
     */
   def train(embeddings: DataFrame, dim: Int = 64, m: Int = 8, ks: Int = 64,
             iters: Int = 3): Codebooks =
     trainOn(normalized(embeddings).select(col("vec_id").as("id"), col("v")),
       dim, m, ks, iters)
 
+  /** Sample size per centroid for codebook training — FAISS trains
+    * codebooks on ~tens-to-hundreds of points per centroid; 100·ks
+    * (floored at 1024) is the deterministic budget here.
+    */
+  private[graft] val TrainSamplePerCentroid = 100
+
   /** Codebook training over an already-PREPARED (id, v) frame — the
     * piece [[train]] runs after normalizing, split out so residual
     * IVF-PQ can train on coarse-quantizer residuals (which must NOT
     * be re-normalized: a residual's length IS its information).
+    *
+    * One Spark job total: the bounded lowest-md5 sample collects
+    * once; seeding and the m·iters Lloyd rounds then run driver-side
+    * over the in-memory sample (k·dim-bounded state, corpus never
+    * re-scanned).
     */
   private[graft] def trainOn(prepared: DataFrame, dim: Int, m: Int, ks: Int,
                              iters: Int): Codebooks = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val pts = prepared
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampleN = math.max(1024, TrainSamplePerCentroid * ks)
+    val sample = collectSample(prepared, sampleN)
+    require(sample.nonEmpty, "cannot train a codebook over an empty corpus")
     val books = (0 until m).map { s =>
-      val sub = pts.select(col("id"), subvec(col("v"), s, dsub).as("v"))
-      var cents = farthestPointSeeds(sub, ks)
-      for (_ <- 1 to iters) {
-        val (cl, d) = KMeans.assignExpr(col("v"), cents)
-        cents = KMeans.updateCentroids(
-          sub.select(col("id"), col("v"), cl.as("cluster"), d.as("d")), "v", dsub)
+      val sub = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       }
+      // seeds come from the hash-order head of the same sample — the
+      // identical seed set a dedicated 1024-row collect would pick
+      var cents = farthestPointSeeds(sub.take(1024), ks)
+      for (_ <- 1 to iters) cents = localLloydStep(sub, cents)
       val book = cents.sortBy(_._1).map(_._2)
       // empty clusters drop out of the update (a near-degenerate
       // subspace can collapse below ks): pad with copies of centroid
       // 0 so the flat s·ks + code table indexing stays fixed-geometry
       // — a duplicate at a higher code never wins the lowest-id
       // argmin, so padding is inert for encoding
+      book ++ Seq.fill(ks - book.length)(book.head)
+    }
+    Codebooks(dim, m, ks, books)
+  }
+
+  /** The distributed FULL-CORPUS trainer — m subspaces × `iters`
+    * Lloyd rounds over every prepared vector ([[KMeans.assignExpr]] +
+    * [[KMeans.updateCentroids]], the same slim partial-agg round
+    * shape as [[KMeans.lloyd]]). Kept as the parity reference for the
+    * sampled default (and the escape hatch if a corpus's direction
+    * structure ever defeats the sample); [[trainOn]] is the
+    * production path.
+    */
+  private[graft] def trainOnFull(prepared: DataFrame, dim: Int, m: Int, ks: Int,
+                                 iters: Int): Codebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val pts = prepared
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = (0 until m).map { s =>
+      val sub = pts.select(col("id"), subvec(col("v"), s, dsub).as("v"))
+      var cents = farthestPointSeeds(
+        collectSample(sub, 1024).map { case (id, v) => (id, v) }, ks)
+      for (_ <- 1 to iters) {
+        val (cl, d) = KMeans.assignExpr(col("v"), cents)
+        cents = KMeans.updateCentroids(
+          sub.select(col("id"), col("v"), cl.as("cluster"), d.as("d")), "v", dsub)
+      }
+      val book = cents.sortBy(_._1).map(_._2)
       book ++ Seq.fill(ks - book.length)(book.head)
     }
     pts.unpersist()

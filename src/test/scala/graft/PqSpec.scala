@@ -13,8 +13,8 @@ class PqSpec extends SparkSpec {
     * truth — no near-ties for the exact baseline to flicker on.
     */
   private val DIM = 32
-  private def planted(jitter: Double) = {
-    val rows = for (c <- 0 until 32; i <- 0 until 6) yield {
+  private def planted(jitter: Double, members: Int = 6) = {
+    val rows = for (c <- 0 until 32; i <- 0 until members) yield {
       val v = Array.tabulate(DIM) { d =>
         val m = (c * 100 + i).toLong * 2654435761L + d * 40503L
         (if (d == c) 1.0 else 0.0) + ((m % 1000) / 1000.0 - 0.5) * jitter
@@ -100,6 +100,33 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Long]("c_id")))
     assert(reranked.toSeq == brute.toSeq,
       "exact re-ranking of a shortlist that covers the truth must reproduce the brute ranking")
+  }
+
+  test("sample-trained codebooks match full-trained recall (bounded FAISS-style training)") {
+    // 32 clusters × 64 members = 2048 vectors > the max(1024, 100·16)
+    // = 1600 sample budget, so the default trainer REALLY fits on a
+    // strict subset while trainOnFull sees every vector
+    val d = planted(0.03, members = 64)
+    val prepared = graft.operators.Pq.normalized(d)
+      .select(col("vec_id").as("id"), col("v"))
+    val sampled = graft.operators.Pq.trainOn(prepared, DIM, 4, 16, 3)
+    val full = graft.operators.Pq.trainOnFull(prepared, DIM, 4, 16, 3)
+    def recallOf(cb: Pq.Codebooks): Double = {
+      val truth = graft.operators.Similarity.bruteTopK(d, nQueries = 8, k = 5)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      val appr = Pq.adcTopKReranked(d, cb, nQueries = 8, k = 5, shortlist = 100)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      appr.intersect(truth).size.toDouble / truth.size
+    }
+    val (rs, rf) = (recallOf(sampled), recallOf(full))
+    info(f"recall: sampled $rs%.3f vs full $rf%.3f")
+    assert(rs >= 0.9, s"sample-trained recall $rs must clear the production gate")
+    assert(rs >= rf - 0.05,
+      s"bounded-sample training ($rs) must match full-corpus training ($rf)")
+    // determinism: the sampled trainer is a pure function of the corpus
+    val again = graft.operators.Pq.trainOn(prepared, DIM, 4, 16, 3)
+    assert(again.books.map(_.map(_.toSeq)) == sampled.books.map(_.map(_.toSeq)),
+      "sample-trained codebooks must be deterministic")
   }
 
   test("recall gate: ADC recovers the exact cosine neighbors on the planted corpus") {
