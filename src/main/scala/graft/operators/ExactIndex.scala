@@ -25,7 +25,9 @@ import graft.functions.expressions.BloomMightContain
   *
   * At 100 TB the digests table is the source of truth and scales
   * freely; the bloom is the accelerator and its size is bound by the
-  * build-time `expectedItems` (~1.2 GB per 10⁹ digests at fpp 0.03).
+  * build-time `expectedItems` (~1.2 GB per 10⁹ digests at fpp 0.03)
+  * — shipped as a BROADCAST per query batch (fetched once per
+  * executor, inflated once per JVM), never as a plan literal.
   * Corpora beyond what one sketch should carry: raise fpp (the
   * confirm join absorbs false positives exactly) or skip the bloom
   * and take the plain bucketed semi-join — correctness never depends
@@ -65,15 +67,22 @@ object ExactIndex {
     bos.toByteArray
   }
 
-  /** The codegen'd sketch probe when the session has GraftExtensions;
-    * constant-true otherwise — every row then takes the exact confirm
-    * join, so results never depend on the sketch (the bloom is purely
-    * the accelerator).
+  /** The codegen'd sketch probe: the bytes BROADCAST once per query
+    * batch (torrent-fetched once per executor, filter inflated once
+    * per JVM via [[graft.functions.expressions.BloomSketchCache]] —
+    * at the ~1.2 GB/10⁹-digest design point a plan-literal sketch
+    * would ride and re-inflate in every task), probed by the
+    * broadcast-handle expression built directly — no registry or
+    * extensions dependence. Correctness never depends on the sketch
+    * (any probe answer only routes rows between the map-side `false`
+    * tag and the exact confirm join).
     */
-  private def bloomProbe(spark: SparkSession, c: Column, bytes: Array[Byte]): Column =
-    if (spark.catalog.functionExists("graft_bloom_might_contain"))
-      call_function("graft_bloom_might_contain", c, lit(bytes))
-    else lit(true)
+  private def bloomProbe(spark: SparkSession, c: Column, bytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val bc = spark.sparkContext.broadcast(bytes)
+    ColumnBridge.column(graft.functions.expressions.BloomMightContainBroadcast(
+      ColumnBridge.expression(c), bc))
+  }
 
   /** The split-confirm-union: bloom-negatives tag `false` map-side;
     * bloom-positives left-join the digests for the exact verdict.

@@ -25,6 +25,23 @@ class ExactIndexSpec extends SparkSpec {
     assert(probed.count() == 400)
   }
 
+  test("broadcast probe: one sketch inflation per executor JVM, not per task") {
+    import graft.functions.expressions.BloomSketchCache
+    // a many-partition probe: every task probes, but the broadcast
+    // sketch must inflate exactly once in this (local-mode single)
+    // executor JVM — the contract that makes a GB-scale sketch viable
+    val before = BloomSketchCache.deserializations.get()
+    val manyPart = reference.repartition(16)
+    val out = ExactIndex.flagKnown(manyPart, reference)
+    assert(out.rdd.getNumPartitions > 1, "probe must actually span multiple tasks")
+    assert(out.filter(!col("is_known")).count() == 0,
+      "every reference doc must flag known against itself")
+    val inflations = BloomSketchCache.deserializations.get() - before
+    assert(inflations == 1L,
+      s"the sketch must inflate once per executor, measured $inflations across " +
+        s"${out.rdd.getNumPartitions} partitions")
+  }
+
   test("flagKnown: exact classification, with the bloom pruning the confirm join to near the dup count") {
     val out = ExactIndex.flagKnown(batch, reference).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
