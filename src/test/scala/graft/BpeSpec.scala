@@ -64,6 +64,50 @@ class BpeSpec extends SparkSpec {
     assert(got.exists(_._4 == "est</w>"), s"expected the est-suffix merge, got ${got.toSeq}")
   }
 
+  /** Rich deterministic corpus: 64 distinct syllable-composed words,
+    * each appearing 2–5 times — enough pair mass to sustain 100+
+    * merges at minWeight 2.
+    */
+  private def richDocs = {
+    val syllables = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val words = for (a <- syllables; b <- syllables) yield a + b + (a.head - 'a')
+    val toks = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(2 + i % 4)(w) }
+    toks.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("in-memory and distributed trainers agree merge-for-merge at 100 merges") {
+    val d = richDocs
+    // default: byte budget admits this vocab -> in-memory loop;
+    // budget 0 forces every word over budget -> distributed rounds
+    val inMem = Bpe.train(d, numMerges = 100).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("weight"))).toSeq
+    val dist = Bpe.train(d, numMerges = 100, maxDriverVocabBytes = 0L).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("weight"))).toSeq
+    assert(inMem.length == 100, s"fixture must sustain 100 merges, got ${inMem.length}")
+    assert(inMem == dist,
+      s"the two trainers must learn identical tables;\nfirst diff: ${
+        inMem.zip(dist).find { case (a, b) => a != b }}")
+  }
+
+  test("over-budget vocab: encode falls back to an explicit shuffle join, identical output") {
+    val merges = Bpe.train(docs, numMerges = 8)
+    val fast = Bpe.encode(docs, merges).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("word_pos"),
+        r.getAs[Long]("piece_pos"), r.getAs[String]("piece"))).sorted.toSeq
+    val fallback = Bpe.encode(docs, merges, maxBroadcastVocabBytes = 0L)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the over-budget branch must pin a shuffle-hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"the over-budget branch must not auto-broadcast either leg:\n$plan")
+    val slow = fallback.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("word_pos"),
+        r.getAs[Long]("piece_pos"), r.getAs[String]("piece"))).sorted.toSeq
+    assert(slow == fast, "join strategy must not change the encoding")
+  }
+
   test("greedy-left apply: a run of equal symbols merges at even offsets only") {
     val d = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
     val merges = Seq((1L, "a", "a")).toDF("rank", "left", "right")
