@@ -20,6 +20,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
+  *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName>
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
   *   quality + repetition gates → split tag, one composed plan.
@@ -40,6 +41,13 @@ import graft.streaming.StreamingPipeline
   *   must already exist (writeIvfIndex / writeNgramLshIndex); the
   *   session's warehouse must be the one holding it
   *   (SPARK_GRAFT_WAREHOUSE).
+  * ingest: [[Pipeline.ingest]] — the COMPOSED incremental-crawl step
+  *   against a stored corpus `<name>`: snapshot churn (unchanged
+  *   re-crawls drop, changed docs report) → bloom-accelerated exact
+  *   dedup → stored-LSH near-dup flag → survivors append to the
+  *   exact index, the LSH index (with its compaction rule), and the
+  *   corpus table. Requires `<name>_corpus` / `<name>_exact` /
+  *   `<name>_lsh` to exist; idempotent per batch.
   * stream: [[StreamingPipeline.curateStream]] over a checkpointed
   *   parquet FILE STREAM — each new file dropped into `docsDir` is a
   *   micro-batch. Runs with Trigger.AvailableNow: processes everything
@@ -114,10 +122,25 @@ object PipelineJob {
     fired
   }
 
+  /** One job-level composed ingest step — reads the batch, runs
+    * [[Pipeline.ingest]], prints the report. Factored out of [[main]]
+    * so the E2E spec drives the exact job path.
+    */
+  def runIngest(spark: SparkSession, batchPath: String, corpusName: String)
+  : Pipeline.IngestReport = {
+    val report = Pipeline.ingest(spark.read.parquet(batchPath), corpusName)
+    println(s"ingest into $corpusName: batch=${report.nBatch} " +
+      s"unchanged=${report.nUnchanged} changed=${report.nChanged} " +
+      s"exact-dup=${report.nExactDup} near-dup=${report.nNearDup} " +
+      s"accepted=${report.nAccepted} compaction ${if (report.compacted) "RAN" else "not needed"}")
+    report
+  }
+
   def main(args: Array[String]): Unit = {
-    val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh")
+    val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
+      "ingest")
     require(args.length >= 3 && modes(args(0)),
-      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh " +
+      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest " +
         "<docsPath> <outDir|tableName|indexName> [minQualityFs]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
@@ -137,6 +160,11 @@ object PipelineJob {
 
     if (mode.startsWith("maintain-")) {
       runMaintain(spark, mode, in, out)
+      spark.stop()
+      return
+    }
+    if (mode == "ingest") {
+      runIngest(spark, in, out)
       spark.stop()
       return
     }

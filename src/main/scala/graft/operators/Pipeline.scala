@@ -160,4 +160,97 @@ object Pipeline {
     graft.sources.Sinks.writeBucketed(
       curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt),
       table, "doc_id", buckets)
+
+  /** What one [[ingest]] step did — every count a crawl operator
+    * monitors. `nUnchanged + nChanged + nAdded = nBatch`;
+    * `nExactDup + nNearDup + nAccepted = nAdded`.
+    */
+  case class IngestReport(nBatch: Long, nUnchanged: Long, nChanged: Long,
+                          nAdded: Long, nExactDup: Long, nNearDup: Long,
+                          nAccepted: Long, compacted: Boolean)
+
+  /** ONE composed incremental-crawl ingest step against a stored
+    * corpus `name` — the per-batch loop a crawler runs, previously
+    * hand-composed from the pieces, now one checkpointed step:
+    *
+    *   1. [[Snapshot.churn]] vs `<name>_corpus`: UNCHANGED re-crawls
+    *      (same doc_id, same content hash — the bulk of every
+    *      re-crawl) drop immediately; absence is NOT removal (a crawl
+    *      batch is partial), and CHANGED docs (same doc_id, new
+    *      content) are REPORTED but not applied — rewriting a stored
+    *      doc is the retraction path ([[Dedup.deleteFromNgramLshIndex]]
+    *      + re-add), not a silent append that would leave two rows
+    *      under one doc_id;
+    *   2. [[ExactIndex.flagAgainstIndex]] vs `<name>_exact`:
+    *      bloom-accelerated exact content dedup — a re-crawled text
+    *      under a NEW doc_id drops here;
+    *   3. [[Dedup.ngramLshAgainstIndex]] vs `<name>_lsh`: near-dup
+    *      flag, batch side only ever joins band buckets;
+    *   4. survivors APPEND everywhere, exact index first
+    *      ([[ExactIndex.append]]), then the LSH index with its
+    *      compaction rule ([[Dedup.maintainNgramLshIndex]]), then the
+    *      corpus table itself (bucket-aligned append) so the next
+    *      batch's churn sees them.
+    *
+    * The accepted set is localCheckpointed BEFORE any append: every
+    * upstream frame reads the very tables step 4 writes, and Spark
+    * re-materializes table-referencing cached plans on insert — a
+    * lazily-evaluated accepted set would recompute EMPTY mid-append
+    * (the [[ExactIndex.append]] lesson, applied to the composition).
+    * Re-running the same batch is a no-op by construction: accepted
+    * docs diff away as unchanged, rejected docs reject again, and
+    * nothing appends (spec-pinned E2E, including table equality with
+    * the hand-composed sequence).
+    *
+    * The batch is assumed internally curated ([[curate]] handles
+    * in-batch dups/quality); this step is the CROSS-batch/corpus
+    * increment. All three stores must exist (`curateToBucketed` or
+    * [[graft.sources.Sinks.writeBucketed]] for `<name>_corpus`,
+    * [[ExactIndex.write]] for `<name>_exact`,
+    * [[Dedup.writeNgramLshIndex]] for `<name>_lsh`).
+    */
+  def ingest(batch: DataFrame, name: String,
+             lshThresholdFs: Long = 9000L,
+             maxFilesPerBucket: Int = 4): IngestReport = {
+    val spark = batch.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = spark.table(s"${name}_corpus")
+    val nBatch = batch.count()
+    val churn = Snapshot.churn(corpus, batch)
+      .filter(col("change") =!= "removed")
+      .persist(MEMORY_AND_DISK)
+    val nChanged = churn.filter(col("change") === "changed").count()
+    val added = batch
+      .join(churn.filter(col("change") === "added").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val nAdded = added.count()
+    churn.unpersist(false)
+    val novel = added
+      .join(ExactIndex.flagAgainstIndex(added, s"${name}_exact")
+        .filter(col("is_known")).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    val nNovel = novel.count()
+    val nearIds = Dedup.ngramLshAgainstIndex(novel, s"${name}_lsh", lshThresholdFs)
+      .select(col("id_in").as("doc_id")).distinct()
+    // localCheckpoint (eager): detach from the index/corpus tables
+    // before writing to them
+    val accepted = novel.join(nearIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nAccepted = accepted.count()
+    added.unpersist(false)
+    novel.unpersist(false)
+    var compacted = false
+    if (nAccepted > 0) {
+      ExactIndex.append(accepted, s"${name}_exact")
+      compacted = Dedup.maintainNgramLshIndex(accepted, s"${name}_lsh", maxFilesPerBucket)
+      val buckets = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_corpus"))
+        .bucketSpec.map(_.numBuckets).getOrElse(32)
+      graft.sources.Sinks.writeBucketed(
+        accepted.select(corpus.columns.map(col).toIndexedSeq: _*),
+        s"${name}_corpus", "doc_id", buckets, org.apache.spark.sql.SaveMode.Append)
+    }
+    IngestReport(nBatch, nBatch - nChanged - nAdded, nChanged,
+      nAdded, nAdded - nNovel, nNovel - nAccepted, nAccepted, compacted)
+  }
 }

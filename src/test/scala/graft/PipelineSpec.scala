@@ -203,4 +203,85 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("maintlsh_grams").count() == grams,
       "a retried batch must not duplicate index rows")
   }
+
+  test("ingest job mode: composed crawl step equals the hand-composed sequence, second run idempotent") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, ExactIndex, Snapshot}
+    import graft.sources.Sinks
+    val longText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu"),
+      (3L, longText),
+      (4L, "nu xi omicron pi"),
+      (5L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+    val tables = Seq("corpus", "exact_digests", "exact_bloom", "lsh_bands", "lsh_grams", "lsh_meta")
+    for (p <- Seq("ingA", "ingB")) {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${p}_$t"))
+      Sinks.writeBucketed(corpus, s"${p}_corpus", "doc_id", 4)
+      ExactIndex.write(corpus, s"${p}_exact", buckets = 4)
+      Dedup.writeNgramLshIndex(corpus, s"${p}_lsh", buckets = 4)
+    }
+    // the crawl batch: one unchanged re-crawl, one changed re-crawl,
+    // one exact dup under a new id, one near-dup under a new id (last
+    // word of 60 edited: 2-gram jaccard 58/60 ≈ 0.967, above the
+    // default 0.9 gate), two genuinely new docs
+    val batch = Seq(
+      (0L, "alpha beta gamma delta"),                  // unchanged
+      (1L, "phi chi psi omega"),                       // changed (reported, not applied)
+      (100L, "iota kappa lambda mu"),                  // exact dup of doc 2
+      (101L, longText.replace("w60", "w60x")),         // near-dup of doc 3
+      (102L, "one two three four"),                    // new
+      (103L, "five six seven eight")).toDF("doc_id", "text") // new
+    val dir = java.nio.file.Files.createTempDirectory("ingest_batch").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    // hand-composed sequence on the ingB twin
+    val batchB = spark.read.parquet(dir)
+    val churn = Snapshot.churn(spark.table("ingB_corpus"), batchB)
+      .filter(col("change") =!= "removed")
+    val added = batchB.join(churn.filter(col("change") === "added").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val novel = added.join(
+      ExactIndex.flagAgainstIndex(added, "ingB_exact")
+        .filter(col("is_known")).select("doc_id"), Seq("doc_id"), "left_anti")
+    val nearIds = Dedup.ngramLshAgainstIndex(novel, "ingB_lsh")
+      .select(col("id_in").as("doc_id")).distinct()
+    val accepted = novel.join(nearIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    ExactIndex.append(accepted, "ingB_exact")
+    val firedB = Dedup.maintainNgramLshIndex(accepted, "ingB_lsh")
+    Sinks.writeBucketed(accepted.select(col("doc_id"), col("text")), "ingB_corpus",
+      "doc_id", 4, SaveMode.Append)
+
+    // the composed job path on ingA
+    val r1 = PipelineJob.runIngest(spark, dir, "ingA")
+    assert(r1 == Pipeline.IngestReport(6, 1, 1, 4, 1, 1, 2, firedB),
+      s"first ingest must classify every batch row and compact iff the hand-composed " +
+        s"rule did (firedB=$firedB), got $r1")
+    // table-for-table parity with the hand-composed sequence
+    def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    assert(rows("ingA_corpus") == rows("ingB_corpus"),
+      "composed ingest must land exactly the hand-composed corpus")
+    assert(rows("ingA_exact_digests") == rows("ingB_exact_digests"),
+      "composed ingest must land exactly the hand-composed digests")
+    assert(spark.table("ingA_lsh_grams").select("doc_id").collect().map(_.getLong(0)).toSet ==
+      spark.table("ingB_lsh_grams").select("doc_id").collect().map(_.getLong(0)).toSet,
+      "composed ingest must index exactly the hand-composed doc set")
+    assert(spark.table("ingA_corpus").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L, 4L, 5L, 102L, 103L),
+      "survivors = original corpus + the two genuinely-new docs")
+
+    // second run of the SAME batch: everything already handled
+    val r2 = PipelineJob.runIngest(spark, dir, "ingA")
+    assert(r2 == Pipeline.IngestReport(6, 3, 1, 2, 1, 1, 0, false),
+      s"re-ingest must accept nothing, got $r2")
+    assert(rows("ingA_corpus") == rows("ingB_corpus"),
+      "re-ingest must not change the corpus")
+    assert(spark.table("ingA_lsh_grams").count() == spark.table("ingB_lsh_grams").count(),
+      "re-ingest must not grow the LSH index")
+    for (p <- Seq("ingA", "ingB"); t <- tables)
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+  }
 }
