@@ -173,8 +173,8 @@ object Sinks {
     * live table (spec-pinned under a hammering reader thread).
     */
   def compactBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
-                      buckets: Int): Unit =
-    rewriteBucketed(spark, table, bucketCols, buckets, identity)
+                      buckets: Int, keepGenerations: Int = 1): Unit =
+    rewriteBucketed(spark, table, bucketCols, buckets, identity, keepGenerations)
 
   /** The general in-place bucketed rewrite behind [[compactBucketed]]:
     * scan the table bucket-aligned, apply `transform` (which must
@@ -194,7 +194,8 @@ object Sinks {
     * contract.
     */
   def rewriteBucketed(spark: SparkSession, table: String, bucketCols: Seq[String],
-                      buckets: Int, transform: DataFrame => DataFrame): Unit = {
+                      buckets: Int, transform: DataFrame => DataFrame,
+                      keepGenerations: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(autoKey)
@@ -209,7 +210,7 @@ object Sinks {
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .format("parquet").option("path", newLoc)
         .saveAsTable(tmp)
-      flipToGeneration(spark, table, tmp, oldLoc, newLoc)
+      flipToGeneration(spark, table, tmp, oldLoc, newLoc, keepGenerations)
     } finally spark.conf.set(autoKey, prev)
   }
 
@@ -241,15 +242,11 @@ object Sinks {
     else (s, 0L)
   }
 
-  /** The generation directory immediately BEFORE `loc` in its chain
-    * (base counts as generation 0); None when `loc` is the base.
+  /** The directory of generation `n` in `base`'s chain (generation 0
+    * IS the base directory).
     */
-  private def prevGenOf(loc: java.net.URI): Option[String] = {
-    val (base, gen) = splitGen(loc.toString.stripSuffix("/"))
-    if (gen == 0) None
-    else if (gen == 1) Some(base)
-    else Some(s"${base}__g${gen - 1}")
-  }
+  private def genDir(base: String, n: Long): String =
+    if (n == 0) base else s"${base}__g$n"
 
   /** The maintenance-swap commit: point the live table at the staged
     * generation with ONE catalog operation (`ALTER TABLE SET
@@ -258,36 +255,48 @@ object Sinks {
     * generation's directory. A reader resolving the table BY NAME at
     * any instant finds a live table over a complete generation — the
     * catalog-level missing-table window of a drop→rename swap cannot
-    * occur. RETENTION (r11): the generation being flipped away from is
-    * KEPT on disk; only the one before it (N−2 relative to the new
-    * live generation) is deleted — a reader that planned file handles
-    * against the old generation right before the flip finishes its
-    * scan against intact files, and the delete only reaches a
-    * directory two maintenance passes stale. Residual, documented: a
-    * scan still running after a FULL further maintenance cycle can
-    * lose its directory — bounding that too is [[vacuumGenerations]]'
-    * job (run it instead of eager deletes when such readers exist) or
-    * a transactional table format; single-WRITER ownership of
-    * maintenance passes remains the contract either way.
+    * occur. RETENTION (r11, parameterized r12): the newest
+    * `keepGenerations` non-live generations are KEPT on disk (default
+    * 1 — the generation being flipped away from); only the one
+    * `keepGenerations` passes stale is deleted. A reader that planned
+    * file handles against a retained generation finishes its scan
+    * against intact files — size `keepGenerations` to the longest
+    * scan measured in maintenance cycles (a reader spanning TWO flips
+    * survives `keepGenerations = 2`, spec-pinned). Residual,
+    * documented: a scan still running after `keepGenerations` FULL
+    * further maintenance cycles can lose its directory — bounding
+    * that too is [[vacuumGenerations]]' job (run it instead of eager
+    * deletes when such readers exist) or a transactional table
+    * format; single-WRITER ownership of maintenance passes remains
+    * the contract either way.
     */
   private[graft] def flipToGeneration(spark: SparkSession, table: String, stagingTable: String,
-                                      oldLoc: java.net.URI, newLoc: String): Unit = {
+                                      oldLoc: java.net.URI, newLoc: String,
+                                      keepGenerations: Int = 1): Unit = {
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newLoc'")
-    flipCleanup(spark, stagingTable, oldLoc)
+    flipCleanup(spark, stagingTable, oldLoc, keepGenerations)
   }
 
   /** The flip's second half, separated so partitioned tables can run
     * their `MSCK REPAIR` between the location flip and the old
     * generation's deletion (readers on stale partition entries read
     * the old snapshot until the repair lands). Deletes the generation
-    * BEFORE `oldLoc` — `oldLoc` itself is retained for one more
-    * maintenance cycle (see [[flipToGeneration]]).
+    * `keepGenerations` BEFORE `oldLoc` — `oldLoc` itself and the
+    * `keepGenerations − 1` before it are retained for later
+    * maintenance cycles (see [[flipToGeneration]]). Steady-state each
+    * flip deletes exactly one directory, so the chain never grows
+    * past `keepGenerations + 1` live directories; a `keepGenerations`
+    * LOWERED between runs leaves older directories for
+    * [[vacuumGenerations]].
     */
   private[graft] def flipCleanup(spark: SparkSession, stagingTable: String,
-                                 oldLoc: java.net.URI): Unit = {
+                                 oldLoc: java.net.URI, keepGenerations: Int = 1): Unit = {
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
     spark.sql(s"DROP TABLE $stagingTable")
-    prevGenOf(oldLoc).foreach { prev =>
-      val p = new org.apache.hadoop.fs.Path(prev)
+    val (base, gen) = splitGen(oldLoc.toString.stripSuffix("/"))
+    val victim = gen - keepGenerations
+    if (victim >= 0) {
+      val p = new org.apache.hadoop.fs.Path(genDir(base, victim))
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }
   }
@@ -316,17 +325,25 @@ object Sinks {
     })
   }
 
-  /** Reclaim ALL non-live generation directories of `table` — the
-    * explicit counterpart to [[flipCleanup]]'s keep-one retention.
-    * Run when no reader can still hold plans against an old snapshot
-    * (e.g. a quiet maintenance window); returns the number of
-    * directories deleted. Only siblings that are provably members of
-    * this table's generation chain (`<base>` or `<base>__gN`) are
-    * touched, so unrelated tables sharing the warehouse are safe.
+  /** Reclaim non-live generation directories of `table` past the
+    * retention window — the explicit counterpart to [[flipCleanup]]'s
+    * per-flip delete. `keepGenerations = 0` (default) reclaims
+    * EVERYTHING but the live generation (run when no reader can still
+    * hold plans against an old snapshot, e.g. a quiet maintenance
+    * window); a positive value keeps that many of the newest
+    * generations BELOW the live one — the same retention contract the
+    * flip enforces — and still reclaims both anything older and any
+    * orphaned directory ABOVE the live generation (debris of a failed
+    * maintenance pass). Returns the number of directories deleted.
+    * Only siblings that are provably members of this table's
+    * generation chain (`<base>` or `<base>__gN`) are touched, so
+    * unrelated tables sharing the warehouse are safe.
     */
-  def vacuumGenerations(spark: SparkSession, table: String): Int = {
+  def vacuumGenerations(spark: SparkSession, table: String,
+                        keepGenerations: Int = 0): Int = {
+    require(keepGenerations >= 0, s"keepGenerations must be >= 0, got $keepGenerations")
     val cur = currentLocation(spark, table)
-    val (base, _) = splitGen(cur)
+    val (base, liveGen) = splitGen(cur)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
     val parent = basePath.getParent
@@ -336,9 +353,14 @@ object Sinks {
     else {
       val victims = fs.listStatus(parent).map(_.getPath).filter { p =>
         val n = p.getName
-        val inChain = n == name ||
-          (n.startsWith(name + "__g") && n.drop(name.length + 3).forall(_.isDigit))
-        inChain && n != curName
+        val gen =
+          if (n == name) Some(0L)
+          else if (n.startsWith(name + "__g") && n.drop(name.length + 3).nonEmpty &&
+              n.drop(name.length + 3).forall(_.isDigit))
+            Some(n.drop(name.length + 3).toLong)
+          else None
+        gen.exists(g => n != curName &&
+          (g > liveGen || g < liveGen - keepGenerations))
       }
       victims.foreach(fs.delete(_, true))
       victims.length

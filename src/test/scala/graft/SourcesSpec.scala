@@ -531,5 +531,26 @@ class SourcesSpec extends SparkSpec {
     assert(gensOnDisk() == Set("flip_spec__g7"),
       s"post-vacuum only the live generation remains, found ${gensOnDisk().mkString(",")}")
     assert(spark.table("flip_spec").count() == n, "the live table must survive the vacuum")
+
+    // parameterized retention (r12): at keepGenerations = 2 a reader
+    // that planned against the pre-flip generation survives TWO full
+    // maintenance cycles — keep-one's documented residual, closed by
+    // sizing the retention to the scan horizon
+    val planned2 = spark.table("flip_spec").inputFiles // generation 7
+    Sinks.compactBucketed(spark, "flip_spec", Seq("k"), 8, keepGenerations = 2) // -> g8
+    Sinks.compactBucketed(spark, "flip_spec", Seq("k"), 8, keepGenerations = 2) // -> g9
+    assert(spark.read.parquet(planned2.toIndexedSeq: _*).count() == n,
+      "a scan planned two flips ago must still read its full generation at keepGenerations=2")
+    assert(gensOnDisk() == Set("flip_spec__g7", "flip_spec__g8", "flip_spec__g9"),
+      s"keep-two retention must hold the live + two predecessors, found ${gensOnDisk().mkString(",")}")
+    // a THIRD keep-two flip reclaims g7 (now three passes stale)
+    Sinks.compactBucketed(spark, "flip_spec", Seq("k"), 8, keepGenerations = 2) // -> g10
+    assert(gensOnDisk() == Set("flip_spec__g8", "flip_spec__g9", "flip_spec__g10"),
+      s"the window must slide, found ${gensOnDisk().mkString(",")}")
+    // vacuum honoring a retention window: keep 1 below live, reclaim older
+    val vac2 = Sinks.vacuumGenerations(spark, "flip_spec", keepGenerations = 1)
+    assert(vac2 == 1 && gensOnDisk() == Set("flip_spec__g9", "flip_spec__g10"),
+      s"windowed vacuum must keep live+1, found ${gensOnDisk().mkString(",")}")
+    assert(spark.table("flip_spec").count() == n, "the live table must survive every vacuum")
   }
 }
