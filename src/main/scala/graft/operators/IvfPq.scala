@@ -48,17 +48,19 @@ object IvfPq {
   case class Model(cents: KMeans.Centroids, cb: Pq.Codebooks)
 
   /** Train on the L2-normalized corpus: `coarseIters` Lloyd rounds
-    * for the IVF codebook (final-centroid assignment, the
-    * [[Similarity.writeIvfIndex]] convention), then residual PQ books
-    * via [[Pq.trainOn]] — residuals are NOT re-normalized (their
-    * length is their information).
+    * for the IVF codebook on a bounded deterministic sample
+    * ([[KMeans.lloydSampled]] — the FAISS practice, r12; the
+    * final-centroid assignment convention of
+    * [[Similarity.writeIvfIndex]] is unchanged), then residual PQ
+    * books via [[Pq.trainOn]] — residuals are NOT re-normalized
+    * (their length is their information).
     */
   def train(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16, m: Int = 8,
             ks: Int = 64, coarseIters: Int = 2, pqIters: Int = 3,
             literalMax: Int = Similarity.LiteralCodebookMax): Model = {
     val pts = Pq.normalized(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (_, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = coarseIters, dim = dim)
+    val cents = KMeans.lloydSampled(pts, "vec_id", "v", nlist, iters = coarseIters, dim = dim)
     val cb = Pq.trainOn(
       residuals(pts, cents, literalMax).select(col("vec_id").as("id"), col("rv").as("v")),
       dim, m, ks, pqIters)

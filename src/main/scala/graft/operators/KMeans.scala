@@ -142,6 +142,101 @@ object KMeans {
     (scopedAssignment(assigned, pts), centroids)
   }
 
+  private[graft] def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** One DRIVER-SIDE Lloyd round over an in-memory sample, mirroring
+    * the distributed [[assignExpr]] + [[updateCentroids]] semantics:
+    * first strict minimum wins the argmin (lowest cid on ties,
+    * centroids kept cid-sorted), empty clusters drop out of the
+    * update, and means round to 6 decimals HALF_UP (the same
+    * `round(avg, 6)` determinism discipline). Deterministic chunked
+    * parallelism for large samples: fixed 8192-point chunks
+    * accumulate partial sums independently and merge in chunk order,
+    * so the result never depends on thread timing — and a
+    * single-chunk input IS the plain sequential loop.
+    */
+  private[graft] def localLloydStep(pts: Array[(Long, Array[Double])],
+                                    cents: Centroids): Centroids = {
+    import scala.collection.parallel.CollectionConverters._
+    val ca = cents.toArray
+    val k = ca.length
+    val dim = ca(0)._2.length
+    val chunkSize = 8192
+    val nChunks = (pts.length + chunkSize - 1) / chunkSize
+    val partials = (0 until nChunks).par.map { ci =>
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      var i = ci * chunkSize
+      val end = math.min(pts.length, i + chunkSize)
+      while (i < end) {
+        val v = pts(i)._2
+        var best = 0; var bd = dist2(v, ca(0)._2); var c = 1
+        while (c < k) {
+          val d = dist2(v, ca(c)._2)
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        val acc = sums(best)
+        var j = 0; while (j < dim) { acc(j) += v(j); j += 1 }
+        counts(best) += 1L
+        i += 1
+      }
+      (sums, counts)
+    }.toArray
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Long](k)
+    partials.foreach { case (ps, pc) =>
+      var c = 0
+      while (c < k) {
+        var j = 0; while (j < dim) { sums(c)(j) += ps(c)(j); j += 1 }
+        counts(c) += pc(c)
+        c += 1
+      }
+    }
+    (0 until k).filter(counts(_) > 0L).map { c =>
+      (ca(c)._1, sums(c).map(x => BigDecimal.decimal(x / counts(c))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy(_._1)
+  }
+
+  /** Bounded-sample Lloyd for ANN INDEX BUILDS — the FAISS practice:
+    * a codebook carries at most k·dim doubles, so refining it over
+    * the max(1024, samplePerCentroid·k) lowest-md5(id) vectors is
+    * statistically equivalent to the full-corpus rounds while
+    * replacing `iters` corpus passes with ONE bounded top-n collect
+    * (plus the k-row init scan). Same deterministic first-k-by-id
+    * init as [[lloyd]]; rounds run driver-side via
+    * [[localLloydStep]]. Returns centroids only — index builds run
+    * exactly one distributed assign pass against the FINAL centroids
+    * anyway, which is the pass this trainer leaves in place.
+    *
+    * NOT a replacement for [[lloyd]]: the `kmeans_lloyd_*` operators
+    * are oracle-locked to full-corpus rounds (their unrolled-SQL
+    * contract); this is the trainer for [[Similarity.writeIvfIndex]] /
+    * [[IvfPq.train]]-shaped consumers, spec-pinned to agree with
+    * [[lloyd]] exactly when the sample covers the corpus.
+    */
+  def lloydSampled(points: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int, dim: Int, samplePerCentroid: Int = 100): Centroids = {
+    require(iters >= 1, s"lloydSampled needs at least one round, got iters=$iters")
+    val pts = points
+      .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
+    var cents = initCentroids(pts, "id", "v", k)
+    val sampleN = math.max(1024, samplePerCentroid * k)
+    val sample = pts
+      .withColumn("hk", md5(concat(lit("km#"), col("id").cast("string"))))
+      .orderBy(col("hk"), col("id")).limit(sampleN)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "cannot train a codebook over an empty corpus")
+    for (_ <- 1 to iters) cents = localLloydStep(sample, cents)
+    cents
+  }
+
   /** One Lloyd update: per-cluster mean rounded to 6 dp. The agg
     * ships k×dim partials per partition — broadcast-scale.
     */

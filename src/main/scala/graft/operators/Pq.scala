@@ -54,11 +54,7 @@ object Pq {
   private def subvec(v: Column, s: Int, dsub: Int): Column =
     slice(v, s * dsub + 1, dsub)
 
-  private def dist2(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
+  private def dist2(a: Array[Double], b: Array[Double]): Double = KMeans.dist2(a, b)
 
   /** Deterministic farthest-point (greedy k-center) seeds over an
     * in-memory sample. First-k-by-id init (fine for oracle-locked
@@ -96,37 +92,13 @@ object Pq {
       .select(col("id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  /** One driver-side Lloyd round over an in-memory sample, mirroring
-    * the distributed [[KMeans.assignExpr]] + [[KMeans.updateCentroids]]
-    * semantics: first strict minimum wins the argmin (lowest cid on
-    * ties, centroids kept cid-sorted), empty clusters drop out of the
-    * update, and means round to 6 decimals HALF_UP (the same
-    * `round(avg, 6)` determinism discipline).
+  /** The driver-side Lloyd round, shared with the coarse-quantizer
+    * trainer: [[KMeans.localLloydStep]] (distributed-semantics
+    * mirror, deterministic chunked parallelism).
     */
   private def localLloydStep(pts: Array[(Long, Array[Double])],
-                             cents: KMeans.Centroids): KMeans.Centroids = {
-    val ca = cents.toArray
-    val dsub = ca(0)._2.length
-    val sums = scala.collection.mutable.Map[Long, Array[Double]]()
-    val counts = scala.collection.mutable.Map[Long, Long]()
-    pts.foreach { case (_, v) =>
-      var best = 0; var bd = dist2(v, ca(0)._2); var i = 1
-      while (i < ca.length) {
-        val d = dist2(v, ca(i)._2)
-        if (d < bd) { bd = d; best = i }
-        i += 1
-      }
-      val cid = ca(best)._1
-      val acc = sums.getOrElseUpdate(cid, new Array[Double](dsub))
-      var j = 0; while (j < dsub) { acc(j) += v(j); j += 1 }
-      counts(cid) = counts.getOrElse(cid, 0L) + 1L
-    }
-    sums.toSeq.sortBy(_._1).map { case (cid, acc) =>
-      val n = counts(cid)
-      (cid, acc.map(x => BigDecimal.decimal(x / n)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }
-  }
+                             cents: KMeans.Centroids): KMeans.Centroids =
+    KMeans.localLloydStep(pts, cents)
 
   /** Train m subspace codebooks of ks centroids each over the
     * L2-normalized corpus: farthest-point seeds + `iters` Lloyd

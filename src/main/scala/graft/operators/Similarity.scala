@@ -247,23 +247,25 @@ object Similarity {
     * its `nprobe` nearest centroids and ranks only the vectors
     * assigned to those lists.
     *
-    * Scale shape: the index build is Lloyd's (narrow assign + k-row
-    * agg per iteration); the search is an equi-join on the cluster id
-    * — bucketed candidate generation, never a cross join. Recall is
+    * Scale shape: the codebook trains on a bounded deterministic
+    * sample ([[KMeans.lloydSampled]] — the FAISS practice, r12: one
+    * bounded collect instead of per-iteration corpus passes); the
+    * corpus pays exactly ONE distributed assign pass against the
+    * final centroids; the search is an equi-join on the cluster id —
+    * bucketed candidate generation, never a cross join. Recall is
     * tuned by nprobe; cost ∝ probed-list volume, not corpus size.
     */
   def ivfTopK(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16, nprobe: Int = 4,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
     import graft.operators.KMeans
+    // persisted: feeds the init scan, the training sample, the lists
+    // leg, and the query leg
     val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
-    val (assigned0, cents) = KMeans.lloyd(pts, "vec_id", "v", nlist, iters = 2, dim = dim)
-    // list/probe geometry must AGREE: lloyd's returned assignment is
-    // against the pre-final-update centroids, but queries probe the
-    // final ones — re-assign once against the final centroids (one
-    // narrow pass over lloyd's cached frame) before building lists
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = KMeans.lloydSampled(pts, "vec_id", "v", nlist, iters = 2, dim = dim)
     val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
-    val lists = assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
+    val lists = pts.select(col("vec_id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
       .withColumn("cn", l2norm(col("cv")))
     // nprobe nearest centroid ids per query: sort (distance, cid)
     // structs lexicographically, slice, project the ids
@@ -276,7 +278,7 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("probe_cluster", explode(probed))
     val byQ = Window.partitionBy(col("q_id")).orderBy(col("cos_fs").desc, col("c_id"))
-    lists.join(broadcast(q),
+    val out = lists.join(broadcast(q),
         col("cluster") === col("probe_cluster") && col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         cosFs(cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn"))).as("cos_fs"))
@@ -284,6 +286,7 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), col("cos_fs"))
       .orderBy(col("q_id"), col("rnk"))
+    ScopedCache.releaseAfterAction(out, Seq(pts))
   }
 
   /** Persist an IVF index as a metastore layout — the vector-path
@@ -338,20 +341,24 @@ object Similarity {
     import graft.sources.Sinks
     import org.apache.spark.sql.SaveMode
     val spark = embeddings.sparkSession
+    // persisted: the init scan, the training sample, and the single
+    // final assign pass share one materialization
     val pts = embeddings.select(col("vec_id").cast("long").as("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val literal = nlist <= literalMax
-    val (assigned0, cents) =
-      if (literal) KMeans.lloyd(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
-      else KMeans.lloydBroadcast(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
+    // the codebook trains on a bounded deterministic sample
+    // ([[KMeans.lloydSampled]], r12) — driver-side rounds have no
+    // literal-codegen ceiling, so the literal/broadcast dispatch now
+    // governs only the final ASSIGN pass
+    val cents = KMeans.lloydSampled(pts, "vec_id", "v", nlist, iters = iters, dim = dim)
     // same geometry rule as ivfTopK: lists must be built against the
-    // FINAL centroids the queries will probe, not lloyd's
-    // pre-final-update assignment
+    // FINAL centroids the queries will probe
     val lists = (if (literal) {
       val (finalCl, _) = KMeans.assignExpr(col("v"), cents)
-      assigned0.select(col("id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
+      pts.select(col("vec_id").as("c_id"), col("v").as("cv"), finalCl.as("cluster"))
     } else {
-      KMeans.assignBroadcast(assigned0.select(col("id"), col("v")), "id", "v", cents)
+      KMeans.assignBroadcast(pts, "vec_id", "v", cents)
         .select(col("id").as("c_id"), col("v").as("cv"), col("cluster"))
     }).withColumn("cn", l2norm(col("cv")))
     lists.select(col("c_id"), col("cv"), col("cn"), col("cluster"))
@@ -371,6 +378,7 @@ object Similarity {
     ivfListStats(spark, name)
       .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_stats")
+    pts.unpersist()
   }
 
   /** Current per-list occupancy and mean squared assign-distance of a

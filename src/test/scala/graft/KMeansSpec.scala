@@ -40,6 +40,26 @@ class KMeansSpec extends SparkSpec {
       KMeans.metrics(a2).collect().map(_.toSeq).toSeq)
   }
 
+  test("lloydSampled equals lloyd when the sample covers the corpus; deterministic") {
+    // sfDir embeddings (500 at sf0.001) sit well under the
+    // max(1024, 100·k) sample budget, so the sampled trainer sees
+    // EVERY vector — its driver-side rounds must then reproduce the
+    // distributed rounds (same init, same argmin tie-break, same
+    // round-6 means) to within the 6-dp rounding grain
+    val emb = Tables.embeddings(spark, sfDir)
+    val full = KMeans.lloyd(emb, "vec_id", "embedding", 5, 2, 64)._2
+    val sampled = KMeans.lloydSampled(emb, "vec_id", "embedding", 5, 2, 64)
+    assert(sampled.map(_._1) == full.map(_._1), "same surviving cluster ids")
+    val maxDiff = sampled.zip(full).map { case ((_, a), (_, b)) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(maxDiff <= 1e-6,
+      s"full-coverage sampled training must match distributed lloyd, max diff $maxDiff")
+    val again = KMeans.lloydSampled(emb, "vec_id", "embedding", 5, 2, 64)
+    assert(again.map(_._2.toSeq) == sampled.map(_._2.toSeq),
+      "sampled trainer must be run-deterministic")
+  }
+
   test("broadcast-codebook assignment is bit-identical to the literal-expression path") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
