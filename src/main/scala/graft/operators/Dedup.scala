@@ -613,7 +613,14 @@ object Dedup {
     *
     * Mechanics: [[KMeans.trainCentroids]] (`trainIters` Lloyd rounds
     * from the deterministic init, literal/broadcast dispatch past
-    * `literalMax`) → final assign → within-cluster candidate pairs
+    * `literalMax`; rounds run over a bounded DISTRIBUTED md5 sample
+    * of ~100·k vectors when the corpus exceeds it, r12 — the derived
+    * k is corpus-scale so the sample stays a frame, and the rounds'
+    * cost drops from n·k to 100·k² distances; a corpus at or under
+    * the budget trains on everything, which with k ≈ 4√n means
+    * sampling only engages past ~160k vectors — far above the oracle
+    * gate and the 100k rehearsal, both bit-unchanged) → final assign
+    * → within-cluster candidate pairs
     * through [[candidatePairs]] with the CLUSTER as the bucket key —
     * a mega-cluster triangle-salts exactly like an LSH mega-bucket —
     * → exact fixed-point cosine verify on candidates only → greedy
@@ -633,8 +640,10 @@ object Dedup {
                     literalMax: Int = KMeans.LiteralCentroidMax): DataFrame = {
     val pts = Par.spread(embeddings)
       .select(col("vec_id").cast("long").as("id"), toDoubleArray(col("embedding")).as("v"))
-    val kk = if (k > 0) k else Similarity.suggestIvfGeometry(math.max(1L, pts.count()))._1
-    val cents = KMeans.trainCentroids(pts, kk, trainIters, literalMax)
+    val n = math.max(1L, pts.count())
+    val kk = if (k > 0) k else Similarity.suggestIvfGeometry(n)._1
+    val cents = KMeans.trainCentroids(pts, kk, trainIters, literalMax,
+      sampleBudget = math.max(1024L, 100L * kk), n = n)
     // persist: feeds the pair generator and both verify-join sides
     val assigned = (
       if (cents.length <= literalMax) {

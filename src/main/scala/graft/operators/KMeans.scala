@@ -379,20 +379,44 @@ object KMeans {
     * assign pass switches to the broadcast-codebook loop
     * ([[assignBroadcast]], bit-parity spec-pinned), same as the IVF
     * build path.
+    *
+    * `sampleBudget > 0` bounds the TRAINING input: when the corpus
+    * exceeds the budget, the rounds run over the deterministic
+    * md5-threshold fraction that targets ~`sampleBudget` rows — a
+    * DISTRIBUTED sample frame, not a driver collect, because this
+    * trainer's k can be corpus-derived (SemDeDup's 4√n: at 10⁹
+    * vectors k ≈ 126k and the bounded sample is ~12.6M rows — far too
+    * much driver-side Lloyd compute, but a 79× cheaper distributed
+    * round than the full corpus). A corpus at or under the budget
+    * trains on everything — identical to the unsampled form, which is
+    * what keeps the oracle-locked consumers exact at gate scale. The
+    * filter is a pure map-side predicate (md5 prefix as a 60-bit
+    * uniform draw), partitioning-stable and engine-reproducible.
     */
   private[graft] def trainCentroids(pts: DataFrame, k: Int, iters: Int,
-                                    literalMax: Int = Int.MaxValue): Centroids = {
+                                    literalMax: Int = Int.MaxValue,
+                                    sampleBudget: Long = 0L, n: Long = 0L): Centroids = {
     val cached = Par.spread(pts).cache()
     try {
       var cents = initCentroids(cached, "id", "v", k)
+      val trainPts =
+        if (sampleBudget > 0L && n > sampleBudget) {
+          val threshold = (java.math.BigDecimal.valueOf(sampleBudget)
+            .multiply(java.math.BigDecimal.valueOf(1L << 60))
+            .divide(java.math.BigDecimal.valueOf(n), 0, java.math.RoundingMode.HALF_UP))
+            .longValueExact()
+          cached.filter(
+            conv(substring(md5(concat(lit("tc#"), col("id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") < threshold)
+        } else cached
       if (iters > 0) {
         val dim = cents.head._2.length
         for (_ <- 1 to iters) {
           val assigned =
             if (k <= literalMax) {
               val (cl, _) = assignExpr(col("v"), cents)
-              cached.select(col("v"), cl.as("cluster"))
-            } else assignBroadcast(cached, "id", "v", cents).select(col("v"), col("cluster"))
+              trainPts.select(col("v"), cl.as("cluster"))
+            } else assignBroadcast(trainPts, "id", "v", cents).select(col("v"), col("cluster"))
           cents = updateCentroids(assigned, "v", dim)
         }
       }

@@ -60,6 +60,39 @@ class KMeansSpec extends SparkSpec {
       "sampled trainer must be run-deterministic")
   }
 
+  test("trainCentroids over a bounded distributed sample separates blobs; deterministic") {
+    import org.apache.spark.sql.functions._
+    // 4000 points in two well-separated blobs; a 512-row budget
+    // forces the md5-threshold sample (~1/8 of the corpus) so the
+    // rounds train on a strict subset
+    val pts = (0L until 4000L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i, Seq(base + (i % 7) * 0.01, base - (i % 5) * 0.01))
+    }.toDF("id", "v")
+    // the sample predicate really selects a strict, non-empty subset
+    val threshold = (java.math.BigDecimal.valueOf(512L)
+      .multiply(java.math.BigDecimal.valueOf(1L << 60))
+      .divide(java.math.BigDecimal.valueOf(4000L), 0, java.math.RoundingMode.HALF_UP))
+      .longValueExact()
+    val sampled = pts.filter(
+      conv(substring(md5(concat(lit("tc#"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") < threshold).count()
+    assert(sampled > 100 && sampled < 1024,
+      s"the md5 threshold must land near the 512 budget, got $sampled")
+    val cents = KMeans.trainCentroids(pts, 2, 3, sampleBudget = 512L, n = 4000L)
+    assert(cents.length == 2)
+    val c = cents.map(_._2).sortBy(_.head)
+    assert(math.abs(c(0)(0)) < 1.0 && math.abs(c(1)(0) - 10.0) < 1.0,
+      s"sample-trained centroids must sit on the blobs, got ${c.map(_.toSeq)}")
+    val again = KMeans.trainCentroids(pts, 2, 3, sampleBudget = 512L, n = 4000L)
+    assert(again.map(_._2.toSeq) == cents.map(_._2.toSeq), "sampled training is deterministic")
+    // budget >= corpus: bit-identical to the unsampled trainer
+    val full = KMeans.trainCentroids(pts, 2, 3)
+    val covered = KMeans.trainCentroids(pts, 2, 3, sampleBudget = 4000L, n = 4000L)
+    assert(covered.map(_._2.toSeq) == full.map(_._2.toSeq),
+      "a budget covering the corpus must not change training at all")
+  }
+
   test("broadcast-codebook assignment is bit-identical to the literal-expression path") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
