@@ -220,13 +220,29 @@ object KMeans {
     * [[IvfPq.train]]-shaped consumers, spec-pinned to agree with
     * [[lloyd]] exactly when the sample covers the corpus.
     */
+  /** Above this many assign-distance MACs (iters · sampleN · k · dim)
+    * the driver-side rounds stop being "free" even chunk-parallel —
+    * [[lloydSampled]] then delegates to [[trainCentroids]]' bounded
+    * DISTRIBUTED-sample rounds (same sample size, same init, cluster
+    * compute): the k = 65536 geometry cap at 100 vectors/centroid is
+    * ~5×10¹³ MACs, untenable on one node, but three distributed
+    * rounds over a 6.5M-row sample frame are routine.
+    */
+  private[graft] val LocalTrainMacsMax: Long = 100000000000L
+
   def lloydSampled(points: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int, dim: Int, samplePerCentroid: Int = 100): Centroids = {
     require(iters >= 1, s"lloydSampled needs at least one round, got iters=$iters")
     val pts = points
       .select(col(idCol).cast("long").as("id"), toDoubleArray(col(vecCol)).as("v"))
-    var cents = initCentroids(pts, "id", "v", k)
     val sampleN = math.max(1024, samplePerCentroid * k)
+    if (iters.toLong * sampleN * k * dim > LocalTrainMacsMax) {
+      // too much single-node Lloyd compute: bounded distributed-sample
+      // rounds instead (one extra count job to size the md5 threshold)
+      return trainCentroids(pts, k, iters, LiteralCentroidMax,
+        sampleBudget = sampleN, n = math.max(1L, pts.count()))
+    }
+    var cents = initCentroids(pts, "id", "v", k)
     val sample = pts
       .withColumn("hk", md5(concat(lit("km#"), col("id").cast("string"))))
       .orderBy(col("hk"), col("id")).limit(sampleN)
