@@ -21,6 +21,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName>
+  *   tools/run.sh graft.PipelineJob vacuum <table> <keepGenerations>
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
   *   quality + repetition gates → split tag, one composed plan.
@@ -48,6 +49,11 @@ import graft.streaming.StreamingPipeline
   *   exact index, the LSH index (with its compaction rule), and the
   *   corpus table. Requires `<name>_corpus` / `<name>_exact` /
   *   `<name>_lsh` to exist; idempotent per batch.
+  * vacuum: [[graft.sources.Sinks.vacuumGenerations]] — reclaim a
+  *   maintained table's old generation directories past the given
+  *   retention window (0 = keep only the live generation). The quiet
+  *   maintenance-window step that bounds what the per-flip retention
+  *   deliberately leaves behind.
   * stream: [[StreamingPipeline.curateStream]] over a checkpointed
   *   parquet FILE STREAM — each new file dropped into `docsDir` is a
   *   micro-batch. Runs with Trigger.AvailableNow: processes everything
@@ -138,10 +144,10 @@ object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "ingest")
+      "ingest", "vacuum")
     require(args.length >= 3 && modes(args(0)),
-      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest " +
-        "<docsPath> <outDir|tableName|indexName> [minQualityFs]")
+      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest|vacuum " +
+        "<docsPath|table> <outDir|tableName|indexName|keepGenerations> [minQualityFs]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -165,6 +171,12 @@ object PipelineJob {
     }
     if (mode == "ingest") {
       runIngest(spark, in, out)
+      spark.stop()
+      return
+    }
+    if (mode == "vacuum") {
+      val deleted = Sinks.vacuumGenerations(spark, in, out.toInt)
+      println(s"vacuum $in: $deleted generation director${if (deleted == 1) "y" else "ies"} reclaimed (kept ${out.toInt} below live)")
       spark.stop()
       return
     }
