@@ -17,6 +17,11 @@ DEFAULT_KEYS = [
     "kmeans_lloyd_2d", "sim_topk_cosine", "embed_outliers", "dedup_apply",
     "dedup_apply_cc", "dedup_minhash_md5", "dedup_semantic", "pipeline_training",
     "dedup_simhash", "text_quality", "dedup_cross_lsh", "text_passage_dedup",
+    # r11 heavyweights (profiled from r12 on: the four self-training
+    # PQ/IVF-PQ keys post-sampled-training, BPE, the sketch keys)
+    "sim_pq_topk", "sim_pq_recall", "sim_ivfpq_topk", "sim_ivfpq_recall",
+    "sim_ivf_topk", "text_bpe_train", "text_bpe_encode", "dedup_simhash_md5",
+    "multimodal_phash",
 ]
 
 def load_avg():
