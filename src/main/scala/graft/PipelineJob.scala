@@ -20,7 +20,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
-  *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName>
+  *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName> [apply-changed]
   *   tools/run.sh graft.PipelineJob vacuum <table> <keepGenerations>
   *
   * batch: [[Pipeline.curate]] — exact dedup → LSH near-dup dedup →
@@ -132,11 +132,13 @@ object PipelineJob {
     * [[Pipeline.ingest]], prints the report. Factored out of [[main]]
     * so the E2E spec drives the exact job path.
     */
-  def runIngest(spark: SparkSession, batchPath: String, corpusName: String)
-  : Pipeline.IngestReport = {
-    val report = Pipeline.ingest(spark.read.parquet(batchPath), corpusName)
+  def runIngest(spark: SparkSession, batchPath: String, corpusName: String,
+                applyChanged: Boolean = false): Pipeline.IngestReport = {
+    val report = Pipeline.ingest(spark.read.parquet(batchPath), corpusName,
+      applyChanged = applyChanged)
     println(s"ingest into $corpusName: batch=${report.nBatch} " +
       s"unchanged=${report.nUnchanged} changed=${report.nChanged} " +
+      s"(applied=${report.nChangedApplied}) " +
       s"exact-dup=${report.nExactDup} near-dup=${report.nNearDup} " +
       s"accepted=${report.nAccepted} compaction ${if (report.compacted) "RAN" else "not needed"}")
     report
@@ -170,7 +172,7 @@ object PipelineJob {
       return
     }
     if (mode == "ingest") {
-      runIngest(spark, in, out)
+      runIngest(spark, in, out, applyChanged = args.lift(3).contains("apply-changed"))
       spark.stop()
       return
     }

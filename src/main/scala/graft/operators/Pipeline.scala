@@ -163,11 +163,13 @@ object Pipeline {
 
   /** What one [[ingest]] step did — every count a crawl operator
     * monitors. `nUnchanged + nChanged + nAdded = nBatch`;
-    * `nExactDup + nNearDup + nAccepted = nAdded`.
+    * `nExactDup + nNearDup + nAccepted = nAdded + nChangedApplied`
+    * (`nChangedApplied` = `nChanged` when the step retracted and
+    * re-processed changed re-crawls, 0 in report-only mode).
     */
   case class IngestReport(nBatch: Long, nUnchanged: Long, nChanged: Long,
-                          nAdded: Long, nExactDup: Long, nNearDup: Long,
-                          nAccepted: Long, compacted: Boolean)
+                          nAdded: Long, nChangedApplied: Long, nExactDup: Long,
+                          nNearDup: Long, nAccepted: Long, compacted: Boolean)
 
   /** ONE composed incremental-crawl ingest step against a stored
     * corpus `name` — the per-batch loop a crawler runs, previously
@@ -176,11 +178,24 @@ object Pipeline {
     *   1. [[Snapshot.churn]] vs `<name>_corpus`: UNCHANGED re-crawls
     *      (same doc_id, same content hash — the bulk of every
     *      re-crawl) drop immediately; absence is NOT removal (a crawl
-    *      batch is partial), and CHANGED docs (same doc_id, new
-    *      content) are REPORTED but not applied — rewriting a stored
-    *      doc is the retraction path ([[Dedup.deleteFromNgramLshIndex]]
-    *      + re-add), not a silent append that would leave two rows
-    *      under one doc_id;
+    *      batch is partial). CHANGED docs (same doc_id, new content)
+    *      are REPORTED but not applied by default — a silent append
+    *      would leave two rows under one doc_id. `applyChanged = true`
+    *      runs the retraction path instead: the stale rows leave the
+    *      LSH index ([[Dedup.deleteFromNgramLshIndex]]) and the
+    *      corpus table (the same zero-shuffle per-bucket rewrite),
+    *      and the new content re-enters the add pipeline below — so
+    *      it too must clear the exact and near-dup gates (a changed
+    *      doc whose new text duplicates stored content RETIRES its
+    *      doc_id, the dedup-correct outcome). The exact-digest table
+    *      is deliberately append-only content HISTORY ("have we EVER
+    *      crawled this text") — retired text stays flagged, which is
+    *      the conservative crawl-dedup semantics, and shared digests
+    *      can never be orphaned by a retraction. COST: applyChanged
+    *      pays one LSH-index rewrite + one corpus rewrite per batch
+    *      (zero shuffle, but I/O ∝ store size) — batch changed-doc
+    *      application at a cadence where that amortizes; report-only
+    *      remains the per-batch default;
     *   2. [[ExactIndex.flagAgainstIndex]] vs `<name>_exact`:
     *      bloom-accelerated exact content dedup — a re-crawled text
     *      under a NEW doc_id drops here;
@@ -211,23 +226,43 @@ object Pipeline {
     */
   def ingest(batch: DataFrame, name: String,
              lshThresholdFs: Long = 9000L,
-             maxFilesPerBucket: Int = 4): IngestReport = {
+             maxFilesPerBucket: Int = 4,
+             applyChanged: Boolean = false): IngestReport = {
     val spark = batch.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = spark.table(s"${name}_corpus")
+    val corpusCols = corpus.columns.toIndexedSeq
+    def corpusBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_corpus"))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
     val nBatch = batch.count()
     val churn = Snapshot.churn(corpus, batch)
       .filter(col("change") =!= "removed")
       .persist(MEMORY_AND_DISK)
     val nChanged = churn.filter(col("change") === "changed").count()
-    val added = batch
-      .join(churn.filter(col("change") === "added").select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .persist(MEMORY_AND_DISK)
-    val nAdded = added.count()
+    val nAdded = churn.filter(col("change") === "added").count()
+    // candidate ids: localCheckpoint (eager) BEFORE any retraction —
+    // churn's plan reads the corpus table the retraction rewrites
+    val candIds = (
+      if (applyChanged) churn.select(col("doc_id"))
+      else churn.filter(col("change") === "added").select(col("doc_id")))
+      .localCheckpoint()
+    val changedIds = churn.filter(col("change") === "changed")
+      .select(col("doc_id")).localCheckpoint()
     churn.unpersist(false)
-    val novel = added
-      .join(ExactIndex.flagAgainstIndex(added, s"${name}_exact")
+    val nChangedApplied = if (applyChanged) nChanged else 0L
+    if (applyChanged && nChanged > 0) {
+      // retract the stale rows so the changed content re-enters the
+      // add pipeline: LSH index rows + corpus rows (both zero-shuffle
+      // per-bucket rewrites); exact digests stay — content history
+      Dedup.deleteFromNgramLshIndex(spark, s"${name}_lsh", changedIds)
+      graft.sources.Sinks.rewriteBucketed(spark, s"${name}_corpus", Seq("doc_id"),
+        corpusBuckets, df => df.join(broadcast(changedIds), Seq("doc_id"), "left_anti"))
+    }
+    val candidates = batch.join(candIds, Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val novel = candidates
+      .join(ExactIndex.flagAgainstIndex(candidates, s"${name}_exact")
         .filter(col("is_known")).select(col("doc_id")), Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)
     val nNovel = novel.count()
@@ -237,20 +272,17 @@ object Pipeline {
     // before writing to them
     val accepted = novel.join(nearIds, Seq("doc_id"), "left_anti").localCheckpoint()
     val nAccepted = accepted.count()
-    added.unpersist(false)
+    candidates.unpersist(false)
     novel.unpersist(false)
     var compacted = false
     if (nAccepted > 0) {
       ExactIndex.append(accepted, s"${name}_exact")
       compacted = Dedup.maintainNgramLshIndex(accepted, s"${name}_lsh", maxFilesPerBucket)
-      val buckets = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_corpus"))
-        .bucketSpec.map(_.numBuckets).getOrElse(32)
       graft.sources.Sinks.writeBucketed(
-        accepted.select(corpus.columns.map(col).toIndexedSeq: _*),
-        s"${name}_corpus", "doc_id", buckets, org.apache.spark.sql.SaveMode.Append)
+        accepted.select(corpusCols.map(col): _*),
+        s"${name}_corpus", "doc_id", corpusBuckets, org.apache.spark.sql.SaveMode.Append)
     }
-    IngestReport(nBatch, nBatch - nChanged - nAdded, nChanged,
-      nAdded, nAdded - nNovel, nNovel - nAccepted, nAccepted, compacted)
+    IngestReport(nBatch, nBatch - nChanged - nAdded, nChanged, nAdded, nChangedApplied,
+      nAdded + nChangedApplied - nNovel, nNovel - nAccepted, nAccepted, compacted)
   }
 }

@@ -257,7 +257,7 @@ class PipelineSpec extends SparkSpec {
 
     // the composed job path on ingA
     val r1 = PipelineJob.runIngest(spark, dir, "ingA")
-    assert(r1 == Pipeline.IngestReport(6, 1, 1, 4, 1, 1, 2, firedB),
+    assert(r1 == Pipeline.IngestReport(6, 1, 1, 4, 0, 1, 1, 2, firedB),
       s"first ingest must classify every batch row and compact iff the hand-composed " +
         s"rule did (firedB=$firedB), got $r1")
     // table-for-table parity with the hand-composed sequence
@@ -275,7 +275,7 @@ class PipelineSpec extends SparkSpec {
 
     // second run of the SAME batch: everything already handled
     val r2 = PipelineJob.runIngest(spark, dir, "ingA")
-    assert(r2 == Pipeline.IngestReport(6, 3, 1, 2, 1, 1, 0, false),
+    assert(r2 == Pipeline.IngestReport(6, 3, 1, 2, 0, 1, 1, 0, false),
       s"re-ingest must accept nothing, got $r2")
     assert(rows("ingA_corpus") == rows("ingB_corpus"),
       "re-ingest must not change the corpus")
@@ -283,5 +283,55 @@ class PipelineSpec extends SparkSpec {
       "re-ingest must not grow the LSH index")
     for (p <- Seq("ingA", "ingB"); t <- tables)
       spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+  }
+
+  test("ingest applyChanged: changed re-crawls retract + re-process; digests stay content history") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, ExactIndex}
+    import graft.sources.Sinks
+    val longA = (1 to 60).map(i => s"w$i").mkString(" ")
+    val longA2 = longA.replace("w60", "w60x") // 2-gram J vs longA ≈ 0.97
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu"),
+      (3L, longA),
+      (4L, (1 to 60).map(i => s"x$i").mkString(" ")),
+      (5L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+    val tables = Seq("corpus", "exact_digests", "exact_bloom", "lsh_bands", "lsh_grams", "lsh_meta")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ingc_$t"))
+    Sinks.writeBucketed(corpus, "ingc_corpus", "doc_id", 4)
+    ExactIndex.write(corpus, "ingc_exact", buckets = 4)
+    Dedup.writeNgramLshIndex(corpus, "ingc_lsh", buckets = 4)
+
+    // doc 3 changes by one token — if its OLD LSH rows survived the
+    // retraction, the new text would flag near-dup of itself and the
+    // id would retire; doc 5 changes INTO doc 0's exact text — the
+    // dedup-correct outcome is retiring id 5
+    val batch1 = Seq((3L, longA2), (5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r1 = Pipeline.ingest(batch1, "ingc", applyChanged = true)
+    assert(r1 == Pipeline.IngestReport(2, 0, 2, 0, 2, 1, 0, 1, false),
+      s"changed docs must retract and re-process, got $r1")
+    val live = spark.table("ingc_corpus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(live.keySet == Set(0L, 1L, 2L, 3L, 4L),
+      s"doc 5 must retire (its new text duplicates doc 0), got ${live.keySet}")
+    assert(live(3L) == longA2, "doc 3 must carry its NEW text")
+
+    // idempotence: the same batch again — doc 3 unchanged now, doc 5
+    // classifies as added (id retired) and drops as exact dup again
+    val r2 = Pipeline.ingest(batch1, "ingc", applyChanged = true)
+    assert(r2 == Pipeline.IngestReport(2, 1, 0, 1, 0, 1, 0, 0, false),
+      s"re-ingest must accept nothing, got $r2")
+    assert(spark.table("ingc_corpus").count() == 5, "corpus untouched on re-ingest")
+
+    // the index reflects the NEW content (near-dups of it flag), and
+    // the digests are content HISTORY (the retired original text
+    // still drops a new id as an exact dup)
+    val probe = Seq((300L, longA2.replace("w1 ", "w1y ")), (302L, longA)).toDF("doc_id", "text")
+    val r3 = Pipeline.ingest(probe, "ingc", applyChanged = true)
+    assert(r3 == Pipeline.IngestReport(2, 0, 0, 2, 0, 1, 1, 0, false),
+      s"near-dup of the new text + exact of the retired text must both drop, got $r3")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ingc_$t"))
   }
 }
