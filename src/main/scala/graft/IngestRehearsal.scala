@@ -116,6 +116,14 @@ object IngestRehearsal {
     val corpusAfter1 = spark.table(s"${name}_corpus").count()
     val r2 = timed("ingest_run2")(Pipeline.ingest(batch, name))
     val corpusAfter2 = spark.table(s"${name}_corpus").count()
+    // applyChanged at volume: the 1000 changed re-crawls retract and
+    // re-process (their new texts are genuinely new, so each re-adds
+    // 1:1 — the corpus size is invariant), paying the documented
+    // LSH-rewrite + corpus-rewrite retraction cost at 100k scale
+    val r3 = timed("ingest_run3_apply")(Pipeline.ingest(batch, name, applyChanged = true))
+    val corpusAfter3 = spark.table(s"${name}_corpus").count()
+    val r4 = timed("ingest_run4_apply")(Pipeline.ingest(batch, name, applyChanged = true))
+    val corpusAfter4 = spark.table(s"${name}_corpus").count()
 
     val checks = Seq(
       "run1_unchanged" -> (r1.nUnchanged == nUnch),
@@ -129,7 +137,11 @@ object IngestRehearsal {
       "run1_corpus_grew_by_accepted" -> (corpusAfter1 == n + r1.nAccepted),
       "run2_idempotent" -> (r2.nAccepted == 0L),
       "run2_accepted_now_unchanged" -> (r2.nUnchanged == nUnch + r1.nAccepted),
-      "run2_corpus_untouched" -> (corpusAfter2 == corpusAfter1))
+      "run2_corpus_untouched" -> (corpusAfter2 == corpusAfter1),
+      "run3_changed_applied" -> (r3.nChangedApplied == nChg && r3.nAccepted == nChg),
+      "run3_corpus_size_invariant" -> (corpusAfter3 == corpusAfter2),
+      "run4_apply_idempotent" ->
+        (r4.nChanged == 0L && r4.nAccepted == 0L && corpusAfter4 == corpusAfter3))
     val allPass = checks.forall(_._2)
 
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -141,6 +153,8 @@ object IngestRehearsal {
       s""""run1":{"unchanged":${r1.nUnchanged},"changed":${r1.nChanged},"exact_dup":${r1.nExactDup},""" +
       s""""near_dup":${r1.nNearDup},"accepted":${r1.nAccepted},"compacted":${r1.compacted}},""" +
       s""""run2":{"accepted":${r2.nAccepted},"unchanged":${r2.nUnchanged}},""" +
+      s""""run3_apply":{"changed_applied":${r3.nChangedApplied},"accepted":${r3.nAccepted}},""" +
+      s""""run4_apply":{"changed":${r4.nChanged},"accepted":${r4.nAccepted}},""" +
       s""""all_checks_pass":$allPass,"checks":$checkJson,"phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
     if (!allPass) sys.exit(1)
