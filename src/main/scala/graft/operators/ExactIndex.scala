@@ -139,6 +139,15 @@ object ExactIndex {
   def flagAgainstIndex(batch: DataFrame, name: String,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
+    // the index may have grown (append) or been rebuilt (write) since
+    // THIS session — or this streaming micro-batch's session CLONE —
+    // last listed it: a stale bloom listing crashes on the overwritten
+    // file, and a stale digests listing silently misses appended
+    // digests. Refresh both relations (metadata-only) so the flag
+    // always reads the LIVE index; surfaced by the streaming
+    // flagKnownStream spec, where foreachBatch clones the session.
+    spark.catalog.refreshTable(s"${name}_bloom")
+    spark.catalog.refreshTable(s"${name}_digests")
     val (bloom, _, _, _, _) = readBloomMeta(spark, name)
     classify(spark, batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")),
       spark.table(s"${name}_digests"), bloom)

@@ -82,4 +82,30 @@ object StreamingPipeline {
     graft.operators.TextAnalysis.chunkPieces(
       curateStream(docs, tsCol, watermarkDelay, minQualityFs, maxRepetitionFs, salt),
       chunkTokens, strideTokens, carryCols = Seq("source", "split"))
+
+  /** Classify a DOC STREAM against a stored exact-dedup index
+    * ([[graft.operators.ExactIndex]]), one micro-batch at a time:
+    * `sink` receives each batch's exact (doc_id, h, is_known) verdict
+    * frame plus the batch id.
+    *
+    * foreachBatch — deliberately, not a stream-static join plan:
+    * embedding [[graft.operators.ExactIndex.flagAgainstIndex]]
+    * directly in a streaming plan would read the Bloom sketch ONCE at
+    * plan time and broadcast it for the stream's whole life, so
+    * content appended to the index mid-stream would probe a stale
+    * sketch, skip the confirm join as "definitively new", and
+    * misclassify — the no-false-negatives contract silently narrowed
+    * to the corpus-at-stream-start. Re-running the batch operator per
+    * micro-batch re-resolves bloom AND digests, so classifications
+    * track the live index (an [[graft.operators.ExactIndex.append]]
+    * between batches is honored by the next batch — spec-pinned).
+    * Caller starts the returned writer (checkpoint, trigger).
+    */
+  def flagKnownStream(docs: DataFrame, name: String,
+                      textCol: String = "text", idCol: String = "doc_id")
+                     (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.ExactIndex.flagAgainstIndex(batch, name, textCol, idCol), batchId)
+    }
 }

@@ -127,6 +127,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-index flag tracks the LIVE index across micro-batches") {
+    import graft.operators.ExactIndex
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("sflag_digests", "sflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ref = (0L until 100L).map(i => (i, s"stored doc number $i body")).toDF("doc_id", "text")
+    ExactIndex.write(ref, "sflag", buckets = 4)
+    val ms = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingPipeline.flagKnownStream(ms.toDF().toDF("doc_id", "text"), "sflag") {
+      (verdicts, _) =>
+        verdicts.collect().foreach(r =>
+          got(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_known"))
+    }.start()
+    try {
+      ms.addData((1000L, "stored doc number 7 body"), (1001L, "fresh content one"))
+      q.processAllAvailable()
+      assert(got.toMap == Map(1000L -> true, 1001L -> false),
+        s"batch 1 must classify exactly, got $got")
+      // the index grows BETWEEN batches: the next batch must see it —
+      // the foreachBatch re-resolve this wrapper exists for (a frozen
+      // plan-time sketch would call this definitively new)
+      ExactIndex.append(Seq((5000L, "late appended content")).toDF("doc_id", "text"), "sflag")
+      ms.addData((1002L, "late appended content"), (1003L, "stored doc number 42 body"))
+      q.processAllAvailable()
+      assert(got(1002L) && got(1003L),
+        s"batch 2 must classify against the LIVE index, got $got")
+    } finally q.stop()
+    Seq("sflag_digests", "sflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
