@@ -108,7 +108,14 @@ class SourcesSpec extends SparkSpec {
     // unit is the ROW GROUP, the granularity parquet min-max skipping
     // actually prunes at (file-count granularity is too coarse: the
     // test box holds only ~half a file of rows)
-    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", 2000)
+    // exhaustive range sampling: the reservoir sampler is seeded by
+    // RDD id, so with a partial sample the range bounds (and hence
+    // which row groups straddle z-quad boundaries) depend on how many
+    // RDDs prior suites created in the shared session — the marginal
+    // candidate counts below flapped by ±1 under full-suite runs. A
+    // sample covering every input partition makes bounds the exact
+    // quantiles, deterministic under any suite order.
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", 125000)
     try {
       d.repartitionByRange(8, col("a")).sortWithinPartitions("a")
         .write.option("parquet.block.size", 64 * 1024).parquet(linDir)
