@@ -956,4 +956,17 @@ object Oracles {
       |FROM j
       |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
       |ORDER BY doc_id""".stripMargin
+
+  /** sketch_distinct twin: EXACT count-distinct — value-comparable to
+    * the HLL estimate because every gate-scale group sits inside the
+    * sketch's coupon regime, where DataSketches stores value hashes
+    * and the rounded estimate is the exact count (SketchesSpec pins
+    * the regime; `sketch_distinct_gate` is the any-scale 3σ check).
+    * Day key = epoch seconds of the UTC day boundary (q12's ts
+    * pattern).
+    */
+  val sketchDistinct: String =
+    """SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin
 }

@@ -63,6 +63,11 @@ object SparkEntry {
     "q24_set_ops" -> (Relational.q24SetOps _),
     "q25_grouping_sets" -> (Relational.q25GroupingSets _),
     "q26_lateral_topn" -> (Relational.q26LateralTopN _),
+    // mergeable HLL distinct: oracle-exact at gate scale (coupon
+    // regime — SketchesSpec pins the regime boundary); the _gate twin
+    // is the any-scale 3σ honesty check + mergeability assertion
+    "sketch_distinct" -> (Sketches.distinctUsersDaily(_, _)),
+    "sketch_distinct_gate" -> (Sketches.distinctGate(_, _)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -336,6 +341,7 @@ object SparkEntry {
     "q24_set_ops" -> Oracles.q24,
     "q25_grouping_sets" -> Oracles.q25,
     "q26_lateral_topn" -> Oracles.q26,
+    "sketch_distinct" -> Oracles.sketchDistinct,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

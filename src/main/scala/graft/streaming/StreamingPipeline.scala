@@ -108,4 +108,23 @@ object StreamingPipeline {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.operators.ExactIndex.flagAgainstIndex(batch, name, textCol, idCol), batchId)
     }
+
+  /** Fold a raw event STREAM into a stored sketch table
+    * ([[graft.operators.Sketches]]) one micro-batch at a time —
+    * streaming distinct-count ingest where the "state" is the bounded
+    * stored sketch table itself, not a state store: queryable
+    * mid-stream (estimateSketchTable / rollupSketchTable read the
+    * live generation), and replay-safe without sink-side dedup
+    * bookkeeping — a re-delivered batch's values are no-ops inside
+    * the sketches, so at-least-once delivery still yields exactly-once
+    * ESTIMATES (the batch-side idempotence spec, exercised per
+    * micro-batch here). foreachBatch for the flagKnownStream reason:
+    * each batch must merge into (and re-resolve) the LIVE table, not
+    * a plan-time snapshot.
+    */
+  def sketchIngestStream(events: DataFrame, name: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Sketches.appendToSketchTable(batch.sparkSession, name, batch)
+    }
 }

@@ -158,6 +158,36 @@ class StreamingSpec extends SparkSpec {
     Seq("sflag_digests", "sflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming sketch ingest folds micro-batches into the stored table; replay leaves estimates unchanged") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("ssk_sketches", "ssk_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed via the batch writer; the stream appends overlapping uids
+    val seed = (0L until 200L).map(i => ("click", i)).toDF("event_type", "uid")
+    Sketches.writeSketchTable(spark, "ssk", seed, Seq("event_type"), "uid")
+    val ms = MemoryStream[(String, Long)]
+    val q = StreamingPipeline.sketchIngestStream(
+      ms.toDF().toDF("event_type", "uid"), "ssk").start()
+    def est = Sketches.estimateSketchTable(spark, "ssk").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_distinct")).toMap
+    try {
+      // batch 1 overlaps the seed (100–199) and extends it (200–399),
+      // plus a brand-new group — the store must answer LIVE mid-stream
+      ms.addData((100L until 400L).map(i => ("click", i)) :+ (("view", 1L)): _*)
+      q.processAllAvailable()
+      assert(est == Map("click" -> 400L, "view" -> 1L),
+        s"mid-stream estimates must track the live store, got $est")
+      // a REPLAYED micro-batch (at-least-once delivery): every value
+      // is already absorbed, so no estimate may move
+      ms.addData((100L until 400L).map(i => ("click", i)): _*)
+      q.processAllAvailable()
+      assert(est == Map("click" -> 400L, "view" -> 1L),
+        "replaying an absorbed batch must not move any estimate")
+    } finally q.stop()
+    Seq("ssk_sketches", "ssk_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
