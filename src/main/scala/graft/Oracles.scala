@@ -969,4 +969,22 @@ object Oracles {
     """SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin
+
+  /** sketch_heavy_hitters twin: exact per-source token frequencies,
+    * top 10 per source by (count desc, token asc) — comparable to
+    * the frequency sketch because gate-scale vocabularies never
+    * trigger a purge, so every estimate is the exact count
+    * (SketchesSpec pins the saturated regime; the _gate key carries
+    * the any-scale bounds check). Tokenization = the text_vocabulary
+    * pair's string_split parity.
+    */
+  val sketchHeavyHitters: String =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |c AS (SELECT source, token, count(*) AS n_occurrences FROM t GROUP BY 1, 2),
+      |r AS (SELECT source, token, n_occurrences,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_occurrences DESC, token) AS rk
+      |      FROM c)
+      |SELECT source, token, n_occurrences FROM r WHERE rk <= 10
+      |ORDER BY source, n_occurrences DESC, token""".stripMargin
 }

@@ -68,6 +68,11 @@ object SparkEntry {
     // is the any-scale 3σ honesty check + mergeability assertion
     "sketch_distinct" -> (Sketches.distinctUsersDaily(_, _)),
     "sketch_distinct_gate" -> (Sketches.distinctGate(_, _)),
+    // custom Catalyst TypedImperativeAggregate (freq_sketch_agg) —
+    // heavy hitters as skew discovery; oracle-exact below the purge
+    // threshold, saturated regime spec-pinned + bounds-gated
+    "sketch_heavy_hitters" -> ((s, dir) => Sketches.heavyHitterTokens(s, dir)),
+    "sketch_heavy_hitters_gate" -> (Sketches.heavyHittersGate(_, _)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -342,6 +347,7 @@ object SparkEntry {
     "q25_grouping_sets" -> Oracles.q25,
     "q26_lateral_topn" -> Oracles.q26,
     "sketch_distinct" -> Oracles.sketchDistinct,
+    "sketch_heavy_hitters" -> Oracles.sketchHeavyHitters,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 
+import graft.functions.expressions.{FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK}
 import graft.sources.Sinks
 
 /** Mergeable cardinality sketches — COUNT(DISTINCT) over an
@@ -152,6 +154,115 @@ object Sketches {
     rollup(spark.table(s"${name}_sketches"), toCols)
   }
 
+  // ---- frequent items (heavy hitters) ---------------------------------
+
+  /** maxMapSize 4096 → ~32 KB sketches, error ≤ 3.5/4096 of the
+    * stream weight once saturated; exact below ~3k distinct items.
+    */
+  val DefaultMaxMapSize = 4096
+
+  /** The aggregate Column forms of the custom Catalyst sketch
+    * aggregates (graft.functions.expressions.FreqSketchExprs) — the
+    * ObjectHashAggregate partial-merge plan shape, same as Spark's
+    * own hll_sketch_agg.
+    */
+  def freqSketch(item: Column, maxMapSize: Int = DefaultMaxMapSize): Column =
+    ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(item), maxMapSize).toAggregateExpression())
+
+  def freqSketchMerge(sketch: Column, maxMapSize: Int = DefaultMaxMapSize): Column =
+    ColumnBridge.column(
+      FreqSketchMergeAgg(ColumnBridge.expression(sketch), maxMapSize).toAggregateExpression())
+
+  def freqTopK(sketch: Column, k: Int): Column =
+    ColumnBridge.column(FreqSketchTopK(ColumnBridge.expression(sketch), k))
+
+  /** Per-group heavy hitters: one bounded sketch per group (shuffle
+    * rows are sketches), then the top-k extraction runs once per
+    * GROUP row. Output: groupCols ++ (item, estimate, lower, upper),
+    * (estimate desc, item asc) within each group. The [lower, upper]
+    * envelope always contains the true count; estimate == exact
+    * whenever the group stayed below the purge threshold
+    * (~0.75·maxMapSize distinct items).
+    */
+  def heavyHitters(df: DataFrame, groupCols: Seq[String], itemCol: String, k: Int,
+                   maxMapSize: Int = DefaultMaxMapSize): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
+      .select(groupCols.map(col) :+ explode(freqTopK(col("sketch"), k)).as("hh"): _*)
+      .select(groupCols.map(col) :+ col("hh.item").as("item") :+
+        col("hh.estimate").as("estimate") :+ col("hh.lower").as("lower") :+
+        col("hh.upper").as("upper"): _*)
+
+  /** Stored heavy-hitter lifecycle — the HLL sketch-table pattern
+    * with the frequency sketch: bucketed per-group sketch table +
+    * meta carrying maxMapSize (append must build batch sketches at
+    * the STORED geometry), one-pass-per-batch append via the same
+    * generation-flip rewrite. NOTE the semantic difference from HLL:
+    * frequency merging SUMS counts, so replaying a batch DOES
+    * double-count (frequencies are additive, distinct is not) —
+    * exactly-once ingest is the caller's contract here, same as any
+    * counting sink.
+    */
+  def writeFreqTable(spark: SparkSession, name: String, df: DataFrame,
+                     groupCols: Seq[String], itemCol: String,
+                     maxMapSize: Int = DefaultMaxMapSize, buckets: Int = 16): Unit = {
+    Sinks.writeBucketed(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(freqSketch(col(itemCol), maxMapSize).as("sketch")),
+      s"${name}_sketches", groupCols.head, buckets)
+    import spark.implicits._
+    Seq((maxMapSize, groupCols.mkString(","), itemCol, buckets))
+      .toDF("max_map_size", "group_cols", "item_col", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def freqMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"freq table $name: corrupt meta (${rows.length} rows)")
+    val r = rows(0)
+    (r.getAs[Int]("max_map_size"), r.getAs[String]("group_cols").split(",").toSeq,
+      r.getAs[String]("item_col"), r.getAs[Int]("buckets"))
+  }
+
+  def appendToFreqTable(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    refresh(spark, name)
+    val (maxMapSize, groupCols, itemCol, buckets) = freqMeta(spark, name)
+    val batchSketches = batch.groupBy(groupCols.map(col): _*)
+      .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
+    Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
+      stored => stored.unionByName(batchSketches)
+        .groupBy(groupCols.map(col): _*)
+        .agg(freqSketchMerge(col("sketch"), maxMapSize).as("sketch")))
+  }
+
+  /** Top-k per stored group — zero raw data touched. */
+  def topKFromFreqTable(spark: SparkSession, name: String, k: Int): DataFrame = {
+    refresh(spark, name)
+    val (_, groupCols, _, _) = freqMeta(spark, name)
+    spark.table(s"${name}_sketches")
+      .select(groupCols.map(col) :+ explode(freqTopK(col("sketch"), k)).as("hh"): _*)
+      .select(groupCols.map(col) :+ col("hh.item").as("item") :+
+        col("hh.estimate").as("estimate") :+ col("hh.lower").as("lower") :+
+        col("hh.upper").as("upper"): _*)
+  }
+
+  /** Heavy hitters at a coarser grouping from the stored sketches
+    * (rollup = sketch merge; the error envelopes sum, as reported).
+    */
+  def rollupFreqTable(spark: SparkSession, name: String, toCols: Seq[String],
+                      k: Int): DataFrame = {
+    refresh(spark, name)
+    val (maxMapSize, _, _, _) = freqMeta(spark, name)
+    spark.table(s"${name}_sketches")
+      .groupBy(toCols.map(col): _*)
+      .agg(freqSketchMerge(col("sketch"), maxMapSize).as("sketch"))
+      .select(toCols.map(col) :+ explode(freqTopK(col("sketch"), k)).as("hh"): _*)
+      .select(toCols.map(col) :+ col("hh.item").as("item") :+
+        col("hh.estimate").as("estimate") :+ col("hh.lower").as("lower") :+
+        col("hh.upper").as("upper"): _*)
+  }
+
   // ---- gate keys -------------------------------------------------------
 
   /** Distinct users per (event_type, day) over the events table.
@@ -169,6 +280,42 @@ object Sketches {
     distinctByGroup(ev, Seq("event_type", "d"), "user_id", lgK)
       .select(col("event_type"), col("d"), col("n_distinct").as("n_users"))
       .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Heavy-hitter tokens per source over the documents table — the
+    * skew-discovery shape (finding the hot keys a salting strategy
+    * needs is itself a heavy-hitters query over the join column).
+    * Gate-scale vocabularies sit far below the purge threshold, so
+    * every estimate is exact and the key hash-matches the exact
+    * frequency oracle (the coupon-regime argument, frequency
+    * edition; saturated-regime behavior is spec-pinned with planted
+    * Zipf data).
+    */
+  def heavyHitterTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    heavyHitters(toks, Seq("source"), "token", k)
+      .select(col("source"), col("item").as("token"),
+        col("estimate").as("n_occurrences"))
+      .orderBy(col("source"), col("n_occurrences").desc, col("token"))
+  }
+
+  /** Heavy-hitters honesty gate: 1 iff every reported item's TRUE
+    * count sits inside its reported [lower, upper] envelope — the
+    * sketch's deterministic guarantee, verified against the exact
+    * counts rather than assumed. Travels to the saturated regime
+    * where oracle-exactness doesn't.
+    */
+  def heavyHittersGate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val reported = heavyHitters(toks, Seq("source"), "token", 0)
+      .withColumnRenamed("item", "token")
+    val exact = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    reported.join(exact, Seq("source", "token"))
+      .agg((min((col("lower") <= col("n") && col("n") <= col("upper"))
+        .cast("int")) === 1 && count(lit(1)) > 0).cast("int").as("pass"))
   }
 
   /** Self-measured honesty gate: 1 row, pass = 1 iff EVERY group's

@@ -77,6 +77,99 @@ class SketchesSpec extends SparkSpec {
     assert(rolledStore == full)
   }
 
+  test("freq sketch: below the purge threshold estimates are exact with zero-width bounds") {
+    val typed = planted.select(col("grp"), col("uid").cast("string").as("item"))
+    val hh = Sketches.heavyHitters(typed, Seq("grp"), "item", k = 5, maxMapSize = 1024)
+    val rows = hh.collect()
+    // every uid in a group repeats the same number of times
+    // (9000/3 rows over 100·(g+1) distinct), so estimates are the
+    // exact per-item counts and the envelope is zero-width
+    val expected = Map("g0" -> 30L, "g1" -> 15L, "g2" -> 10L)
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val g = r.getAs[String]("grp")
+      assert(r.getAs[Long]("estimate") == expected(g), s"exact-regime estimate in $g")
+      assert(r.getAs[Long]("lower") == r.getAs[Long]("estimate") &&
+        r.getAs[Long]("upper") == r.getAs[Long]("estimate"),
+        "no purge → zero-width bounds")
+    }
+    val plan = Sketches.heavyHitters(typed, Seq("grp"), "item", 5).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"freq sketch agg must run partial (map-side) + final:\n$plan")
+  }
+
+  test("freq sketch saturated regime: planted heavies surface, every envelope contains the true count") {
+    // 10 planted heavies at 5000 occurrences each over a 50k-item
+    // uniform tail — distinct items (50010) >> maxMapSize (512), so
+    // purges happen and the sketch is genuinely approximating
+    val heavies = spark.range(0, 50000).select(
+      concat(lit("h"), (col("id") % 10)).as("item"))
+    val tail = spark.range(0, 150000).select(
+      concat(lit("t"), (col("id") % 50000)).as("item"))
+    val stream = heavies.unionByName(tail).withColumn("grp", lit("g"))
+    val hh = Sketches.heavyHitters(stream, Seq("grp"), "item", k = 0, maxMapSize = 512)
+    val rows = hh.collect()
+    val reported = rows.map(_.getAs[String]("item")).toSet
+    (0 until 10).foreach(i => assert(reported.contains(s"h$i"),
+      s"planted heavy h$i (5000 occurrences) must be reported (NO_FALSE_NEGATIVES)"))
+    val exact = stream.groupBy(col("item")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val (item, lo, hi) = (r.getAs[String]("item"), r.getAs[Long]("lower"), r.getAs[Long]("upper"))
+      assert(lo <= exact(item) && exact(item) <= hi,
+        s"$item: true ${exact(item)} outside [$lo, $hi]")
+      assert(hi > lo, "saturated regime must carry a real error envelope")
+    }
+  }
+
+  test("freq sketch stored lifecycle: append accumulates counts; rollup merges with valid envelopes") {
+    val typed = planted.select(col("grp"), col("uid").cast("string").as("item"))
+      .withColumn("day", (col("item").substr(-1, 1).cast("long") % 2))
+    val day0 = typed.filter(col("day") === 0).drop("day")
+    val day1 = typed.filter(col("day") === 1).drop("day")
+    Seq("fq_life_sketches", "fq_life_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Sketches.writeFreqTable(spark, "fq_life", day0, Seq("grp"), "item", maxMapSize = 1024)
+    Sketches.appendToFreqTable(spark, "fq_life", day1)
+    val stored = Sketches.topKFromFreqTable(spark, "fq_life", k = 5).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("item")) -> r.getAs[Long]("estimate")).toMap
+    val direct = Sketches.heavyHitters(typed.drop("day"), Seq("grp"), "item", k = 5,
+      maxMapSize = 1024).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("item")) -> r.getAs[Long]("estimate")).toMap
+    assert(stored == direct,
+      s"stored append must accumulate to the one-shot sketch: $stored vs $direct")
+    // rollup across grp: exact regime, so merged estimates are the
+    // summed exact counts of each item across its groups (uids are
+    // group-disjoint by construction → same per-item counts)
+    val rolled = Sketches.rollupFreqTable(spark, "fq_life", Seq.empty, k = 3)
+    assert(rolled.collect().forall(r =>
+      r.getAs[Long]("lower") <= r.getAs[Long]("estimate") &&
+        r.getAs[Long]("estimate") <= r.getAs[Long]("upper")))
+    Seq("fq_life_sketches", "fq_life_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("heavy-hitter gate keys: sketch top-10 matches exact frequencies; bounds gate passes") {
+    val hh = Sketches.heavyHitterTokens(spark, sfDir).collect()
+    assert(hh.nonEmpty)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    val exact = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("source"), col("token"), col("n_occurrences")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("token")) -> r.getAs[Long]("n_occurrences"))
+      .toMap
+    assert(hh.length == exact.size)
+    hh.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("token"))
+      assert(exact.get(k).contains(r.getAs[Long]("n_occurrences")),
+        s"gate-scale heavy hitters must be exact: $k")
+    }
+    val gate = Sketches.heavyHittersGate(spark, sfDir).collect()
+    assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
+  }
+
   test("gate keys: daily distinct matches exact counts at spec scale; honesty gate passes") {
     val daily = Sketches.distinctUsersDaily(spark, sfDir).collect()
     assert(daily.nonEmpty)
