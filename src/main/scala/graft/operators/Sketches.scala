@@ -199,17 +199,28 @@ object Sketches {
     * meta carrying maxMapSize (append must build batch sketches at
     * the STORED geometry), one-pass-per-batch append via the same
     * generation-flip rewrite. NOTE the semantic difference from HLL:
-    * frequency merging SUMS counts, so replaying a batch DOES
+    * frequency merging SUMS counts, so a replayed batch WOULD
     * double-count (frequencies are additive, distinct is not) —
-    * exactly-once ingest is the caller's contract here, same as any
-    * counting sink.
+    * which is why append takes a monotone `batchId` and stamps it
+    * into the same atomic generation flip as the counts
+    * (exactly-once under at-least-once delivery; see
+    * [[appendToFreqTable]]).
+    */
+  /** Every stored row carries `last_batch` — the highest ingest batch
+    * id folded in so far (-1 = none). The stamp rides the SAME
+    * generation flip as the merged sketches (one `ALTER TABLE SET
+    * LOCATION`), so "this batch's counts are in" and "this batch id
+    * is recorded" commit ATOMICALLY — the exactly-once guard a
+    * replayed `foreachBatch` needs (frequency counts are additive;
+    * unlike the HLL table, a replay here would double-count).
     */
   def writeFreqTable(spark: SparkSession, name: String, df: DataFrame,
                      groupCols: Seq[String], itemCol: String,
                      maxMapSize: Int = DefaultMaxMapSize, buckets: Int = 16): Unit = {
     Sinks.writeBucketed(
       df.groupBy(groupCols.map(col): _*)
-        .agg(freqSketch(col(itemCol), maxMapSize).as("sketch")),
+        .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
+        .withColumn("last_batch", lit(-1L)),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
     Seq((maxMapSize, groupCols.mkString(","), itemCol, buckets))
@@ -225,15 +236,29 @@ object Sketches {
       r.getAs[String]("item_col"), r.getAs[Int]("buckets"))
   }
 
-  def appendToFreqTable(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+  /** Fold one batch in. With `batchId >= 0` the append is
+    * EXACTLY-ONCE under at-least-once delivery: a batch at or below
+    * the stored `last_batch` stamp is a replay of counts already
+    * committed by a previous generation flip and no-ops (batch ids
+    * must be monotonically increasing — the foreachBatch contract).
+    * `batchId = -1` skips the guard (ad-hoc batch appends own their
+    * own delivery semantics).
+    */
+  def appendToFreqTable(spark: SparkSession, name: String, batch: DataFrame,
+                        batchId: Long = -1L): Unit = {
     refresh(spark, name)
     val (maxMapSize, groupCols, itemCol, buckets) = freqMeta(spark, name)
+    val applied = spark.table(s"${name}_sketches")
+      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
+    if (batchId >= 0 && batchId <= applied) return
+    val stamp = if (batchId >= 0) batchId else applied
     val batchSketches = batch.groupBy(groupCols.map(col): _*)
       .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
     Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
-      stored => stored.unionByName(batchSketches)
+      stored => stored.drop("last_batch").unionByName(batchSketches)
         .groupBy(groupCols.map(col): _*)
-        .agg(freqSketchMerge(col("sketch"), maxMapSize).as("sketch")))
+        .agg(freqSketchMerge(col("sketch"), maxMapSize).as("sketch"))
+        .withColumn("last_batch", lit(stamp)))
   }
 
   /** Top-k per stored group — zero raw data touched. */

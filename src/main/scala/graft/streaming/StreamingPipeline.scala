@@ -127,4 +127,19 @@ object StreamingPipeline {
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.operators.Sketches.appendToSketchTable(batch.sparkSession, name, batch)
     }
+
+  /** The frequency-table ingest twin. Unlike HLL (where replayed
+    * values are sketch no-ops), frequency counts are ADDITIVE — so
+    * this twin passes the micro-batch id through to
+    * [[graft.operators.Sketches.appendToFreqTable]], which stamps it
+    * into the same atomic generation flip as the merged counts: a
+    * redelivered batch (foreachBatch is at-least-once on retry)
+    * no-ops against the stamp, making the stored ESTIMATES
+    * exactly-once.
+    */
+  def freqIngestStream(items: DataFrame, name: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Sketches.appendToFreqTable(batch.sparkSession, name, batch, batchId)
+    }
 }

@@ -147,6 +147,35 @@ class SketchesSpec extends SparkSpec {
     Seq("fq_life_sketches", "fq_life_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("freq append batch-id guard: replays and out-of-order batches no-op; the stamp rides the flip") {
+    val typed = planted.select(col("grp"), col("uid").cast("string").as("item"))
+    Seq("fq_eo_sketches", "fq_eo_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Sketches.writeFreqTable(spark, "fq_eo", typed, Seq("grp"), "item", maxMapSize = 1024)
+    def top = Sketches.topKFromFreqTable(spark, "fq_eo", k = 3).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("item")) -> r.getAs[Long]("estimate")).toMap
+    val base = top
+    // batch 7 applies once; the SAME id redelivered must no-op (the
+    // counts would otherwise double — frequencies are additive)
+    Sketches.appendToFreqTable(spark, "fq_eo", typed, batchId = 7L)
+    val after7 = top
+    assert(after7 == base.map { case (k, v) => k -> 2 * v },
+      "first application of batch 7 must double every count")
+    Sketches.appendToFreqTable(spark, "fq_eo", typed, batchId = 7L)
+    assert(top == after7, "replayed batch 7 must no-op against the stamp")
+    Sketches.appendToFreqTable(spark, "fq_eo", typed, batchId = 3L)
+    assert(top == after7, "an out-of-order lower id is a replay and must no-op")
+    // a NEW id applies, and an unguarded append (-1) keeps the stamp
+    Sketches.appendToFreqTable(spark, "fq_eo", typed, batchId = 8L)
+    assert(top == base.map { case (k, v) => k -> 3 * v })
+    Sketches.appendToFreqTable(spark, "fq_eo", typed)
+    assert(top == base.map { case (k, v) => k -> 4 * v },
+      "an unguarded append must still apply")
+    Sketches.appendToFreqTable(spark, "fq_eo", typed, batchId = 8L)
+    assert(top == base.map { case (k, v) => k -> 4 * v },
+      "the stamp must survive an unguarded append")
+    Seq("fq_eo_sketches", "fq_eo_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("heavy-hitter gate keys: sketch top-10 matches exact frequencies; bounds gate passes") {
     val hh = Sketches.heavyHitterTokens(spark, sfDir).collect()
     assert(hh.nonEmpty)

@@ -188,6 +188,37 @@ class StreamingSpec extends SparkSpec {
     Seq("ssk_sketches", "ssk_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming freq ingest: counts accumulate across micro-batches, a redelivered batch no-ops") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("sfq_sketches", "sfq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val seed = Seq(("s1", "x"), ("s1", "x"), ("s1", "y")).toDF("src", "item")
+    Sketches.writeFreqTable(spark, "sfq", seed, Seq("src"), "item", maxMapSize = 64)
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingPipeline.freqIngestStream(ms.toDF().toDF("src", "item"), "sfq").start()
+    def top = Sketches.topKFromFreqTable(spark, "sfq", k = 0).collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("item")) -> r.getAs[Long]("estimate")).toMap
+    try {
+      ms.addData(("s1", "x"), ("s2", "z"))
+      q.processAllAvailable()
+      val after0 = top
+      assert(after0 == Map(("s1", "x") -> 3L, ("s1", "y") -> 1L, ("s2", "z") -> 1L),
+        s"micro-batch 0 must fold into the seeded store, got $after0")
+      // redelivery: the SAME micro-batch id applied again (foreachBatch
+      // retry semantics) — additive counts would double without the
+      // stamp riding the atomic generation flip
+      Sketches.appendToFreqTable(spark, "sfq",
+        Seq(("s1", "x"), ("s2", "z")).toDF("src", "item"), batchId = 0L)
+      assert(top == after0, "a redelivered micro-batch must no-op against the stamp")
+      ms.addData(("s1", "y"))
+      q.processAllAvailable()
+      assert(top == Map(("s1", "x") -> 3L, ("s1", "y") -> 2L, ("s2", "z") -> 1L),
+        "the NEXT micro-batch id must still apply after a replay")
+    } finally q.stop()
+    Seq("sfq_sketches", "sfq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
