@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Scale rehearsal for the sketch components beyond the driver's
+  * sf0.1 corpus: a deterministic spark.range stream (every cell a
+  * pure function of the row id — reproducible, closed-form truth)
+  * drives the HLL distinct tier into its ESTIMATING regime (the gate
+  * corpus never leaves the exact coupon regime) and the frequency
+  * tier through saturation plus the exactly-once stored lifecycle.
+  *
+  * Data model at n rows (default 20M):
+  *   - distinct tier: grp = "g" + id % 8, uid = id % 1M. 1M ≡ 0
+  *     (mod 8), so group g holds exactly the uids ≡ g (mod 8) —
+  *     125k distinct per group, 1M global, closed-form.
+  *   - frequency tier: 10 planted heavies h0–h9 (ids ≡ 0–9 mod
+  *     1000 → n/1000 occurrences each) over a 500k-item uniform
+  *     tail — far past the 4096-entry map, so purges are real and
+  *     the NO_FALSE_NEGATIVES + envelope guarantees are exercised
+  *     where they matter.
+  *
+  * Checks (closed-form or exact-recompute, no second engine):
+  *   distinct per-group within 3σ of 125k; per-day → global rollup
+  *   estimate ≡ the direct global sketch; stored half + half append
+  *   ≡ the one-shot sketch, replay a no-op; every reported heavy
+  *   envelope contains its exact count (recomputed for exactly the
+  *   reported items), the top-10 ARE the planted heavies; the
+  *   stored frequency table's batch-id guard holds at volume
+  *   (replayed 10M-row batch leaves the collected top-k
+  *   bit-identical).
+  *
+  *   tools/run.sh graft.SketchRehearsal [n] [outBase]
+  */
+object SketchRehearsal {
+
+  private val Groups = 8L
+  private val DistinctUids = 1000000L
+  private val Heavies = 10L
+  private val TailItems = 500000L
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(20000000L)
+    val outBase = args.lift(1).getOrElse("tmp/sketch_rehearsal")
+    require(n >= 2 * DistinctUids && n % 1000 == 0,
+      s"n=$n must cover the uid space twice (half/half lifecycle) and divide by 1000")
+    Rehearsals.rmTree(outBase)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$outBase/warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](phase: String)(body: => T): T = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[sketch] $phase%-18s ${sec}%8.2f s")
+      phases += ((phase, sec))
+      out
+    }
+
+    def users = spark.range(n).select(
+      concat(lit("g"), col("id") % Groups).as("grp"),
+      (col("id") % DistinctUids).as("uid"))
+    def items = spark.range(n).select(
+      when(col("id") % 1000 < Heavies, concat(lit("h"), col("id") % 1000))
+        .otherwise(concat(lit("t"), col("id") % TailItems)).as("item"))
+      .withColumn("grp", lit("all"))
+
+    // ---- distinct tier: estimating regime + mergeability ----
+    val perGroup = timed("hll_per_group") {
+      Sketches.distinctByGroup(users, Seq("grp"), "uid").collect()
+        .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct")).toMap
+    }
+    val bound = 3.0 * 1.04 / math.sqrt(4096.0)
+    val perGroupOk = perGroup.size == Groups && perGroup.values.forall(est =>
+      math.abs(est - 125000.0) / 125000.0 <= bound)
+    val estimating = perGroup.values.exists(_ != 125000L)
+
+    val (rolled, direct) = timed("hll_rollup_vs_direct") {
+      val sketches = Sketches.sketchByGroup(users, Seq("grp"), "uid")
+      val r = Sketches.rollup(sketches, Seq.empty).collect()(0).getAs[Long]("n_distinct")
+      val d = Sketches.distinctByGroup(users.withColumn("one", lit(1)), Seq("one"), "uid")
+        .collect()(0).getAs[Long]("n_distinct")
+      (r, d)
+    }
+    val mergeOk = rolled == direct &&
+      math.abs(rolled - DistinctUids.toDouble) / DistinctUids <= bound
+
+    val storedOk = timed("hll_stored_lifecycle") {
+      val half = n / 2
+      Sketches.writeSketchTable(spark, "reh_hll",
+        spark.range(0, half).select(
+          concat(lit("g"), col("id") % Groups).as("grp"),
+          (col("id") % DistinctUids).as("uid")),
+        Seq("grp"), "uid")
+      Sketches.appendToSketchTable(spark,
+        "reh_hll", spark.range(half, n).select(
+          concat(lit("g"), col("id") % Groups).as("grp"),
+          (col("id") % DistinctUids).as("uid")))
+      def stored = Sketches.estimateSketchTable(spark, "reh_hll").collect()
+        .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct")).toMap
+      val afterAppend = stored
+      // replay the second half: every value is absorbed — no estimate moves
+      Sketches.appendToSketchTable(spark,
+        "reh_hll", spark.range(half, n).select(
+          concat(lit("g"), col("id") % Groups).as("grp"),
+          (col("id") % DistinctUids).as("uid")))
+      afterAppend == perGroup && stored == perGroup
+    }
+
+    // ---- frequency tier: saturated heavy hitters ----
+    val hhOk = timed("freq_heavy_hitters") {
+      val hh = Sketches.heavyHitters(items, Seq("grp"), "item", k = 0).collect()
+      val reported = hh.map(_.getAs[String]("item"))
+      val exact = items.filter(col("item").isin(reported.toSeq: _*))
+        .groupBy(col("item")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[String]("item") -> r.getAs[Long]("n")).toMap
+      val envelopesOk = hh.forall { r =>
+        val t = exact(r.getAs[String]("item"))
+        r.getAs[Long]("lower") <= t && t <= r.getAs[Long]("upper")
+      }
+      val top10 = hh.sortBy(r => (-r.getAs[Long]("estimate"), r.getAs[String]("item")))
+        .take(10).map(_.getAs[String]("item")).toSet
+      val heaviesOk = (0 until Heavies.toInt).forall(i => top10.contains(s"h$i"))
+      envelopesOk && heaviesOk
+    }
+
+    val eoOk = timed("freq_exactly_once") {
+      Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
+      Sketches.appendToFreqTable(spark, "reh_freq",
+        items.filter(col("item").startsWith("h")), batchId = 1L)
+      def snap = Sketches.topKFromFreqTable(spark, "reh_freq", k = 20).collect()
+        .map(r => (r.getAs[String]("item"), r.getAs[Long]("estimate"),
+          r.getAs[Long]("lower"), r.getAs[Long]("upper"))).toSeq
+      val afterBatch = snap
+      Sketches.appendToFreqTable(spark, "reh_freq",
+        items.filter(col("item").startsWith("h")), batchId = 1L)
+      snap == afterBatch
+    }
+
+    val checks = Seq(
+      "hll_per_group_within_3sigma" -> perGroupOk,
+      "hll_actually_estimating" -> estimating,
+      "hll_rollup_equals_direct" -> mergeOk,
+      "hll_stored_lifecycle_and_replay" -> storedOk,
+      "freq_envelopes_and_planted_heavies" -> hhOk,
+      "freq_batchid_guard_at_volume" -> eoOk)
+    val allPass = checks.forall(_._2)
+    val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val phaseJson = phases.map { case (k, s) =>
+      s""""$k":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"sketch_rehearsal","n":$n,""" +
+      s""""per_group":${perGroup.toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]")},""" +
+      s""""rollup":$rolled,"direct":$direct,""" +
+      s""""all_checks_pass":$allPass,"checks":$checkJson,"phases":$phaseJson,"cpus":"$cpus"}""")
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+}
