@@ -135,6 +135,23 @@ object SketchRehearsal {
       envelopesOk && heaviesOk
     }
 
+    // ---- quantile tier: measured rank error at 2.5M rows/group ----
+    val qtOk = timed("quantile_rank_error") {
+      // per-group values are a permutation-with-repetition of
+      // 0..999999 (value ≈ rank·(1M/n_g)), so the returned element
+      // itself measures its rank: |p − q·1M| ≤ (ε·n_g + 1)·(1M/n_g)
+      val vals = spark.range(n / 4).select(
+        concat(lit("g"), col("id") % 2).as("grp"),
+        ((col("id") * 7) % DistinctUids).cast("double").as("v"))
+      val nG = (n / 4) / 2.0
+      val out = Sketches.quantilesByGroup(vals, Seq("grp"), "v", Seq(0.5, 0.99)).collect()
+      val budget = (0.0001 * nG + 1.0) * (DistinctUids / nG)
+      out.length == 2 && out.forall { r =>
+        math.abs(r.getAs[Double]("p50") - 500000.0) <= budget &&
+          math.abs(r.getAs[Double]("p99") - 990000.0) <= budget
+      }
+    }
+
     val eoOk = timed("freq_exactly_once") {
       Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
       Sketches.appendToFreqTable(spark, "reh_freq",
@@ -154,7 +171,8 @@ object SketchRehearsal {
       "hll_rollup_equals_direct" -> mergeOk,
       "hll_stored_lifecycle_and_replay" -> storedOk,
       "freq_envelopes_and_planted_heavies" -> hhOk,
-      "freq_batchid_guard_at_volume" -> eoOk)
+      "freq_batchid_guard_at_volume" -> eoOk,
+      "quantile_rank_error_bounded" -> qtOk)
     val allPass = checks.forall(_._2)
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val phaseJson = phases.map { case (k, s) =>

@@ -73,6 +73,11 @@ object SparkEntry {
     // threshold, saturated regime spec-pinned + bounds-gated
     "sketch_heavy_hitters" -> ((s, dir) => Sketches.heavyHitterTokens(s, dir)),
     "sketch_heavy_hitters_gate" -> (Sketches.heavyHittersGate(_, _)),
+    // rows-only: GK returns actual stream elements under a RANK-error
+    // bound (the q16_percentile_approx precedent); the gate key
+    // measures that bound against the exact sorted data
+    "sketch_quantiles" -> (Sketches.quantilesByType(_, _)),
+    "sketch_quantiles_gate" -> ((s, dir) => Sketches.quantilesGate(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {

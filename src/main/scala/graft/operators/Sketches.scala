@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
 
-import graft.functions.expressions.{FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK}
+import graft.functions.expressions.{FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK,
+  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery}
 import graft.sources.Sinks
 
 /** Mergeable cardinality sketches — COUNT(DISTINCT) over an
@@ -305,6 +306,162 @@ object Sketches {
     distinctByGroup(ev, Seq("event_type", "d"), "user_id", lgK)
       .select(col("event_type"), col("d"), col("n_distinct").as("n_users"))
       .orderBy(col("event_type"), col("d"))
+  }
+
+  // ---- quantile sketches (GK summaries) --------------------------------
+
+  /** ε = 1e-4 rank error — q16's house accuracy (1/ε = 10⁴); any
+    * group under 1/(2ε) rows is RANK-EXACT (the error budget is
+    * under one rank), the quantile tier's coupon-regime analogue.
+    */
+  val DefaultQuantileError = 0.0001
+
+  def quantileSketch(value: Column, relativeError: Double = DefaultQuantileError): Column =
+    ColumnBridge.column(
+      QuantileSketchAgg(ColumnBridge.expression(value), relativeError).toAggregateExpression())
+
+  def quantileSketchMerge(sketch: Column,
+                          relativeError: Double = DefaultQuantileError): Column =
+    ColumnBridge.column(
+      QuantileSketchMergeAgg(ColumnBridge.expression(sketch), relativeError)
+        .toAggregateExpression())
+
+  def quantileQuery(sketch: Column, quantiles: Seq[Double]): Column =
+    ColumnBridge.column(QuantileSketchQuery(ColumnBridge.expression(sketch), quantiles))
+
+  /** Per-group quantiles through one stored-form sketch pass —
+    * groupCols ++ one `p<percent>` column per requested quantile.
+    * Same GK structure as `approx_percentile`, but the summary is a
+    * first-class value: [[writeQuantileTable]] persists it per (key,
+    * day) and any day-range / coarser percentile answers from the
+    * bounded sketch table.
+    */
+  def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       quantiles: Seq[Double],
+                       relativeError: Double = DefaultQuantileError): DataFrame = {
+    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(quantileSketch(col(valueCol).cast("double"), relativeError).as("sketch"))
+      .select(groupCols.map(col) :+ quantileQuery(col("sketch"), quantiles).as("qs"): _*)
+      .select(groupCols.map(col) ++ qcols: _*)
+  }
+
+  /** Stored quantile lifecycle — the frequency-table pattern
+    * (quantile summaries are weight-additive like counts, so a
+    * replayed batch would distort the distribution: append takes the
+    * same monotone batch id, stamped into the same atomic generation
+    * flip).
+    */
+  def writeQuantileTable(spark: SparkSession, name: String, df: DataFrame,
+                         groupCols: Seq[String], valueCol: String,
+                         relativeError: Double = DefaultQuantileError,
+                         buckets: Int = 16): Unit = {
+    Sinks.writeBucketed(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(quantileSketch(col(valueCol).cast("double"), relativeError).as("sketch"))
+        .withColumn("last_batch", lit(-1L)),
+      s"${name}_sketches", groupCols.head, buckets)
+    import spark.implicits._
+    Seq((relativeError, groupCols.mkString(","), valueCol, buckets))
+      .toDF("relative_error", "group_cols", "value_col", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def quantileMeta(spark: SparkSession, name: String)
+  : (Double, Seq[String], String, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"quantile table $name: corrupt meta (${rows.length} rows)")
+    val r = rows(0)
+    (r.getAs[Double]("relative_error"), r.getAs[String]("group_cols").split(",").toSeq,
+      r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
+  }
+
+  def appendToQuantileTable(spark: SparkSession, name: String, batch: DataFrame,
+                            batchId: Long = -1L): Unit = {
+    refresh(spark, name)
+    val (relErr, groupCols, valueCol, buckets) = quantileMeta(spark, name)
+    val applied = spark.table(s"${name}_sketches")
+      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
+    if (batchId >= 0 && batchId <= applied) return
+    val stamp = if (batchId >= 0) batchId else applied
+    val batchSketches = batch.groupBy(groupCols.map(col): _*)
+      .agg(quantileSketch(col(valueCol).cast("double"), relErr).as("sketch"))
+    Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
+      stored => stored.drop("last_batch").unionByName(batchSketches)
+        .groupBy(groupCols.map(col): _*)
+        .agg(quantileSketchMerge(col("sketch"), relErr).as("sketch"))
+        .withColumn("last_batch", lit(stamp)))
+  }
+
+  /** Per-group quantiles from the STORED summaries — zero raw data. */
+  def quantilesFromTable(spark: SparkSession, name: String,
+                         quantiles: Seq[Double]): DataFrame = {
+    refresh(spark, name)
+    val (_, groupCols, _, _) = quantileMeta(spark, name)
+    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
+    }
+    spark.table(s"${name}_sketches")
+      .select(groupCols.map(col) :+ quantileQuery(col("sketch"), quantiles).as("qs"): _*)
+      .select(groupCols.map(col) ++ qcols: _*)
+  }
+
+  /** Quantiles at a coarser grouping from the stored summaries
+    * (rollup = summary merge; the GK ε bound survives merging).
+    */
+  def rollupQuantileTable(spark: SparkSession, name: String, toCols: Seq[String],
+                          quantiles: Seq[Double]): DataFrame = {
+    refresh(spark, name)
+    val (relErr, _, _, _) = quantileMeta(spark, name)
+    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
+    }
+    spark.table(s"${name}_sketches")
+      .groupBy(toCols.map(col): _*)
+      .agg(quantileSketchMerge(col("sketch"), relErr).as("sketch"))
+      .select(toCols.map(col) :+ quantileQuery(col("sketch"), quantiles).as("qs"): _*)
+      .select(toCols.map(col) ++ qcols: _*)
+  }
+
+  /** Per-event-type value percentiles over the events table via the
+    * stored-form sketch (rows-only — the returned values are actual
+    * stream elements under a RANK-error bound, the q16 approx
+    * precedent; [[quantilesGate]] is the measured check).
+    */
+  def quantilesByType(spark: SparkSession, dir: String): DataFrame =
+    quantilesByGroup(
+      graft.Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+      .orderBy(col("event_type"))
+
+  /** Quantile honesty gate: 1 iff for EVERY group and every queried
+    * quantile the returned value's true rank interval covers a rank
+    * within ε·n + 1 of the target — rank-error measured against the
+    * exact sorted data, not assumed.
+    */
+  def quantilesGate(spark: SparkSession, dir: String,
+                    relativeError: Double = DefaultQuantileError): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val approx = quantilesByGroup(ev, Seq("event_type"), "value", qs, relativeError)
+    val long1 = approx.select(col("event_type"), lit(0.5).as("q"), col("p50").as("v"))
+      .unionByName(approx.select(col("event_type"), lit(0.9).as("q"), col("p90").as("v")))
+      .unionByName(approx.select(col("event_type"), lit(0.99).as("q"), col("p99").as("v")))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // true rank interval of the returned value: [#{x < v}, #{x <= v}]
+    val ranks = long1.join(ev, Seq("event_type"))
+      .groupBy(col("event_type"), col("q"), col("v"))
+      .agg(sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("r_hi"))
+      .join(n, Seq("event_type"))
+    ranks.select(
+      (col("q") * col("n")).as("target"),
+      col("r_lo").cast("double").as("r_lo"), col("r_hi").cast("double").as("r_hi"),
+      (lit(relativeError) * col("n") + lit(1.0)).as("budget"))
+      .agg(min(when(col("target") >= col("r_lo") - col("budget") &&
+        col("target") <= col("r_hi") + col("budget"), 1).otherwise(0)).as("pass"))
   }
 
   /** Heavy-hitter tokens per source over the documents table — the

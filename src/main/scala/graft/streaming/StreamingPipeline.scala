@@ -142,4 +142,16 @@ object StreamingPipeline {
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.Sketches.appendToFreqTable(batch.sparkSession, name, batch, batchId)
     }
+
+  /** The quantile-table ingest twin — GK summaries are
+    * weight-additive like frequency counts, so the micro-batch id
+    * passes through to the same atomic batch-id-stamped append
+    * ([[graft.operators.Sketches.appendToQuantileTable]]): stored
+    * percentiles are exactly-once under at-least-once delivery.
+    */
+  def quantileIngestStream(values: DataFrame, name: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Sketches.appendToQuantileTable(batch.sparkSession, name, batch, batchId)
+    }
 }

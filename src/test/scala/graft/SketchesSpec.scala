@@ -176,6 +176,68 @@ class SketchesSpec extends SparkSpec {
     Seq("fq_eo_sketches", "fq_eo_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("quantile sketch: rank-exact regime matches exact order statistics; merged path honors the bound") {
+    // 3 groups × 2000 values each — ε·n = 0.2 < 1, so every query is
+    // rank-exact: the returned value IS an exact order statistic
+    val vals = spark.range(0, 6000).select(
+      concat(lit("g"), col("id") % 3).as("grp"),
+      // per-group values are a shuffled permutation of 0..1999 (id/3
+      // strides the group; multiply by a unit mod 2000 to de-order)
+      (((col("id") / 3) * 7) % 2000).cast("double").as("v"))
+    val out = Sketches.quantilesByGroup(vals, Seq("grp"), "v", Seq(0.5, 0.9, 0.99)).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      // exact order statistics of 0..1999 at GK's rank convention —
+      // within one rank of q·n, and rank-exactness pins the value to
+      // an integer in that window
+      assert(math.abs(r.getAs[Double]("p50") - 1000.0) <= 1.0, s"p50 ${r.getAs[Double]("p50")}")
+      assert(math.abs(r.getAs[Double]("p90") - 1800.0) <= 1.0, s"p90 ${r.getAs[Double]("p90")}")
+      assert(math.abs(r.getAs[Double]("p99") - 1980.0) <= 1.0, s"p99 ${r.getAs[Double]("p99")}")
+    }
+    val plan = Sketches.quantilesByGroup(vals, Seq("grp"), "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"quantile sketch agg must run partial (map-side) + final:\n$plan")
+  }
+
+  test("quantile stored lifecycle: append + rollup answer from summaries; batch-id guard holds") {
+    val vals = spark.range(0, 6000).select(
+      concat(lit("g"), col("id") % 3).as("grp"),
+      (((col("id") / 3) * 7) % 2000).cast("double").as("v"),
+      (col("id") % 2).as("day"))
+    Seq("qt_life_sketches", "qt_life_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Sketches.writeQuantileTable(spark, "qt_life",
+      vals.filter(col("day") === 0).drop("day"), Seq("grp"), "v")
+    Sketches.appendToQuantileTable(spark, "qt_life",
+      vals.filter(col("day") === 1).drop("day"), batchId = 1L)
+    def stored = Sketches.quantilesFromTable(spark, "qt_life", Seq(0.5, 0.9)).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val afterAppend = stored
+    afterAppend.values.foreach { case (p50, p90) =>
+      assert(math.abs(p50 - 1000.0) <= 2.0 && math.abs(p90 - 1800.0) <= 2.0,
+        s"stored summaries must answer near the exact order statistics ($p50, $p90)")
+    }
+    // replayed batch: summaries are weight-additive — the stamp must
+    // reject it (a replay would pull every quantile toward day 1)
+    Sketches.appendToQuantileTable(spark, "qt_life",
+      vals.filter(col("day") === 1).drop("day"), batchId = 1L)
+    assert(stored == afterAppend, "replayed batch must no-op against the stamp")
+    // rollup across groups: same value distribution per group →
+    // merged quantiles stay near the same order statistics
+    val rolled = Sketches.rollupQuantileTable(spark, "qt_life", Seq.empty, Seq(0.5)).collect()
+    assert(rolled.length == 1 && math.abs(rolled(0).getAs[Double]("p50") - 1000.0) <= 2.0)
+    Seq("qt_life_sketches", "qt_life_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("quantile gate keys: per-type percentiles emit; measured rank error passes the gate") {
+    val out = Sketches.quantilesByType(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(r => r.getAs[Double]("p50") <= r.getAs[Double]("p90")
+      && r.getAs[Double]("p90") <= r.getAs[Double]("p99")))
+    val gate = Sketches.quantilesGate(spark, sfDir).collect()
+    assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
+  }
+
   test("heavy-hitter gate keys: sketch top-10 matches exact frequencies; bounds gate passes") {
     val hh = Sketches.heavyHitterTokens(spark, sfDir).collect()
     assert(hh.nonEmpty)

@@ -219,6 +219,34 @@ class StreamingSpec extends SparkSpec {
     Seq("sfq_sketches", "sfq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming quantile ingest: summaries accumulate per micro-batch, a redelivered batch no-ops") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("sqt_sketches", "sqt_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed: values 0..999 in one group → p50 ≈ 500 exactly (rank-exact regime)
+    val seed = spark.range(0, 1000).select(lit("k").as("grp"), col("id").cast("double").as("v"))
+    Sketches.writeQuantileTable(spark, "sqt", seed, Seq("grp"), "v")
+    val ms = MemoryStream[(String, Double)]
+    val q = StreamingPipeline.quantileIngestStream(ms.toDF().toDF("grp", "v"), "sqt").start()
+    def p50 = Sketches.quantilesFromTable(spark, "sqt", Seq(0.5)).collect()(0).getAs[Double]("p50")
+    try {
+      // micro-batch 0: 1000 copies of 2000.0 → median of the merged
+      // 2000-value stream moves to the seed's top (≈ 999)
+      ms.addData((0 until 1000).map(_ => ("k", 2000.0)): _*)
+      q.processAllAvailable()
+      val afterBatch = p50
+      assert(math.abs(afterBatch - 999.0) <= 2.0,
+        s"batch 0 must fold into the stored summary (p50 $afterBatch)")
+      // redelivered batch 0: weight-additive summaries would pull the
+      // median to 2000 without the stamp
+      Sketches.appendToQuantileTable(spark, "sqt",
+        spark.range(0, 1000).select(lit("k").as("grp"), lit(2000.0).as("v")), batchId = 0L)
+      assert(p50 == afterBatch, "a redelivered micro-batch must no-op against the stamp")
+    } finally q.stop()
+    Seq("sqt_sketches", "sqt_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
