@@ -978,6 +978,24 @@ object Oracles {
     * the any-scale bounds check). Tokenization = the text_vocabulary
     * pair's string_split parity.
     */
+  /** sketch_set_overlap twin: exact per-day audience overlap via
+    * per-(day, user) flag rows — comparable to the theta estimates
+    * because gate-scale daily audiences sit below nominalEntries
+    * (4096), where theta holds every hash and estimates are exact
+    * (the coupon-regime argument, set-algebra edition; the _gate key
+    * checks the sketches' own envelopes at any scale). The WHERE
+    * mirrors the Spark side's pre-filter so day coverage matches.
+    */
+  val sketchSetOverlap: String =
+    """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
+      |             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      |           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2)
+      |SELECT d, CAST(sum(c) AS BIGINT) AS n_click, CAST(sum(p) AS BIGINT) AS n_purchase,
+      |       CAST(sum(c * p) AS BIGINT) AS n_both,
+      |       CAST(sum(c * (1 - p)) AS BIGINT) AS n_click_only
+      |FROM u GROUP BY d ORDER BY d""".stripMargin
+
   val sketchHeavyHitters: String =
     """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
       |c AS (SELECT source, token, count(*) AS n_occurrences FROM t GROUP BY 1, 2),

@@ -152,6 +152,30 @@ object SketchRehearsal {
       }
     }
 
+    // ---- theta tier: set algebra in deep estimation mode ----
+    val thetaOk = timed("theta_set_algebra") {
+      // A = 0..2M, B = 1M..3M through 4096-entry sketches: |A∩B| =
+      // 1M, |A\B| = 1M, both ~500× past nominal — the envelopes must
+      // still contain the closed-form truths
+      val m = 2000000L
+      val rows = spark.range(0, m).select(lit("a").as("side"), col("id").as("uid"))
+        .unionByName(spark.range(m / 2, m / 2 + m).select(lit("b").as("side"), col("id").as("uid")))
+        .withColumn("grp", lit("g"))
+      val sk = rows.groupBy(col("grp")).agg(
+        Sketches.thetaSketch(when(col("side") === "a", col("uid"))).as("sa"),
+        Sketches.thetaSketch(when(col("side") === "b", col("uid"))).as("sb"))
+      val out = sk.select(
+        Sketches.thetaSummary(Sketches.thetaIntersect(col("sa"), col("sb"))).as("i"),
+        Sketches.thetaSummary(Sketches.thetaAnotB(col("sa"), col("sb"))).as("d"))
+        .collect()(0)
+      def contains(f: String, truth: Long): Boolean = {
+        val r = out.getAs[org.apache.spark.sql.Row](f)
+        r.getAs[Long]("lower") <= truth && truth <= r.getAs[Long]("upper") &&
+          r.getAs[Long]("upper") > r.getAs[Long]("lower")
+      }
+      contains("i", m / 2) && contains("d", m / 2)
+    }
+
     val eoOk = timed("freq_exactly_once") {
       Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
       Sketches.appendToFreqTable(spark, "reh_freq",
@@ -172,7 +196,8 @@ object SketchRehearsal {
       "hll_stored_lifecycle_and_replay" -> storedOk,
       "freq_envelopes_and_planted_heavies" -> hhOk,
       "freq_batchid_guard_at_volume" -> eoOk,
-      "quantile_rank_error_bounded" -> qtOk)
+      "quantile_rank_error_bounded" -> qtOk,
+      "theta_envelopes_in_estimation_mode" -> thetaOk)
     val allPass = checks.forall(_._2)
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val phaseJson = phases.map { case (k, s) =>

@@ -78,6 +78,11 @@ object SparkEntry {
     // measures that bound against the exact sorted data
     "sketch_quantiles" -> (Sketches.quantilesByType(_, _)),
     "sketch_quantiles_gate" -> ((s, dir) => Sketches.quantilesGate(s, dir)),
+    // theta sketches: distinct-set INTERSECTIONS/DIFFERENCES (the
+    // funnel query HLL can't answer) — exact mode at gate scale →
+    // oracle; the gate key checks the sketches' own 3σ envelopes
+    "sketch_set_overlap" -> ((s, dir) => Sketches.setOverlapDaily(s, dir)),
+    "sketch_set_overlap_gate" -> ((s, dir) => Sketches.setOverlapGate(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -353,6 +358,7 @@ object SparkEntry {
     "q26_lateral_topn" -> Oracles.q26,
     "sketch_distinct" -> Oracles.sketchDistinct,
     "sketch_heavy_hitters" -> Oracles.sketchHeavyHitters,
+    "sketch_set_overlap" -> Oracles.sketchSetOverlap,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

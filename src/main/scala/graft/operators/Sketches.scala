@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
 
 import graft.functions.expressions.{FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK,
-  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery}
+  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery,
+  ThetaSketchAgg, ThetaUnionAgg, ThetaIntersect, ThetaAnotB, ThetaSummary}
 import graft.sources.Sinks
 
 /** Mergeable cardinality sketches — COUNT(DISTINCT) over an
@@ -306,6 +307,94 @@ object Sketches {
     distinctByGroup(ev, Seq("event_type", "d"), "user_id", lgK)
       .select(col("event_type"), col("d"), col("n_distinct").as("n_users"))
       .orderBy(col("event_type"), col("d"))
+  }
+
+  // ---- theta sketches (distinct set algebra) ---------------------------
+
+  /** 4096 nominal entries → ≤64 KB compact sketches, ~1.6 % RSE on
+    * unions once estimating; EXACT below 4096 distinct values.
+    */
+  val DefaultNominalEntries = 4096
+
+  def thetaSketch(value: Column, nominalEntries: Int = DefaultNominalEntries): Column =
+    ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(value), nominalEntries).toAggregateExpression())
+
+  def thetaUnion(sketch: Column, nominalEntries: Int = DefaultNominalEntries): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(sketch), nominalEntries).toAggregateExpression())
+
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def thetaAnotB(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaAnotB(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** struct<estimate, lower, upper> (3 std-dev envelope). */
+  def thetaSummary(sketch: Column): Column =
+    ColumnBridge.column(ThetaSummary(ColumnBridge.expression(sketch)))
+
+  /** Per-day click/purchase audience overlap — the funnel/retention
+    * query HLL cannot answer (intersections of distinct sets):
+    * distinct clickers, distinct purchasers, users who did BOTH, and
+    * clickers who never purchased, all from two theta sketches per
+    * day built in ONE pass (conditional updates — no self-join of
+    * distinct sets). Gate-scale audiences sit below nominalEntries,
+    * so every sketch is in exact mode and the key hash-matches the
+    * exact flag-sum oracle; [[setOverlapGate]] carries the
+    * estimation-regime check via the sketches' own envelopes.
+    */
+  def setOverlapDaily(spark: SparkSession, dir: String,
+                      nominalEntries: Int = DefaultNominalEntries): DataFrame = {
+    val sk = overlapSketches(spark, dir, nominalEntries)
+    sk.select(col("d"),
+      thetaSummary(col("sc")).getField("estimate").as("n_click"),
+      thetaSummary(col("sp")).getField("estimate").as("n_purchase"),
+      thetaSummary(thetaIntersect(col("sc"), col("sp"))).getField("estimate").as("n_both"),
+      thetaSummary(thetaAnotB(col("sc"), col("sp"))).getField("estimate").as("n_click_only"))
+      .orderBy(col("d"))
+  }
+
+  private def overlapSketches(spark: SparkSession, dir: String,
+                              nominalEntries: Int): DataFrame = {
+    graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy(col("d"))
+      .agg(
+        thetaSketch(when(col("event_type") === "click", col("user_id")), nominalEntries)
+          .as("sc"),
+        thetaSketch(when(col("event_type") === "purchase", col("user_id")), nominalEntries)
+          .as("sp"))
+  }
+
+  /** Theta honesty gate: 1 iff for every day all four measures'
+    * TRUE values sit inside the result sketches' own 3-std-dev
+    * [lower, upper] envelopes (exact-mode sketches report zero-width
+    * envelopes, so at gate scale this also proves exactness).
+    */
+  def setOverlapGate(spark: SparkSession, dir: String,
+                     nominalEntries: Int = DefaultNominalEntries): DataFrame = {
+    val sk = overlapSketches(spark, dir, nominalEntries)
+      .select(col("d"), thetaSummary(col("sc")).as("c"), thetaSummary(col("sp")).as("p"),
+        thetaSummary(thetaIntersect(col("sc"), col("sp"))).as("b"),
+        thetaSummary(thetaAnotB(col("sc"), col("sp"))).as("o"))
+    val exact = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy(col("d"), col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("en_c"), sum(col("p")).as("en_p"),
+        sum(col("c") * col("p")).as("en_b"),
+        sum(col("c") * (lit(1L) - col("p"))).as("en_o"))
+    def inside(s: Column, v: Column): Column =
+      s.getField("lower") <= v && v <= s.getField("upper")
+    sk.join(exact, Seq("d")).agg(
+      min(when(inside(col("c"), col("en_c")) && inside(col("p"), col("en_p")) &&
+        inside(col("b"), col("en_b")) && inside(col("o"), col("en_o")), 1)
+        .otherwise(0)).as("pass"))
   }
 
   // ---- quantile sketches (GK summaries) --------------------------------

@@ -238,6 +238,85 @@ class SketchesSpec extends SparkSpec {
     assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
   }
 
+  test("theta set algebra: exact mode matches planted intersections/differences; plan partial-merges") {
+    // planted audiences: A = 0..599, B = 300..899 → |A|=600, |B|=600,
+    // |A∩B|=300, |A\B|=300 — all below nominalEntries → exact mode
+    val rows = spark.range(0, 600).select(lit("a").as("side"), col("id").as("uid"))
+      .unionByName(spark.range(300, 900).select(lit("b").as("side"), col("id").as("uid")))
+      .withColumn("grp", lit("g"))
+    val sk = rows.groupBy(col("grp")).agg(
+      Sketches.thetaSketch(when(col("side") === "a", col("uid"))).as("sa"),
+      Sketches.thetaSketch(when(col("side") === "b", col("uid"))).as("sb"))
+    val out = sk.select(
+      Sketches.thetaSummary(col("sa")).as("a"),
+      Sketches.thetaSummary(col("sb")).as("b"),
+      Sketches.thetaSummary(Sketches.thetaIntersect(col("sa"), col("sb"))).as("i"),
+      Sketches.thetaSummary(Sketches.thetaAnotB(col("sa"), col("sb"))).as("d"))
+      .collect()(0)
+    def est(f: String) = out.getAs[org.apache.spark.sql.Row](f).getAs[Long]("estimate")
+    def width(f: String) = {
+      val r = out.getAs[org.apache.spark.sql.Row](f)
+      r.getAs[Long]("upper") - r.getAs[Long]("lower")
+    }
+    assert(est("a") == 600L && est("b") == 600L && est("i") == 300L && est("d") == 300L,
+      s"exact-mode set algebra must be exact: ${est("a")}/${est("b")}/${est("i")}/${est("d")}")
+    Seq("a", "b", "i", "d").foreach(f => assert(width(f) == 0L,
+      s"exact mode must report a zero-width envelope for $f"))
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"theta agg must run partial (map-side) + final:\n$plan")
+  }
+
+  test("theta estimation regime: true overlap inside the result sketches' own envelopes") {
+    // 200k vs 200k with 100k overlap through 1024-entry sketches —
+    // deep estimation mode, including the harder intersection path
+    val a = spark.range(0, 200000).select(lit("a").as("side"), col("id").as("uid"))
+    val b = spark.range(100000, 300000).select(lit("b").as("side"), col("id").as("uid"))
+    val sk = a.unionByName(b).withColumn("grp", lit("g")).groupBy(col("grp")).agg(
+      Sketches.thetaSketch(when(col("side") === "a", col("uid")), 1024).as("sa"),
+      Sketches.thetaSketch(when(col("side") === "b", col("uid")), 1024).as("sb"))
+    val out = sk.select(
+      Sketches.thetaSummary(col("sa")).as("a"),
+      Sketches.thetaSummary(Sketches.thetaIntersect(col("sa"), col("sb"))).as("i"),
+      Sketches.thetaSummary(Sketches.thetaAnotB(col("sa"), col("sb"))).as("d"))
+      .collect()(0)
+    def check(f: String, truth: Long): Unit = {
+      val r = out.getAs[org.apache.spark.sql.Row](f)
+      assert(r.getAs[Long]("lower") <= truth && truth <= r.getAs[Long]("upper"),
+        s"$f: true $truth outside [${r.getAs[Long]("lower")}, ${r.getAs[Long]("upper")}]")
+      assert(r.getAs[Long]("upper") > r.getAs[Long]("lower"),
+        s"$f must carry a real envelope in estimation mode")
+      assert(r.getAs[Long]("estimate") != truth || f == "a",
+        s"$f: estimation mode should rarely be exactly right (regime sanity)")
+    }
+    check("a", 200000L); check("i", 100000L); check("d", 100000L)
+  }
+
+  test("theta gate keys: daily overlap matches exact flag sums; envelope gate passes") {
+    val daily = Sketches.setOverlapDaily(spark, sfDir).collect()
+    assert(daily.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val exact = ev.groupBy(col("d"), col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .groupBy(col("d"))
+      .agg(sum(col("c")).as("n_click"), sum(col("p")).as("n_purchase"),
+        sum(col("c") * col("p")).as("n_both"),
+        sum(col("c") * (lit(1L) - col("p"))).as("n_click_only")).collect()
+      .map(r => r.getAs[Long]("d") -> (r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("n_click_only"))).toMap
+    daily.foreach { r =>
+      val t = exact(r.getAs[Long]("d"))
+      assert((r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("n_click_only")) == t,
+        s"gate-scale theta must be exact on day ${r.getAs[Long]("d")}")
+    }
+    val gate = Sketches.setOverlapGate(spark, sfDir).collect()
+    assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
+  }
+
   test("heavy-hitter gate keys: sketch top-10 matches exact frequencies; bounds gate passes") {
     val hh = Sketches.heavyHitterTokens(spark, sfDir).collect()
     assert(hh.nonEmpty)
