@@ -128,6 +128,46 @@ object PipelineJob {
     fired
   }
 
+  /** One job-level telemetry-sketch ingest step: fold one
+    * events-shaped parquet batch into the named stored sketch group —
+    * `<name>_users` (HLL distinct users per (event_type, day);
+    * replay-idempotent by construction) and `<name>_values` (GK
+    * value summaries per event_type; exactly-once via the monotone
+    * `batchId` stamp). First call bootstraps EMPTY tables then
+    * appends, so batch 0's id is stamped like every other batch.
+    * Estimates/percentiles for any day range then answer from the
+    * bounded sketch tables — the raw batches can be archived cold.
+    * Factored out of [[main]] so the E2E spec drives the exact job
+    * path.
+    */
+  def runSketchIngest(spark: SparkSession, batchPath: String, name: String,
+                      batchId: Long): Unit = {
+    import graft.operators.Sketches
+    val raw = spark.read.parquet(batchPath)
+    // TIMESTAMP(NANOS) batches read as long under nanosAsLong — the
+    // Tables.events conversion, applied here because the batch path
+    // is arbitrary
+    val tsFixed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val ev = tsFixed.withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val users = ev.select(col("event_type"), col("d"), col("user_id"))
+    val vals = ev.select(col("event_type"), col("value"))
+    if (!spark.catalog.tableExists(s"${name}_users_sketches")) {
+      Sketches.writeSketchTable(spark, s"${name}_users", users.limit(0),
+        Seq("event_type", "d"), "user_id")
+      Sketches.writeQuantileTable(spark, s"${name}_values", vals.limit(0),
+        Seq("event_type"), "value")
+    }
+    Sketches.appendToSketchTable(spark, s"${name}_users", users)
+    Sketches.appendToQuantileTable(spark, s"${name}_values", vals, batchId)
+    val nGroups = spark.table(s"${name}_users_sketches").count()
+    println(s"sketch ingest into $name: batch=$batchId " +
+      s"user-sketch groups=$nGroups (estimates answer from the stored tables)")
+  }
+
   /** One job-level composed ingest step — reads the batch, runs
     * [[Pipeline.ingest]], prints the report. Factored out of [[main]]
     * so the E2E spec drives the exact job path.
@@ -146,10 +186,11 @@ object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "ingest", "vacuum")
+      "ingest", "vacuum", "sketch-ingest")
     require(args.length >= 3 && modes(args(0)),
-      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest|vacuum " +
-        "<docsPath|table> <outDir|tableName|indexName|keepGenerations> [minQualityFs]")
+      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest|" +
+        "vacuum|sketch-ingest " +
+        "<docsPath|table> <outDir|tableName|indexName|keepGenerations> [minQualityFs|batchId]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -158,6 +199,7 @@ object PipelineJob {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // the maintenance modes operate on managed index tables — point
     // the session at the warehouse that holds them
@@ -173,6 +215,11 @@ object PipelineJob {
     }
     if (mode == "ingest") {
       runIngest(spark, in, out, applyChanged = args.lift(3).contains("apply-changed"))
+      spark.stop()
+      return
+    }
+    if (mode == "sketch-ingest") {
+      runSketchIngest(spark, in, out, args.lift(3).map(_.toLong).getOrElse(-1L))
       spark.stop()
       return
     }

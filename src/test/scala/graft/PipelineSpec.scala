@@ -204,6 +204,38 @@ class PipelineSpec extends SparkSpec {
       "a retried batch must not duplicate index rows")
   }
 
+  test("sketch-ingest job mode: batched appends equal the one-shot sketches; quantile replay no-ops") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.{col, date_trunc, unix_timestamp}
+    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ev = Tables.events(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_telemetry").toString
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$base/b0")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$base/b1")
+    PipelineJob.runSketchIngest(spark, s"$base/b0", "tel", batchId = 0L)
+    PipelineJob.runSketchIngest(spark, s"$base/b1", "tel", batchId = 1L)
+    // stored estimates equal the one-shot sketches over the full table
+    val stored = Sketches.estimateSketchTable(spark, "tel_users").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("d")) -> r.getAs[Long]("n_distinct"))
+      .toMap
+    val direct = Sketches.distinctByGroup(
+      ev.withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+        .select(col("event_type"), col("d"), col("user_id")),
+      Seq("event_type", "d"), "user_id").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("d")) -> r.getAs[Long]("n_distinct"))
+      .toMap
+    assert(stored == direct, "batched sketch ingest must reach the one-shot estimates")
+    def p50s = Sketches.quantilesFromTable(spark, "tel_values", Seq(0.5)).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50")).toMap
+    val afterB1 = p50s
+    // replayed batch 1 (same id): quantile summaries must not move
+    PipelineJob.runSketchIngest(spark, s"$base/b1", "tel", batchId = 1L)
+    assert(p50s == afterB1, "a replayed batch id must no-op on the value summaries")
+    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ingest job mode: composed crawl step equals the hand-composed sequence, second run idempotent") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.functions.col
