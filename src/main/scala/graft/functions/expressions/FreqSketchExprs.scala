@@ -48,6 +48,18 @@ case class FreqSketchAgg(child: Expression, maxMapSize: Int,
                          inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
 
+  // analysis-time rejection of non-string items — without it the
+  // UTF8String cast in update fails deep inside the aggregate with a
+  // ClassCastException (the theta aggregate's dataType dispatch is the
+  // house pattern; frequency items are strings by design)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"freq_sketch_agg requires a string item column, got $dt")
+    }
+
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
 

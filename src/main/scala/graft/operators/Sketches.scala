@@ -92,7 +92,10 @@ object Sketches {
     Sinks.writeBucketed(sketchByGroup(df, groupCols, valueCol, lgK),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
-    Seq((lgK, groupCols.mkString(","), valueCol, buckets))
+    // group columns travel as array<string> — a joined-string encoding
+    // silently corrupts geometry for column names containing the
+    // separator
+    Seq((lgK, groupCols, valueCol, buckets))
       .toDF("lg_k", "group_cols", "value_col", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
@@ -112,7 +115,7 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"sketch table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Int]("lg_k"), r.getAs[String]("group_cols").split(",").toSeq,
+    (r.getAs[Int]("lg_k"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
 
@@ -225,7 +228,7 @@ object Sketches {
         .withColumn("last_batch", lit(-1L)),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
-    Seq((maxMapSize, groupCols.mkString(","), itemCol, buckets))
+    Seq((maxMapSize, groupCols, itemCol, buckets))
       .toDF("max_map_size", "group_cols", "item_col", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
@@ -234,7 +237,7 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"freq table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Int]("max_map_size"), r.getAs[String]("group_cols").split(",").toSeq,
+    (r.getAs[Int]("max_map_size"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
       r.getAs[String]("item_col"), r.getAs[Int]("buckets"))
   }
 
@@ -425,12 +428,29 @@ object Sketches {
     * day) and any day-range / coarser percentile answers from the
     * bounded sketch table.
     */
+  /** `p<percent>` with the FULL quantile value (0.995 → p99_5, 0.5 →
+    * p50): integer-rounded labels collide for quantiles within the
+    * same percent (0.99 vs 0.994 would both be p99) and the duplicate
+    * column names fail ambiguously downstream. Decimal-exact via the
+    * string constructor (BigDecimal(0.99d) carries binary noise).
+    */
+  private[graft] def quantileColName(q: Double): String =
+    "p" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_")
+
+  private def quantileCols(quantiles: Seq[Double]): Seq[Column] = {
+    val names = quantiles.map(quantileColName)
+    require(names.distinct.length == names.length,
+      s"quantiles map to duplicate column names: ${names.mkString(", ")}")
+    quantiles.zipWithIndex.map { case (q, i) =>
+      element_at(col("qs"), i + 1).as(quantileColName(q))
+    }
+  }
+
   def quantilesByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        quantiles: Seq[Double],
                        relativeError: Double = DefaultQuantileError): DataFrame = {
-    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
-      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
-    }
+    val qcols = quantileCols(quantiles)
     df.groupBy(groupCols.map(col): _*)
       .agg(quantileSketch(col(valueCol).cast("double"), relativeError).as("sketch"))
       .select(groupCols.map(col) :+ quantileQuery(col("sketch"), quantiles).as("qs"): _*)
@@ -453,7 +473,7 @@ object Sketches {
         .withColumn("last_batch", lit(-1L)),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
-    Seq((relativeError, groupCols.mkString(","), valueCol, buckets))
+    Seq((relativeError, groupCols, valueCol, buckets))
       .toDF("relative_error", "group_cols", "value_col", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
@@ -463,7 +483,8 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"quantile table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Double]("relative_error"), r.getAs[String]("group_cols").split(",").toSeq,
+    (r.getAs[Double]("relative_error"),
+      r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
 
@@ -489,9 +510,7 @@ object Sketches {
                          quantiles: Seq[Double]): DataFrame = {
     refresh(spark, name)
     val (_, groupCols, _, _) = quantileMeta(spark, name)
-    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
-      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
-    }
+    val qcols = quantileCols(quantiles)
     spark.table(s"${name}_sketches")
       .select(groupCols.map(col) :+ quantileQuery(col("sketch"), quantiles).as("qs"): _*)
       .select(groupCols.map(col) ++ qcols: _*)
@@ -504,9 +523,7 @@ object Sketches {
                           quantiles: Seq[Double]): DataFrame = {
     refresh(spark, name)
     val (relErr, _, _, _) = quantileMeta(spark, name)
-    val qcols = quantiles.zipWithIndex.map { case (q, i) =>
-      element_at(col("qs"), i + 1).as(s"p${(q * 100).round}")
-    }
+    val qcols = quantileCols(quantiles)
     spark.table(s"${name}_sketches")
       .groupBy(toCols.map(col): _*)
       .agg(quantileSketchMerge(col("sketch"), relErr).as("sketch"))

@@ -357,4 +357,39 @@ class SketchesSpec extends SparkSpec {
     val gate = Sketches.distinctGate(spark, sfDir).collect()
     assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
   }
+
+  test("quantile column names carry the full quantile value; sub-percent quantiles stay distinct") {
+    assert(Sketches.quantileColName(0.5) == "p50")
+    assert(Sketches.quantileColName(0.99) == "p99")
+    assert(Sketches.quantileColName(0.995) == "p99_5")
+    assert(Sketches.quantileColName(0.001) == "p0_1")
+    assert(Sketches.quantileColName(1.0) == "p100")
+    val vals = Seq.tabulate(1000)(i => ("a", i.toDouble)).toDF("grp", "v")
+    val cols = Sketches.quantilesByGroup(vals, Seq("grp"), "v", Seq(0.99, 0.995, 1.0)).columns
+    assert(cols.toSeq == Seq("grp", "p99", "p99_5", "p100"),
+      s"0.99/0.995/1.0 must not collapse onto one rounded label: ${cols.mkString(",")}")
+    val dup = intercept[IllegalArgumentException] {
+      Sketches.quantilesByGroup(vals, Seq("grp"), "v", Seq(0.5, 0.50))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+  }
+
+  test("freq sketch rejects a non-string item column at analysis time") {
+    val nums = Seq.tabulate(10)(i => ("g", i.toLong)).toDF("grp", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      nums.groupBy(col("grp")).agg(Sketches.freqSketch(col("v")).as("sk")).collect()
+    }
+    assert(e.getMessage.contains("string item column"),
+      s"expected the freq_sketch_agg type-check message, got: ${e.getMessage}")
+  }
+
+  test("stored meta survives group column names containing the old separator") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 3}", (i % 40).toLong))
+      .toDF("grp,odd", "uid")
+    Sketches.writeSketchTable(spark, "commagrp", df, Seq("grp,odd"), "uid")
+    val est = Sketches.estimateSketchTable(spark, "commagrp").collect()
+      .map(r => r.getAs[String]("grp,odd") -> r.getAs[Long]("n_distinct")).toMap
+    assert(est == Map("g0" -> 40L, "g1" -> 40L, "g2" -> 40L),
+      s"array-typed meta must round-trip a comma-bearing group column, got $est")
+  }
 }
