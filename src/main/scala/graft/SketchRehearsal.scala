@@ -176,6 +176,50 @@ object SketchRehearsal {
       contains("i", m / 2) && contains("d", m / 2)
     }
 
+    // ---- theta tier: STORED funnel lifecycle at volume ----
+    val thetaStoredOk = timed("theta_stored_funnel") {
+      // same A/B geometry, through the stored lifecycle: per-(side,
+      // day) sketches written for days {0,1}, days {2,3} appended,
+      // the funnel answered from the bounded table alone; envelopes
+      // must still contain the closed-form truths in deep estimation
+      // mode, and a replayed append must not move anything (theta
+      // union is insertion-idempotent — the free-replay tier)
+      val m = 2000000L
+      def rows = spark.range(0, m).select(lit("a").as("side"), col("id").as("uid"))
+        .unionByName(spark.range(m / 2, m / 2 + m)
+          .select(lit("b").as("side"), col("id").as("uid")))
+        .withColumn("d", col("uid") % 4)
+      Sketches.writeThetaTable(spark, "reh_theta", rows.filter(col("d") < 2),
+        Seq("side", "d"), "uid")
+      Sketches.appendToThetaTable(spark, "reh_theta", rows.filter(col("d") >= 2))
+      def funnel = {
+        val r = Sketches
+          .overlapFromThetaTable(spark, "reh_theta", "side", "a", "b", Seq.empty)
+          .collect()(0)
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_a_only"))
+      }
+      val f0 = funnel
+      val sums = spark.table("reh_theta_sketches")
+        .agg(Sketches.thetaUnion(when(col("side") === "a", col("sketch"))).as("sa"),
+          Sketches.thetaUnion(when(col("side") === "b", col("sketch"))).as("sb"))
+        .select(Sketches.thetaSummary(col("sa")).as("ea"),
+          Sketches.thetaSummary(col("sb")).as("eb"),
+          Sketches.thetaSummary(Sketches.thetaIntersect(col("sa"), col("sb"))).as("ei"),
+          Sketches.thetaSummary(Sketches.thetaAnotB(col("sa"), col("sb"))).as("ed"))
+        .collect()(0)
+      def env(f: String, truth: Long): Boolean = {
+        val r = sums.getAs[org.apache.spark.sql.Row](f)
+        r.getAs[Long]("lower") <= truth && truth <= r.getAs[Long]("upper")
+      }
+      def est(f: String): Long =
+        sums.getAs[org.apache.spark.sql.Row](f).getAs[Long]("estimate")
+      val envOk = env("ea", m) && env("eb", m) && env("ei", m / 2) && env("ed", m / 2)
+      val estOk = f0 == ((est("ea"), est("eb"), est("ei"), est("ed")))
+      Sketches.appendToThetaTable(spark, "reh_theta", rows.filter(col("d") >= 2))
+      envOk && estOk && funnel == f0
+    }
+
     val eoOk = timed("freq_exactly_once") {
       Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
       Sketches.appendToFreqTable(spark, "reh_freq",
@@ -197,7 +241,8 @@ object SketchRehearsal {
       "freq_envelopes_and_planted_heavies" -> hhOk,
       "freq_batchid_guard_at_volume" -> eoOk,
       "quantile_rank_error_bounded" -> qtOk,
-      "theta_envelopes_in_estimation_mode" -> thetaOk)
+      "theta_envelopes_in_estimation_mode" -> thetaOk,
+      "theta_stored_funnel_and_replay" -> thetaStoredOk)
     val allPass = checks.forall(_._2)
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val phaseJson = phases.map { case (k, s) =>

@@ -371,6 +371,120 @@ object Sketches {
           .as("sp"))
   }
 
+  /** Per-group serialized theta sketch — the mergeable stored form
+    * (the theta twin of [[sketchByGroup]]).
+    */
+  def thetaSketchByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         nominalEntries: Int = DefaultNominalEntries): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(thetaSketch(col(valueCol), nominalEntries).as("sketch"))
+
+  // ---- stored theta lifecycle -----------------------------------------
+
+  /** Stored theta-sketch table — the funnel/retention question
+    * ("clickers ∩ purchasers over any date range") answered from a
+    * BOUNDED stored table, never a raw-history rescan. Same bucketed
+    * `<name>_sketches` + `<name>_meta` layout as the HLL tier, and the
+    * same FREE-REPLAY append pattern: theta union is
+    * insertion-idempotent (re-absorbing a value is a no-op), so unlike
+    * the additive frequency/quantile tiers no batch-id stamp is needed
+    * — at-least-once delivery yields exactly-once estimates by
+    * construction (spec-pinned).
+    *
+    * The COHORT dimension (e.g. event_type) is just one of the group
+    * columns: one sketch row per (cohort, key...), and
+    * [[overlapFromThetaTable]] unions each cohort's rows down to the
+    * requested key grain before intersecting — any day range or
+    * coarser granularity works because union absorbs the dropped
+    * columns exactly as a raw re-scan would have.
+    */
+  def writeThetaTable(spark: SparkSession, name: String, df: DataFrame,
+                      groupCols: Seq[String], valueCol: String,
+                      nominalEntries: Int = DefaultNominalEntries,
+                      buckets: Int = 16): Unit = {
+    Sinks.writeBucketed(thetaSketchByGroup(df, groupCols, valueCol, nominalEntries),
+      s"${name}_sketches", groupCols.head, buckets)
+    import spark.implicits._
+    Seq((nominalEntries, groupCols, valueCol, buckets))
+      .toDF("nominal_entries", "group_cols", "value_col", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def thetaMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"theta table $name: corrupt meta (${rows.length} rows)")
+    val r = rows(0)
+    (r.getAs[Int]("nominal_entries"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+      r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
+  }
+
+  /** Fold one new batch of RAW rows in — the [[appendToSketchTable]]
+    * pattern with the theta union as the merge (one aggregation pass
+    * over the batch, generation-flip rewrite of the bounded sketch
+    * rows, readers stay live). Replay-safe without bookkeeping: theta
+    * insertion is idempotent.
+    */
+  def appendToThetaTable(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    refresh(spark, name)
+    val (nominalEntries, groupCols, valueCol, buckets) = thetaMeta(spark, name)
+    val batchSketches = thetaSketchByGroup(batch, groupCols, valueCol, nominalEntries)
+    Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
+      stored => stored.unionByName(batchSketches)
+        .groupBy(groupCols.map(col): _*)
+        .agg(thetaUnion(col("sketch"), nominalEntries).as("sketch")))
+  }
+
+  /** Per-group distinct estimates from the STORED sketches alone. */
+  def estimateThetaTable(spark: SparkSession, name: String): DataFrame = {
+    refresh(spark, name)
+    val (_, groupCols, _, _) = thetaMeta(spark, name)
+    spark.table(s"${name}_sketches")
+      .select(groupCols.map(col) :+
+        thetaSummary(col("sketch")).getField("estimate").as("n_distinct"): _*)
+  }
+
+  /** Coarser-granularity estimates from the stored sketches. */
+  def rollupThetaTable(spark: SparkSession, name: String, toCols: Seq[String]): DataFrame = {
+    refresh(spark, name)
+    val (nominalEntries, _, _, _) = thetaMeta(spark, name)
+    spark.table(s"${name}_sketches")
+      .groupBy(toCols.map(col): _*)
+      .agg(thetaUnion(col("sketch"), nominalEntries).as("sketch"))
+      .select(toCols.map(col) :+
+        thetaSummary(col("sketch")).getField("estimate").as("n_distinct"): _*)
+  }
+
+  /** The stored funnel: audience sizes of cohorts `a` and `b`, their
+    * intersection, and a-not-b, per `keyCols` grain, from the stored
+    * sketch table alone — zero raw data touched. `keyCols` may be any
+    * subset of the non-cohort group columns (empty = all-time): each
+    * cohort's sketches union down to the grain first, so a day-range
+    * `where` filter plus `keyCols = Seq()` answers "over these weeks"
+    * from a handful of KB-sized rows. Output columns: keyCols ++
+    * (n_a, n_b, n_both, n_a_only).
+    */
+  def overlapFromThetaTable(spark: SparkSession, name: String, cohortCol: String,
+                            a: String, b: String, keyCols: Seq[String],
+                            where: Column = lit(true)): DataFrame = {
+    refresh(spark, name)
+    val (nominalEntries, groupCols, _, _) = thetaMeta(spark, name)
+    require(groupCols.contains(cohortCol),
+      s"cohort column $cohortCol is not part of the stored grouping $groupCols")
+    require(keyCols.forall(k => groupCols.contains(k) && k != cohortCol),
+      s"key columns $keyCols must be stored non-cohort group columns ($groupCols)")
+    spark.table(s"${name}_sketches")
+      .filter(where && col(cohortCol).isin(a, b))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        thetaUnion(when(col(cohortCol) === a, col("sketch")), nominalEntries).as("sa"),
+        thetaUnion(when(col(cohortCol) === b, col("sketch")), nominalEntries).as("sb"))
+      .select(keyCols.map(col) :+
+        thetaSummary(col("sa")).getField("estimate").as("n_a") :+
+        thetaSummary(col("sb")).getField("estimate").as("n_b") :+
+        thetaSummary(thetaIntersect(col("sa"), col("sb"))).getField("estimate").as("n_both") :+
+        thetaSummary(thetaAnotB(col("sa"), col("sb"))).getField("estimate").as("n_a_only"): _*)
+  }
+
   /** Theta honesty gate: 1 iff for every day all four measures'
     * TRUE values sit inside the result sketches' own 3-std-dev
     * [lower, upper] envelopes (exact-mode sketches report zero-width

@@ -154,4 +154,18 @@ object StreamingPipeline {
     values.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.Sketches.appendToQuantileTable(batch.sparkSession, name, batch, batchId)
     }
+
+  /** The theta-table ingest twin — the funnel/retention feed. Like
+    * HLL (and unlike frequency/quantile), theta union is
+    * insertion-idempotent, so a redelivered micro-batch's values are
+    * sketch no-ops and NO batch-id bookkeeping is needed: the stored
+    * funnel ([[graft.operators.Sketches.overlapFromThetaTable]]) is
+    * exactly-once under at-least-once delivery by construction, and
+    * queryable mid-stream against the live generation.
+    */
+  def thetaIngestStream(events: DataFrame, name: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Sketches.appendToThetaTable(batch.sparkSession, name, batch)
+    }
 }

@@ -358,6 +358,74 @@ class SketchesSpec extends SparkSpec {
     assert(gate.length == 1 && gate(0).getAs[Int]("pass") == 1)
   }
 
+  test("theta stored lifecycle: funnel answers from the stored table at any grain; replay is a no-op") {
+    Seq("thf_sketches", "thf_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // planted cohorts, exact mode (≪ nominalEntries distinct):
+    //   day 0: clickers 0–299, purchasers 200–399
+    //   day 1: clickers 0–99,  purchasers 50–149
+    def rows(day: Long, click: Range, purchase: Range) =
+      click.map(u => ("click", day, u.toLong)) ++
+        purchase.map(u => ("purchase", day, u.toLong))
+    val day0 = rows(0L, 0 until 300, 200 until 400).toDF("cohort", "d", "uid")
+    val day1 = rows(1L, 0 until 100, 50 until 150).toDF("cohort", "d", "uid")
+    Sketches.writeThetaTable(spark, "thf", day0, Seq("cohort", "d"), "uid")
+    Sketches.appendToThetaTable(spark, "thf", day1)
+    def funnelByDay = Sketches
+      .overlapFromThetaTable(spark, "thf", "cohort", "click", "purchase", Seq("d"))
+      .collect().map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_a_only")))).toMap
+    val byDay = funnelByDay
+    assert(byDay == Map(0L -> ((300L, 200L, 100L, 200L)), 1L -> ((100L, 100L, 50L, 50L))),
+      s"per-day funnel from stored sketches must be exact in the exact regime, got $byDay")
+    // all-time grain (keyCols empty): cohort sketches union across days
+    // first — clickers 0–299, purchasers 50–149 ∪ 200–399
+    val all = Sketches
+      .overlapFromThetaTable(spark, "thf", "cohort", "click", "purchase", Seq.empty)
+      .collect()(0)
+    assert((all.getAs[Long]("n_a"), all.getAs[Long]("n_b"),
+      all.getAs[Long]("n_both"), all.getAs[Long]("n_a_only")) == ((300L, 300L, 200L, 100L)),
+      "the all-time funnel must union per-day sketches before intersecting")
+    // day-range via the where filter (the retention question shape)
+    val d1 = Sketches.overlapFromThetaTable(spark, "thf", "cohort", "click", "purchase",
+      Seq.empty, col("d") === 1L).collect()(0)
+    assert(d1.getAs[Long]("n_a") == 100L && d1.getAs[Long]("n_both") == 50L)
+    // replay: theta insertion is idempotent — no estimate moves, no stamp needed
+    Sketches.appendToThetaTable(spark, "thf", day1)
+    assert(funnelByDay == byDay, "replaying an absorbed batch must not move any estimate")
+    // plain read paths over the same store
+    val rolled = Sketches.rollupThetaTable(spark, "thf", Seq("cohort")).collect()
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_distinct")).toMap
+    assert(rolled == Map("click" -> 300L, "purchase" -> 300L), s"cohort rollup: $rolled")
+    assert(Sketches.estimateThetaTable(spark, "thf").count() == 4L)
+    val bad = intercept[IllegalArgumentException] {
+      Sketches.overlapFromThetaTable(spark, "thf", "cohort", "click", "purchase", Seq("cohort"))
+    }
+    assert(bad.getMessage.contains("non-cohort"))
+    Seq("thf_sketches", "thf_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("theta stored funnel matches the direct per-day overlap at gate scale") {
+    Seq("thg_sketches", "thg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .select(col("event_type"), col("d"), col("user_id"))
+    Sketches.writeThetaTable(spark, "thg", ev, Seq("event_type", "d"), "user_id")
+    val stored = Sketches
+      .overlapFromThetaTable(spark, "thg", "event_type", "click", "purchase", Seq("d"))
+      .collect().map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_a_only")))).toMap
+    val direct = Sketches.setOverlapDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_click_only")))).toMap
+    assert(stored == direct,
+      "the stored funnel must reproduce the direct one-pass overlap at gate scale")
+    Seq("thg_sketches", "thg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("quantile column names carry the full quantile value; sub-percent quantiles stay distinct") {
     assert(Sketches.quantileColName(0.5) == "p50")
     assert(Sketches.quantileColName(0.99) == "p99")

@@ -247,6 +247,43 @@ class StreamingSpec extends SparkSpec {
     Seq("sqt_sketches", "sqt_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming theta ingest: the stored funnel tracks the live store; a replayed batch no-ops") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("thi_sketches", "thi_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed day 0: clickers 0–299, purchasers 200–399 (exact regime)
+    val seed = ((0 until 300).map(u => ("click", 0L, u.toLong)) ++
+      (200 until 400).map(u => ("purchase", 0L, u.toLong))).toDF("cohort", "d", "uid")
+    Sketches.writeThetaTable(spark, "thi", seed, Seq("cohort", "d"), "uid")
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamingPipeline.thetaIngestStream(ms.toDF().toDF("cohort", "d", "uid"), "thi").start()
+    def funnel = {
+      val r = Sketches
+        .overlapFromThetaTable(spark, "thi", "cohort", "click", "purchase", Seq.empty)
+        .collect()(0)
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+        r.getAs[Long]("n_a_only"))
+    }
+    val day1 = (0 until 100).map(u => ("click", 1L, u.toLong)) ++
+      (50 until 150).map(u => ("purchase", 1L, u.toLong))
+    try {
+      // day-1 micro-batch: purchasers grow to 50–149 ∪ 200–399; the
+      // stored funnel must answer LIVE mid-stream
+      ms.addData(day1: _*)
+      q.processAllAvailable()
+      assert(funnel == ((300L, 300L, 200L, 100L)),
+        s"mid-stream funnel must track the live store, got $funnel")
+      // redelivered micro-batch (at-least-once): theta insertion is
+      // idempotent, so nothing may move — no batch-id stamp involved
+      ms.addData(day1: _*)
+      q.processAllAvailable()
+      assert(funnel == ((300L, 300L, 200L, 100L)),
+        "replaying an absorbed micro-batch must not move the funnel")
+    } finally q.stop()
+    Seq("thi_sketches", "thi_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sessionize: intra-batch gaps close immediately, open sessions close at the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
