@@ -2,9 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
-import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain, MinHashSig, NgramStats, SimHash64}
+import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain,
+  FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, MinHashSig, NgramStats,
+  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery, SimHash64,
+  ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg}
+import graft.operators.Sketches
 
 /** Session extensions: registers graft's native Catalyst expressions
   * as SQL functions. Activate with
@@ -12,6 +18,17 @@ import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMi
   * `SELECT graft_simhash64(split(text, ' ')) FROM docs` works in
   * plain SQL, and operators pick the codegen'd implementation over
   * the Column-expression fallback automatically.
+  *
+  * The sketch-tier AGGREGATES register here too (the analyzer wraps a
+  * builder-returned `AggregateFunction` into an `AggregateExpression`
+  * exactly as for builtins), so the whole mergeable-sketch tier —
+  * heavy hitters, quantile summaries, theta set algebra — is
+  * reachable from pure session SQL with the same ObjectHashAggregate
+  * partial+final plan the Column API gets (spec-pinned). Geometry
+  * arguments (maxMapSize / relativeError / nominalEntries) are
+  * OPTIONAL trailing literals defaulting to the
+  * [[graft.operators.Sketches]] build-time constants — they are
+  * sketch-geometry constants, so they must be foldable.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -24,6 +41,44 @@ object GraftExtensions {
     require(children.length == n,
       s"$name requires exactly $n argument(s), got ${children.length}")
     build(children)
+  }
+
+  private def arityIn(name: String, ns: Set[Int])(build: Seq[Expression] => Expression)
+  : Seq[Expression] => Expression = { children =>
+    require(ns.contains(children.length),
+      s"$name requires ${ns.toSeq.sorted.mkString(" or ")} argument(s), got ${children.length}")
+    build(children)
+  }
+
+  /** Sketch geometry rides the PLAN (it is a constructor parameter of
+    * the aggregate, like the bloom probe's sketch literal), so the
+    * argument must fold at analysis time.
+    */
+  private def foldedInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: geometry argument must be a literal")
+    Cast(e, IntegerType).eval() match {
+      case i: Int => i
+      case v => throw new IllegalArgumentException(s"$name: bad geometry literal $v")
+    }
+  }
+
+  private def foldedDouble(name: String, e: Expression): Double = {
+    require(e.foldable, s"$name: geometry argument must be a literal")
+    Cast(e, DoubleType).eval() match {
+      case d: Double => d
+      case v => throw new IllegalArgumentException(s"$name: bad geometry literal $v")
+    }
+  }
+
+  /** Quantile lists are query constants (SQL decimal literals fold
+    * through the array cast).
+    */
+  private def foldedDoubles(name: String, e: Expression): Seq[Double] = {
+    require(e.foldable, s"$name: quantiles must be a literal array")
+    Cast(e, ArrayType(DoubleType)).eval() match {
+      case a: ArrayData => a.toDoubleArray().toSeq
+      case v => throw new IllegalArgumentException(s"$name: bad quantile array $v")
+    }
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -47,5 +102,55 @@ object GraftExtensions {
       arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))),
     (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getCanonicalName, "graft_bloom_might_contain"),
-      arity("graft_bloom_might_contain", 2)(c => BloomMightContain(c(0), c(1)))))
+      arity("graft_bloom_might_contain", 2)(c => BloomMightContain(c(0), c(1)))),
+    // ---- sketch-tier aggregates + scalar companions ------------------
+    (FunctionIdentifier("graft_freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getCanonicalName, "graft_freq_sketch_agg"),
+      arityIn("graft_freq_sketch_agg", Set(1, 2))(c => FreqSketchAgg(c.head,
+        if (c.length > 1) foldedInt("graft_freq_sketch_agg", c(1))
+        else Sketches.DefaultMaxMapSize))),
+    (FunctionIdentifier("graft_freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqSketchMergeAgg].getCanonicalName, "graft_freq_merge_agg"),
+      arityIn("graft_freq_merge_agg", Set(1, 2))(c => FreqSketchMergeAgg(c.head,
+        if (c.length > 1) foldedInt("graft_freq_merge_agg", c(1))
+        else Sketches.DefaultMaxMapSize))),
+    (FunctionIdentifier("graft_freq_topk"),
+      new ExpressionInfo(classOf[FreqSketchTopK].getCanonicalName, "graft_freq_topk"),
+      arity("graft_freq_topk", 2)(c =>
+        FreqSketchTopK(c.head, foldedInt("graft_freq_topk", c(1))))),
+    (FunctionIdentifier("graft_quantile_sketch_agg"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getCanonicalName, "graft_quantile_sketch_agg"),
+      arityIn("graft_quantile_sketch_agg", Set(1, 2))(c =>
+        QuantileSketchAgg(Cast(c.head, DoubleType),
+          if (c.length > 1) foldedDouble("graft_quantile_sketch_agg", c(1))
+          else Sketches.DefaultQuantileError))),
+    (FunctionIdentifier("graft_quantile_merge_agg"),
+      new ExpressionInfo(classOf[QuantileSketchMergeAgg].getCanonicalName,
+        "graft_quantile_merge_agg"),
+      arityIn("graft_quantile_merge_agg", Set(1, 2))(c => QuantileSketchMergeAgg(c.head,
+        if (c.length > 1) foldedDouble("graft_quantile_merge_agg", c(1))
+        else Sketches.DefaultQuantileError))),
+    (FunctionIdentifier("graft_quantile_query"),
+      new ExpressionInfo(classOf[QuantileSketchQuery].getCanonicalName, "graft_quantile_query"),
+      arity("graft_quantile_query", 2)(c =>
+        QuantileSketchQuery(c.head, foldedDoubles("graft_quantile_query", c(1))))),
+    (FunctionIdentifier("graft_theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getCanonicalName, "graft_theta_sketch_agg"),
+      arityIn("graft_theta_sketch_agg", Set(1, 2))(c => ThetaSketchAgg(c.head,
+        if (c.length > 1) foldedInt("graft_theta_sketch_agg", c(1))
+        else Sketches.DefaultNominalEntries))),
+    (FunctionIdentifier("graft_theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getCanonicalName, "graft_theta_union_agg"),
+      arityIn("graft_theta_union_agg", Set(1, 2))(c => ThetaUnionAgg(c.head,
+        if (c.length > 1) foldedInt("graft_theta_union_agg", c(1))
+        else Sketches.DefaultNominalEntries))),
+    (FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersect].getCanonicalName, "graft_theta_intersect"),
+      arity("graft_theta_intersect", 2)(c => ThetaIntersect(c(0), c(1)))),
+    (FunctionIdentifier("graft_theta_a_not_b"),
+      new ExpressionInfo(classOf[ThetaAnotB].getCanonicalName, "graft_theta_a_not_b"),
+      arity("graft_theta_a_not_b", 2)(c => ThetaAnotB(c(0), c(1)))),
+    (FunctionIdentifier("graft_theta_summary"),
+      new ExpressionInfo(classOf[ThetaSummary].getCanonicalName, "graft_theta_summary"),
+      arity("graft_theta_summary", 1)(c => ThetaSummary(c.head))))
 }

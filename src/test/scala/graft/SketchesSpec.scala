@@ -426,6 +426,58 @@ class SketchesSpec extends SparkSpec {
     Seq("thg_sketches", "thg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("pure-SQL sketch tier: heavy hitters, quantiles, theta funnel and the merge forms, partial-merge plan intact") {
+    // heavy hitters from session SQL alone (exact regime at 4 items)
+    (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++ Seq.fill(10)("z") ++ Seq("w"))
+      .map(("s1", _)).toDF("src", "item").createOrReplaceTempView("sql_items")
+    val hh = spark.sql(
+      """SELECT src, ex.item AS item, ex.estimate AS estimate FROM (
+        |  SELECT src, explode(graft_freq_topk(graft_freq_sketch_agg(item, 64), 2)) AS ex
+        |  FROM sql_items GROUP BY src)""".stripMargin)
+    assert(hh.collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      == Seq(("x", 30L), ("y", 20L)))
+    val plan = hh.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"SQL-registered sketch agg must keep the partial+final plan:\n$plan")
+    // per-day frequency sketches merged to all-time through the SQL merge form
+    val merged = spark.sql(
+      """SELECT ex.item AS item, ex.estimate AS estimate FROM (
+        |  SELECT explode(graft_freq_topk(graft_freq_merge_agg(sk, 64), 1)) AS ex FROM (
+        |    SELECT src, graft_freq_sketch_agg(item, 64) AS sk
+        |    FROM sql_items GROUP BY src))""".stripMargin).collect()
+    assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 30L)))
+    // GK quantiles (rank-exact regime) + the merge form
+    spark.range(0, 1000)
+      .select((col("id") % 2).cast("string").as("grp"), col("id").cast("double").as("v"))
+      .createOrReplaceTempView("sql_vals")
+    val p50 = spark.sql(
+      """SELECT element_at(graft_quantile_query(graft_quantile_merge_agg(sk), array(0.5)), 1) AS p50
+        |FROM (SELECT grp, graft_quantile_sketch_agg(v) AS sk FROM sql_vals GROUP BY grp)"""
+        .stripMargin).collect()(0).getDouble(0)
+    assert(math.abs(p50 - 500.0) <= 2.0, s"SQL quantile path returned $p50")
+    // the funnel, SQL end to end: per-day cohort sketches → all-time
+    // union → intersection/difference via the scalar set algebra
+    ((0 until 300).map(u => ("click", 0L, u.toLong)) ++
+      (200 until 400).map(u => ("purchase", 0L, u.toLong)) ++
+      (0 until 100).map(u => ("click", 1L, u.toLong)))
+      .toDF("cohort", "d", "uid").createOrReplaceTempView("sql_ev")
+    val funnel = spark.sql(
+      """SELECT graft_theta_summary(sa).estimate AS n_click,
+        |       graft_theta_summary(graft_theta_intersect(sa, sb)).estimate AS n_both,
+        |       graft_theta_summary(graft_theta_a_not_b(sa, sb)).estimate AS n_click_only
+        |FROM (SELECT graft_theta_union_agg(sc) AS sa, graft_theta_union_agg(sp) AS sb FROM (
+        |  SELECT d, graft_theta_sketch_agg(CASE WHEN cohort = 'click' THEN uid END) AS sc,
+        |         graft_theta_sketch_agg(CASE WHEN cohort = 'purchase' THEN uid END) AS sp
+        |  FROM sql_ev GROUP BY d))""".stripMargin).collect()(0)
+    assert((funnel.getLong(0), funnel.getLong(1), funnel.getLong(2)) == ((300L, 100L, 200L)),
+      s"SQL funnel must be exact in the exact regime, got $funnel")
+    // geometry arguments are plan constants: a non-literal must be rejected
+    val bad = intercept[Exception] {
+      spark.sql("SELECT graft_freq_topk(graft_freq_sketch_agg(item, length(item)), 1) FROM sql_items GROUP BY src").collect()
+    }
+    assert(bad.getMessage.contains("literal"), s"got: ${bad.getMessage}")
+  }
+
   test("quantile column names carry the full quantile value; sub-percent quantiles stay distinct") {
     assert(Sketches.quantileColName(0.5) == "p50")
     assert(Sketches.quantileColName(0.99) == "p99")
