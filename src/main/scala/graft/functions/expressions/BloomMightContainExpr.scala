@@ -99,24 +99,32 @@ case class BloomMightContainBroadcast(child: Expression,
 
 /** Executor-JVM-wide cache of INFLATED bloom filters, keyed by
   * broadcast id — the piece that makes the broadcast probe one
-  * deserialization per executor instead of per task. Small LRU
-  * (sketches are GB-scale at the design point; a JVM holds the few
-  * live ones, evicted inflations re-read from the still-local
-  * broadcast block if probed again).
+  * deserialization per executor instead of per task. Eviction is
+  * BYTE-budgeted, not entry-counted: sketches are GB-scale at the
+  * design point, so "4 entries" could silently pin many GB — the
+  * budget bounds the pinned heap wherever the filters land, evicting
+  * least-recently-probed first (an evicted inflation re-reads from
+  * the still-local broadcast block if probed again). The most recent
+  * filter always stays — a single over-budget sketch must still
+  * probe.
   */
 object BloomSketchCache {
-  private val MaxEntries = 4
+  /** Inflated-filter heap budget (bytes). Default 4 GiB ≈ three
+    * design-point sketches; overridable for tests and small
+    * executors.
+    */
+  @volatile private[graft] var maxBytes: Long =
+    sys.props.get("graft.bloom.cache.bytes").map(_.toLong).getOrElse(4L << 30)
   /** Total inflations in this JVM — observable so a spec can pin the
     * once-per-executor contract.
     */
   private[graft] val deserializations = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cache =
     new java.util.LinkedHashMap[java.lang.Long, org.apache.spark.util.sketch.BloomFilter](
-      8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[java.lang.Long, org.apache.spark.util.sketch.BloomFilter])
-      : Boolean = size() > MaxEntries
-    }
+      8, 0.75f, true)
+  private var cachedBytes = 0L
+
+  private def sizeOf(f: org.apache.spark.util.sketch.BloomFilter): Long = f.bitSize() / 8
 
   def filterFor(b: org.apache.spark.broadcast.Broadcast[Array[Byte]])
   : org.apache.spark.util.sketch.BloomFilter = cache.synchronized {
@@ -127,7 +135,18 @@ object BloomSketchCache {
       val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(b.value))
       cache.put(b.id, f)
+      cachedBytes += sizeOf(f)
+      val it = cache.entrySet().iterator()
+      while (cachedBytes > maxBytes && cache.size() > 1) {
+        val eldest = it.next()
+        if (eldest.getKey != b.id) { // never evict the entry being served
+          cachedBytes -= sizeOf(eldest.getValue)
+          it.remove()
+        }
+      }
       f
     }
   }
+
+  private[graft] def entryCount: Int = cache.synchronized(cache.size())
 }

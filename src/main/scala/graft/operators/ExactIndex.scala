@@ -50,7 +50,11 @@ object ExactIndex {
     val refDigests = reference.select(md5(col(textCol)).as("h")).distinct()
     val n = if (expectedItems > 0) expectedItems
       else math.max(1000L, refDigests.count())
-    val bloom = buildBloom(refDigests, n, fpp)
+    // one-shot form: an unmanaged per-call broadcast is fine (the
+    // ContextCleaner reclaims it with the plan); the STORED-index
+    // path reuses one cached broadcast per index instead — see
+    // [[BloomBroadcastCache]]
+    val bloom = batch.sparkSession.sparkContext.broadcast(buildBloom(refDigests, n, fpp))
     classify(batch.sparkSession,
       batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")),
       refDigests, bloom)
@@ -67,19 +71,19 @@ object ExactIndex {
     bos.toByteArray
   }
 
-  /** The codegen'd sketch probe: the bytes BROADCAST once per query
-    * batch (torrent-fetched once per executor, filter inflated once
-    * per JVM via [[graft.functions.expressions.BloomSketchCache]] —
-    * at the ~1.2 GB/10⁹-digest design point a plan-literal sketch
-    * would ride and re-inflate in every task), probed by the
-    * broadcast-handle expression built directly — no registry or
-    * extensions dependence. Correctness never depends on the sketch
-    * (any probe answer only routes rows between the map-side `false`
-    * tag and the exact confirm join).
+  /** The codegen'd sketch probe: the bytes BROADCAST (torrent-fetched
+    * once per executor, filter inflated once per JVM via
+    * [[graft.functions.expressions.BloomSketchCache]] — at the
+    * ~1.2 GB/10⁹-digest design point a plan-literal sketch would ride
+    * and re-inflate in every task), probed by the broadcast-handle
+    * expression built directly — no registry or extensions
+    * dependence. Correctness never depends on the sketch (any probe
+    * answer only routes rows between the map-side `false` tag and the
+    * exact confirm join).
     */
-  private def bloomProbe(spark: SparkSession, c: Column, bytes: Array[Byte]): Column = {
+  private def bloomProbe(c: Column,
+                         bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
-    val bc = spark.sparkContext.broadcast(bytes)
     ColumnBridge.column(graft.functions.expressions.BloomMightContainBroadcast(
       ColumnBridge.expression(c), bc))
   }
@@ -88,8 +92,8 @@ object ExactIndex {
     * bloom-positives left-join the digests for the exact verdict.
     */
   private def classify(spark: SparkSession, batch: DataFrame, digests: DataFrame,
-                       bloomBytes: Array[Byte]): DataFrame = {
-    val probed = batch.withColumn("maybe", bloomProbe(spark, col("h"), bloomBytes))
+                       bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]]): DataFrame = {
+    val probed = batch.withColumn("maybe", bloomProbe(col("h"), bloom))
     val definiteNew = probed.filter(!col("maybe"))
       .select(col("doc_id"), col("h"), lit(false).as("is_known"))
     val confirmed = probed.filter(col("maybe"))
@@ -148,9 +152,8 @@ object ExactIndex {
     // flagKnownStream spec, where foreachBatch clones the session.
     spark.catalog.refreshTable(s"${name}_bloom")
     spark.catalog.refreshTable(s"${name}_digests")
-    val (bloom, _, _, _, _) = readBloomMeta(spark, name)
     classify(spark, batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")),
-      spark.table(s"${name}_digests"), bloom)
+      spark.table(s"${name}_digests"), BloomBroadcastCache.bloomFor(spark, name))
   }
 
   /** Fold a batch's digests into the stored index, idempotently:
@@ -187,5 +190,51 @@ object ExactIndex {
         nItems + nNew, buckets)
     }
     fresh.unpersist()
+  }
+}
+
+/** ONE live broadcast of the stored bloom bytes per index per driver
+  * JVM, keyed by the `<name>_bloom` table's current FILE SET (its
+  * generation identity — every append/rebuild overwrites the table,
+  * changing the files). A streaming `flagKnownStream` or
+  * `Pipeline.ingest` loop re-flags every micro-batch: without the
+  * cache each call broadcast a fresh copy of the (design-point
+  * ~1.2 GB) sketch and left reclamation to driver GC + the
+  * ContextCleaner, accumulating GB-scale broadcast blocks over a
+  * long-running stream. Here the bytes re-broadcast ONLY when the
+  * stored sketch actually changed, and the superseded broadcast is
+  * DESTROYED eagerly (executors drop their blocks at once).
+  *
+  * Destroying on supersession is safe under the index's single-writer
+  * maintenance contract: a new generation exists before the old
+  * broadcast dies, so only a query planned against the PRE-append
+  * sketch and still running could observe it — the same bounded
+  * retention semantics the generation-flip tables document. The
+  * probe stays correctness-neutral either way (a bloom answer only
+  * routes rows toward or away from the exact confirm join).
+  */
+private[graft] object BloomBroadcastCache {
+  /** Broadcasts created in this JVM — observable so a spec can pin
+    * the reuse-across-batches contract.
+    */
+  private[graft] val broadcastsCreated = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cache = scala.collection.mutable.Map[
+    String, (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+
+  def bloomFor(spark: SparkSession, name: String)
+  : org.apache.spark.broadcast.Broadcast[Array[Byte]] = synchronized {
+    val table = s"${name}_bloom"
+    val fp = spark.table(table).inputFiles.sorted.mkString("\n")
+    cache.get(name) match {
+      case Some((f, bc)) if f == fp => bc
+      case stale =>
+        stale.foreach(_._2.destroy())
+        val bytes = spark.table(table).select(col("bloom"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val bc = spark.sparkContext.broadcast(bytes)
+        broadcastsCreated.incrementAndGet()
+        cache.put(name, (fp, bc))
+        bc
+    }
   }
 }

@@ -92,4 +92,55 @@ class ExactIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS exidx_spec_digests")
     spark.sql("DROP TABLE IF EXISTS exidx_spec_bloom")
   }
+
+  test("stored-index bloom broadcasts once per generation: reused across batches, re-broadcast on append") {
+    import graft.operators.BloomBroadcastCache
+    ExactIndex.write(reference, "exbc_spec", buckets = 4)
+    val before = BloomBroadcastCache.broadcastsCreated.get()
+    // two micro-batch-style flags against an unchanged index: ONE
+    // broadcast serves both (the foreachBatch loop's steady state)
+    assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(col("is_known")).count() == 100)
+    assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(col("is_known")).count() == 100)
+    assert(BloomBroadcastCache.broadcastsCreated.get() - before == 1L,
+      "an unchanged index must reuse its cached bloom broadcast across batches")
+    // append changes the stored sketch's file set: exactly one fresh
+    // broadcast, and the flags track the LIVE index
+    ExactIndex.append(batch, "exbc_spec")
+    assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(!col("is_known")).count() == 0)
+    assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(!col("is_known")).count() == 0)
+    assert(BloomBroadcastCache.broadcastsCreated.get() - before == 2L,
+      "an appended index must re-broadcast exactly once, then reuse again")
+    spark.sql("DROP TABLE IF EXISTS exbc_spec_digests")
+    spark.sql("DROP TABLE IF EXISTS exbc_spec_bloom")
+  }
+
+  test("inflated-filter cache evicts by byte budget, never the filter being served") {
+    import graft.functions.expressions.BloomSketchCache
+    val prevBudget = BloomSketchCache.maxBytes
+    try {
+      // two small filters: with a budget below one filter, inserting
+      // the second must evict the first yet still serve the second
+      def sketchBytes(seed: String): Array[Byte] = {
+        val bf = reference.select(md5(concat(lit(seed), col("text"))).as("h"))
+          .stat.bloomFilter("h", 1000L, 0.03)
+        val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+      }
+      val b1 = spark.sparkContext.broadcast(sketchBytes("a"))
+      val b2 = spark.sparkContext.broadcast(sketchBytes("b"))
+      BloomSketchCache.maxBytes = 1L // below any real filter
+      val f1 = BloomSketchCache.filterFor(b1)
+      assert(BloomSketchCache.entryCount == 1, "the only (over-budget) filter must stay cached")
+      val infls = BloomSketchCache.deserializations.get()
+      assert(BloomSketchCache.filterFor(b1) eq f1, "serving again must hit the cache")
+      assert(BloomSketchCache.deserializations.get() == infls)
+      val f2 = BloomSketchCache.filterFor(b2)
+      assert(f2 ne f1)
+      assert(BloomSketchCache.entryCount == 1,
+        "over budget, the least-recently-probed filter must evict")
+      // b1 evicted: probing it re-inflates from the broadcast block
+      BloomSketchCache.filterFor(b1)
+      assert(BloomSketchCache.deserializations.get() == infls + 2)
+      b1.destroy(); b2.destroy()
+    } finally BloomSketchCache.maxBytes = prevBudget
+  }
 }
