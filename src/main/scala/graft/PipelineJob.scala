@@ -184,12 +184,27 @@ object PipelineJob {
     report
   }
 
+  /** One job-level composed vector-ingest step — reads the embedding
+    * batch, runs [[Pipeline.vectorIngest]], prints the report.
+    * Factored out of [[main]] so the E2E spec drives the exact job
+    * path.
+    */
+  def runVectorIngest(spark: SparkSession, batchPath: String, indexName: String)
+  : Pipeline.VectorIngestReport = {
+    val report = Pipeline.vectorIngest(spark.read.parquet(batchPath), indexName)
+    println(s"vector ingest into $indexName: batch=${report.nBatch} " +
+      s"known-id=${report.nKnownId} known-content=${report.nKnownContent} " +
+      s"appended=${report.nAppended} " +
+      s"recluster ${if (report.reclustered) "RAN" else "not needed"}")
+    report
+  }
+
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "ingest", "vacuum", "sketch-ingest")
+      "ingest", "vacuum", "sketch-ingest", "vector-ingest")
     require(args.length >= 3 && modes(args(0)),
       "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest|" +
-        "vacuum|sketch-ingest " +
+        "vacuum|sketch-ingest|vector-ingest " +
         "<docsPath|table> <outDir|tableName|indexName|keepGenerations> [minQualityFs|batchId]")
     val (mode, in, out) = (args(0), args(1), args(2))
     val minQ = if (args.length > 3) args(3).toLong else 5000L
@@ -220,6 +235,11 @@ object PipelineJob {
     }
     if (mode == "sketch-ingest") {
       runSketchIngest(spark, in, out, args.lift(3).map(_.toLong).getOrElse(-1L))
+      spark.stop()
+      return
+    }
+    if (mode == "vector-ingest") {
+      runVectorIngest(spark, in, out)
       spark.stop()
       return
     }

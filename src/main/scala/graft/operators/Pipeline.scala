@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the composed pipeline a user of
@@ -284,5 +284,86 @@ object Pipeline {
     }
     IngestReport(nBatch, nBatch - nChanged - nAdded, nChanged, nAdded, nChangedApplied,
       nAdded + nChangedApplied - nNovel, nNovel - nAccepted, nAccepted, compacted)
+  }
+
+  /** What one [[vectorIngest]] step did: `nKnownId + nKnownContent +
+    * nAppended = nBatch`.
+    */
+  case class VectorIngestReport(nBatch: Long, nKnownId: Long, nKnownContent: Long,
+                                nAppended: Long, reclustered: Boolean)
+
+  /** The embedding's canonical digestable form: the exact float
+    * rendering, element-joined — identical arrays digest identically
+    * on any engine/partitioning, and the ExactIndex machinery (bloom
+    * + bucketed digest table) applies unchanged.
+    */
+  private def vectorText(emb: Column): Column =
+    array_join(transform(emb, x => x.cast("string")), ",")
+
+  /** Stand up the stored pair [[vectorIngest]] folds into: the IVF-PQ
+    * index over the seed corpus ([[IvfPq.writeIndex]]) plus a
+    * content-digest exact index `<name>_vexact` over the embeddings'
+    * canonical form. One call, mirroring `curateToBucketed` +
+    * `ExactIndex.write` + `Dedup.writeNgramLshIndex` on the text side.
+    */
+  def initVectorIngest(embeddings: DataFrame, name: String, dim: Int = 64,
+                       nlist: Int = 16, m: Int = 8, ks: Int = 64,
+                       buckets: Int = 32): Unit = {
+    IvfPq.writeIndex(embeddings, name, dim = dim, nlist = nlist, m = m, ks = ks,
+      buckets = buckets)
+    ExactIndex.write(
+      embeddings.select(col("vec_id"), vectorText(col("embedding")).as("vtxt")),
+      s"${name}_vexact", buckets = buckets, textCol = "vtxt")
+  }
+
+  /** ONE composed vector-corpus ingest step against a stored IVF-PQ
+    * index `name` — the embedding twin of [[ingest]], previously
+    * hand-composed from digest-dedup → [[IvfPq.appendToIndex]] →
+    * drift rule:
+    *
+    *   1. vec_ids already in `<name>_vecs` drop (a REPLAYED batch
+    *      no-ops end to end — id idempotence, now surfaced in the
+    *      report rather than silently absorbed by the append);
+    *   2. re-sent CONTENT under a new vec_id drops against the
+    *      `<name>_vexact` digest index (bloom-pruned confirm join —
+    *      the re-crawl analogue: a re-embedded duplicate document
+    *      must not enter the index twice under two ids);
+    *   3. survivors' digests append to the exact index, then the
+    *      vectors fold into the IVF-PQ store against the FROZEN
+    *      codebooks and the drift rule evaluates, reclustering when
+    *      it fires ([[IvfPq.maintainIndex]]).
+    *
+    * The survivor set is localCheckpointed before any append (the
+    * [[ingest]] lesson: every upstream frame reads the tables step 3
+    * writes). Re-running the same batch is a no-op by construction.
+    */
+  def vectorIngest(batch: DataFrame, name: String,
+                   maxDistGrowth: Double = 1.5,
+                   maxSkewGrowth: Double = 2.0): VectorIngestReport = {
+    val spark = batch.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    spark.catalog.refreshTable(s"${name}_vecs")
+    val nBatch = batch.count()
+    val freshIds = batch
+      .join(spark.table(s"${name}_vecs"), col("vec_id") === col("c_id"), "left_anti")
+      .withColumn("vtxt", vectorText(col("embedding")))
+      .persist(MEMORY_AND_DISK)
+    val nFreshId = freshIds.count()
+    val novel = freshIds
+      .join(ExactIndex.flagAgainstIndex(freshIds, s"${name}_vexact",
+        textCol = "vtxt", idCol = "vec_id")
+        .filter(col("is_known")).select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val nNovel = novel.count()
+    freshIds.unpersist(false)
+    var reclustered = false
+    if (nNovel > 0) {
+      ExactIndex.append(novel.select(col("vec_id"), col("vtxt")),
+        s"${name}_vexact", textCol = "vtxt")
+      reclustered = IvfPq.maintainIndex(novel.select(col("vec_id"), col("embedding")),
+        name, maxDistGrowth, maxSkewGrowth)
+    }
+    VectorIngestReport(nBatch, nBatch - nFreshId, nFreshId - nNovel, nNovel, reclustered)
   }
 }

@@ -317,6 +317,68 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
   }
 
+  test("vector-ingest job mode: composed step equals the hand-composed sequence, replay idempotent") {
+    import org.apache.spark.sql.functions.{array_join, col, transform => htransform}
+    import graft.operators.{ExactIndex, IvfPq}
+    val tables = Seq("vecs", "codes", "centroids", "pqbooks", "meta", "stats",
+      "vexact_digests", "vexact_bloom")
+    for (p <- Seq("vecA", "vecB"); t <- tables)
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    def vtxt = array_join(htransform(col("embedding"), x => x.cast("string")), ",")
+    Pipeline.initVectorIngest(seed, "vecA", nlist = 8, m = 8, ks = 16, buckets = 8)
+    IvfPq.writeIndex(seed, "vecB", nlist = 8, m = 8, ks = 16, buckets = 8)
+    ExactIndex.write(seed.withColumn("vtxt", vtxt), "vecB_vexact",
+      buckets = 8, textCol = "vtxt")
+    // the batch: 10 replayed ids, 5 re-sent embeddings under NEW ids
+    // (content dups), 50 genuinely new vectors
+    val replayed = seed.filter(col("vec_id") < 10)
+    val contentDups = seed.filter(col("vec_id").between(100, 104))
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val fresh = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("vec_batch").toString
+    replayed.unionByName(contentDups).unionByName(fresh)
+      .write.mode("overwrite").parquet(dir)
+
+    // hand-composed sequence on the vecB twin
+    val batchB = spark.read.parquet(dir)
+    val freshIdsB = batchB
+      .join(spark.table("vecB_vecs"), col("vec_id") === col("c_id"), "left_anti")
+      .withColumn("vtxt", vtxt)
+    val novelB = freshIdsB.join(
+      ExactIndex.flagAgainstIndex(freshIdsB, "vecB_vexact", textCol = "vtxt", idCol = "vec_id")
+        .filter(col("is_known")).select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_anti").localCheckpoint()
+    ExactIndex.append(novelB.select(col("vec_id"), col("vtxt")), "vecB_vexact",
+      textCol = "vtxt")
+    val firedB = IvfPq.maintainIndex(novelB.select("vec_id", "embedding"), "vecB")
+
+    // the composed job path on vecA
+    val r1 = PipelineJob.runVectorIngest(spark, dir, "vecA")
+    assert(r1 == Pipeline.VectorIngestReport(65, 10, 5, 50, firedB),
+      s"first vector ingest must classify every batch row (firedB=$firedB), got $r1")
+    def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    assert(rows("vecA_vecs") == rows("vecB_vecs"),
+      "composed ingest must land exactly the hand-composed vector store")
+    assert(rows("vecA_codes") == rows("vecB_codes"),
+      "composed ingest must land exactly the hand-composed codes")
+    assert(rows("vecA_vexact_digests") == rows("vecB_vexact_digests"),
+      "composed ingest must land exactly the hand-composed digests")
+    assert(spark.table("vecA_vecs").count() == 450,
+      "survivors = seed + the 50 genuinely-new vectors")
+
+    // replaying the SAME batch: every row already handled, nothing moves
+    val r2 = PipelineJob.runVectorIngest(spark, dir, "vecA")
+    assert(r2 == Pipeline.VectorIngestReport(65, 60, 5, 0, false),
+      s"re-ingest must append nothing, got $r2")
+    assert(rows("vecA_vecs") == rows("vecB_vecs") && rows("vecA_codes") == rows("vecB_codes"),
+      "re-ingest must not change the stores")
+    for (p <- Seq("vecA", "vecB"); t <- tables)
+      spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+  }
+
   test("ingest applyChanged: changed re-crawls retract + re-process; digests stay content history") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, ExactIndex}
