@@ -69,6 +69,20 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] metrics file write failed: $e") }
+    // The driver keeps only the last ~2000 chars of the log, and at
+    // 99 keys the full per-key line above (~2.4 KB) no longer fits —
+    // its FRONT truncates out of the tail and the driver's own parse
+    // records null (r11, r12). The LAST line is therefore a compact
+    // twin that always fits: same envelope, "queries" rolled up to
+    // operator families (granularity declared, per-key detail in the
+    // committed file above).
+    val fam = results.groupBy { case (k, _) =>
+      if (k.matches("^q\\d.*")) "q" else k.takeWhile(_ != '_')
+    }.toSeq.sortBy(_._1).map { case (f, kvs) =>
+      "\"" + f + "\":" + fmt(kvs.collect { case (_, v) if v >= 0 => v }.sum)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fam,""" +
+      s""""granularity":"family","detail":"$out","errors":$errs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
