@@ -54,12 +54,61 @@ object Dedup {
     * join-back shares the (band, bucket) shuffle key; replication
     * touches only mega-bucket rows.
     */
-  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024): DataFrame = {
+  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024): DataFrame =
+    candidatePairs(banded0, maxBucket, sketchDiscovery = true)
+
+  /** Two interchangeable mega-bucket DISCOVERY strategies (the pair
+    * set is identical either way — spec-pinned on the forced-skew
+    * fixture — because any consistent per-bucket split yields the
+    * same pairs; discovery only decides where the skew guard spends
+    * replication):
+    *
+    *  - `sketchDiscovery = true` (default): ONE bounded global
+    *    frequency sketch over the composite bucket key
+    *    ([[Sketches.freqSketch]] — the sketch tier consumed by the
+    *    dedup engine itself). The hot list is ≤ maxMapSize rows and
+    *    BROADCASTS, so `banded` is never shuffled for discovery — its
+    *    only exchange is the pair join itself. `upper` (the sketch's
+    *    true-count upper bound) sizes each split, so a reported
+    *    bucket never under-salts; NO_FALSE_NEGATIVES guarantees every
+    *    bucket with count > the sketch's max error (≈ 3.5·|banded| /
+    *    maxMapSize once saturated) is reported. An UNREPORTED bucket
+    *    can thus hide at most that max error in one task — size
+    *    maxMapSize ≥ 3.5·|banded|/maxBucket for full coverage, or
+    *    accept residual skew bounded by it; correctness is unaffected
+    *    either way.
+    *  - `sketchDiscovery = false`: exact per-bucket counts via a
+    *    partial-agg groupBy joined back on the (band, bucket) shuffle
+    *    key — one extra exchange of the slim banded frame, exact
+    *    split sizes. The fallback when the banded frame is about to
+    *    shuffle on (band, bucket) anyway.
+    */
+  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int,
+                                    sketchDiscovery: Boolean): DataFrame = {
+    val maxMapSize = 4096
     val banded = banded0.select(col("doc_id"), col("band"), col("bucket"))
-    val counts = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-    val salted = banded.join(counts, Seq("band", "bucket"))
-      .withColumn("s", ceil(col("n") / lit(maxBucket.toDouble)).cast("int"))
-      .withColumn("g", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+    val salted =
+      if (sketchDiscovery) {
+        val bandT = banded.schema("band").dataType
+        val bucketT = banded.schema("bucket").dataType
+        val hot = banded
+          .agg(Sketches.freqSketch(
+            concat_ws(":", col("band"), col("bucket")), maxMapSize).as("sk"))
+          .select(explode(Sketches.freqTopK(col("sk"), 0)).as("hh"))
+          .filter(col("hh.upper") > maxBucket)
+          .select(split(col("hh.item"), ":").as("parts"), col("hh.upper").as("n"))
+          .select(element_at(col("parts"), 1).cast(bandT).as("band"),
+            element_at(col("parts"), 2).cast(bucketT).as("bucket"),
+            ceil(col("n") / lit(maxBucket.toDouble)).cast("int").as("s"))
+        banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+          .withColumn("s", coalesce(col("s"), lit(1)))
+          .withColumn("g", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+      } else {
+        val counts = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        banded.join(counts, Seq("band", "bucket"))
+          .withColumn("s", ceil(col("n") / lit(maxBucket.toDouble)).cast("int"))
+          .withColumn("g", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+      }
     val a = salted
       .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
       .select(col("doc_id").as("id_a"), col("band"), col("bucket"), col("pg"))

@@ -435,6 +435,20 @@ class DedupSpec extends SparkSpec {
     // s = ceil(2000/200) = 10 salt groups fan the mega-bucket out
     val s = math.ceil(n.toDouble / 200).toInt
     assert(s == 10)
+    // both discovery strategies — broadcast freq-sketch hot list
+    // (default) and exact counts join — produce the identical pair set
+    val exactCounts = Dedup.candidatePairs(banded, maxBucket = 200, sketchDiscovery = false)
+    assert(salted.exceptAll(exactCounts).isEmpty && exactCounts.exceptAll(salted).isEmpty,
+      "sketch-discovered salting must not change the candidate set")
+    // discovery never shuffles the banded frame: the sketch's hot
+    // list broadcasts, so the only hashpartitioning exchanges are the
+    // pair join's own two legs
+    val sketchPlan = salted.queryExecution.executedPlan.toString
+    val countsPlan = exactCounts.queryExecution.executedPlan.toString
+    def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges(sketchPlan) < exchanges(countsPlan),
+      s"sketch discovery must drop the counts join-back exchange " +
+        s"(${exchanges(sketchPlan)} vs ${exchanges(countsPlan)})")
   }
 
   test("applyPairs drops exactly the higher-id members of dup pairs") {
