@@ -155,14 +155,23 @@ object PipelineJob {
     val ev = tsFixed.withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
     val users = ev.select(col("event_type"), col("d"), col("user_id"))
     val vals = ev.select(col("event_type"), col("value"))
+    // the funnel store: per-(cohort, day) theta sketches, so any
+    // day-range clickers∩purchasers answers from the bounded table
+    // (free-replay append — theta is the insertion-idempotent tier,
+    // no batch-id needed)
+    val funnel = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("d"), col("user_id"))
     if (!spark.catalog.tableExists(s"${name}_users_sketches")) {
       Sketches.writeSketchTable(spark, s"${name}_users", users.limit(0),
         Seq("event_type", "d"), "user_id")
       Sketches.writeQuantileTable(spark, s"${name}_values", vals.limit(0),
         Seq("event_type"), "value")
+      Sketches.writeThetaTable(spark, s"${name}_funnel", funnel.limit(0),
+        Seq("event_type", "d"), "user_id")
     }
     Sketches.appendToSketchTable(spark, s"${name}_users", users)
     Sketches.appendToQuantileTable(spark, s"${name}_values", vals, batchId)
+    Sketches.appendToThetaTable(spark, s"${name}_funnel", funnel)
     val nGroups = spark.table(s"${name}_users_sketches").count()
     println(s"sketch ingest into $name: batch=$batchId " +
       s"user-sketch groups=$nGroups (estimates answer from the stored tables)")

@@ -207,7 +207,8 @@ class PipelineSpec extends SparkSpec {
   test("sketch-ingest job mode: batched appends equal the one-shot sketches; quantile replay no-ops") {
     import graft.operators.Sketches
     import org.apache.spark.sql.functions.{col, date_trunc, unix_timestamp}
-    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta")
+    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta",
+      "tel_funnel_sketches", "tel_funnel_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val ev = Tables.events(spark, sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_telemetry").toString
@@ -229,10 +230,27 @@ class PipelineSpec extends SparkSpec {
     def p50s = Sketches.quantilesFromTable(spark, "tel_values", Seq(0.5)).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("p50")).toMap
     val afterB1 = p50s
-    // replayed batch 1 (same id): quantile summaries must not move
+    // the funnel store answers the overlap question from sketches
+    // alone, matching the one-pass direct overlap at gate scale
+    def funnelByDay = Sketches
+      .overlapFromThetaTable(spark, "tel_funnel", "event_type", "click", "purchase", Seq("d"))
+      .collect().map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_a_only")))).toMap
+    val storedFunnel = funnelByDay
+    val directFunnel = Sketches.setOverlapDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"),
+          r.getAs[Long]("n_both"), r.getAs[Long]("n_click_only")))).toMap
+    assert(storedFunnel == directFunnel,
+      "the CLI-ingested funnel store must reach the direct one-pass overlap")
+    // replayed batch 1 (same id): quantile summaries must not move,
+    // and the theta funnel is replay-free by idempotence
     PipelineJob.runSketchIngest(spark, s"$base/b1", "tel", batchId = 1L)
     assert(p50s == afterB1, "a replayed batch id must no-op on the value summaries")
-    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta")
+    assert(funnelByDay == storedFunnel, "a replayed batch must not move the funnel")
+    Seq("tel_users_sketches", "tel_users_meta", "tel_values_sketches", "tel_values_meta",
+      "tel_funnel_sketches", "tel_funnel_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
