@@ -996,6 +996,22 @@ object Oracles {
       |       CAST(sum(c * (1 - p)) AS BIGINT) AS n_click_only
       |FROM u GROUP BY d ORDER BY d""".stripMargin
 
+  /** Exact N-step funnel twin of [[graft.operators.Sketches.funnelDaily]]
+    * (steps view → click → purchase): per-(day, user) step flags, then
+    * flag products count the users who completed each prefix.
+    */
+  val sketchFunnel: String =
+    """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
+      |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+      |             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+      |             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s2
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |           GROUP BY 1, 2)
+      |SELECT d, CAST(sum(s0) AS BIGINT) AS n_view,
+      |       CAST(sum(s0 * s1) AS BIGINT) AS n_view_click,
+      |       CAST(sum(s0 * s1 * s2) AS BIGINT) AS n_view_click_purchase
+      |FROM u GROUP BY d ORDER BY d""".stripMargin
+
   val sketchHeavyHitters: String =
     """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
       |c AS (SELECT source, token, count(*) AS n_occurrences FROM t GROUP BY 1, 2),

@@ -83,6 +83,10 @@ object SparkEntry {
     // oracle; the gate key checks the sketches' own 3σ envelopes
     "sketch_set_overlap" -> ((s, dir) => Sketches.setOverlapDaily(s, dir)),
     "sketch_set_overlap_gate" -> ((s, dir) => Sketches.setOverlapGate(s, dir)),
+    // N-step conversion funnel (view → click → purchase) as cumulative
+    // theta intersections over ONE scan — exact mode at gate scale →
+    // hash-matches the flag-product oracle
+    "sketch_funnel" -> ((s, dir) => Sketches.funnelDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -359,6 +363,7 @@ object SparkEntry {
     "sketch_distinct" -> Oracles.sketchDistinct,
     "sketch_heavy_hitters" -> Oracles.sketchHeavyHitters,
     "sketch_set_overlap" -> Oracles.sketchSetOverlap,
+    "sketch_funnel" -> Oracles.sketchFunnel,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -485,6 +485,72 @@ object Sketches {
         thetaSummary(thetaAnotB(col("sa"), col("sb"))).getField("estimate").as("n_a_only"): _*)
   }
 
+  /** N-step funnel from the stored theta table: per `keyCols` grain,
+    * the audience that completed step 1, steps 1∧2, … — the
+    * generalization of [[overlapFromThetaTable]] to ordered
+    * conversion chains ("of the viewers, how many clicked, and of
+    * those, purchased"), answered from the bounded stored table via
+    * one union per step and cumulative intersections. Output:
+    * keyCols ++ one `n_<s1>[_<s2>…]` column per prefix.
+    */
+  def funnelFromThetaTable(spark: SparkSession, name: String, cohortCol: String,
+                           steps: Seq[String], keyCols: Seq[String],
+                           where: Column = lit(true)): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    refresh(spark, name)
+    val (nominalEntries, groupCols, _, _) = thetaMeta(spark, name)
+    require(groupCols.contains(cohortCol),
+      s"cohort column $cohortCol is not part of the stored grouping $groupCols")
+    require(keyCols.forall(k => groupCols.contains(k) && k != cohortCol),
+      s"key columns $keyCols must be stored non-cohort group columns ($groupCols)")
+    val unions = steps.zipWithIndex.map { case (s, i) =>
+      thetaUnion(when(col(cohortCol) === s, col("sketch")), nominalEntries).as(s"s$i")
+    }
+    val grouped = spark.table(s"${name}_sketches")
+      .filter(where && col(cohortCol).isin(steps: _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(unions.head, unions.tail: _*)
+    grouped.select(keyCols.map(col) ++ funnelMeasures(steps): _*)
+  }
+
+  /** Cumulative-intersection measure columns over step sketches
+    * `s0..sN-1`: `n_<s1>`, `n_<s1>_<s2>`, … (each estimate from the
+    * intersection of all previous steps' sketches).
+    */
+  private def funnelMeasures(steps: Seq[String]): Seq[Column] = {
+    val cums = steps.indices.tail.scanLeft(col("s0"): Column) { (acc, i) =>
+      thetaIntersect(acc, col(s"s$i"))
+    }
+    cums.zipWithIndex.map { case (c, i) =>
+      thetaSummary(c).getField("estimate").as("n_" + steps.take(i + 1).mkString("_"))
+    }
+  }
+
+  /** Per-day N-step funnel over the events table in ONE pass — one
+    * conditional theta sketch per (day, step), then cumulative
+    * intersections. The exact form is a distinct-set self-join per
+    * prefix asked; here every prefix is sketch algebra over the same
+    * single scan. Gate-scale daily audiences sit in exact mode, so
+    * the key hash-matches the exact flag-product oracle (the
+    * [[setOverlapDaily]] argument); estimation-regime honesty travels
+    * via [[setOverlapGate]]'s envelope machinery over the same
+    * expressions.
+    */
+  def funnelDaily(spark: SparkSession, dir: String,
+                  steps: Seq[String] = Seq("view", "click", "purchase"),
+                  nominalEntries: Int = DefaultNominalEntries): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val sketches = steps.zipWithIndex.map { case (s, i) =>
+      thetaSketch(when(col("event_type") === s, col("user_id")), nominalEntries).as(s"s$i")
+    }
+    ev.groupBy(col("d")).agg(sketches.head, sketches.tail: _*)
+      .select(col("d") +: funnelMeasures(steps): _*)
+      .orderBy(col("d"))
+  }
+
   /** Theta honesty gate: 1 iff for every day all four measures'
     * TRUE values sit inside the result sketches' own 3-std-dev
     * [lower, upper] envelopes (exact-mode sketches report zero-width

@@ -426,6 +426,56 @@ class SketchesSpec extends SparkSpec {
     Seq("thg_sketches", "thg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("N-step funnel: cumulative intersections match exact flag products at gate scale; stored twin at any grain") {
+    // direct one-pass form vs the exact per-(day, user) flag products
+    val funnel = Sketches.funnelDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_view"),
+        r.getAs[Long]("n_view_click"), r.getAs[Long]("n_view_click_purchase")))).toMap
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy(col("d"), col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("s0"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("s1"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s2"))
+      .groupBy(col("d"))
+      .agg(sum(col("s0")).as("v"), sum(col("s0") * col("s1")).as("vc"),
+        sum(col("s0") * col("s1") * col("s2")).as("vcp"))
+      .collect().map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("vc"), r.getAs[Long]("vcp")))).toMap
+    assert(funnel == exact,
+      "gate-scale audiences are exact-mode sketches: every prefix must match the flag products")
+    assert(funnel.values.forall { case (v, vc, vcp) => v >= vc && vc >= vcp },
+      "funnel prefixes must be monotonically non-increasing")
+    // stored twin on a planted 3-cohort fixture, at two grains
+    Seq("thn_sketches", "thn_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    //   day 0: viewers 0–399, clickers 100–299, purchasers 250–349
+    //   day 1: viewers 0–99,  clickers 0–49,   purchasers 25–74
+    val rows = ((0 until 400).map(u => ("view", 0L, u.toLong)) ++
+      (100 until 300).map(u => ("click", 0L, u.toLong)) ++
+      (250 until 350).map(u => ("purchase", 0L, u.toLong)) ++
+      (0 until 100).map(u => ("view", 1L, u.toLong)) ++
+      (0 until 50).map(u => ("click", 1L, u.toLong)) ++
+      (25 until 75).map(u => ("purchase", 1L, u.toLong))).toDF("cohort", "d", "uid")
+    Sketches.writeThetaTable(spark, "thn", rows, Seq("cohort", "d"), "uid")
+    val byDay = Sketches.funnelFromThetaTable(spark, "thn", "cohort",
+      Seq("view", "click", "purchase"), Seq("d")).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_view"),
+        r.getAs[Long]("n_view_click"), r.getAs[Long]("n_view_click_purchase")))).toMap
+    // day 0: V∩C = 100–299 (200), V∩C∩P = 250–299 (50)
+    // day 1: V∩C = 0–49 (50), V∩C∩P = 25–49 (25)
+    assert(byDay == Map(0L -> ((400L, 200L, 50L)), 1L -> ((100L, 50L, 25L))),
+      s"per-day stored funnel must be exact in the exact regime, got $byDay")
+    // all-time grain: V = 0–399 (400), C = 0–49 ∪ 100–299 (250),
+    // P = 25–74 ∪ 250–349 (150); V∩C = 250, V∩C∩P = 50 + 25 = 75
+    val all = Sketches.funnelFromThetaTable(spark, "thn", "cohort",
+      Seq("view", "click", "purchase"), Seq.empty).collect()(0)
+    assert((all.getAs[Long]("n_view"), all.getAs[Long]("n_view_click"),
+      all.getAs[Long]("n_view_click_purchase")) == ((400L, 250L, 75L)),
+      "the all-time funnel must union per-day step sketches before intersecting")
+    Seq("thn_sketches", "thn_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pure-SQL sketch tier: heavy hitters, quantiles, theta funnel and the merge forms, partial-merge plan intact") {
     // heavy hitters from session SQL alone (exact regime at 4 items)
     (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++ Seq.fill(10)("z") ++ Seq("w"))
