@@ -1000,6 +1000,25 @@ object Oracles {
     * (steps view → click → purchase): per-(day, user) step flags, then
     * flag products count the users who completed each prefix.
     */
+  /** Exact chained-min-timestamp twin of
+    * [[graft.operators.Funnel.orderedDaily]]: each step's earliest
+    * qualifying timestamp must be at/after the previous step's, one
+    * join per step — the relational form whose N-shuffle cost the
+    * single-shuffle greedy fold replaces.
+    */
+  val funnelOrdered: String =
+    """WITH e AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id, event_type, ts
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT d, user_id, min(ts) AS vt FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT e.d, e.user_id, min(e.ts) AS ct FROM e JOIN v ON e.d = v.d AND e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1, 2),
+      |p AS (SELECT e.d, e.user_id, min(e.ts) AS pt FROM e JOIN c ON e.d = c.d AND e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1, 2)
+      |SELECT v.d, count(*) AS n_step1, count(c.ct) AS n_step2, count(p.pt) AS n_step3
+      |FROM v LEFT JOIN c ON v.d = c.d AND v.user_id = c.user_id
+      |       LEFT JOIN p ON v.d = p.d AND v.user_id = p.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sketchFunnel: String =
     """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
       |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,

@@ -87,6 +87,9 @@ object SparkEntry {
     // theta intersections over ONE scan — exact mode at gate scale →
     // hash-matches the flag-product oracle
     "sketch_funnel" -> ((s, dir) => Sketches.funnelDaily(s, dir)),
+    // ORDERED funnel: steps must happen in temporal sequence — greedy
+    // depth fold over one shuffle vs the oracle's join-per-step form
+    "funnel_ordered" -> ((s, dir) => Funnel.orderedDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -364,6 +367,7 @@ object SparkEntry {
     "sketch_heavy_hitters" -> Oracles.sketchHeavyHitters,
     "sketch_set_overlap" -> Oracles.sketchSetOverlap,
     "sketch_funnel" -> Oracles.sketchFunnel,
+    "funnel_ordered" -> Oracles.funnelOrdered,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered (temporal) conversion funnels: how many users performed
+  * step 1, then step 2 AFTER it, then step 3 after that — the
+  * sequence-sensitive complement of [[Sketches.funnelDaily]]'s
+  * set-membership funnel (which counts a user who purchased BEFORE
+  * ever clicking; this one doesn't).
+  *
+  * Plan shape: one shuffle to (grain, user), each user-grain's events
+  * collected and sorted IN MEMORY (bounded by per-user-per-day event
+  * volume — the same boundedness sessionization relies on), a single
+  * codegen'd `aggregate` fold computes the depth, then one bounded
+  * per-grain count aggregation. No self-joins: the exact relational
+  * form is one min-timestamp join per funnel step (see the DuckDB
+  * oracle twin), which at N steps is N shuffles over the full event
+  * set; here the event set shuffles once regardless of N.
+  *
+  * Greedy earliest-match is optimal for unwindowed subsequence
+  * matching, so the fold's depth equals the chained-min oracle's.
+  * Same-timestamp events sort by step position (view before click at
+  * an equal ts), matching the oracle's inclusive `ts >= prev_ts`
+  * chaining.
+  */
+object Funnel {
+
+  /** 0-based funnel position of the row's event_type, -1 if none. */
+  private def stepIndex(steps: Seq[String]): Column =
+    steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("event_type") === s, lit(i)).otherwise(acc)
+    }
+
+  /** Greedy depth fold over a sorted array<struct<t,si>>: a step event
+    * advances the depth iff it is the one the prefix is waiting for.
+    */
+  private def depthFold(events: Column): Column =
+    aggregate(events, lit(0),
+      (acc, e) => when(e.getField("si") === acc, acc + lit(1)).otherwise(acc))
+
+  /** Per-day ordered funnel over the events table. Output: `d` plus
+    * `n_step1..n_stepN` — users whose day contained steps 1..k in
+    * temporal order. Exactly matches the chained min-timestamp
+    * relational form (oracle-verified), in one event-set shuffle.
+    */
+  def orderedDaily(spark: SparkSession, dir: String,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
+        col("user_id"), col("ts").as("t"), stepIndex(steps).as("si"))
+    val depth = depthFold(array_sort(collect_list(struct(col("t"), col("si")))))
+    val counts = steps.indices.map(i =>
+      sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
+    ev.groupBy(col("d"), col("user_id"))
+      .agg(depth.as("depth"))
+      .groupBy(col("d"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy(col("d"))
+  }
+
+  /** Windowed ordered funnel depth per group: the deepest prefix of
+    * `steps` completed in order with EVERY step inside `windowSec`
+    * seconds of the chain's FIRST step (the windowFunnel semantics of
+    * the streaming-analytics engines). A later step-1 event re-anchors
+    * tracking when the earlier anchor's window has run out — per
+    * level the fold keeps the LATEST viable anchor, which dominates
+    * (more remaining headroom) and makes the greedy fold exact.
+    *
+    * Input frame needs `user_id`, `ts` (timestamp), `event_type`;
+    * `groupCols` is the extra grain (e.g. a day column) beyond the
+    * user. Output: groupCols ++ user_id ++ `depth`.
+    */
+  def windowDepth(events: DataFrame, steps: Seq[String], windowSec: Long,
+                  groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val ev = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(groupCols.map(col) ++ Seq(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"), stepIndex(steps).as("si")): _*)
+    val winMicros = lit(windowSec * 1000000L)
+    // anchors[lvl] = latest chain-start time (µs) among chains that
+    // have reached level lvl within the window; -1 = none. Levels fill
+    // contiguously (level k needs level k-1), so depth = #set anchors.
+    val anchors = aggregate(
+      array_sort(collect_list(struct(col("t"), col("si")))),
+      array(Seq.fill(n)(lit(-1L)): _*),
+      (acc, e) => transform(sequence(lit(0), lit(n - 1)), lvl => {
+        val cur = element_at(acc, lvl + 1)
+        val prev = element_at(acc, lvl) // undefined at lvl 0, guarded below
+        when(lvl === e.getField("si"),
+          if (n == 1) greatest(cur, e.getField("t"))
+          else when(lvl === 0, greatest(cur, e.getField("t")))
+            .otherwise(when(prev >= 0 && e.getField("t") - prev <= winMicros,
+              greatest(cur, prev)).otherwise(cur)))
+          .otherwise(cur)
+      }))
+    ev.groupBy((groupCols :+ "user_id").map(col): _*)
+      .agg(size(filter(anchors, a => a >= 0)).as("depth"))
+  }
+
+  /** Per-day windowed funnel counts over the events table: users per
+    * day at each depth, with the whole chain inside `windowSec` of its
+    * first step. `windowSec` ≥ 86400 degenerates to [[orderedDaily]].
+    */
+  def windowDaily(spark: SparkSession, dir: String, windowSec: Long,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val counts = steps.indices.map(i =>
+      sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
+    windowDepth(ev, steps, windowSec, Seq("d"))
+      .groupBy(col("d"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy(col("d"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def depths(rows: Seq[(Long, String, Long)], steps: Seq[String],
+                     windowSec: Long): Map[Long, Int] = {
+    val df = rows.map { case (u, t, ts) => (u, t, new java.sql.Timestamp(ts * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    Funnel.windowDepth(df, steps, windowSec).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+  }
+
+  test("ordered daily funnel matches the chained-min-timestamp relational form") {
+    val got = Funnel.orderedDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_step1"),
+        r.getAs[Long]("n_step2"), r.getAs[Long]("n_step3")))).toMap
+    // the oracle's shape, computed in Spark: one min-ts join per step
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("d", "user_id").agg(min("ts").as("vt"))
+    val c = e.join(v, Seq("d", "user_id"))
+      .filter(col("event_type") === "click" && col("ts") >= col("vt"))
+      .groupBy("d", "user_id").agg(min("ts").as("ct"))
+    val p = e.join(c, Seq("d", "user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") >= col("ct"))
+      .groupBy("d", "user_id").agg(min("ts").as("pt"))
+    val exact = v.join(c, Seq("d", "user_id"), "left").join(p, Seq("d", "user_id"), "left")
+      .groupBy("d").agg(count(lit(1)).as("n1"), count(col("ct")).as("n2"),
+        count(col("pt")).as("n3"))
+      .collect().map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("n3")))).toMap
+    assert(got == exact, "greedy fold must equal the join-per-step form")
+    assert(got.values.forall { case (a, b, c2) => a >= b && b >= c2 })
+    assert(got.values.map(_._1).sum > 0, "fixture must exercise the funnel")
+  }
+
+  test("ordered funnel is sequence-sensitive where the set-membership funnel is not") {
+    // u1: full chain in order; u2: purchase BEFORE the click — depth
+    // stops at click; u3: click before any view — depth is view only
+    val day = 86400L * 20000
+    val ev = Seq(
+      (1L, "view", day + 10), (1L, "click", day + 20), (1L, "purchase", day + 30),
+      (2L, "view", day + 10), (2L, "purchase", day + 20), (2L, "click", day + 30),
+      (3L, "click", day + 10), (3L, "view", day + 20))
+      .map { case (u, t, ts) => (u, t, new java.sql.Timestamp(ts * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val d = Funnel.windowDepth(ev, Seq("view", "click", "purchase"), windowSec = 86400L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+    assert(d == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("windowed funnel re-anchors to a later step-1 event when the window runs out") {
+    val steps = Seq("view", "click", "purchase")
+    // view@0 can't reach click@60 inside 20 s, but view@50 can
+    assert(depths(Seq((1L, "view", 0L), (1L, "view", 50L), (1L, "click", 60L)),
+      steps, 20L) == Map(1L -> 2))
+    // without the later view the chain dies at depth 1
+    assert(depths(Seq((2L, "view", 0L), (2L, "click", 60L)), steps, 20L) == Map(2L -> 1))
+    // window measures from the chain's FIRST step: click@15 fits, but
+    // purchase@25 is 25 s after the anchor — depth 2, not 3
+    assert(depths(Seq((3L, "view", 0L), (3L, "click", 15L), (3L, "purchase", 25L)),
+      steps, 20L) == Map(3L -> 2))
+    // boundary is inclusive: purchase exactly window seconds after
+    assert(depths(Seq((4L, "view", 0L), (4L, "click", 10L), (4L, "purchase", 20L)),
+      steps, 20L) == Map(4L -> 3))
+    // re-anchor must NOT resurrect a dead prefix: the second view has
+    // no click after it, so depth via the old anchor stays the answer
+    assert(depths(Seq((5L, "view", 0L), (5L, "click", 10L), (5L, "view", 100L),
+      (5L, "purchase", 105L)), steps, 20L) == Map(5L -> 2))
+  }
+
+  test("day-wide window degenerates to the ordered daily funnel") {
+    val win = Funnel.windowDaily(spark, sfDir, windowSec = 86400L).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),
+        r.getAs[Long]("n_step2"), r.getAs[Long]("n_step3"))).toSet
+    val ord = Funnel.orderedDaily(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),
+        r.getAs[Long]("n_step2"), r.getAs[Long]("n_step3"))).toSet
+    assert(win == ord, "a window spanning the whole day cannot constrain a within-day chain")
+  }
+}
