@@ -996,6 +996,23 @@ object Oracles {
       |       CAST(sum(c * (1 - p)) AS BIGINT) AS n_click_only
       |FROM u GROUP BY d ORDER BY d""".stripMargin
 
+  /** Exact distinct-join twin of
+    * [[graft.operators.Sketches.retentionDaily]]: each lag re-joins
+    * the distinct (day, user) set onto itself shifted by the lag —
+    * at most one match per (day, user, lag), so the two left joins
+    * cannot fan out.
+    */
+  val sketchRetention: String =
+    """WITH a AS (SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id
+      |           FROM events)
+      |SELECT a0.d, count(*) AS n_active,
+      |       count(a1.user_id) AS n_ret_1d,
+      |       count(a7.user_id) AS n_ret_7d
+      |FROM a a0
+      |LEFT JOIN a a1 ON a1.d = a0.d + 86400 AND a1.user_id = a0.user_id
+      |LEFT JOIN a a7 ON a7.d = a0.d + 604800 AND a7.user_id = a0.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact N-step funnel twin of [[graft.operators.Sketches.funnelDaily]]
     * (steps view → click → purchase): per-(day, user) step flags, then
     * flag products count the users who completed each prefix.

@@ -90,6 +90,9 @@ object SparkEntry {
     // ORDERED funnel: steps must happen in temporal sequence — greedy
     // depth fold over one shuffle vs the oracle's join-per-step form
     "funnel_ordered" -> ((s, dir) => Funnel.orderedDaily(s, dir)),
+    // N-day retention: day-d ∩ day-(d+lag) audiences as sketch algebra
+    // over the bounded per-day frame — exact mode at gate scale
+    "sketch_retention" -> ((s, dir) => Sketches.retentionDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -368,6 +371,7 @@ object SparkEntry {
     "sketch_set_overlap" -> Oracles.sketchSetOverlap,
     "sketch_funnel" -> Oracles.sketchFunnel,
     "funnel_ordered" -> Oracles.funnelOrdered,
+    "sketch_retention" -> Oracles.sketchRetention,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -551,6 +551,70 @@ object Sketches {
       .orderBy(col("d"))
   }
 
+  /** N-day retention over the events table: per day, the distinct
+    * active audience and how much of it was STILL active `lag` days
+    * later, for each requested lag — one scan builds one theta sketch
+    * per day, then day-d ∩ day-(d+lag) is sketch algebra over the
+    * bounded per-day frame (a self-join of 365 KB-sized rows per
+    * year, broadcastable at any event volume; the exact form
+    * self-joins the full distinct-(day, user) set per lag). Exact
+    * mode below nominalEntries actives/day → hash-matches the exact
+    * distinct-join oracle; estimation honesty travels via
+    * [[setOverlapGate]]'s envelope machinery over the same
+    * expressions.
+    */
+  def retentionDaily(spark: SparkSession, dir: String,
+                     lags: Seq[Int] = Seq(1, 7),
+                     nominalEntries: Int = DefaultNominalEntries): DataFrame = {
+    val days = graft.Tables.events(spark, dir)
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy(col("d"))
+      .agg(thetaSketch(col("user_id"), nominalEntries).as("sketch"))
+    retentionJoin(days, lags)
+  }
+
+  /** Day-d ∩ day-(d+lag) audiences over a per-day sketch frame
+    * (`d`, `sketch`): left-join each lag's shifted day back onto the
+    * base day and intersect — days with no lagged counterpart retain
+    * zero by definition.
+    */
+  private def retentionJoin(days: DataFrame, lags: Seq[Int]): DataFrame = {
+    val base = days.select(col("d"), col("sketch").as("_cur"))
+    val joined = lags.zipWithIndex.foldLeft(base) { case (acc, (lag, i)) =>
+      acc.join(
+        days.select((col("d") - lit(lag * 86400L)).as("d"), col("sketch").as(s"_lag$i")),
+        Seq("d"), "left")
+    }
+    val measures = thetaSummary(col("_cur")).getField("estimate").as("n_active") +:
+      lags.zipWithIndex.map { case (lag, i) =>
+        when(col(s"_lag$i").isNull, lit(0L))
+          .otherwise(thetaSummary(thetaIntersect(col("_cur"), col(s"_lag$i")))
+            .getField("estimate")).as(s"n_ret_${lag}d")
+      }
+    joined.select(col("d") +: measures: _*).orderBy(col("d"))
+  }
+
+  /** Retention from a STORED theta table whose grouping includes a
+    * day column (epoch seconds): rows first union down to the
+    * per-day grain (absorbing cohort and any other stored columns,
+    * optionally `where`-filtered), then the same bounded lag
+    * self-join as [[retentionDaily]] — any-day-range retention with
+    * zero raw-history rescans.
+    */
+  def retentionFromThetaTable(spark: SparkSession, name: String, dayCol: String,
+                              lags: Seq[Int] = Seq(1, 7),
+                              where: Column = lit(true)): DataFrame = {
+    refresh(spark, name)
+    val (nominalEntries, groupCols, _, _) = thetaMeta(spark, name)
+    require(groupCols.contains(dayCol),
+      s"day column $dayCol is not part of the stored grouping $groupCols")
+    val days = spark.table(s"${name}_sketches")
+      .filter(where)
+      .groupBy(col(dayCol).as("d"))
+      .agg(thetaUnion(col("sketch"), nominalEntries).as("sketch"))
+    retentionJoin(days, lags)
+  }
+
   /** Theta honesty gate: 1 iff for every day all four measures'
     * TRUE values sit inside the result sketches' own 3-std-dev
     * [lower, upper] envelopes (exact-mode sketches report zero-width

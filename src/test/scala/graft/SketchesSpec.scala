@@ -476,6 +476,49 @@ class SketchesSpec extends SparkSpec {
     Seq("thn_sketches", "thn_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("N-day retention: sketch algebra matches the exact distinct self-join; stored twin unions cohorts first") {
+    val got = Sketches.retentionDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_ret_1d"), r.getAs[Long]("n_ret_7d")))).toMap
+    val a = Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct()
+    val a1 = a.select((col("d") - 86400L).as("d"), col("user_id").as("u1"))
+    val a7 = a.select((col("d") - 604800L).as("d"), col("user_id").as("u7"))
+    val exact = a
+      .join(a1, a("d") === a1("d") && col("user_id") === col("u1"), "left")
+      .join(a7, a("d") === a7("d") && col("user_id") === col("u7"), "left")
+      .groupBy(a("d")).agg(count(lit(1)).as("n"), count(col("u1")).as("n1"),
+        count(col("u7")).as("n7"))
+      .collect().map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n7")))).toMap
+    assert(got == exact,
+      "gate-scale daily audiences are exact-mode sketches: retention must match the distinct join")
+    assert(got.values.forall { case (n, n1, n7) => n >= n1 && n >= n7 })
+    // stored twin: planted 2-cohort fixture — retention must see the
+    // UNION of cohorts per day, and a where-filter restricts the days
+    Seq("thr_sketches", "thr_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    //   day 0: A = 0–99, B = 50–149  (active 0–149)
+    //   day 1: A = 0–49             (active 0–49   → ret_1d of day 0 = 50)
+    //   day 2: B = 100–199          (active 100–199 → ret_1d of day 1 = 0)
+    val rows = ((0 until 100).map(u => ("A", 0L, u.toLong)) ++
+      (50 until 150).map(u => ("B", 0L, u.toLong)) ++
+      (0 until 50).map(u => ("A", 86400L, u.toLong)) ++
+      (100 until 200).map(u => ("B", 172800L, u.toLong))).toDF("cohort", "d", "uid")
+    Sketches.writeThetaTable(spark, "thr", rows, Seq("cohort", "d"), "uid")
+    val stored = Sketches.retentionFromThetaTable(spark, "thr", "d", Seq(1)).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_active"), r.getAs[Long]("n_ret_1d"))))
+      .toMap
+    assert(stored == Map(0L -> ((150L, 50L)), 86400L -> ((50L, 0L)), 172800L -> ((100L, 0L))),
+      s"stored retention must union cohort rows per day before intersecting, got $stored")
+    val filtered = Sketches.retentionFromThetaTable(spark, "thr", "d", Seq(1),
+      where = col("d") >= 86400L).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("n_ret_1d")).toMap
+    assert(filtered == Map(86400L -> 0L, 172800L -> 0L),
+      "a where-filter must restrict which stored days participate")
+    Seq("thr_sketches", "thr_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pure-SQL sketch tier: heavy hitters, quantiles, theta funnel and the merge forms, partial-merge plan intact") {
     // heavy hitters from session SQL alone (exact regime at 4 items)
     (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++ Seq.fill(10)("z") ++ Seq("w"))
