@@ -75,6 +75,17 @@ class FunnelSpec extends SparkSpec {
       (5L, "purchase", 105L)), steps, 20L) == Map(5L -> 2))
   }
 
+  test("ordered funnel shuffles the event set once, with no join") {
+    val plan = Funnel.orderedDaily(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the greedy fold replaces the oracle's join-per-step form — no join expected:\n$plan")
+    // two exchanges total: events → (d, user) fold, then the bounded
+    // per-(d, user) depth frame → per-day counts; adding funnel steps
+    // must not add shuffles
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected at most 2 hash exchanges, got $shuffles:\n$plan")
+  }
+
   test("day-wide window degenerates to the ordered daily funnel") {
     val win = Funnel.windowDaily(spark, sfDir, windowSec = 86400L).collect()
       .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),
