@@ -220,6 +220,61 @@ object SketchRehearsal {
       envOk && estOk && funnel == f0
     }
 
+    // ---- theta tier: stored retention in estimation mode ----
+    val retOk = timed("theta_retention") {
+      // active(d) = uids [d·1M, d·1M + 2M) for days 0..3: each day 2M
+      // actives (~500× past nominal), adjacent days overlap exactly
+      // 1M, lag-2 days are DISJOINT — closed-form truths for both the
+      // estimating intersections and the exact-zero ones (disjoint
+      // value sets share no retained hashes, so the intersection
+      // estimate is exactly 0 even in estimation mode)
+      val perDay = 2000000L
+      val day = (col("id") / perDay).cast("long")
+      val rows = spark.range(4 * perDay).select(
+        (day * 86400L).as("d"),
+        (day * (perDay / 2) + col("id") % perDay).as("uid"))
+      Sketches.writeThetaTable(spark, "reh_ret", rows, Seq("d"), "uid")
+      val ret = Sketches.retentionFromThetaTable(spark, "reh_ret", "d", Seq(1, 2))
+        .collect()
+        .map(r => r.getAs[Long]("d") / 86400L -> ((r.getAs[Long]("n_active"),
+          r.getAs[Long]("n_ret_1d"), r.getAs[Long]("n_ret_2d")))).toMap
+      val interBound = 0.12 // ~3σ for a Jaccard-1/3 intersection at 4096 entries
+      ret.size == 4 && (0L to 3L).forall { d =>
+        val (act, r1, r2) = ret(d)
+        math.abs(act - perDay.toDouble) / perDay <= bound &&
+          (if (d < 3) math.abs(r1 - perDay / 2.0) / (perDay / 2.0) <= interBound
+           else r1 == 0L) &&
+          r2 == 0L
+      }
+    }
+
+    // ---- ordered funnel: exact greedy fold at volume ----
+    val funnelOk = timed("ordered_funnel") {
+      // 3 events per user, pattern by uid mod 4 — closed-form depths:
+      //   0: view,click,purchase  → 3     1: view,purchase,click → 2
+      //   2: click,view,view      → 1     3: purchase,purchase,click → 0
+      val nu = n / 4
+      val pattern = Seq(
+        Seq("view", "click", "purchase"), Seq("view", "purchase", "click"),
+        Seq("click", "view", "view"), Seq("purchase", "purchase", "click"))
+      val typeCol = (for { c <- 0 to 3; j <- 0 to 2 } yield ((c, j), pattern(c)(j)))
+        .foldLeft(lit(null).cast("string")) { case (acc, ((c, j), ty)) =>
+          when(col("u") % 4 === c && col("j") === j, lit(ty)).otherwise(acc)
+        }
+      val ev = spark.range(nu * 3)
+        .select((col("id") / 3).cast("long").as("u"), (col("id") % 3).as("j"))
+        .select(col("u").as("user_id"),
+          timestamp_seconds(col("u") * 10L + col("j")).as("ts"), typeCol.as("event_type"))
+      val got = graft.operators.Funnel
+        .windowDepth(ev, Seq("view", "click", "purchase"), windowSec = 5L)
+        .groupBy(col("depth")).agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getAs[Int]("depth") -> r.getAs[Long]("c")).toMap
+      def usersInClass(c: Int): Long = nu / 4 + (if (nu % 4 > c) 1L else 0L)
+      val expected = Map(3 -> usersInClass(0), 2 -> usersInClass(1),
+        1 -> usersInClass(2), 0 -> usersInClass(3)).filter(_._2 > 0)
+      got == expected
+    }
+
     val eoOk = timed("freq_exactly_once") {
       Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
       Sketches.appendToFreqTable(spark, "reh_freq",
@@ -242,7 +297,9 @@ object SketchRehearsal {
       "freq_batchid_guard_at_volume" -> eoOk,
       "quantile_rank_error_bounded" -> qtOk,
       "theta_envelopes_in_estimation_mode" -> thetaOk,
-      "theta_stored_funnel_and_replay" -> thetaStoredOk)
+      "theta_stored_funnel_and_replay" -> thetaStoredOk,
+      "theta_retention_closed_form" -> retOk,
+      "ordered_funnel_exact_at_volume" -> funnelOk)
     val allPass = checks.forall(_._2)
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val phaseJson = phases.map { case (k, s) =>
