@@ -1036,6 +1036,25 @@ object Oracles {
       |       LEFT JOIN p ON v.d = p.d AND v.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact conversion-latency twin of
+    * [[graft.operators.Funnel.lagDaily]]: the same chained-min CTEs
+    * as [[funnelOrdered]], summing first-step → last-step µs lags
+    * over fully-converted users (sum(BIGINT) is HUGEINT in DuckDB —
+    * cast back).
+    */
+  val funnelLag: String =
+    """WITH e AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id, event_type, ts
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT d, user_id, min(ts) AS vt FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT e.d, e.user_id, min(e.ts) AS ct FROM e JOIN v ON e.d = v.d AND e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1, 2),
+      |p AS (SELECT e.d, e.user_id, min(e.ts) AS pt FROM e JOIN c ON e.d = c.d AND e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1, 2)
+      |SELECT v.d, count(p.pt) AS n_conv,
+      |       coalesce(CAST(sum(epoch_us(p.pt) - epoch_us(v.vt)) AS BIGINT), 0) AS sum_lag_us
+      |FROM v LEFT JOIN p ON v.d = p.d AND v.user_id = p.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sketchFunnel: String =
     """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
       |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,

@@ -90,6 +90,9 @@ object SparkEntry {
     // ORDERED funnel: steps must happen in temporal sequence — greedy
     // depth fold over one shuffle vs the oracle's join-per-step form
     "funnel_ordered" -> ((s, dir) => Funnel.orderedDaily(s, dir)),
+    // conversion latency: the matched-timestamp array carries the
+    // chain endpoints out of the same single-shuffle fold
+    "funnel_lag" -> ((s, dir) => Funnel.lagDaily(s, dir)),
     // N-day retention: day-d ∩ day-(d+lag) audiences as sketch algebra
     // over the bounded per-day frame — exact mode at gate scale
     "sketch_retention" -> ((s, dir) => Sketches.retentionDaily(s, dir)),
@@ -372,6 +375,7 @@ object SparkEntry {
     "sketch_funnel" -> Oracles.sketchFunnel,
     "funnel_ordered" -> Oracles.funnelOrdered,
     "sketch_retention" -> Oracles.sketchRetention,
+    "funnel_lag" -> Oracles.funnelLag,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

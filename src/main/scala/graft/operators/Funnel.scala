@@ -32,12 +32,32 @@ object Funnel {
       when(col("event_type") === s, lit(i)).otherwise(acc)
     }
 
-  /** Greedy depth fold over a sorted array<struct<t,si>>: a step event
-    * advances the depth iff it is the one the prefix is waiting for.
+  /** Greedy match fold over a sorted array<struct<t,si>>: a step event
+    * is matched iff it is the one the prefix is waiting for; returns
+    * the matched events' timestamps in step order (size = depth, the
+    * first element is the chain's start, the last its completion so
+    * far). Greedy earliest-match maximizes depth, and among
+    * maximum-depth matchings takes each step's EARLIEST qualifying
+    * event — exactly the chained-min relational form.
     */
-  private def depthFold(events: Column): Column =
-    aggregate(events, lit(0),
-      (acc, e) => when(e.getField("si") === acc, acc + lit(1)).otherwise(acc))
+  private def matchTimes(events: Column): Column =
+    aggregate(events, lit(Array.empty[Long]),
+      (acc, e) => when(e.getField("si") === size(acc),
+        concat(acc, array(e.getField("t")))).otherwise(acc))
+
+  /** (`d`, `user_id`, `t` µs, `si`) projection of the events table
+    * restricted to funnel steps. Microsecond longs order identically
+    * to the source timestamps (µs-resolution data) and subtract
+    * directly for conversion lags.
+    */
+  private def dayFrame(spark: SparkSession, dir: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"),
+        stepIndex(steps).as("si"))
+  }
 
   /** Per-day ordered funnel over the events table. Output: `d` plus
     * `n_step1..n_stepN` — users whose day contained steps 1..k in
@@ -46,18 +66,35 @@ object Funnel {
     */
   def orderedDaily(spark: SparkSession, dir: String,
                    steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = graft.Tables.events(spark, dir)
-      .filter(col("event_type").isin(steps: _*))
-      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
-        col("user_id"), col("ts").as("t"), stepIndex(steps).as("si"))
-    val depth = depthFold(array_sort(collect_list(struct(col("t"), col("si")))))
+    val ev = dayFrame(spark, dir, steps)
+    val depth = size(matchTimes(array_sort(collect_list(struct(col("t"), col("si"))))))
     val counts = steps.indices.map(i =>
       sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
     ev.groupBy(col("d"), col("user_id"))
       .agg(depth.as("depth"))
       .groupBy(col("d"))
       .agg(counts.head, counts.tail: _*)
+      .orderBy(col("d"))
+  }
+
+  /** Per-day conversion latency: how many users completed the WHOLE
+    * chain in order, and the summed first-step → last-step lag (µs)
+    * across them — same single event-set shuffle as [[orderedDaily]],
+    * the matched-timestamp array carrying the chain's endpoints out
+    * of the fold. Exact (oracle-verified): the greedy fold's matched
+    * times ARE the chained step minima.
+    */
+  def lagDaily(spark: SparkSession, dir: String,
+               steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = dayFrame(spark, dir, steps)
+    val n = steps.length
+    val times = matchTimes(array_sort(collect_list(struct(col("t"), col("si")))))
+    ev.groupBy(col("d"), col("user_id"))
+      .agg(times.as("mt"))
+      .groupBy(col("d"))
+      .agg(sum(when(size(col("mt")) === n, 1L).otherwise(0L)).as("n_conv"),
+        coalesce(sum(when(size(col("mt")) === n,
+          element_at(col("mt"), n) - element_at(col("mt"), 1))), lit(0L)).as("sum_lag_us"))
       .orderBy(col("d"))
   }
 

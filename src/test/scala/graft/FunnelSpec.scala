@@ -75,6 +75,32 @@ class FunnelSpec extends SparkSpec {
       (5L, "purchase", 105L)), steps, 20L) == Map(5L -> 2))
   }
 
+  test("conversion lag sums first-to-last step gaps over exactly the chained-min converters") {
+    val got = Funnel.lagDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_conv"), r.getAs[Long]("sum_lag_us"))))
+      .toMap
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+      .withColumn("tu", unix_micros(col("ts").cast("timestamp")))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("d", "user_id").agg(min("tu").as("vt"))
+    val c = e.join(v, Seq("d", "user_id"))
+      .filter(col("event_type") === "click" && col("tu") >= col("vt"))
+      .groupBy("d", "user_id").agg(min("tu").as("ct"), first("vt").as("vt"))
+    val p = e.join(c, Seq("d", "user_id"))
+      .filter(col("event_type") === "purchase" && col("tu") >= col("ct"))
+      .groupBy("d", "user_id").agg(min("tu").as("pt"), first("vt").as("vt2"))
+    val exact = v.join(p, Seq("d", "user_id"), "left")
+      .groupBy("d").agg(count(col("pt")).as("n"),
+        coalesce(sum(col("pt") - col("vt2")), lit(0L)).as("lag"))
+      .collect().map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n"), r.getAs[Long]("lag"))))
+      .toMap
+    assert(got == exact, "matched-timestamp endpoints must equal the chained step minima")
+    assert(got.values.map(_._1).sum > 0, "fixture must contain full conversions")
+    assert(got.values.forall { case (n, lag) => (n == 0) == (lag == 0L) && lag >= 0L })
+  }
+
   test("ordered funnel shuffles the event set once, with no join") {
     val plan = Funnel.orderedDaily(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"),
