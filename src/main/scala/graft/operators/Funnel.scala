@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** 0-based funnel position of the row's event_type, -1 if none. */
-  private def stepIndex(steps: Seq[String]): Column =
+  private[graft] def stepIndex(steps: Seq[String]): Column =
     steps.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
       when(col("event_type") === s, lit(i)).otherwise(acc)
     }

@@ -112,6 +112,54 @@ class FunnelSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected at most 2 hash exchanges, got $shuffles:\n$plan")
   }
 
+  test("streaming funnel chains across micro-batches and emits final depths exactly once at the watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingFunnel
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingFunnel.depths(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", windowSec = 60L)
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    def emitted = spark.sql("SELECT user_id, d, depth FROM sfunnel").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    try {
+      ms.addData(
+        (1L, "view", Timestamp.valueOf("2024-01-01 00:00:10")),
+        (2L, "view", Timestamp.valueOf("2024-01-01 00:00:10")),
+        (2L, "click", Timestamp.valueOf("2024-01-01 00:00:20")),
+        (3L, "view", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(
+        // u1 deepens ACROSS batches; u2 completes; u3's click is
+        // outside the 60 s window of its only anchor
+        (1L, "click", Timestamp.valueOf("2024-01-01 00:00:30")),
+        (2L, "purchase", Timestamp.valueOf("2024-01-01 00:00:40")),
+        (3L, "click", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      assert(emitted.isEmpty, "no emission before the watermark passes the day end")
+      // next-day sentinel pushes the watermark past day 0's end
+      ms.addData((99L, "view", Timestamp.valueOf("2024-01-02 01:00:00")))
+      q.processAllAvailable()
+      val day0 = java.time.LocalDate.of(2024, 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      assert(emitted == Map(1L -> ((day0, 2)), 2L -> ((day0, 3)), 3L -> ((day0, 1))),
+        s"final per-user-day depths, got $emitted")
+      // parity with the batch twin over the same day-0 events
+      val batch = Seq(
+        (1L, "view", "2024-01-01 00:00:10"), (1L, "click", "2024-01-01 00:00:30"),
+        (2L, "view", "2024-01-01 00:00:10"), (2L, "click", "2024-01-01 00:00:20"),
+        (2L, "purchase", "2024-01-01 00:00:40"),
+        (3L, "view", "2024-01-01 00:00:00"), (3L, "click", "2024-01-01 00:02:00"))
+        .map { case (u, t, s) => (u, t, Timestamp.valueOf(s)) }
+        .toDF("user_id", "event_type", "ts")
+      val twin = Funnel.windowDepth(batch, Seq("view", "click", "purchase"), windowSec = 60L)
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("depth")).toMap
+      assert(emitted.view.filterKeys(_ != 99L).map { case (u, (_, dep)) => u -> dep }.toMap
+        == twin, "in-order stream must reproduce the batch fold")
+    } finally q.stop()
+  }
+
   test("day-wide window degenerates to the ordered daily funnel") {
     val win = Funnel.windowDaily(spark, sfDir, windowSec = 86400L).collect()
       .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),
