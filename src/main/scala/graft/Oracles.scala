@@ -1076,4 +1076,29 @@ object Oracles {
       |      FROM c)
       |SELECT source, token, n_occurrences FROM r WHERE rk <= 10
       |ORDER BY source, n_occurrences DESC, token""".stripMargin
+
+  /** Exact relational twin of
+    * [[graft.operators.Attribution.creditDaily]]: conversion↔touch
+    * pairs via a plain window-predicate join (the form the banded
+    * equi-join replaces), per-conversion ranks via window functions,
+    * integer-millionth credit (1000000 // n floors exactly like the
+    * Spark side's `div`). Ties on touch timestamp cannot flip the
+    * hash: first/last credit lands on the tied rows' SHARED day.
+    */
+  val attributionCredit: String =
+    """WITH p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.user_id, pts, cts FROM p JOIN c ON p.user_id = c.user_id
+      |      WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY),
+      |w AS (SELECT CAST(epoch(date_trunc('day', cts)) AS BIGINT) AS d,
+      |        count(*) OVER win AS n,
+      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts) AS rn_a,
+      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts DESC) AS rn_d
+      |      FROM j WINDOW win AS (PARTITION BY user_id, pts)),
+      |cr AS (SELECT d, 'linear' AS model, 1000000 // n AS credit FROM w
+      |       UNION ALL SELECT d, 'first', 1000000 FROM w WHERE rn_a = 1
+      |       UNION ALL SELECT d, 'last', 1000000 FROM w WHERE rn_d = 1)
+      |SELECT d, model, CAST(sum(credit) AS BIGINT) AS credit_millionths,
+      |       count(*) AS n_touches
+      |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -96,6 +96,9 @@ object SparkEntry {
     // N-day retention: day-d ∩ day-(d+lag) audiences as sketch algebra
     // over the bounded per-day frame — exact mode at gate scale
     "sketch_retention" -> ((s, dir) => Sketches.retentionDaily(s, dir)),
+    // multi-touch attribution: banded lookback range join + ONE
+    // window shuffle emits last/first/linear credit in a single pass
+    "attribution_credit" -> ((s, dir) => Attribution.creditDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -376,6 +379,7 @@ object SparkEntry {
     "funnel_ordered" -> Oracles.funnelOrdered,
     "sketch_retention" -> Oracles.sketchRetention,
     "funnel_lag" -> Oracles.funnelLag,
+    "attribution_credit" -> Oracles.attributionCredit,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

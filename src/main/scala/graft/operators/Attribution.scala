@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch attribution: distribute each conversion's credit over
+  * the touch events that preceded it inside a lookback window, under
+  * the three standard models at once — `last` (all credit to the
+  * latest touch), `first` (all to the earliest), and `linear` (split
+  * evenly). Credit is integer millionths of a conversion so the sums
+  * are exact and engine-portable (no floating-point accumulation;
+  * `linear` gives each of n touches 1000000 div n — the floor is the
+  * deterministic remainder convention).
+  *
+  * Scale shape: the conversion↔touch pairing is the banded range
+  * join ([[Temporal.rangeJoinCount]]'s geometry, inverted for a
+  * LOOKBACK): band = t div lookback µs; a conversion replicates to
+  * {band, band−1}, a touch keys on its own band, so every in-window
+  * (touch ≤ conv, touch > conv − lookback) pair meets on exactly one
+  * (user, band) key — join volume is O(in-window pairs), never the
+  * per-user cross product, and the join is an equi-join Spark can
+  * hash/sort-merge. Touch ranking within a conversion then needs ONE
+  * window shuffle keyed (user_id, conv_t) — count + both row_numbers
+  * share the partition key — and all three models' credit rows are
+  * emitted in that same pass (one conditional array explode, no
+  * per-model recompute or union), leaving one bounded partial-agg
+  * rollup to (day, model). Unlike the funnel fold this never
+  * collects a user's full history: state per window partition is one
+  * conversion's in-window touches.
+  */
+object Attribution {
+
+  private val DayUs = 86400000000L
+
+  /** Per-(touch-day, model) credit over the events table: every
+    * `convType` event's credit attributed to its `touchType` events
+    * in the trailing `lookbackSec` window. Conversions with no touch
+    * in window carry no credit (the "direct" bucket is their
+    * complement — countable as conversions minus `n_touches` of
+    * either single-touch model). Output: `d` (epoch-day seconds of
+    * the TOUCH — attribution reports credit when the touch happened,
+    * not when the conversion did), `model`, `credit_millionths`,
+    * `n_touches`, ordered by (d, model).
+    */
+  def creditDaily(spark: SparkSession, dir: String,
+                  touchType: String = "click", convType: String = "purchase",
+                  lookbackSec: Long = 604800L): DataFrame = {
+    val w = lookbackSec * 1000000L
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val band = expr(s"t div ${w}L") // exact integer band, no double rounding
+    val conv = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("t").as("conv_t"),
+        explode(array(band, band - 1)).as("band"))
+    val touch = ev.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("t").as("touch_t"), band.as("band"))
+    val pairs = conv.join(touch, Seq("user_id", "band"))
+      .filter(col("touch_t") <= col("conv_t") && col("touch_t") > col("conv_t") - w)
+      .select(col("user_id"), col("conv_t"), col("touch_t"))
+    val byConv = Window.partitionBy(col("user_id"), col("conv_t"))
+    val ranked = pairs
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("rn_a", row_number().over(byConv.orderBy(col("touch_t").asc)))
+      .withColumn("rn_d", row_number().over(byConv.orderBy(col("touch_t").desc)))
+    val d = expr(s"(touch_t div ${DayUs}L) * 86400L")
+    val full = 1000000L
+    val credits = array(
+      struct(d.as("d"), lit("linear").as("model"),
+        expr(s"${full}L div n").as("credit")),
+      when(col("rn_a") === 1,
+        struct(d.as("d"), lit("first").as("model"), lit(full).as("credit"))),
+      when(col("rn_d") === 1,
+        struct(d.as("d"), lit("last").as("model"), lit(full).as("credit"))))
+    ranked
+      .select(explode(filter(credits, c => c.isNotNull)).as("cr"))
+      .groupBy(col("cr.d").as("d"), col("cr.model").as("model"))
+      .agg(sum(col("cr.credit")).as("credit_millionths"),
+        count(lit(1)).as("n_touches"))
+      .orderBy(col("d"), col("model"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Attribution
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("credit models are exact on a hand-computed fixture") {
+    // day boundaries at multiples of 86400 s; lookback 1 day (86400 s).
+    // u1 purchase@d2+100s: clicks at d1+80000s (in window, day d1) and
+    //   d2+50s (in window, day d2) → linear 500000 each, first→d1,
+    //   last→d2.
+    // u2 purchase@d2: single click exactly AT the purchase ts (included)
+    //   → all three models 1000000 on d2.
+    // u3 purchase@d2: click exactly lookback before (excluded — open
+    //   lower bound) → no credit anywhere.
+    // u4 click with no purchase → no credit.
+    val d1 = 86400L * 20000
+    val d2 = d1 + 86400L
+    val rows = Seq(
+      (1L, "purchase", d2 + 100), (1L, "click", d1 + 80000), (1L, "click", d2 + 50),
+      (2L, "purchase", d2), (2L, "click", d2),
+      (3L, "purchase", d2 + 10), (3L, "click", d1 + 10),
+      (4L, "click", d2 + 5))
+      .map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Attribution.creditDaily(spark, tmp, lookbackSec = 86400L)
+      .collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[String]("model")) ->
+        ((r.getAs[Long]("credit_millionths"), r.getAs[Long]("n_touches")))).toMap
+    assert(got == Map(
+      (d1, "first") -> ((1000000L, 1L)),
+      (d1, "linear") -> ((500000L, 1L)),
+      (d2, "first") -> ((1000000L, 1L)),
+      (d2, "last") -> ((2000000L, 2L)),
+      (d2, "linear") -> ((1500000L, 2L))))
+  }
+
+  test("banded pair set equals the naive window-predicate join on real data") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+    val w = 604800L * 1000000L
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"), col("t").as("pt"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("t").as("ct"))
+    val naive = p.join(c, "user_id")
+      .filter(col("ct") <= col("pt") && col("ct") > col("pt") - w)
+      .count()
+    // the operator's pair volume = linear-model touch rows
+    val linear = Attribution.creditDaily(spark, sfDir)
+      .filter(col("model") === "linear")
+      .agg(sum("n_touches")).as[Long].head()
+    assert(naive > 0, "fixture must produce in-window pairs")
+    assert(linear == naive, "banded equi-join must meet every in-window pair exactly once")
+  }
+
+  test("per-model invariants: first/last credit = conversions, linear floors") {
+    val conv = Tables.events(spark, sfDir).filter(col("event_type") === "purchase").count()
+    val byModel = Attribution.creditDaily(spark, sfDir)
+      .groupBy("model")
+      .agg(sum("credit_millionths").as("cr"), sum("n_touches").as("nt"))
+      .collect().map(r => r.getAs[String]("model") ->
+        ((r.getAs[Long]("cr"), r.getAs[Long]("nt")))).toMap
+    val (firstCr, firstN) = byModel("first")
+    val (lastCr, lastN) = byModel("last")
+    val (linCr, linN) = byModel("linear")
+    assert(firstN == lastN, "first and last see the same attributed conversions")
+    assert(firstCr == firstN * 1000000L && lastCr == lastN * 1000000L)
+    assert(firstN <= conv, "attributed conversions cannot exceed conversions")
+    // linear credit per conversion is n*floor(1e6/n) ∈ (1e6 - n, 1e6]
+    assert(linCr <= firstN * 1000000L && linCr > firstN * 1000000L - linN)
+  }
+
+  test("plan shape: equi-join pairing (no cartesian), one window shuffle") {
+    val plan = Attribution.creditDaily(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "pairing must be the banded equi-join")
+    assert(!plan.contains("BroadcastNestedLoop"), "pairing must be the banded equi-join")
+    val windowExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("conv_t"))
+    assert(windowExchanges == 1,
+      s"count + both row_numbers must share ONE (user, conv) window shuffle, got $windowExchanges")
+  }
+}
