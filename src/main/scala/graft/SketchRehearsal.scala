@@ -275,6 +275,53 @@ object SketchRehearsal {
       got == expected
     }
 
+    // ---- multi-touch attribution: closed-form credit at volume ----
+    val attrOk = timed("attribution") {
+      // ~3 events per user, class by uid mod 4, lookback 1000 s:
+      //   0: clicks +10,+50, purchase +100        → n=2 (500000 each)
+      //   1: click AT t−lookback (excluded, open bound), click == conv
+      //      ts (included), purchase +200          → n=1
+      //   2: clicks +10,+20,+30, purchase +40      → n=3 (floor 333333)
+      //   3: clicks only                           → no credit
+      val nu = n / 3
+      val lookback = 1000L
+      val rows = Seq( // (class, j, dtSec, type); dt relative to base
+        (0, 0, 10L, "click"), (0, 1, 50L, "click"), (0, 2, 100L, "purchase"),
+        (1, 0, 200L - lookback, "click"), (1, 1, 200L, "click"), (1, 2, 200L, "purchase"),
+        (2, 0, 10L, "click"), (2, 1, 20L, "click"), (2, 2, 30L, "click"), (2, 3, 40L, "purchase"),
+        (3, 0, 10L, "click"), (3, 1, 20L, "click"))
+      val dtCol = rows.foldLeft(lit(null).cast("long")) { case (acc, (c, j, dt, _)) =>
+        when(col("u") % 4 === c && col("j") === j, lit(dt)).otherwise(acc)
+      }
+      val tyCol = rows.foldLeft(lit(null).cast("string")) { case (acc, (c, j, _, ty)) =>
+        when(col("u") % 4 === c && col("j") === j, lit(ty)).otherwise(acc)
+      }
+      val ev = spark.range(nu * 4)
+        .select((col("id") / 4).cast("long").as("u"), (col("id") % 4).as("j"))
+        .select(col("u").as("user_id"),
+          // base mid-day, day = u mod 30 — credits spread over 30 days
+          timestamp_seconds(pmod(col("u"), lit(30L)) * 86400L + 40000L + dtCol).as("ts"),
+          tyCol.as("event_type"))
+        .filter(col("event_type").isNotNull)
+      val dir = s"$outBase/attr"
+      ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.operators.Attribution
+        .creditDaily(spark, dir, lookbackSec = lookback)
+      val byModel = got.groupBy(col("model"))
+        .agg(sum(col("credit_millionths")).as("cr"), sum(col("n_touches")).as("nt"))
+        .collect().map(r => r.getAs[String]("model") ->
+          ((r.getAs[Long]("cr"), r.getAs[Long]("nt")))).toMap
+      val days = got.select(col("d")).distinct().count()
+      def usersInClass(c: Int): Long = nu / 4 + (if (nu % 4 > c) 1L else 0L)
+      val (c0, c1, c2) = (usersInClass(0), usersInClass(1), usersInClass(2))
+      val expected = Map(
+        "first" -> (((c0 + c1 + c2) * 1000000L, c0 + c1 + c2)),
+        "last" -> (((c0 + c1 + c2) * 1000000L, c0 + c1 + c2)),
+        "linear" -> ((c0 * 1000000L + c1 * 1000000L + c2 * 999999L,
+          c0 * 2L + c1 * 1L + c2 * 3L)))
+      byModel == expected && days == 30L
+    }
+
     val eoOk = timed("freq_exactly_once") {
       Sketches.writeFreqTable(spark, "reh_freq", items, Seq("grp"), "item")
       Sketches.appendToFreqTable(spark, "reh_freq",
@@ -299,7 +346,8 @@ object SketchRehearsal {
       "theta_envelopes_in_estimation_mode" -> thetaOk,
       "theta_stored_funnel_and_replay" -> thetaStoredOk,
       "theta_retention_closed_form" -> retOk,
-      "ordered_funnel_exact_at_volume" -> funnelOk)
+      "ordered_funnel_exact_at_volume" -> funnelOk,
+      "attribution_closed_form_at_volume" -> attrOk)
     val allPass = checks.forall(_._2)
     val checkJson = checks.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val phaseJson = phases.map { case (k, s) =>
