@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming multi-touch attribution — the streaming twin of
+  * [[graft.operators.Attribution.creditDaily]]: each conversion's
+  * credit over the touch events in its trailing lookback window,
+  * under the last/first/linear models, emitted EXACTLY ONCE when the
+  * watermark passes the conversion's timestamp (at that point no
+  * in-horizon touch at-or-before the conversion can still arrive, so
+  * the credit set is final — the same watermark-final contract as
+  * [[StreamingFunnel]]).
+  *
+  * Mechanics (`flatMapGroupsWithState` keyed on user,
+  * EventTimeTimeout):
+  *  - touches buffer in state; conversions buffer as pending until
+  *    the watermark passes them, then claim their in-window touches
+  *    ((conv − lookback, conv] — the batch operator's exact bounds)
+  *    and emit one credit row per (model, touch): linear gives each
+  *    of n touches `1000000 div n` millionths, first/last give the
+  *    full million to the earliest/latest — identical floors to the
+  *    batch side (in-order stream ≡ batch, spec-pinned);
+  *  - a touch is pruned once `touch + lookback ≤ watermark`: any
+  *    conversion that could still claim it would itself be below the
+  *    watermark, i.e. already finalized or dropped as late. State per
+  *    user is therefore bounded by one lookback+delay horizon of
+  *    touches plus the sub-watermark conversions — unbounded streams
+  *    run at watermark-bounded memory, never a full user history;
+  *  - timers chase the next deadline (earliest pending conversion or
+  *    touch expiry), so quiet users still finalize and shed state.
+  *
+  * Scale shape: ONE shuffle on user_id; credit assembly is
+  * within-partition state. The (day, model) rollup downstream is a
+  * bounded aggregation over emitted credit rows, mirroring the batch
+  * plan's final partial-agg stage.
+  */
+object StreamingAttribution {
+
+  private val DayUs = 86400000000L
+
+  case class CreditOut(user_id: Long, conv_t: Long, d: Long, model: String, credit: Long)
+  // not private: Catalyst's generated encoder projections need access
+  case class AttrEv(user_id: Long, tUs: Long, isConv: Boolean,
+                    ts: java.sql.Timestamp)
+  case class AttrState(touches: Seq[Long], pending: Seq[Long])
+
+  def credits(events: DataFrame, tsCol: String, watermarkDelay: String,
+              touchType: String = "click", convType: String = "purchase",
+              lookbackSec: Long = 604800L): Dataset[CreditOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = lookbackSec * 1000000L
+    val evs = events
+      .filter(col("event_type").isin(touchType, convType))
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tUs"),
+        (col("event_type") === convType).as("isConv"),
+        col("ts"))
+      .as[AttrEv]
+
+    def settle(user: Long, st: AttrState, wmUs: Long,
+               state: GroupState[AttrState]): Iterator[CreditOut] = {
+      val (ripe, pending) = st.pending.partition(_ < wmUs)
+      val out = ripe.sorted.flatMap { c =>
+        val win = st.touches.filter(t => t <= c && t > c - w).sorted
+        if (win.isEmpty) Seq.empty
+        else {
+          def day(t: Long) = (t / DayUs) * 86400L
+          val lin = 1000000L / win.length
+          win.map(t => CreditOut(user, c, day(t), "linear", lin)) ++
+            Seq(CreditOut(user, c, day(win.head), "first", 1000000L),
+              CreditOut(user, c, day(win.last), "last", 1000000L))
+        }
+      }
+      val touches = st.touches.filter(_ + w > wmUs)
+      if (touches.isEmpty && pending.isEmpty) state.remove()
+      else {
+        state.update(AttrState(touches, pending))
+        // wake at the next deadline: earliest pending conversion, or
+        // the earliest touch's expiry (kept strictly past the current
+        // watermark or the store rejects the timestamp)
+        val nextUs = (pending.map(_ + 1) ++ touches.map(_ + w)).min
+        state.setTimeoutTimestamp(math.max(nextUs / 1000L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+
+    def update(user: Long, rows: Iterator[AttrEv],
+               state: GroupState[AttrState]): Iterator[CreditOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st0 = state.getOption.getOrElse(AttrState(Seq.empty, Seq.empty))
+      val st =
+        if (state.hasTimedOut) st0
+        else {
+          val (convs, touches) = rows.toSeq.partition(_.isConv)
+          AttrState(st0.touches ++ touches.map(_.tUs), st0.pending ++ convs.map(_.tUs))
+        }
+      settle(user, st, wmUs, state)
+    }
+
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

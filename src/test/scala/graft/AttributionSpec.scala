@@ -74,6 +74,45 @@ class AttributionSpec extends SparkSpec {
     assert(linCr <= firstN * 1000000L && linCr > firstN * 1000000L - linN)
   }
 
+  test("streaming twin: watermark-final credits match the batch models exactly once") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAttribution
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAttribution.credits(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", lookbackSec = 60L)
+      .writeStream.format("memory").queryName("sattr").outputMode("append").start()
+    def emitted = spark.sql("SELECT user_id, model, credit FROM sattr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toMap
+    try {
+      ms.addData(
+        (1L, "click", Timestamp.valueOf("2024-01-01 00:00:10")),
+        (2L, "click", Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(
+        // u1 converts with BOTH touches in window (the first arrived a
+        // batch earlier); u2's only touch is outside the 60 s lookback
+        (1L, "click", Timestamp.valueOf("2024-01-01 00:00:30")),
+        (1L, "purchase", Timestamp.valueOf("2024-01-01 00:00:40")),
+        (2L, "purchase", Timestamp.valueOf("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      assert(emitted.isEmpty, "no emission before the watermark passes the conversion")
+      ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val want = Map((1L, "linear") -> 1000000L, (1L, "first") -> 1000000L,
+        (1L, "last") -> 1000000L)
+      assert(emitted == want, s"u1 credited once, u2 unattributed; got $emitted")
+      // exactly once: pushing the watermark further re-emits nothing,
+      // and a beyond-horizon straggler touch cannot reopen the credit
+      ms.addData((1L, "click", Timestamp.valueOf("2024-01-01 00:00:20")),
+        (99L, "click", Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      assert(emitted == want, "settled conversions never re-emit")
+    } finally q.stop()
+  }
+
   test("plan shape: equi-join pairing (no cartesian), one window shuffle") {
     val plan = Attribution.creditDaily(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), "pairing must be the banded equi-join")
