@@ -1101,4 +1101,22 @@ object Oracles {
       |SELECT d, model, CAST(sum(credit) AS BIGINT) AS credit_millionths,
       |       count(*) AS n_touches
       |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Exact twin of [[graft.operators.PathAnalysis.topkDaily]]:
+    * per-(day, user) ordered event-type list truncated to 5 steps
+    * (ties at one timestamp order by type name, matching the Spark
+    * side's (t, event_type) struct sort), counted per (day, path),
+    * top-5 per day with the total (count desc, path) tie-break.
+    */
+  val pathTopk: String =
+    """WITH p AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
+      |             array_to_string(list_slice(
+      |               list(event_type ORDER BY ts, event_type), 1, 5), '>') AS path
+      |           FROM events GROUP BY 1, 2),
+      |c AS (SELECT d, path, count(*) AS n_users FROM p GROUP BY 1, 2),
+      |r AS (SELECT d, path, n_users,
+      |        row_number() OVER (PARTITION BY d ORDER BY n_users DESC, path) AS rk
+      |      FROM c)
+      |SELECT d, path, n_users FROM r WHERE rk <= 5
+      |ORDER BY d, n_users DESC, path""".stripMargin
 }

@@ -99,6 +99,9 @@ object SparkEntry {
     // multi-touch attribution: banded lookback range join + ONE
     // window shuffle emits last/first/linear credit in a single pass
     "attribution_credit" -> ((s, dir) => Attribution.creditDaily(s, dir)),
+    // top-k user-journey paths per day: one (day, user) shuffle builds
+    // the sequences, WindowGroupLimit caps the per-day rank shuffle
+    "path_topk" -> ((s, dir) => PathAnalysis.topkDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -380,6 +383,7 @@ object SparkEntry {
     "sketch_retention" -> Oracles.sketchRetention,
     "funnel_lag" -> Oracles.funnelLag,
     "attribution_credit" -> Oracles.attributionCredit,
+    "path_topk" -> Oracles.pathTopk,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey path analysis: the ordered sequence of event types a
+  * user produced within a grain (day), truncated to its first
+  * `maxSteps` steps and ranked by how many users shared it — the
+  * sankey/flow question ("what do users actually do?") that
+  * complements the funnel's fixed-chain question.
+  *
+  * Plan shape: ONE shuffle to (day, user) builds each user-day's
+  * time-sorted type sequence (bounded by per-user-per-day event
+  * volume — the sessionize/funnel assumption), a map-side slice +
+  * join truncates it to `maxSteps`, then a partial-agg count to
+  * (day, path) and a top-k per day through the rank window —
+  * Spark's WindowGroupLimit pushes the per-partition k-cap below the
+  * rank exchange, so the final shuffle carries at most k rows per
+  * input partition per day, not the full path histogram. Ties break
+  * on the path string, total and engine-portable. Truncation is what
+  * keeps the path alphabet analytically useful (and the row width
+  * bounded) at any event volume; same-timestamp events order by type
+  * name on both sides.
+  */
+object PathAnalysis {
+
+  /** Per-day top-`k` `maxSteps`-step journey paths over the events
+    * table. Output: `d`, `path` ("view>click>…"), `n_users`, ordered
+    * by (d, n_users desc, path).
+    */
+  def topkDaily(spark: SparkSession, dir: String,
+                k: Int = 5, maxSteps: Int = 5): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_type"))
+    val seq0 = array_sort(collect_list(struct(col("t"), col("event_type"))))
+    val path = array_join(
+      slice(transform(seq0, e => e.getField("event_type")), 1, maxSteps), ">")
+    val byDay = Window.partitionBy(col("d"))
+      .orderBy(col("n_users").desc, col("path"))
+    ev.groupBy(col("d"), col("user_id"))
+      .agg(path.as("path"))
+      .groupBy(col("d"), col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("rk", row_number().over(byDay))
+      .filter(col("rk") <= k)
+      .select(col("d"), col("path"), col("n_users"))
+      .orderBy(col("d"), col("n_users").desc, col("path"))
+  }
+}
