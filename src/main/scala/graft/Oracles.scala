@@ -1119,4 +1119,26 @@ object Oracles {
       |      FROM c)
       |SELECT d, path, n_users FROM r WHERE rk <= 5
       |ORDER BY d, n_users DESC, path""".stripMargin
+
+  /** Exact twin of [[graft.operators.Anomaly.eventVolume]]: the
+    * trailing window carries only integer sums (Σn, Σn² — no
+    * float-accumulation order to diverge), then the identical IEEE
+    * mean/variance/z algebra and floor(1000·z) on both engines.
+    */
+  val eventsAnomaly: String =
+    """WITH c AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, event_type,
+      |             count(*) AS n_events
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT d, event_type, n_events,
+      |        sum(n_events) OVER w AS s, sum(n_events * n_events) OVER w AS ss,
+      |        count(n_events) OVER w AS np
+      |      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT d, event_type, n_events,
+      |       CASE WHEN ss / 7.0 - (s / 7.0) * (s / 7.0) > 0
+      |            THEN CAST(floor(1000.0 * (n_events - s / 7.0)
+      |                            / sqrt(ss / 7.0 - (s / 7.0) * (s / 7.0))) AS BIGINT)
+      |            ELSE NULL END AS z_milli
+      |FROM t WHERE np = 7
+      |ORDER BY d, event_type""".stripMargin
 }

@@ -102,6 +102,9 @@ object SparkEntry {
     // top-k user-journey paths per day: one (day, user) shuffle builds
     // the sequences, WindowGroupLimit caps the per-day rank shuffle
     "path_topk" -> ((s, dir) => PathAnalysis.topkDaily(s, dir)),
+    // event-volume anomaly z-scores: integer-exact window sums keep
+    // the IEEE algebra bit-identical cross-engine; floor(1000·z)
+    "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -384,6 +387,7 @@ object SparkEntry {
     "funnel_lag" -> Oracles.funnelLag,
     "attribution_credit" -> Oracles.attributionCredit,
     "path_topk" -> Oracles.pathTopk,
+    "events_anomaly" -> Oracles.eventsAnomaly,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-volume anomaly detection: per (event_type, day), the z-score
+  * of the day's event count against the trailing `window` OBSERVED
+  * days (rows-based, so a gap day doesn't silently shrink the
+  * baseline — it shifts it, the same convention both engines share).
+  * Days without a full trailing window emit nothing.
+  *
+  * Engine-portable exactness: the window carries only INTEGER sums
+  * (Σn, Σn² over longs — no floating-point accumulation order to
+  * diverge), the mean/variance/z algebra runs the identical IEEE
+  * expression on both sides, and the emitted score is
+  * `floor(1000·z)` — so the oracle hash-matches even though the
+  * score is real-valued. Variance 0 (a perfectly flat baseline)
+  * yields z undefined → the row emits with z_milli NULL rather than
+  * an engine-specific ±inf.
+  *
+  * Scale shape: the per-(type, day) count frame is tiny at ANY event
+  * volume (types × days rows) — one partial-agg shuffle off the scan
+  * does all the data-sized work; the trailing window runs over the
+  * bounded count frame, partitioned by event_type.
+  */
+object Anomaly {
+
+  /** Per-(day, event_type) count + trailing-window z-score in
+    * milli-units (`floor(1000·z)`). Output: `d`, `event_type`,
+    * `n_events`, `z_milli`, ordered by (d, event_type).
+    */
+  def eventVolume(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val counts = graft.Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-window, -1)
+    val w = lit(window.toDouble)
+    val s = sum(col("n_events")).over(trail)
+    val ss = sum(col("n_events") * col("n_events")).over(trail)
+    val nPrev = count(col("n_events")).over(trail)
+    val m = col("s") / w
+    val s2 = col("ss") / w - m * m
+    counts
+      .withColumn("s", s).withColumn("ss", ss).withColumn("np", nPrev)
+      .filter(col("np") === window)
+      .withColumn("s2", s2)
+      .withColumn("z_milli",
+        when(col("s2") > 0d,
+          floor(lit(1000.0) * (col("n_events") - m) / sqrt(col("s2"))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("d"), col("event_type"), col("n_events"), col("z_milli"))
+      .orderBy(col("d"), col("event_type"))
+  }
+}

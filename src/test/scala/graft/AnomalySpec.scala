@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Anomaly
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(rows: Seq[(Long, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    rows.map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("a planted spike scores high against an alternating baseline; flat baselines yield NULL") {
+    val day0 = 86400L * 20000
+    // 'click': 7 alternating baseline days (1,2,1,2,1,2,1) then a
+    // 10-count spike day; 'view': 7 flat days then one more (s2 = 0)
+    def at(d: Int, i: Int) = day0 + d * 86400L + 100L + i
+    val clicks = (0 until 7).flatMap(d =>
+      (0 until (if (d % 2 == 0) 1 else 2)).map(i => (1L + i, "click", at(d, i)))) ++
+      (0 until 10).map(i => (1L + i, "click", at(7, i)))
+    val views = (0 until 8).map(d => (1L, "view", at(d, 0)))
+    val got = Anomaly.eventVolume(spark, write(clicks ++ views)).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_events"), Option(r.getAs[Any]("z_milli"))))).toMap
+    // only day 7 has a full 7-day trailing window for each type
+    assert(got.keySet == Set((day0 + 7 * 86400L, "click"), (day0 + 7 * 86400L, "view")))
+    // click baseline: Σn = 10, Σn² = 16 → var 12/49 > 0
+    val m = 10.0 / 7
+    val s2 = 16.0 / 7 - m * m
+    val want = math.floor(1000.0 * (10 - m) / math.sqrt(s2)).toLong
+    assert(got((day0 + 7 * 86400L, "click")) == ((10L, Some(want))))
+    assert(got((day0 + 7 * 86400L, "view")) == ((1L, None)),
+      "zero-variance baseline must yield NULL, not ±inf")
+  }
+
+  test("a below-baseline day scores negative") {
+    val day0 = 86400L * 21000
+    def at(d: Int, i: Int) = day0 + d * 86400L + 100L + i
+    val ev = (0 until 7).flatMap(d =>
+      (0 until (if (d % 2 == 0) 5 else 7)).map(i => (1L + i, "click", at(d, i)))) ++
+      Seq((1L, "click", at(7, 0)))
+    val z = Anomaly.eventVolume(spark, write(ev)).collect()
+    assert(z.length == 1 && z.head.getAs[Long]("z_milli") < 0)
+  }
+
+  test("real data: one data-sized exchange; window runs on the bounded count frame") {
+    val df = Anomaly.eventVolume(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_events") > 0))
+    // final plan only — AQE's toString repeats the initial plan below
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the scan's only shuffle is the partial-agg count; everything
+    // after operates on the (types × days) frame
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"count shuffle + window shuffle at most, got $exchanges:\n$plan")
+  }
+}
