@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain,
   FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, MinHashSig, NgramStats,
   QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery, SimHash64,
-  ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg}
+  ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg,
+  WindowFunnelAgg}
 import graft.operators.Sketches
 
 /** Session extensions: registers graft's native Catalyst expressions
@@ -58,6 +59,14 @@ object GraftExtensions {
     require(e.foldable, s"$name: geometry argument must be a literal")
     Cast(e, IntegerType).eval() match {
       case i: Int => i
+      case v => throw new IllegalArgumentException(s"$name: bad geometry literal $v")
+    }
+  }
+
+  private def foldedLong(name: String, e: Expression): Long = {
+    require(e.foldable, s"$name: geometry argument must be a literal")
+    Cast(e, LongType).eval() match {
+      case l: Long => l
       case v => throw new IllegalArgumentException(s"$name: bad geometry literal $v")
     }
   }
@@ -152,5 +161,12 @@ object GraftExtensions {
       arity("graft_theta_a_not_b", 2)(c => ThetaAnotB(c(0), c(1)))),
     (FunctionIdentifier("graft_theta_summary"),
       new ExpressionInfo(classOf[ThetaSummary].getCanonicalName, "graft_theta_summary"),
-      arity("graft_theta_summary", 1)(c => ThetaSummary(c.head))))
+      arity("graft_theta_summary", 1)(c => ThetaSummary(c.head))),
+    // ---- ordered-funnel aggregate -----------------------------------
+    (FunctionIdentifier("graft_window_funnel"),
+      new ExpressionInfo(classOf[WindowFunnelAgg].getCanonicalName, "graft_window_funnel"),
+      arity("graft_window_funnel", 4)(c => WindowFunnelAgg(
+        Cast(c(0), LongType), Cast(c(1), IntegerType),
+        foldedLong("graft_window_funnel", c(2)),
+        foldedInt("graft_window_funnel", c(3))))))
 }

@@ -139,6 +139,21 @@ object Funnel {
       .agg(size(filter(anchors, a => a >= 0)).as("depth"))
   }
 
+  /** [[windowDepth]]'s fold as a single aggregate Column
+    * (`graft.functions.expressions.WindowFunnelAgg` — also
+    * SQL-registered as `graft_window_funnel` by GraftExtensions):
+    * `t` and `si` as in the fold, `windowSpan` in `t`'s unit. The
+    * buffer collects the group's step events and the FINAL eval
+    * sorts + folds (the greedy fold is order-sensitive, so no eager
+    * partial folding), same boundedness as the collect_list form.
+    */
+  def depthAgg(t: Column, si: Column, windowSpan: Long, nSteps: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.WindowFunnelAgg(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(t),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(si),
+        windowSpan, nSteps).toAggregateExpression())
+
   /** Per-day windowed funnel counts over the events table: users per
     * day at each depth, with the whole chain inside `windowSec` of its
     * first step. `windowSec` ≥ 86400 degenerates to [[orderedDaily]].

@@ -160,6 +160,33 @@ class FunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft_window_funnel SQL aggregate reproduces the DataFrame fold") {
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(steps: _*))
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"),
+        Funnel.stepIndex(steps).as("si"))
+    ev.createOrReplaceTempView("funnel_ev")
+    val winUs = 600L * 1000000L
+    val sql = spark.sql(
+      s"""SELECT d, user_id, graft_window_funnel(t, si, ${winUs}L, 3) AS depth
+         |FROM funnel_ev GROUP BY d, user_id""".stripMargin)
+    val viaSql = sql.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val viaDf = Funnel.windowDepth(
+      Tables.events(spark, sfDir).withColumn("d", unix_timestamp(date_trunc("day", col("ts")))),
+      steps, windowSec = 600L, groupCols = Seq("d")).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("user_id")) -> r.getAs[Int]("depth")).toMap
+    assert(viaSql.nonEmpty && viaSql == viaDf,
+      "session SQL must get the exact batch windowFunnel semantics")
+    assert(viaSql.values.exists(_ > 1), "fixture must exercise multi-step chains")
+    // same plan family as the sketch aggregates: partial+final
+    // ObjectHashAggregate, the buffer riding the exchange
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+  }
+
   test("day-wide window degenerates to the ordered daily funnel") {
     val win = Funnel.windowDaily(spark, sfDir, windowSec = 86400L).collect()
       .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),
