@@ -1141,4 +1141,23 @@ object Oracles {
       |            ELSE NULL END AS z_milli
       |FROM t WHERE np = 7
       |ORDER BY d, event_type""".stripMargin
+
+  /** Exact twin of [[graft.operators.Temporal.gapFill]]: per-type
+    * dense daily spine via range(), left join to the observed counts,
+    * 0-fill / IGNORE NULLS last_value LOCF / gap flag.
+    */
+  val eventsGapFill: String =
+    """WITH c AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, event_type,
+      |             count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM c GROUP BY 1),
+      |s AS (SELECT event_type, unnest(range(d0, d1 + 86400, 86400)) AS d FROM b),
+      |j AS (SELECT s.d, s.event_type, c.n
+      |      FROM s LEFT JOIN c ON s.d = c.d AND s.event_type = c.event_type)
+      |SELECT d, event_type, COALESCE(n, 0) AS n_events,
+      |       last_value(n IGNORE NULLS)
+      |         OVER (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf,
+      |       n IS NULL AS is_gap
+      |FROM j ORDER BY d, event_type""".stripMargin
 }

@@ -105,6 +105,9 @@ object SparkEntry {
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
+    // gap-fill + LOCF resample: spine join + window over the bounded
+    // (types × days) count frame — one data-sized shuffle total
+    "events_gapfill" -> ((s, dir) => Temporal.gapFill(Tables.events(s, dir))),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -388,6 +391,7 @@ object SparkEntry {
     "attribution_credit" -> Oracles.attributionCredit,
     "path_topk" -> Oracles.pathTopk,
     "events_anomaly" -> Oracles.eventsAnomaly,
+    "events_gapfill" -> Oracles.eventsGapFill,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

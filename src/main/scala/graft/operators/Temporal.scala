@@ -67,6 +67,41 @@ object Temporal {
     * Zero-match left events are restored by a final slim left join
     * keyed on event_id.
     */
+  /** Gap-fill + LOCF resample: per event_type, a dense daily spine
+    * from the type's first to last observed day, with each day's event
+    * count — `n_events` 0-filled on gap days, `n_locf` carrying the
+    * last OBSERVED day's count forward (the two standard resample
+    * semantics: "nothing happened" vs "state unchanged"), and an
+    * `is_gap` marker. The missing-days primitive every downstream
+    * trailing-window computation (Anomaly.eventVolume's convention is
+    * observed-days; this materializes the calendar-days alternative)
+    * and every charting layer needs.
+    *
+    * Scale shape: ONE partial-agg shuffle off the scan reduces the
+    * data to the bounded (types × days) count frame; the spine
+    * (`sequence` off each type's min/max — generated, never scanned)
+    * and the left join and LOCF window all run over that tiny frame,
+    * so the operator's cost is the count aggregation at any event
+    * volume.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = counts.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), lit(86400L))).as("d"))
+    val locf = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(counts, Seq("event_type", "d"), "left")
+      .select(col("d"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("n"), ignoreNulls = true).over(locf).as("n_locf"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
   def rangeJoinCount(events: DataFrame, leftType: String = "error",
                      rightType: String = "click", windowSec: Long = 600L): DataFrame = {
     val e = events.select(col("event_id"), col("user_id"), col("event_type"),

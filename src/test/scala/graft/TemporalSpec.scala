@@ -61,4 +61,28 @@ class TemporalSpec extends SparkSpec {
         s"temporal ops must stay equi-join/window shaped:\n$plan")
     }
   }
+
+  test("gapFill densifies per-type days, 0-fills, carries LOCF, flags gaps") {
+    val day = 86400L
+    // type A observed on days 0, 1, 3 (day 2 is a GAP); type B only on
+    // day 2 — its spine is the single day, no cross-type bleed
+    val ev = Seq(
+      (1L, ts(10), 1L, "A", 0.0, "{}"),
+      (2L, ts(20), 2L, "A", 0.0, "{}"),
+      (3L, ts(day + 10), 1L, "A", 0.0, "{}"),
+      (4L, ts(3 * day + 10), 1L, "A", 0.0, "{}"),
+      (5L, ts(2 * day + 10), 1L, "B", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Temporal.gapFill(ev).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_locf"), r.getAs[Boolean]("is_gap"))))
+      .toMap
+    assert(out.size == 5, s"A spans 4 days + B spans 1: $out")
+    assert(out((0L, "A")) == ((2L, 2L, false)))
+    assert(out((day, "A")) == ((1L, 1L, false)))
+    // the gap day: count 0-fills, LOCF holds day 1's count, flag set
+    assert(out((2 * day, "A")) == ((0L, 1L, true)))
+    assert(out((3 * day, "A")) == ((1L, 1L, false)))
+    assert(out((2 * day, "B")) == ((1L, 1L, false)))
+  }
 }
