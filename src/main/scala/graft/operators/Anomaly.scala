@@ -30,8 +30,15 @@ object Anomaly {
     * milli-units (`floor(1000·z)`). Output: `d`, `event_type`,
     * `n_events`, `z_milli`, ordered by (d, event_type).
     */
-  def eventVolume(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
-    val counts = graft.Tables.events(spark, dir)
+  def eventVolume(spark: SparkSession, dir: String, window: Int = 7): DataFrame =
+    eventVolume(graft.Tables.events(spark, dir), window)
+
+  /** The same computation over any frame with `ts` + `event_type` —
+    * the batch side of the [[graft.streaming.StreamingAnomaly]]
+    * parity contract.
+    */
+  def eventVolume(events: DataFrame, window: Int): DataFrame = {
+    val counts = events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("d"))

@@ -47,6 +47,56 @@ class AnomalySpec extends SparkSpec {
     assert(z.length == 1 && z.head.getAs[Long]("z_milli") < 0)
   }
 
+  test("streaming anomaly counts across micro-batches and emits watermark-final z exactly once") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAnomaly
+    implicit val ctx = spark.sqlContext
+    val day0 = 86400L * 20000
+    def at(d: Int, i: Int) = day0 + d * 86400L + 100L + i
+    // the planted-spike fixture: alternating click baseline + a
+    // 10-count day-7 spike; flat view baseline (variance 0 → null z)
+    val clicks = (0 until 7).flatMap(d =>
+      (0 until (if (d % 2 == 0) 1 else 2)).map(i => (1L + i, "click", at(d, i)))) ++
+      (0 until 10).map(i => (1L + i, "click", at(7, i)))
+    val views = (0 until 8).map(d => (1L, "view", at(d, 0)))
+    // views first: the cross-batch split must only move day-7 spike
+    // clicks (at the watermark frontier) into batch 2 — anything older
+    // would be legitimately dropped as late
+    val all = views ++ clicks
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAnomaly.zscores(
+      ms.toDF().toDF("user_id", "event_type", "ts"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sanom").outputMode("append").start()
+    def emitted = spark.sql("SELECT d, event_type, n_events, z_milli FROM sanom").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.getAs[Any]("z_milli")))))
+    try {
+      // split day 7's spike ACROSS batches: counts must accumulate
+      val (b1, b2) = all.splitAt(all.length - 5)
+      ms.addData(b1.map { case (u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      ms.addData(b2.map { case (u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      assert(emitted.isEmpty, "no emission before the watermark seals a full-window day")
+      // sentinel (own type) pushes the watermark past day 7's end
+      ms.addData((99L, "zz", new Timestamp((day0 + 9 * 86400L) * 1000L)))
+      q.processAllAvailable()
+      val batch = Anomaly.eventVolume(
+        all.map { case (u, t, s) => (u, t, new Timestamp(s * 1000L)) }
+          .toDF("user_id", "event_type", "ts"), 7).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), Option(r.getAs[Any]("z_milli")))))
+      assert(batch.nonEmpty && batch.exists(_._2._2.isDefined))
+      assert(emitted.toMap == batch.toMap,
+        s"stream must reproduce the batch twin: ${emitted.toSeq} vs ${batch.toSeq}")
+      // exactly once: a later watermark advance must not re-emit
+      ms.addData((99L, "zz", new Timestamp((day0 + 20 * 86400L) * 1000L)))
+      q.processAllAvailable()
+      assert(emitted.length == batch.length, "watermark-final rows emit exactly once")
+    } finally q.stop()
+  }
+
   test("real data: one data-sized exchange; window runs on the bounded count frame") {
     val df = Anomaly.eventVolume(spark, sfDir)
     val rows = df.collect()
