@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Anomaly, Temporal}
+
+/** Scale rehearsal for the temporal-analytics pair beyond the
+  * driver's sf0.1 corpus: a deterministic spark.range event stream
+  * (every cell a pure function of the row id — closed-form truth, no
+  * second engine) drives [[Anomaly.eventVolume]] and
+  * [[Temporal.gapFill]] at 20M+ rows.
+  *
+  * Data model at n rows (n % 300 == 0; default 21M): 100 days, three
+  * slots (id % 3), base = n/300 events per (slot, day):
+  *   - slot 0 → type "a" always; slot 1 → "a" on odd days, "b" on
+  *     even days: a alternates base/2·base (nonzero variance — real
+  *     z-scores), b exists ONLY on even days (every odd day is a
+  *     calendar gap the OBSERVED-days anomaly window must skip and
+  *     gapFill must densify);
+  *   - slot 2 → type "c", except day 50 remaps onto day 49: c is
+  *     flat (variance-0 → null z) with one planted double-count day
+  *     followed by one planted GAP.
+  *
+  * Checks: the full per-(day, type) eventVolume output — counts AND
+  * floor(1000·z) — equals the closed-form expectation (trailing 7
+  * OBSERVED days, the integer-sum algebra applied to the planted
+  * counts); the full gapFill output equals the closed-form dense
+  * spine (0-fill + LOCF hold + is_gap exactly on planted gaps).
+  *
+  *   tools/run.sh graft.TemporalRehearsal [n] [outBase]
+  */
+object TemporalRehearsal {
+
+  private val Days = 100
+  private val Day0 = 86400L * 19000
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(21000000L)
+    val outBase = args.lift(1).getOrElse("tmp/temporal_rehearsal")
+    require(n % 300 == 0, s"n=$n must divide by 3 slots x 100 days")
+    val base = n / 300
+    Rehearsals.rmTree(outBase)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[temporal] $phase%-14s ${sec}%8.2f s")
+      phases += ((phase, sec))
+      out
+    }
+
+    // ---- the planted event stream ------------------------------------
+    def events = {
+      val slot = col("id") % 3
+      // `/` is true division on longs — div keeps the day integral
+      val d0 = expr(s"(id div 3) % $Days")
+      // slot 2's day-50 rows land on day 49 (the planted double + gap)
+      val d = when(slot === 2 && d0 === 50, lit(49)).otherwise(d0)
+      val tpe = when(slot === 0, "a")
+        .when(slot === 1, when(d0 % 2 === 1, "a").otherwise("b"))
+        .otherwise("c")
+      spark.range(n).select(
+        tpe.as("event_type"),
+        timestamp_seconds(lit(Day0) + d * 86400L + col("id") % 1000).as("ts"))
+    }
+
+    // ---- closed-form truth -------------------------------------------
+    val expCounts: Map[(Long, String), Long] = (0 until Days).flatMap { d =>
+      val day = Day0 + d * 86400L
+      val a = (day, "a") -> (if (d % 2 == 1) 2 * base else base)
+      val b = if (d % 2 == 0) Seq((day, "b") -> base) else Nil
+      val c = if (d == 50) Nil
+              else Seq((day, "c") -> (if (d == 49) 2 * base else base))
+      Seq(a) ++ b ++ c
+    }.toMap
+    def expAnomaly: Map[(Long, String), (Long, Option[Long])] =
+      expCounts.keys.map(_._2).toSeq.distinct.flatMap { t =>
+        val days = expCounts.keys.filter(_._2 == t).map(_._1).toSeq.sorted
+        days.zipWithIndex.collect { case (day, i) if i >= 7 =>
+          val trail = days.slice(i - 7, i).map(dd => expCounts((dd, t)))
+          val nEv = expCounts((day, t))
+          val m = trail.sum.toDouble / 7.0
+          val s2 = trail.map(c => c * c).sum.toDouble / 7.0 - m * m
+          val z = if (s2 > 0d) Some(math.floor(1000.0 * (nEv - m) / math.sqrt(s2)).toLong)
+                  else None
+          (day, t) -> ((nEv, z))
+        }
+      }.toMap
+    def expGapFill: Map[(Long, String), (Long, Long, Boolean)] =
+      expCounts.keys.map(_._2).toSeq.distinct.flatMap { t =>
+        val days = expCounts.keys.filter(_._2 == t).map(_._1).toSeq.sorted
+        var locf = 0L
+        (days.head to days.last by 86400L).map { day =>
+          val obs = expCounts.get((day, t))
+          obs.foreach(locf = _)
+          (day, t) -> ((obs.getOrElse(0L), locf, obs.isEmpty))
+        }
+      }.toMap
+
+    // ---- drive + compare ---------------------------------------------
+    val anomOk = timed("anomaly") {
+      val got = Anomaly.eventVolume(events, 7).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), Option(r.getAs[Any]("z_milli")).map(_.asInstanceOf[Long]))))
+        .toMap
+      got == expAnomaly
+    }
+    val gapOk = timed("gapfill") {
+      val got = Temporal.gapFill(events).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_locf"), r.getAs[Boolean]("is_gap"))))
+        .toMap
+      got == expGapFill
+    }
+
+    val allPass = anomOk && gapOk
+    val phaseJson = phases.map { case (k, s) => s""""$k":${f"$s%.2f"}""" }.mkString("{", ",", "}")
+    println(s"""{"rehearsal":"temporal","n":$n,"all_checks_pass":$allPass,""" +
+      s""""checks":{"anomaly_closed_form":$anomOk,"gapfill_closed_form":$gapOk},""" +
+      s""""phases":$phaseJson,"cpus":"$cpus"}""")
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+}
