@@ -1160,4 +1160,17 @@ object Oracles {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf,
       |       n IS NULL AS is_gap
       |FROM j ORDER BY d, event_type""".stripMargin
+
+  /** Exact twin of [[graft.operators.Cohort.matrixDaily]]: distinct
+    * (day, user) activity, first-day cohort via a user window, count
+    * per (cohort, age) — (d, user) uniqueness makes count(*) the
+    * distinct-user count.
+    */
+  val cohortMatrix: String =
+    """WITH a AS (SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+      |             user_id
+      |           FROM events),
+      |f AS (SELECT d, min(d) OVER (PARTITION BY user_id) AS cohort_d FROM a)
+      |SELECT cohort_d, (d - cohort_d) // 86400 AS age_days, count(*) AS n_active
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

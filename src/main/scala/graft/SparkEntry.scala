@@ -108,6 +108,9 @@ object SparkEntry {
     // gap-fill + LOCF resample: spine join + window over the bounded
     // (types × days) count frame — one data-sized shuffle total
     "events_gapfill" -> ((s, dir) => Temporal.gapFill(Tables.events(s, dir))),
+    // first-seen cohort triangle: distinct reduction + user-window
+    // cohort; (d, user) uniqueness makes the final count distinct-free
+    "cohort_matrix" -> ((s, dir) => Cohort.matrixDaily(s, dir)),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -392,6 +395,7 @@ object SparkEntry {
     "path_topk" -> Oracles.pathTopk,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_gapfill" -> Oracles.eventsGapFill,
+    "cohort_matrix" -> Oracles.cohortMatrix,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,
