@@ -205,13 +205,18 @@ object ExactIndex {
   * stored sketch actually changed, and the superseded broadcast is
   * DESTROYED eagerly (executors drop their blocks at once).
   *
-  * Destroying on supersession is safe under the index's single-writer
-  * maintenance contract: a new generation exists before the old
-  * broadcast dies, so only a query planned against the PRE-append
-  * sketch and still running could observe it — the same bounded
-  * retention semantics the generation-flip tables document. The
-  * probe stays correctness-neutral either way (a bloom answer only
-  * routes rows toward or away from the exact confirm join).
+  * Retention on supersession mirrors the generation-flip tables: the
+  * IMMEDIATELY superseded broadcast stays alive (a query planned
+  * against the pre-append sketch and still running finishes on it —
+  * destroying eagerly would fail that query mid-flight with a
+  * destroyed-broadcast SparkException, not give it stale reads), and
+  * destruction happens one generation LATE: flipping to generation
+  * g+2 destroys g's broadcast. Memory therefore holds at most TWO
+  * sketch broadcasts per index — still bounded for a long-running
+  * stream — and a reader outliving two whole index generations is
+  * outside the retention contract, exactly as for the flip tables.
+  * The probe stays correctness-neutral either way (a bloom answer
+  * only routes rows toward or away from the exact confirm join).
   */
 private[graft] object BloomBroadcastCache {
   /** Broadcasts created in this JVM — observable so a spec can pin
@@ -220,6 +225,8 @@ private[graft] object BloomBroadcastCache {
   private[graft] val broadcastsCreated = new java.util.concurrent.atomic.AtomicLong(0L)
   private val cache = scala.collection.mutable.Map[
     String, (String, org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+  private val retired = scala.collection.mutable.Map[
+    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
 
   def bloomFor(spark: SparkSession, name: String)
   : org.apache.spark.broadcast.Broadcast[Array[Byte]] = synchronized {
@@ -228,7 +235,10 @@ private[graft] object BloomBroadcastCache {
     cache.get(name) match {
       case Some((f, bc)) if f == fp => bc
       case stale =>
-        stale.foreach(_._2.destroy())
+        // generation g+2 arrives: g (retired at the g+1 flip) dies,
+        // g+1 moves to retired, g+2 becomes current
+        retired.remove(name).foreach(_.destroy())
+        stale.foreach { case (_, bc) => retired.put(name, bc) }
         val bytes = spark.table(table).select(col("bloom"))
           .collect()(0).getAs[Array[Byte]](0)
         val bc = spark.sparkContext.broadcast(bytes)

@@ -74,6 +74,10 @@ object Funnel {
       .agg(depth.as("depth"))
       .groupBy(col("d"))
       .agg(counts.head, counts.tail: _*)
+      // a day whose step events never include step 1 has no funnel
+      // entrants; the chained-min relational form (and the oracle
+      // built from it) emits no row for such days
+      .filter(col("n_step1") > 0)
       .orderBy(col("d"))
   }
 
@@ -94,7 +98,11 @@ object Funnel {
       .groupBy(col("d"))
       .agg(sum(when(size(col("mt")) === n, 1L).otherwise(0L)).as("n_conv"),
         coalesce(sum(when(size(col("mt")) === n,
-          element_at(col("mt"), n) - element_at(col("mt"), 1))), lit(0L)).as("sum_lag_us"))
+          element_at(col("mt"), n) - element_at(col("mt"), 1))), lit(0L)).as("sum_lag_us"),
+        sum(when(size(col("mt")) >= 1, 1L).otherwise(0L)).as("_n1"))
+      // match [[orderedDaily]]'s row set: a day with step events but
+      // no step-1 entrant emits nothing (the oracle's FROM clause)
+      .filter(col("_n1") > 0).drop("_n1")
       .orderBy(col("d"))
   }
 
@@ -167,6 +175,8 @@ object Funnel {
     windowDepth(ev, steps, windowSec, Seq("d"))
       .groupBy(col("d"))
       .agg(counts.head, counts.tail: _*)
+      // [[orderedDaily]]'s row-set convention: no step-1 entrant, no row
+      .filter(col("n_step1") > 0)
       .orderBy(col("d"))
   }
 }

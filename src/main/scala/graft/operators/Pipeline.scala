@@ -327,7 +327,11 @@ object Pipeline {
     *   2. re-sent CONTENT under a new vec_id drops against the
     *      `<name>_vexact` digest index (bloom-pruned confirm join —
     *      the re-crawl analogue: a re-embedded duplicate document
-    *      must not enter the index twice under two ids);
+    *      must not enter the index twice under two ids) — INCLUDING
+    *      duplicates arriving within the same batch, which the stored
+    *      index can't see yet: identical embeddings under two new ids
+    *      keep only the lowest id (min-groupBy + semi join, counted
+    *      in the same known-content bucket);
     *   3. survivors' digests append to the exact index, then the
     *      vectors fold into the IVF-PQ store against the FROZEN
     *      codebooks and the drift rule evaluates, reclustering when
@@ -349,8 +353,15 @@ object Pipeline {
       .withColumn("vtxt", vectorText(col("embedding")))
       .persist(MEMORY_AND_DISK)
     val nFreshId = freshIds.count()
-    val novel = freshIds
-      .join(ExactIndex.flagAgainstIndex(freshIds, s"${name}_vexact",
+    // intra-batch content dedup: the stored vexact probe only knows
+    // PERSISTED digests, so two identical embeddings arriving in one
+    // batch under different new ids would both survive it — keep the
+    // lowest vec_id per vtxt before probing
+    val firstPerContent = freshIds
+      .groupBy(col("vtxt")).agg(min(col("vec_id")).as("vec_id"))
+    val uniqueContent = freshIds.join(firstPerContent, Seq("vtxt", "vec_id"), "left_semi")
+    val novel = uniqueContent
+      .join(ExactIndex.flagAgainstIndex(uniqueContent, s"${name}_vexact",
         textCol = "vtxt", idCol = "vec_id")
         .filter(col("is_known")).select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_anti")

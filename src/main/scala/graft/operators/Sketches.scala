@@ -111,11 +111,24 @@ object Sketches {
     spark.catalog.refreshTable(s"${name}_meta")
   }
 
+  /** `group_cols` travels as array<string> since r13; tables written
+    * by earlier binaries stored a comma-joined string. Read either —
+    * a raw ClassCastException on a legacy meta row would force a
+    * needless stored-table rebuild (column names can't contain ','
+    * under the legacy writer, so the split is lossless).
+    */
+  private def metaGroupCols(r: org.apache.spark.sql.Row): Seq[String] =
+    r.schema("group_cols").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        r.getAs[String]("group_cols").split(",").toSeq
+      case _ => r.getAs[scala.collection.Seq[String]]("group_cols").toSeq
+    }
+
   private def meta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"sketch table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Int]("lg_k"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+    (r.getAs[Int]("lg_k"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
 
@@ -237,7 +250,7 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"freq table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Int]("max_map_size"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+    (r.getAs[Int]("max_map_size"), metaGroupCols(r),
       r.getAs[String]("item_col"), r.getAs[Int]("buckets"))
   }
 
@@ -414,7 +427,7 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"theta table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Int]("nominal_entries"), r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+    (r.getAs[Int]("nominal_entries"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
 
@@ -727,8 +740,7 @@ object Sketches {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"quantile table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
-    (r.getAs[Double]("relative_error"),
-      r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+    (r.getAs[Double]("relative_error"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
 

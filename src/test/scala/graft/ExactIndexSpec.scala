@@ -105,11 +105,25 @@ class ExactIndexSpec extends SparkSpec {
       "an unchanged index must reuse its cached bloom broadcast across batches")
     // append changes the stored sketch's file set: exactly one fresh
     // broadcast, and the flags track the LIVE index
+    val gen1 = BloomBroadcastCache.bloomFor(spark, "exbc_spec")
     ExactIndex.append(batch, "exbc_spec")
     assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(!col("is_known")).count() == 0)
     assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(!col("is_known")).count() == 0)
     assert(BloomBroadcastCache.broadcastsCreated.get() - before == 2L,
       "an appended index must re-broadcast exactly once, then reuse again")
+    // deferred destruction: a query planned against the pre-append
+    // sketch and still running must finish on it — the superseded
+    // broadcast stays alive for ONE generation...
+    assert(gen1.value.nonEmpty,
+      "the immediately superseded bloom broadcast must remain servable")
+    // ...and dies at the NEXT flip (bounded two-generation retention)
+    val gen2 = BloomBroadcastCache.bloomFor(spark, "exbc_spec")
+    ExactIndex.append(reference.withColumn("text", concat(col("text"), lit(" g3"))),
+      "exbc_spec")
+    assert(ExactIndex.flagAgainstIndex(batch, "exbc_spec").filter(!col("is_known")).count() == 0)
+    intercept[org.apache.spark.SparkException] { gen1.value }
+    assert(gen2.value.nonEmpty,
+      "only the generation superseded TWO flips ago is destroyed")
     spark.sql("DROP TABLE IF EXISTS exbc_spec_digests")
     spark.sql("DROP TABLE IF EXISTS exbc_spec_bloom")
   }

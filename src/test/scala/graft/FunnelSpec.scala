@@ -187,6 +187,29 @@ class FunnelSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
 
+  test("a day with step events but no step-1 entrant emits no row (oracle row-set parity)") {
+    // d2 has clicks and purchases but not one view: the chained-min
+    // relational form (the oracle's FROM clause) has no row for d2,
+    // so neither may the fold — on corpora with view-free days the
+    // divergence would be a hash mismatch, not a wrong count
+    val d1 = 86400L * 21000
+    val d2 = d1 + 86400L
+    val ev = Seq(
+      (1L, "view", d1 + 10), (1L, "click", d1 + 20), (1L, "purchase", d1 + 30),
+      (2L, "click", d2 + 10), (2L, "purchase", d2 + 20))
+      .map { case (u, t, ts) => (u, t, new java.sql.Timestamp(ts * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_noview").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    assert(Funnel.orderedDaily(spark, tmp).collect().map(_.getAs[Long]("d")).toSeq
+      == Seq(d1), "orderedDaily must skip the view-free day")
+    assert(Funnel.lagDaily(spark, tmp).collect().map(_.getAs[Long]("d")).toSeq
+      == Seq(d1), "lagDaily must skip the view-free day")
+    assert(Funnel.windowDaily(spark, tmp, windowSec = 86400L).collect()
+      .map(_.getAs[Long]("d")).toSeq == Seq(d1),
+      "windowDaily shares the row-set convention")
+  }
+
   test("day-wide window degenerates to the ordered daily funnel") {
     val win = Funnel.windowDaily(spark, sfDir, windowSec = 86400L).collect()
       .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_step1"),

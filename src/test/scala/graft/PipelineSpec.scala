@@ -397,6 +397,30 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
   }
 
+  test("vector-ingest drops intra-batch content duplicates under distinct new ids") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tables = Seq("vecs", "codes", "centroids", "pqbooks", "meta", "stats",
+      "vexact_digests", "vexact_bloom")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS vecC_$t"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+    Pipeline.initVectorIngest(seed, "vecC", nlist = 8, m = 8, ks = 16, buckets = 8)
+    // the same embedding arrives TWICE in one batch under two fresh
+    // ids — the stored vexact index can't see either yet, so without
+    // intra-batch dedup both would enter the store
+    val dup = emb.filter(col("vec_id") === 450).select("embedding")
+    val batch = dup.select(lit(9002L).as("vec_id"), col("embedding"))
+      .unionByName(dup.select(lit(9001L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") === 451).select("vec_id", "embedding"))
+    val r = Pipeline.vectorIngest(batch, "vecC")
+    assert((r.nBatch, r.nKnownId, r.nKnownContent, r.nAppended) == ((3L, 0L, 1L, 2L)),
+      s"the higher-id twin must drop as known content, got $r")
+    val ids = spark.table("vecC_vecs").select(col("c_id")).as[Long].collect().toSet
+    assert(ids.contains(9001L) && !ids.contains(9002L) && ids.contains(451L),
+      "keep-lowest-id: 9001 enters, 9002 drops")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS vecC_$t"))
+  }
+
   test("ingest applyChanged: changed re-crawls retract + re-process; digests stay content history") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{Dedup, ExactIndex}

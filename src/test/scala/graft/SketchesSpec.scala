@@ -605,4 +605,25 @@ class SketchesSpec extends SparkSpec {
     assert(est == Map("g0" -> 40L, "g1" -> 40L, "g2" -> 40L),
       s"array-typed meta must round-trip a comma-bearing group column, got $est")
   }
+
+  test("a legacy meta table with string group_cols reads via the split fallback") {
+    // pre-r14 binaries wrote group_cols as a comma-joined STRING; the
+    // readers must accept both encodings rather than force a stored
+    // table rebuild (raw ClassCastException) on the old layout
+    Seq("sk_leg_sketches", "sk_leg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val df = Seq(("g1", "a"), ("g1", "b"), ("g2", "a")).toDF("grp", "uid")
+    Sketches.writeSketchTable(spark, "sk_leg", df, Seq("grp"), "uid")
+    Seq((Sketches.DefaultLgK, "grp", "uid", 16))
+      .toDF("lg_k", "group_cols", "value_col", "buckets")
+      .write.mode("overwrite").saveAsTable("sk_leg_meta")
+    def est = Sketches.estimateSketchTable(spark, "sk_leg").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct")).toMap
+    assert(est == Map("g1" -> 2L, "g2" -> 1L),
+      "estimate must read through the legacy string meta")
+    // append resolves geometry through the same fallback
+    Sketches.appendToSketchTable(spark, "sk_leg", Seq(("g2", "b")).toDF("grp", "uid"))
+    assert(est == Map("g1" -> 2L, "g2" -> 2L),
+      "append must fold through the legacy string meta")
+    Seq("sk_leg_sketches", "sk_leg_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
