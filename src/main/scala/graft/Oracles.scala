@@ -1082,20 +1082,30 @@ object Oracles {
     * pairs via a plain window-predicate join (the form the banded
     * equi-join replaces), per-conversion ranks via window functions,
     * integer-millionth credit (1000000 // n floors exactly like the
-    * Spark side's `div`). Ties on touch timestamp cannot flip the
-    * hash: first/last credit lands on the tied rows' SHARED day.
+    * Spark side's `div`; the decay weight 2^(6 − lag_days) is an
+    * integer shift on both engines, so time-decay needs no
+    * cross-engine pow() double). Ties on touch timestamp cannot flip
+    * the hash: first/last credit lands on the tied rows' SHARED day,
+    * and tied position endpoints carry equal credit.
     */
   val attributionCredit: String =
     """WITH p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
-      |j AS (SELECT p.user_id, pts, cts FROM p JOIN c ON p.user_id = c.user_id
+      |j AS (SELECT p.user_id, pts, cts,
+      |        (CAST(1 AS BIGINT) << CAST(6 - (epoch_us(pts) - epoch_us(cts)) // 86400000000 AS INT)) AS wt
+      |      FROM p JOIN c ON p.user_id = c.user_id
       |      WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY),
       |w AS (SELECT CAST(epoch(date_trunc('day', cts)) AS BIGINT) AS d,
-      |        count(*) OVER win AS n,
+      |        count(*) OVER win AS n, wt, sum(wt) OVER win AS sum_wt,
       |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts) AS rn_a,
       |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts DESC) AS rn_d
       |      FROM j WINDOW win AS (PARTITION BY user_id, pts)),
       |cr AS (SELECT d, 'linear' AS model, 1000000 // n AS credit FROM w
+      |       UNION ALL SELECT d, 'decay', (1000000 * wt) // sum_wt FROM w
+      |       UNION ALL SELECT d, 'position',
+      |         CASE WHEN n = 1 THEN 1000000
+      |              WHEN rn_a = 1 OR rn_d = 1 THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+      |              ELSE 200000 // (n - 2) END FROM w
       |       UNION ALL SELECT d, 'first', 1000000 FROM w WHERE rn_a = 1
       |       UNION ALL SELECT d, 'last', 1000000 FROM w WHERE rn_d = 1)
       |SELECT d, model, CAST(sum(credit) AS BIGINT) AS credit_millionths,

@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** Multi-touch attribution: distribute each conversion's credit over
   * the touch events that preceded it inside a lookback window, under
-  * the three standard models at once — `last` (all credit to the
-  * latest touch), `first` (all to the earliest), and `linear` (split
-  * evenly). Credit is integer millionths of a conversion so the sums
-  * are exact and engine-portable (no floating-point accumulation;
-  * `linear` gives each of n touches 1000000 div n — the floor is the
-  * deterministic remainder convention).
+  * the five standard models at once — `last` (all credit to the
+  * latest touch), `first` (all to the earliest), `linear` (split
+  * evenly), `decay` (time-decay: weight halves per whole DAY of
+  * touch→conversion lag — the discrete one-day-half-life form, which
+  * keeps the weights integer powers of two), and `position`
+  * (U-shaped: 40 % to the first touch, 40 % to the last, the middle
+  * 20 % split over the interior touches; a lone touch takes 100 %, a
+  * pair 50/50). Credit is integer millionths of a conversion so the
+  * sums are exact and engine-portable (no floating-point
+  * accumulation; `linear` gives each of n touches 1000000 div n,
+  * `decay` gives touch i 1000000·wᵢ div Σw with wᵢ = 2^(maxLagDays −
+  * lag_days) — the floor is the deterministic remainder convention
+  * throughout, and the power-of-two weights make the decay exact
+  * integer arithmetic rather than a cross-engine pow() double).
   *
   * Scale shape: the conversion↔touch pairing is the banded range
   * join ([[Temporal.rangeJoinCount]]'s geometry, inverted for a
@@ -21,13 +29,13 @@ import org.apache.spark.sql.functions._
   * (user, band) key — join volume is O(in-window pairs), never the
   * per-user cross product, and the join is an equi-join Spark can
   * hash/sort-merge. Touch ranking within a conversion then needs ONE
-  * window shuffle keyed (user_id, conv_t) — count + both row_numbers
-  * share the partition key — and all three models' credit rows are
-  * emitted in that same pass (one conditional array explode, no
-  * per-model recompute or union), leaving one bounded partial-agg
-  * rollup to (day, model). Unlike the funnel fold this never
-  * collects a user's full history: state per window partition is one
-  * conversion's in-window touches.
+  * window shuffle keyed (user_id, conv_t) — count, both row_numbers
+  * AND the decay-weight sum share the partition key — and all five
+  * models' credit rows are emitted in that same pass (one conditional
+  * array explode, no per-model recompute or union), leaving one
+  * bounded partial-agg rollup to (day, model). Unlike the funnel
+  * fold this never collects a user's full history: state per window
+  * partition is one conversion's in-window touches.
   */
 object Attribution {
 
@@ -47,6 +55,9 @@ object Attribution {
                   touchType: String = "click", convType: String = "purchase",
                   lookbackSec: Long = 604800L): DataFrame = {
     val w = lookbackSec * 1000000L
+    // lag_days ∈ [0, maxLagDays] inside the open-below window, so the
+    // decay weight 2^(maxLagDays − lag_days) stays a small exact long
+    val maxLagDays = (w - 1) / DayUs
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("t"))
@@ -58,17 +69,27 @@ object Attribution {
       .select(col("user_id"), col("t").as("touch_t"), band.as("band"))
     val pairs = conv.join(touch, Seq("user_id", "band"))
       .filter(col("touch_t") <= col("conv_t") && col("touch_t") > col("conv_t") - w)
-      .select(col("user_id"), col("conv_t"), col("touch_t"))
+      .select(col("user_id"), col("conv_t"), col("touch_t"),
+        expr(s"shiftleft(1L, cast(${maxLagDays}L - (conv_t - touch_t) div ${DayUs}L as int))")
+          .as("wt"))
     val byConv = Window.partitionBy(col("user_id"), col("conv_t"))
     val ranked = pairs
       .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("sum_wt", sum(col("wt")).over(byConv))
       .withColumn("rn_a", row_number().over(byConv.orderBy(col("touch_t").asc)))
       .withColumn("rn_d", row_number().over(byConv.orderBy(col("touch_t").desc)))
     val d = expr(s"(touch_t div ${DayUs}L) * 86400L")
     val full = 1000000L
+    val posCredit = when(col("n") === 1, lit(full))
+      .when(col("rn_a") === 1 || col("rn_d") === 1,
+        when(col("n") === 2, lit(500000L)).otherwise(lit(400000L)))
+      .otherwise(expr("200000L div (n - 2)"))
     val credits = array(
       struct(d.as("d"), lit("linear").as("model"),
         expr(s"${full}L div n").as("credit")),
+      struct(d.as("d"), lit("decay").as("model"),
+        expr(s"(${full}L * wt) div sum_wt").as("credit")),
+      struct(d.as("d"), lit("position").as("model"), posCredit.as("credit")),
       when(col("rn_a") === 1,
         struct(d.as("d"), lit("first").as("model"), lit(full).as("credit"))),
       when(col("rn_d") === 1,

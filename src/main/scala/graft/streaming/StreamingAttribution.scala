@@ -7,21 +7,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming multi-touch attribution — the streaming twin of
   * [[graft.operators.Attribution.creditDaily]]: each conversion's
   * credit over the touch events in its trailing lookback window,
-  * under the last/first/linear models, emitted EXACTLY ONCE when the
-  * watermark passes the conversion's timestamp (at that point no
-  * in-horizon touch at-or-before the conversion can still arrive, so
-  * the credit set is final — the same watermark-final contract as
-  * [[StreamingFunnel]]).
+  * under the five batch models (last/first/linear/decay/position),
+  * emitted EXACTLY ONCE when the watermark passes the conversion's
+  * timestamp (at that point no in-horizon touch at-or-before the
+  * conversion can still arrive, so the credit set is final — the
+  * same watermark-final contract as [[StreamingFunnel]]).
   *
   * Mechanics (`flatMapGroupsWithState` keyed on user,
   * EventTimeTimeout):
   *  - touches buffer in state; conversions buffer as pending until
   *    the watermark passes them, then claim their in-window touches
   *    ((conv − lookback, conv] — the batch operator's exact bounds)
-  *    and emit one credit row per (model, touch): linear gives each
-  *    of n touches `1000000 div n` millionths, first/last give the
-  *    full million to the earliest/latest — identical floors to the
-  *    batch side (in-order stream ≡ batch, spec-pinned);
+  *    and emit the batch side's exact integer-millionth credit rows
+  *    (identical floors and power-of-two decay weights; in-order
+  *    stream ≡ batch, spec-pinned). Conversions sharing one
+  *    (user, timestamp) fall into ONE batch window partition, so
+  *    ripe pending timestamps settle by DISTINCT value with their
+  *    multiplicity replicated over the touch rows — m duplicate
+  *    conversions over k touches credit like one conversion over
+  *    m·k window rows, exactly the batch/oracle semantics (the
+  *    naive per-copy emission would double first/last credit);
   *  - a touch is pruned once `touch + lookback ≤ watermark`: any
   *    conversion that could still claim it would itself be below the
   *    watermark, i.e. already finalized or dropped as late. State per
@@ -62,18 +67,35 @@ object StreamingAttribution {
         col("ts"))
       .as[AttrEv]
 
+    val maxLagDays = (w - 1) / DayUs
+
     def settle(user: Long, st: AttrState, wmUs: Long,
                state: GroupState[AttrState]): Iterator[CreditOut] = {
       val (ripe, pending) = st.pending.partition(_ < wmUs)
-      val out = ripe.sorted.flatMap { c =>
+      val out = ripe.groupBy(identity).toSeq.sortBy(_._1).flatMap { case (c, copies) =>
+        val m = copies.length
         val win = st.touches.filter(t => t <= c && t > c - w).sorted
         if (win.isEmpty) Seq.empty
         else {
+          // the batch window partition's row multiset: every touch row
+          // joins every duplicate conversion row
+          val rows = win.flatMap(t => Seq.fill(m)(t))
+          val n = rows.length
           def day(t: Long) = (t / DayUs) * 86400L
-          val lin = 1000000L / win.length
-          win.map(t => CreditOut(user, c, day(t), "linear", lin)) ++
-            Seq(CreditOut(user, c, day(win.head), "first", 1000000L),
-              CreditOut(user, c, day(win.last), "last", 1000000L))
+          val lin = 1000000L / n
+          val wts = rows.map(t => 1L << (maxLagDays - (c - t) / DayUs).toInt)
+          val sumWt = wts.sum
+          def pos(i: Int): Long =
+            if (n == 1) 1000000L
+            else if (i == 0 || i == n - 1) { if (n == 2) 500000L else 400000L }
+            else 200000L / (n - 2)
+          rows.map(t => CreditOut(user, c, day(t), "linear", lin)) ++
+            rows.zip(wts).map { case (t, wt) =>
+              CreditOut(user, c, day(t), "decay", 1000000L * wt / sumWt) } ++
+            rows.zipWithIndex.map { case (t, i) =>
+              CreditOut(user, c, day(t), "position", pos(i)) } ++
+            Seq(CreditOut(user, c, day(rows.head), "first", 1000000L),
+              CreditOut(user, c, day(rows.last), "last", 1000000L))
         }
       }
       val touches = st.touches.filter(_ + w > wmUs)

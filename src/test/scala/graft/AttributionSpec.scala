@@ -31,12 +31,53 @@ class AttributionSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Long]("d"), r.getAs[String]("model")) ->
         ((r.getAs[Long]("credit_millionths"), r.getAs[Long]("n_touches")))).toMap
+    // 1-day lookback → maxLagDays 0 → every decay weight is 1, so
+    // decay and position (n ≤ 2 here) both mirror linear's splits
     assert(got == Map(
       (d1, "first") -> ((1000000L, 1L)),
       (d1, "linear") -> ((500000L, 1L)),
+      (d1, "decay") -> ((500000L, 1L)),
+      (d1, "position") -> ((500000L, 1L)),
       (d2, "first") -> ((1000000L, 1L)),
       (d2, "last") -> ((2000000L, 2L)),
-      (d2, "linear") -> ((1500000L, 2L))))
+      (d2, "linear") -> ((1500000L, 2L)),
+      (d2, "decay") -> ((1500000L, 2L)),
+      (d2, "position") -> ((1500000L, 2L))))
+  }
+
+  test("decay halves per whole day of lag; position splits 40/20/40") {
+    // 7-day lookback → weights 2^(6 − lag_days). Three touches for
+    // one conversion at lags 0 d (w=64), 1 d (w=32), 6 d (w=1):
+    // credits floor(1e6·w/97). Position n=3: ends 400000, middle
+    // 200000. Every touch lands on a distinct day, so the daily
+    // rollup exposes each touch's credit individually.
+    val d0 = 86400L * 20000
+    val conv = d0 + 7 * 86400L + 1000L
+    val t1 = conv - 50L            // lag_days 0 → last touch
+    val t2 = conv - 90000L         // lag_days 1 → middle
+    val t3 = conv - (6 * 86400L + 100L) // lag_days 6 → first touch
+    val rows = Seq((9L, "purchase", conv), (9L, "click", t1),
+      (9L, "click", t2), (9L, "click", t3))
+      .map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("attr_decay").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def day(t: Long) = t / 86400L * 86400L
+    val got = Attribution.creditDaily(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[String]("model")) ->
+        r.getAs[Long]("credit_millionths")).toMap
+    val sumW = 64L + 32L + 1L
+    assert(got == Map(
+      (day(t3), "first") -> 1000000L,
+      (day(t1), "last") -> 1000000L,
+      (day(t1), "linear") -> 333333L, (day(t2), "linear") -> 333333L,
+      (day(t3), "linear") -> 333333L,
+      (day(t1), "decay") -> 64000000L / sumW,
+      (day(t2), "decay") -> 32000000L / sumW,
+      (day(t3), "decay") -> 1000000L / sumW,
+      (day(t1), "position") -> 400000L,
+      (day(t2), "position") -> 200000L,
+      (day(t3), "position") -> 400000L), s"got $got")
   }
 
   test("banded pair set equals the naive window-predicate join on real data") {
@@ -67,11 +108,17 @@ class AttributionSpec extends SparkSpec {
     val (firstCr, firstN) = byModel("first")
     val (lastCr, lastN) = byModel("last")
     val (linCr, linN) = byModel("linear")
+    val (decCr, decN) = byModel("decay")
+    val (posCr, posN) = byModel("position")
     assert(firstN == lastN, "first and last see the same attributed conversions")
     assert(firstCr == firstN * 1000000L && lastCr == lastN * 1000000L)
     assert(firstN <= conv, "attributed conversions cannot exceed conversions")
-    // linear credit per conversion is n*floor(1e6/n) ∈ (1e6 - n, 1e6]
-    assert(linCr <= firstN * 1000000L && linCr > firstN * 1000000L - linN)
+    // every splitting model floors: per-conversion credit ∈ (1e6 - n, 1e6]
+    assert(decN == linN && posN == linN,
+      "the splitting models credit the same touch rows")
+    for ((cr, n) <- Seq((linCr, linN), (decCr, decN), (posCr, posN)))
+      assert(cr <= firstN * 1000000L && cr > firstN * 1000000L - n,
+        s"split credit $cr outside the floor envelope for $n touches")
   }
 
   test("streaming twin: watermark-final credits match the batch models exactly once") {
@@ -101,8 +148,11 @@ class AttributionSpec extends SparkSpec {
       assert(emitted.isEmpty, "no emission before the watermark passes the conversion")
       ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 01:00:00")))
       q.processAllAvailable()
+      // 60 s lookback → maxLagDays 0 → decay weights all 1; n=2 →
+      // position is 50/50 — both models split like linear here
       val want = Map((1L, "linear") -> 1000000L, (1L, "first") -> 1000000L,
-        (1L, "last") -> 1000000L)
+        (1L, "last") -> 1000000L, (1L, "decay") -> 1000000L,
+        (1L, "position") -> 1000000L)
       assert(emitted == want, s"u1 credited once, u2 unattributed; got $emitted")
       // exactly once: pushing the watermark further re-emits nothing,
       // and a beyond-horizon straggler touch cannot reopen the credit
@@ -110,6 +160,47 @@ class AttributionSpec extends SparkSpec {
         (99L, "click", Timestamp.valueOf("2024-01-01 02:00:00")))
       q.processAllAvailable()
       assert(emitted == want, "settled conversions never re-emit")
+    } finally q.stop()
+  }
+
+  test("streaming twin merges same-instant duplicate conversions like the batch window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAttribution
+    implicit val ctx = spark.sqlContext
+    // two purchases at the SAME microsecond share one batch window
+    // partition: 2 touches × 2 conversion copies → n = 4 rows, ONE
+    // first/last row, linear/decay/position over the 4-row multiset —
+    // per-copy emission would have doubled first/last credit
+    val fixture = Seq(
+      (7L, "click", Timestamp.valueOf("2024-01-01 00:00:05")),
+      (7L, "click", Timestamp.valueOf("2024-01-01 00:00:15")),
+      (7L, "purchase", Timestamp.valueOf("2024-01-01 00:00:20")),
+      (7L, "purchase", Timestamp.valueOf("2024-01-01 00:00:20")))
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAttribution.credits(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", lookbackSec = 60L)
+      .writeStream.format("memory").queryName("sattr_dup").outputMode("append").start()
+    try {
+      ms.addData(fixture: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT d, model, credit FROM sattr_dup")
+        .filter(col("d") > 0).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(x => (x._1, x._2))
+        .view.mapValues(cs => (cs.map(_._3).sum, cs.length.toLong)).toMap
+      val tmp = java.nio.file.Files.createTempDirectory("attr_dup").toString
+      fixture.toDF("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val batch = Attribution.creditDaily(spark, tmp, lookbackSec = 60L).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("model")) ->
+          ((r.getAs[Long]("credit_millionths"), r.getAs[Long]("n_touches")))).toMap
+      assert(streamed == batch,
+        s"duplicate-conversion settlement must match the batch window: $streamed vs $batch")
+      assert(batch.values.map(_._1).sum == 5000000L,
+        "exactly one conversion's credit per model despite the duplicate")
     } finally q.stop()
   }
 
