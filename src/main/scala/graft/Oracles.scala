@@ -1055,6 +1055,35 @@ object Oracles {
       |FROM v LEFT JOIN p ON v.d = p.d AND v.user_id = p.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact twin of [[graft.operators.Funnel.lagQuantilesDaily]] in
+    * the rank-exact regime: the same chained-min CTEs produce each
+    * converted user's first→last lag, and the GK summary below
+    * 1/(2ε) rows per day returns the element at exactly rank
+    * ⌈q·n⌉ — picked here via row_number over the sorted lags, with
+    * the IDENTICAL IEEE ceil(q·n) arithmetic on both engines (ties
+    * in lag_us can permute rank assignment but not the value at a
+    * given rank).
+    */
+  val funnelLagQuantiles: String =
+    """WITH e AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id, event_type, ts
+      |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT d, user_id, min(ts) AS vt FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT e.d, e.user_id, min(e.ts) AS ct FROM e JOIN v ON e.d = v.d AND e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.vt GROUP BY 1, 2),
+      |p AS (SELECT e.d, e.user_id, min(e.ts) AS pt FROM e JOIN c ON e.d = c.d AND e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct GROUP BY 1, 2),
+      |l AS (SELECT v.d, epoch_us(p.pt) - epoch_us(v.vt) AS lag_us
+      |      FROM v JOIN p ON v.d = p.d AND v.user_id = p.user_id),
+      |r AS (SELECT d, lag_us,
+      |        row_number() OVER (PARTITION BY d ORDER BY lag_us) AS rk,
+      |        count(*) OVER (PARTITION BY d) AS n
+      |      FROM l)
+      |SELECT d, max(n) AS n_conv,
+      |       max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN CAST(lag_us AS DOUBLE) END) AS p50,
+      |       max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN CAST(lag_us AS DOUBLE) END) AS p90,
+      |       max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN CAST(lag_us AS DOUBLE) END) AS p99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val sketchFunnel: String =
     """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
       |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,

@@ -93,6 +93,10 @@ object SparkEntry {
     // conversion latency: the matched-timestamp array carries the
     // chain endpoints out of the same single-shuffle fold
     "funnel_lag" -> ((s, dir) => Funnel.lagDaily(s, dir)),
+    // time-to-convert percentiles: matched lags through the GK
+    // quantile-sketch tier — rank-exact below 1/(2ε) conversions/day,
+    // so the oracle picks the element at the same ⌈q·n⌉ rank
+    "funnel_lag_quantiles" -> ((s, dir) => Funnel.lagQuantilesDaily(s, dir)),
     // N-day retention: day-d ∩ day-(d+lag) audiences as sketch algebra
     // over the bounded per-day frame — exact mode at gate scale
     "sketch_retention" -> ((s, dir) => Sketches.retentionDaily(s, dir)),
@@ -391,6 +395,7 @@ object SparkEntry {
     "funnel_ordered" -> Oracles.funnelOrdered,
     "sketch_retention" -> Oracles.sketchRetention,
     "funnel_lag" -> Oracles.funnelLag,
+    "funnel_lag_quantiles" -> Oracles.funnelLagQuantiles,
     "attribution_credit" -> Oracles.attributionCredit,
     "path_topk" -> Oracles.pathTopk,
     "events_anomaly" -> Oracles.eventsAnomaly,

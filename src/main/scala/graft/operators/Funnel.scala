@@ -106,6 +106,56 @@ object Funnel {
       .orderBy(col("d"))
   }
 
+  /** Matched first-step → last-step conversion lags (µs) of fully
+    * converted (day, user) chains — the raw-value feed behind
+    * [[lagQuantilesDaily]] and the stored per-day lag-summary
+    * lifecycle (`Sketches.writeQuantileTable(name, matchedLags(…),
+    * Seq("d"), "lag_us")`): persist one GK summary per day and any
+    * day-range lag percentile answers from the bounded sketch table
+    * (`Sketches.rollupQuantileTable`) with the ε rank bound
+    * surviving the merge — raw history is never rescanned. Output:
+    * `d`, `lag_us` (one row per converted user).
+    */
+  def matchedLags(spark: SparkSession, dir: String,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = dayFrame(spark, dir, steps)
+    val n = steps.length
+    val times = matchTimes(array_sort(collect_list(struct(col("t"), col("si")))))
+    ev.groupBy(col("d"), col("user_id"))
+      .agg(times.as("mt"))
+      .filter(size(col("mt")) === n)
+      .select(col("d"),
+        (element_at(col("mt"), n) - element_at(col("mt"), 1)).as("lag_us"))
+  }
+
+  /** Per-day conversion-latency percentiles: the question analysts
+    * actually ask of [[lagDaily]]'s sums ("p50/p90 time-to-convert"),
+    * answered by feeding the matched lags into the GK quantile-sketch
+    * tier — same single event-set shuffle to (day, user), then ONE
+    * summary per day (constant-size partials ride the per-day
+    * aggregation; the shuffle carries sketches, not lag lists).
+    * Below 1/(2ε) conversions/day the summary is RANK-EXACT (the
+    * error budget is under one rank), so each queried value is the
+    * element at exactly rank ⌈q·n⌉ — the oracle-exactness regime the
+    * sketch_quantiles/q16 precedent documents; beyond it the ε rank
+    * bound travels via `Sketches.quantilesGate`'s machinery. Output:
+    * `d`, `n_conv`, one `p<q>` double column per quantile.
+    */
+  def lagQuantilesDaily(spark: SparkSession, dir: String,
+                        steps: Seq[String] = Seq("view", "click", "purchase"),
+                        quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val lags = matchedLags(spark, dir, steps)
+    lags.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_conv"),
+        Sketches.quantileSketch(col("lag_us").cast("double")).as("sk"))
+      .select(col("d"), col("n_conv"),
+        Sketches.quantileQuery(col("sk"), quantiles).as("qs"))
+      .select(Seq(col("d"), col("n_conv")) ++ quantiles.zipWithIndex.map {
+        case (q, i) => element_at(col("qs"), i + 1).as(Sketches.quantileColName(q))
+      }: _*)
+      .orderBy(col("d"))
+  }
+
   /** Windowed ordered funnel depth per group: the deepest prefix of
     * `steps` completed in order with EVERY step inside `windowSec`
     * seconds of the chain's FIRST step (the windowFunnel semantics of

@@ -187,6 +187,56 @@ class FunnelSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
   }
 
+  test("lag quantiles return the exact rank-element below the GK exactness threshold") {
+    val got = Funnel.lagQuantilesDaily(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_conv"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99")))).toMap
+    val lags = Funnel.matchedLags(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("d"))
+      .view.mapValues(_.map(_.getAs[Long]("lag_us")).sorted).toMap
+    assert(got.nonEmpty && got.keySet == lags.keySet,
+      "every day with a conversion must emit quantiles")
+    for ((d, (n, p50, p90, p99)) <- got) {
+      val s = lags(d)
+      assert(n == s.length, s"day $d conversion count")
+      assert(s.length < (1.0 / (2 * graft.operators.Sketches.DefaultQuantileError)).toInt,
+        "fixture must sit in the rank-exact regime for this test's claim")
+      def pick(q: Double) = s(math.ceil(q * s.length).toInt - 1).toDouble
+      assert((p50, p90, p99) == ((pick(0.5), pick(0.9), pick(0.99))),
+        s"day $d must return the elements at ranks ceil(q*n)")
+    }
+  }
+
+  test("stored per-day lag summaries reproduce the direct key and merge within the rank bound") {
+    import graft.operators.Sketches
+    Seq("lagq_sketches", "lagq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    Sketches.writeQuantileTable(spark, "lagq", Funnel.matchedLags(spark, sfDir),
+      Seq("d"), "lag_us")
+    def cols(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("d") -> ((r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("p99")))
+    val fromStore = Sketches.quantilesFromTable(spark, "lagq", qs).collect().map(cols).toMap
+    val direct = Funnel.lagQuantilesDaily(spark, sfDir).collect().map(cols).toMap
+    assert(fromStore == direct,
+      "per-day reads from the stored summaries must equal the direct key")
+    // any-range rollup: the merged summary keeps the ε rank bound
+    // (checked against the exact sorted lags, not assumed)
+    val all = Funnel.matchedLags(spark, sfDir).collect()
+      .map(_.getAs[Long]("lag_us")).sorted
+    val rolled = Sketches.rollupQuantileTable(spark, "lagq", Seq.empty, qs).collect()(0)
+    for ((q, cname) <- qs.zip(Seq("p50", "p90", "p99"))) {
+      val v = rolled.getAs[Double](cname)
+      val target = q * all.length
+      val budget = Sketches.DefaultQuantileError * all.length + 1.0
+      val rLo = all.count(_ < v)
+      val rHi = all.count(_ <= v)
+      assert(target >= rLo - budget && target <= rHi + budget,
+        s"merged $cname=$v violates the rank bound (target $target, [$rLo,$rHi])")
+    }
+    Seq("lagq_sketches", "lagq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("a day with step events but no step-1 entrant emits no row (oracle row-set parity)") {
     // d2 has clicks and purchases but not one view: the chained-min
     // relational form (the oracle's FROM clause) has no row for d2,
