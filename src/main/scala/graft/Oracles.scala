@@ -1181,6 +1181,37 @@ object Oracles {
       |FROM t WHERE np = 7
       |ORDER BY d, event_type""".stripMargin
 
+  /** Exact twin of [[graft.operators.Anomaly.eventVolumeSeasonal]]:
+    * the same count frame windowed twice — trailing-7 observed days
+    * per type, and trailing-4 observed SAME-day-of-week days per
+    * (type, (d//86400)%7) — identical IEEE algebra, NULL where a
+    * window is short or flat, every (day, type) row emitted.
+    */
+  val eventsAnomalySeasonal: String =
+    """WITH c AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, event_type,
+      |             count(*) AS n_events
+      |           FROM events GROUP BY 1, 2),
+      |t AS (SELECT d, event_type, n_events,
+      |        sum(n_events) OVER w7 AS s7, sum(n_events * n_events) OVER w7 AS ss7,
+      |        count(n_events) OVER w7 AS np7,
+      |        sum(n_events) OVER w4 AS s4, sum(n_events * n_events) OVER w4 AS ss4,
+      |        count(n_events) OVER w4 AS np4
+      |      FROM c WINDOW
+      |        w7 AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+      |        w4 AS (PARTITION BY event_type, (d // 86400) % 7 ORDER BY d
+      |               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+      |SELECT d, event_type, n_events,
+      |       CASE WHEN np7 = 7 AND ss7 / 7.0 - (s7 / 7.0) * (s7 / 7.0) > 0
+      |            THEN CAST(floor(1000.0 * (n_events - s7 / 7.0)
+      |                            / sqrt(ss7 / 7.0 - (s7 / 7.0) * (s7 / 7.0))) AS BIGINT)
+      |            END AS z_milli,
+      |       CASE WHEN np4 = 4 AND ss4 / 4.0 - (s4 / 4.0) * (s4 / 4.0) > 0
+      |            THEN CAST(floor(1000.0 * (n_events - s4 / 4.0)
+      |                            / sqrt(ss4 / 4.0 - (s4 / 4.0) * (s4 / 4.0))) AS BIGINT)
+      |            END AS z_sow_milli
+      |FROM t ORDER BY d, event_type""".stripMargin
+
   /** Exact twin of [[graft.operators.Temporal.gapFill]]: per-type
     * dense daily spine via range(), left join to the observed counts,
     * 0-fill / IGNORE NULLS last_value LOCF / gap flag.

@@ -109,6 +109,10 @@ object SparkEntry {
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
+    // seasonality-aware sibling: trailing-7 AND same-day-of-week
+    // baselines side by side — a weekly-periodic workload alarms the
+    // first and reads as noise on the second
+    "events_anomaly_seasonal" -> ((s, dir) => Anomaly.eventVolumeSeasonal(s, dir)),
     // gap-fill + LOCF resample: spine join + window over the bounded
     // (types × days) count frame — one data-sized shuffle total
     "events_gapfill" -> ((s, dir) => Temporal.gapFill(Tables.events(s, dir))),
@@ -399,6 +403,7 @@ object SparkEntry {
     "attribution_credit" -> Oracles.attributionCredit,
     "path_topk" -> Oracles.pathTopk,
     "events_anomaly" -> Oracles.eventsAnomaly,
+    "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
     "events_gapfill" -> Oracles.eventsGapFill,
     "cohort_matrix" -> Oracles.cohortMatrix,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,

@@ -97,6 +97,30 @@ object TemporalRehearsal {
           (day, t) -> ((nEv, z))
         }
       }.toMap
+    // seasonal twin (r14): both baselines over the same planted
+    // counts — trailing-7 observed days, and trailing-4 observed
+    // same-day-of-week days (the parity-alternating type exercises
+    // nonzero variance in BOTH windows: a 7-day shift flips parity)
+    def expSeasonal: Map[(Long, String), (Long, Option[Long], Option[Long])] = {
+      def zOf(v: Long, trail: Seq[Long], w: Int): Option[Long] =
+        if (trail.length < w) None
+        else {
+          val m = trail.sum.toDouble / w
+          val s2 = trail.map(c => c * c).sum.toDouble / w - m * m
+          if (s2 > 0d) Some(math.floor(1000.0 * (v - m) / math.sqrt(s2)).toLong)
+          else None
+        }
+      expCounts.keys.map(_._2).toSeq.distinct.flatMap { t =>
+        val days = expCounts.keys.filter(_._2 == t).map(_._1).toSeq.sorted
+        days.zipWithIndex.map { case (day, i) =>
+          val nEv = expCounts((day, t))
+          val trail7 = days.slice((i - 7) max 0, i).map(dd => expCounts((dd, t)))
+          val sowDays = days.take(i).filter(dd => (dd / 86400) % 7 == (day / 86400) % 7)
+          val sow = sowDays.takeRight(4).map(dd => expCounts((dd, t)))
+          (day, t) -> ((nEv, zOf(nEv, trail7, 7), zOf(nEv, sow, 4)))
+        }
+      }.toMap
+    }
     def expGapFill: Map[(Long, String), (Long, Long, Boolean)] =
       expCounts.keys.map(_._2).toSeq.distinct.flatMap { t =>
         val days = expCounts.keys.filter(_._2 == t).map(_._1).toSeq.sorted
@@ -116,6 +140,15 @@ object TemporalRehearsal {
         .toMap
       got == expAnomaly
     }
+    val seasonalOk = timed("seasonal") {
+      val got = Anomaly.eventVolumeSeasonal(events, 7, 4).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"),
+            Option(r.getAs[Any]("z_milli")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("z_sow_milli")).map(_.asInstanceOf[Long]))))
+        .toMap
+      got == expSeasonal
+    }
     val gapOk = timed("gapfill") {
       val got = Temporal.gapFill(events).collect()
         .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type")) ->
@@ -124,10 +157,11 @@ object TemporalRehearsal {
       got == expGapFill
     }
 
-    val allPass = anomOk && gapOk
+    val allPass = anomOk && seasonalOk && gapOk
     val phaseJson = phases.map { case (k, s) => s""""$k":${f"$s%.2f"}""" }.mkString("{", ",", "}")
     println(s"""{"rehearsal":"temporal","n":$n,"all_checks_pass":$allPass,""" +
-      s""""checks":{"anomaly_closed_form":$anomOk,"gapfill_closed_form":$gapOk},""" +
+      s""""checks":{"anomaly_closed_form":$anomOk,"seasonal_closed_form":$seasonalOk,""" +
+      s""""gapfill_closed_form":$gapOk},""" +
       s""""phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
     if (!allPass) sys.exit(1)

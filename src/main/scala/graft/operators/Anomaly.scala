@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,6 +37,59 @@ object Anomaly {
     * the batch side of the [[graft.streaming.StreamingAnomaly]]
     * parity contract.
     */
+  /** Seasonality-aware sibling of [[eventVolume]]: the trailing-N
+    * baseline scores every weekly-periodic workload wrong on its
+    * periodic days (a normal Saturday measured against a
+    * weekday-dominated window), so this emits BOTH scores per
+    * (day, type) row — `z_milli` against the trailing `window`
+    * observed days and `z_sow_milli` against the trailing
+    * `seasonalWindow` observed SAME-day-of-week days (the count
+    * frame re-windowed by (type, dow) — day-of-week is just
+    * `(epoch_day mod 7)`; no calendar join). Rows emit for every
+    * observed (day, type); a score whose baseline window isn't full
+    * (or has zero variance) is NULL. Same integer-sum + identical
+    * IEEE algebra as [[eventVolume]], so both scores hash-match the
+    * DuckDB twin.
+    *
+    * Scale shape: identical to [[eventVolume]] — all windows run
+    * over the bounded (types × days) count frame; the second window
+    * re-partitions that tiny frame by (type, dow), nothing
+    * data-sized.
+    */
+  def eventVolumeSeasonal(spark: SparkSession, dir: String, window: Int = 7,
+                          seasonalWindow: Int = 4): DataFrame =
+    eventVolumeSeasonal(graft.Tables.events(spark, dir), window, seasonalWindow)
+
+  def eventVolumeSeasonal(events: DataFrame, window: Int,
+                          seasonalWindow: Int): DataFrame = {
+    val counts = events
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", expr("(d div 86400) % 7"))
+    val t = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-window, -1)
+    val sow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("d"))
+      .rowsBetween(-seasonalWindow, -1)
+    def z(s: Column, ss: Column, np: Column, w: Int): Column = {
+      val wd = lit(w.toDouble)
+      val m = s / wd
+      val s2 = ss / wd - m * m
+      when(np === w && s2 > 0d,
+        floor(lit(1000.0) * (col("n_events") - m) / sqrt(s2)).cast("long"))
+    }
+    counts
+      .withColumn("s7", sum(col("n_events")).over(t))
+      .withColumn("ss7", sum(col("n_events") * col("n_events")).over(t))
+      .withColumn("np7", count(col("n_events")).over(t))
+      .withColumn("s4", sum(col("n_events")).over(sow))
+      .withColumn("ss4", sum(col("n_events") * col("n_events")).over(sow))
+      .withColumn("np4", count(col("n_events")).over(sow))
+      .select(col("d"), col("event_type"), col("n_events"),
+        z(col("s7"), col("ss7"), col("np7"), window).as("z_milli"),
+        z(col("s4"), col("ss4"), col("np4"), seasonalWindow).as("z_sow_milli"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
   def eventVolume(events: DataFrame, window: Int): DataFrame = {
     val counts = events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))

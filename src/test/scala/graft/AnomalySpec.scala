@@ -47,6 +47,43 @@ class AnomalySpec extends SparkSpec {
     assert(z.length == 1 && z.head.getAs[Long]("z_milli") < 0)
   }
 
+  test("same-weekday baseline absolves a planted weekly cycle the trailing-7 flags") {
+    // six weeks of 'load': weekdays ~100 (±2 cycle keeps variance
+    // nonzero), every 7th day spikes ~1000 (±2 across weeks). Day0 is
+    // a multiple of 7 days, so dow class = dayIdx % 7.
+    val day0 = 86400L * 21000 // 21000 % 7 == 0
+    def cnt(d: Int): Long =
+      if (d % 7 == 6) 1000L + (d / 7) % 3 else 100L + d % 3
+    val ev = (0 until 42).flatMap(d =>
+      (0 until cnt(d).toInt).map(i => (1L + i, "load", day0 + d * 86400L + 100L + i)))
+    val got = Anomaly.eventVolumeSeasonal(spark, write(ev)).collect()
+      .map(r => r.getAs[Long]("d") -> ((r.getAs[Long]("n_events"),
+        Option(r.getAs[Any]("z_milli")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("z_sow_milli")).map(_.asInstanceOf[Long])))).toMap
+    // closed form: the identical IEEE algebra over the planted counts
+    def zOf(v: Long, trail: Seq[Long], w: Int): Option[Long] =
+      if (trail.length < w) None
+      else {
+        val m = trail.sum.toDouble / w
+        val s2 = trail.map(c => c * c).sum.toDouble / w - m * m
+        if (s2 > 0d) Some(math.floor(1000.0 * (v - m) / math.sqrt(s2)).toLong) else None
+      }
+    val want = (0 until 42).map { d =>
+      val trail7 = ((d - 7) max 0 until d).map(x => cnt(x))
+      val sow = (d % 7 until d by 7).map(x => cnt(x)).takeRight(4)
+      (day0 + d * 86400L) -> ((cnt(d), zOf(cnt(d), trail7, 7),
+        if (sow.length == 4) zOf(cnt(d), sow, 4) else None))
+    }.toMap
+    assert(got == want, s"full two-baseline output must match the closed form")
+    // the periodic day: trailing-7 alarms (the spike vs a
+    // weekday-dominated window saturates near √6 ≈ 2.45σ), the
+    // same-weekday baseline reads it as ~1σ noise
+    val (_, z7, z4) = got(day0 + 41 * 86400L)
+    assert(z7.exists(_ > 2300), s"trailing-7 must flag the weekly spike, got $z7")
+    assert(z4.exists(z => math.abs(z) < 1500),
+      s"same-weekday baseline must absolve the weekly spike, got $z4")
+  }
+
   test("streaming anomaly counts across micro-batches and emits watermark-final z exactly once") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
