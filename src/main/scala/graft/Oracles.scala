@@ -1084,6 +1084,55 @@ object Oracles {
       |       max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN CAST(lag_us AS DOUBLE) END) AS p99
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact twin of [[graft.operators.Funnel.sessionDaily]]: q12's
+    * session assignment verbatim (lag → flag → running sum over
+    * (ts_s, event_id)), session-start day per (user, session), then
+    * the chained-min-per-step form within each session over the
+    * step-filtered rows.
+    */
+  val funnelSession: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, event_type, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x),
+      |z AS (SELECT user_id, event_type, ts_s,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS session_id
+      |      FROM y),
+      |st AS (SELECT user_id, session_id, (min(ts_s) // 86400) * 86400 AS d
+      |       FROM z GROUP BY 1, 2),
+      |f AS (SELECT user_id, session_id, event_type, ts_s FROM z
+      |      WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, session_id, min(ts_s) AS vt FROM f
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT f.user_id, f.session_id, min(f.ts_s) AS ct FROM f
+      |      JOIN v ON f.user_id = v.user_id AND f.session_id = v.session_id
+      |      WHERE f.event_type = 'click' AND f.ts_s >= v.vt GROUP BY 1, 2),
+      |p AS (SELECT f.user_id, f.session_id, min(f.ts_s) AS pt FROM f
+      |      JOIN c ON f.user_id = c.user_id AND f.session_id = c.session_id
+      |      WHERE f.event_type = 'purchase' AND f.ts_s >= c.ct GROUP BY 1, 2)
+      |SELECT st.d, count(*) AS n_step1, count(c.ct) AS n_step2, count(p.pt) AS n_step3
+      |FROM v JOIN st ON v.user_id = st.user_id AND v.session_id = st.session_id
+      |       LEFT JOIN c ON v.user_id = c.user_id AND v.session_id = c.session_id
+      |       LEFT JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exact twin of [[graft.operators.PathAnalysis.transitionsDaily]]:
+    * lead over the same (ts, event_type) per-(day, user) order — the
+    * sorted VALUE sequence is unique even when tied rows are
+    * interchangeable, so the transition multiset is deterministic on
+    * both engines.
+    */
+  val pathTransitions: String =
+    """WITH p AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id, event_type,
+      |             lead(event_type) OVER (PARTITION BY CAST(epoch(date_trunc('day', ts)) AS BIGINT), user_id
+      |                                    ORDER BY ts, event_type) AS dst_step
+      |           FROM events)
+      |SELECT d, event_type AS src_step, dst_step, count(*) AS n_trans
+      |FROM p WHERE dst_step IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val sketchFunnel: String =
     """WITH u AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, user_id,
       |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,

@@ -103,9 +103,15 @@ object SparkEntry {
     // multi-touch attribution: banded lookback range join + ONE
     // window shuffle emits last/first/linear credit in a single pass
     "attribution_credit" -> ((s, dir) => Attribution.creditDaily(s, dir)),
+    // session-grain funnel: q12's gap-sessions + the greedy fold per
+    // (user, session), sessions rolled up to their start day
+    "funnel_session" -> ((s, dir) => Funnel.sessionDaily(s, dir)),
     // top-k user-journey paths per day: one (day, user) shuffle builds
     // the sequences, WindowGroupLimit caps the per-day rank shuffle
     "path_topk" -> ((s, dir) => PathAnalysis.topkDaily(s, dir)),
+    // Markov transition matrix: lead-paired adjacent steps reduced to
+    // the bounded (day, src, dst) frame — the sankey's edge weights
+    "path_transitions" -> ((s, dir) => PathAnalysis.transitionsDaily(s, dir)),
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
@@ -401,7 +407,9 @@ object SparkEntry {
     "funnel_lag" -> Oracles.funnelLag,
     "funnel_lag_quantiles" -> Oracles.funnelLagQuantiles,
     "attribution_credit" -> Oracles.attributionCredit,
+    "funnel_session" -> Oracles.funnelSession,
     "path_topk" -> Oracles.pathTopk,
+    "path_transitions" -> Oracles.pathTransitions,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
     "events_gapfill" -> Oracles.eventsGapFill,

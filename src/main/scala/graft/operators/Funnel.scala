@@ -106,6 +106,49 @@ object Funnel {
       .orderBy(col("d"))
   }
 
+  /** SESSION-grain ordered funnel: the chain must complete in order
+    * within one gap-session — the grain product analytics defaults to
+    * (a user who viewed this morning and purchased tonight converts
+    * at day grain but not here). Sessions come from
+    * [[Sessionize.withSessionIds]] over ALL events (an unrelated
+    * event type keeps a session alive, exactly like the q12
+    * operator), then the same greedy fold runs per (user, session)
+    * and sessions roll up to the day their FIRST event fell on.
+    * Counts are SESSIONS at each depth — one user converting in two
+    * sessions that day counts twice, which is the session-grain
+    * question. Plan: the sessionize window shuffle on user, one
+    * (user, session) window for the session start, then the fold's
+    * aggregation — the event set shuffles twice total (once keyed
+    * user, once keyed (user, session)), never per step. Same
+    * second-truncated timestamps as q12 (engine-precision-
+    * independent); same-second events fold in step order, matching
+    * the oracle's inclusive chained-min. Days whose sessions have no
+    * step-1 entrant emit nothing (the [[orderedDaily]] convention).
+    */
+  def sessionDaily(spark: SparkSession, dir: String,
+                   gapSeconds: Long = 1800L,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+    val byUS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+    val f = se
+      .withColumn("start_s", min(col("ts_s")).over(byUS))
+      .filter(col("event_type").isin(steps: _*))
+      .select(expr("(start_s div 86400) * 86400").as("d"),
+        col("user_id"), col("session_id"),
+        col("ts_s").as("t"), stepIndex(steps).as("si"))
+    val depth = size(matchTimes(array_sort(collect_list(struct(col("t"), col("si"))))))
+    val counts = steps.indices.map(i =>
+      sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
+    f.groupBy(col("d"), col("user_id"), col("session_id"))
+      .agg(depth.as("depth"))
+      .groupBy(col("d"))
+      .agg(counts.head, counts.tail: _*)
+      .filter(col("n_step1") > 0)
+      .orderBy(col("d"))
+  }
+
   /** Matched first-step → last-step conversion lags (µs) of fully
     * converted (day, user) chains — the raw-value feed behind
     * [[lagQuantilesDaily]] and the stored per-day lag-summary

@@ -50,4 +50,33 @@ object PathAnalysis {
       .select(col("d"), col("path"), col("n_users"))
       .orderBy(col("d"), col("n_users").desc, col("path"))
   }
+
+  /** Per-day Markov transition matrix: how often step type A was
+    * IMMEDIATELY followed by step type B within a user's day — the
+    * edge weights behind the sankey whose top whole paths
+    * [[topkDaily]] ranks (the histogram answers "what do users do
+    * NEXT from here", which truncated path strings can't). One
+    * window shuffle to (day, user) orders each user-day (same
+    * (t, event_type) tie order as the path sort), `lead` pairs each
+    * event with its successor in place — no per-user sequence
+    * materializes — then a partial-agg count reduces to the bounded
+    * (day, src, dst) frame: at most days × |alphabet|² rows at any
+    * event volume. Output: `d`, `src_step`, `dst_step`, `n_trans`,
+    * ordered by all four.
+    */
+  def transitionsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_type"))
+    val byUD = Window.partitionBy(col("d"), col("user_id"))
+      .orderBy(col("t"), col("event_type"))
+    ev.withColumn("dst_step", lead(col("event_type"), 1).over(byUD))
+      .filter(col("dst_step").isNotNull)
+      .select(col("d"), col("event_type").as("src_step"), col("dst_step"))
+      .groupBy(col("d"), col("src_step"), col("dst_step"))
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy(col("d"), col("src_step"), col("dst_step"))
+  }
 }
