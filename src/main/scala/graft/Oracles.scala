@@ -1175,17 +1175,43 @@ object Oracles {
       |      WHERE cts <= pts AND cts > pts - INTERVAL 7 DAY),
       |w AS (SELECT CAST(epoch(date_trunc('day', cts)) AS BIGINT) AS d,
       |        count(*) OVER win AS n, wt, sum(wt) OVER win AS sum_wt,
-      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts) AS rn_a,
-      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts DESC) AS rn_d
+      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts) AS rn
       |      FROM j WINDOW win AS (PARTITION BY user_id, pts)),
       |cr AS (SELECT d, 'linear' AS model, 1000000 // n AS credit FROM w
       |       UNION ALL SELECT d, 'decay', (1000000 * wt) // sum_wt FROM w
       |       UNION ALL SELECT d, 'position',
       |         CASE WHEN n = 1 THEN 1000000
-      |              WHEN rn_a = 1 OR rn_d = 1 THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+      |              WHEN rn = 1 OR rn = n THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
       |              ELSE 200000 // (n - 2) END FROM w
-      |       UNION ALL SELECT d, 'first', 1000000 FROM w WHERE rn_a = 1
-      |       UNION ALL SELECT d, 'last', 1000000 FROM w WHERE rn_d = 1)
+      |       UNION ALL SELECT d, 'first', 1000000 FROM w WHERE rn = 1
+      |       UNION ALL SELECT d, 'last', 1000000 FROM w WHERE rn = n)
+      |SELECT d, model, CAST(sum(credit) AS BIGINT) AS credit_millionths,
+      |       count(*) AS n_touches
+      |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[attributionCredit]] at a 30-day lookback and a 7-day decay
+    * half-life: maxLagDays 29, weight 2^((29 − lag_days) // 7) —
+    * exponents 0–4, the same exact shift arithmetic on both engines.
+    */
+  val attributionCreditHl7: String =
+    """WITH p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.user_id, pts, cts,
+      |        (CAST(1 AS BIGINT) << CAST((29 - (epoch_us(pts) - epoch_us(cts)) // 86400000000) // 7 AS INT)) AS wt
+      |      FROM p JOIN c ON p.user_id = c.user_id
+      |      WHERE cts <= pts AND cts > pts - INTERVAL 30 DAY),
+      |w AS (SELECT CAST(epoch(date_trunc('day', cts)) AS BIGINT) AS d,
+      |        count(*) OVER win AS n, wt, sum(wt) OVER win AS sum_wt,
+      |        row_number() OVER (PARTITION BY user_id, pts ORDER BY cts) AS rn
+      |      FROM j WINDOW win AS (PARTITION BY user_id, pts)),
+      |cr AS (SELECT d, 'linear' AS model, 1000000 // n AS credit FROM w
+      |       UNION ALL SELECT d, 'decay', (1000000 * wt) // sum_wt FROM w
+      |       UNION ALL SELECT d, 'position',
+      |         CASE WHEN n = 1 THEN 1000000
+      |              WHEN rn = 1 OR rn = n THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+      |              ELSE 200000 // (n - 2) END FROM w
+      |       UNION ALL SELECT d, 'first', 1000000 FROM w WHERE rn = 1
+      |       UNION ALL SELECT d, 'last', 1000000 FROM w WHERE rn = n)
       |SELECT d, model, CAST(sum(credit) AS BIGINT) AS credit_millionths,
       |       count(*) AS n_touches
       |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -103,6 +103,10 @@ object SparkEntry {
     // multi-touch attribution: banded lookback range join + ONE
     // window shuffle emits last/first/linear credit in a single pass
     "attribution_credit" -> ((s, dir) => Attribution.creditDaily(s, dir)),
+    // parameterized decay half-life: 30-day lookback at H = 7 days —
+    // weights 2^((29 − lag) div 7) stay exact integer shifts
+    "attribution_credit_hl7" -> ((s, dir) =>
+      Attribution.creditDaily(s, dir, lookbackSec = 30L * 86400L, halfLifeDays = 7)),
     // session-grain funnel: q12's gap-sessions + the greedy fold per
     // (user, session), sessions rolled up to their start day
     "funnel_session" -> ((s, dir) => Funnel.sessionDaily(s, dir)),
@@ -407,6 +411,7 @@ object SparkEntry {
     "funnel_lag" -> Oracles.funnelLag,
     "funnel_lag_quantiles" -> Oracles.funnelLagQuantiles,
     "attribution_credit" -> Oracles.attributionCredit,
+    "attribution_credit_hl7" -> Oracles.attributionCreditHl7,
     "funnel_session" -> Oracles.funnelSession,
     "path_topk" -> Oracles.pathTopk,
     "path_transitions" -> Oracles.pathTransitions,

@@ -50,14 +50,27 @@ object Attribution {
     * the TOUCH — attribution reports credit when the touch happened,
     * not when the conversion did), `model`, `credit_millionths`,
     * `n_touches`, ordered by (d, model).
+    *
+    * `halfLifeDays` parameterizes the decay model: weight halves per
+    * H whole days of lag, wᵢ = 2^((maxLagDays − lag_days) div H) —
+    * still a shift, still exact integer arithmetic for any integer-day
+    * half-life (7 is the industry default; 1 is this operator's
+    * historical default, kept for oracle stability).
     */
   def creditDaily(spark: SparkSession, dir: String,
                   touchType: String = "click", convType: String = "purchase",
-                  lookbackSec: Long = 604800L): DataFrame = {
+                  lookbackSec: Long = 604800L, halfLifeDays: Int = 1): DataFrame = {
     val w = lookbackSec * 1000000L
     // lag_days ∈ [0, maxLagDays] inside the open-below window, so the
-    // decay weight 2^(maxLagDays − lag_days) stays a small exact long
+    // decay weight 2^((maxLagDays − lag_days) div H) stays a small
+    // exact long; past exponent 43 the 1000000·wt credit numerator
+    // would overflow (and ≥ 64 would wrap shiftleft silently)
     val maxLagDays = (w - 1) / DayUs
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(maxLagDays / halfLifeDays <= 43L,
+      s"decay exponent ${maxLagDays / halfLifeDays} overflows the exact " +
+        s"integer credit arithmetic (lookback $lookbackSec s at half-life " +
+        s"$halfLifeDays d); max lookback is ${43L * halfLifeDays + 1} days")
     val ev = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("t"))
@@ -70,18 +83,25 @@ object Attribution {
     val pairs = conv.join(touch, Seq("user_id", "band"))
       .filter(col("touch_t") <= col("conv_t") && col("touch_t") > col("conv_t") - w)
       .select(col("user_id"), col("conv_t"), col("touch_t"),
-        expr(s"shiftleft(1L, cast(${maxLagDays}L - (conv_t - touch_t) div ${DayUs}L as int))")
-          .as("wt"))
+        expr(s"shiftleft(1L, cast((${maxLagDays}L - (conv_t - touch_t) div ${DayUs}L)" +
+          s" div ${halfLifeDays}L as int))").as("wt"))
     val byConv = Window.partitionBy(col("user_id"), col("conv_t"))
+    // ONE ascending ordering defines both endpoints (first = rn 1,
+    // last = rn n). Two independent row_numbers (asc + desc) would,
+    // on touch_t ties, hand BOTH endpoint roles to one row and leave
+    // another on the interior branch — at n = 2 that divides by zero
+    // under ANSI, at n > 2 it silently drops a 400000 share. The
+    // positional split conserves credit and is deterministic at the
+    // (d, model) grain because tied rows share the same touch day;
+    // it is the streaming twin's pos(i) rule verbatim.
     val ranked = pairs
       .withColumn("n", count(lit(1)).over(byConv))
       .withColumn("sum_wt", sum(col("wt")).over(byConv))
-      .withColumn("rn_a", row_number().over(byConv.orderBy(col("touch_t").asc)))
-      .withColumn("rn_d", row_number().over(byConv.orderBy(col("touch_t").desc)))
+      .withColumn("rn", row_number().over(byConv.orderBy(col("touch_t").asc)))
     val d = expr(s"(touch_t div ${DayUs}L) * 86400L")
     val full = 1000000L
     val posCredit = when(col("n") === 1, lit(full))
-      .when(col("rn_a") === 1 || col("rn_d") === 1,
+      .when(col("rn") === 1 || col("rn") === col("n"),
         when(col("n") === 2, lit(500000L)).otherwise(lit(400000L)))
       .otherwise(expr("200000L div (n - 2)"))
     val credits = array(
@@ -90,9 +110,9 @@ object Attribution {
       struct(d.as("d"), lit("decay").as("model"),
         expr(s"(${full}L * wt) div sum_wt").as("credit")),
       struct(d.as("d"), lit("position").as("model"), posCredit.as("credit")),
-      when(col("rn_a") === 1,
+      when(col("rn") === 1,
         struct(d.as("d"), lit("first").as("model"), lit(full).as("credit"))),
-      when(col("rn_d") === 1,
+      when(col("rn") === col("n"),
         struct(d.as("d"), lit("last").as("model"), lit(full).as("credit"))))
     ranked
       .select(explode(filter(credits, c => c.isNotNull)).as("cr"))

@@ -26,12 +26,17 @@ object Sessionize {
     * ALL of a user's events, THEN downstream operators filter to the
     * rows they care about — filtering first would merge sessions
     * split by an unrelated event type's gap.
+    *
+    * Contract: requires `user_id`, `event_id`, `ts`; every other
+    * input column passes through untouched (`ts_s` is added, `ts`
+    * dropped) — callers on slim frames (no `event_type`) stay valid.
     */
   def withSessionIds(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
     events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(date_trunc("second", col("ts")).cast(TimestampType)).as("ts_s"))
+      .withColumn("ts_s",
+        unix_timestamp(date_trunc("second", col("ts")).cast(TimestampType)))
+      .drop("ts")
       .withColumn("prev_s", lag(col("ts_s"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_s").isNull || col("ts_s") - col("prev_s") > gapSeconds, lit(1L))

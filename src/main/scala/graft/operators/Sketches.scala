@@ -120,7 +120,11 @@ object Sketches {
   private def metaGroupCols(r: org.apache.spark.sql.Row): Seq[String] =
     r.schema("group_cols").dataType match {
       case org.apache.spark.sql.types.StringType =>
-        r.getAs[String]("group_cols").split(",").toSeq
+        // "".split(",") is Seq(""), not Seq.empty — a legacy GLOBAL
+        // (no-group-column) sketch must not resolve to a phantom
+        // empty-named column
+        val s = r.getAs[String]("group_cols")
+        if (s.isEmpty) Seq.empty else s.split(",").toSeq
       case _ => r.getAs[scala.collection.Seq[String]]("group_cols").toSeq
     }
 

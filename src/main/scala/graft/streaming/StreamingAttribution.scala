@@ -53,10 +53,16 @@ object StreamingAttribution {
 
   def credits(events: DataFrame, tsCol: String, watermarkDelay: String,
               touchType: String = "click", convType: String = "purchase",
-              lookbackSec: Long = 604800L): Dataset[CreditOut] = {
+              lookbackSec: Long = 604800L, halfLifeDays: Int = 1): Dataset[CreditOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val w = lookbackSec * 1000000L
+    // same exact-integer bound as the batch twin: past exponent 43 the
+    // 1000000·wt numerator overflows (≥ 64 wraps the shift silently)
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require((w - 1) / DayUs / halfLifeDays <= 43L,
+      s"decay exponent ${(w - 1) / DayUs / halfLifeDays} overflows the exact " +
+        s"integer credit arithmetic (lookback $lookbackSec s at half-life $halfLifeDays d)")
     val evs = events
       .filter(col("event_type").isin(touchType, convType))
       .withColumn("ts", col(tsCol).cast("timestamp"))
@@ -83,7 +89,7 @@ object StreamingAttribution {
           val n = rows.length
           def day(t: Long) = (t / DayUs) * 86400L
           val lin = 1000000L / n
-          val wts = rows.map(t => 1L << (maxLagDays - (c - t) / DayUs).toInt)
+          val wts = rows.map(t => 1L << ((maxLagDays - (c - t) / DayUs) / halfLifeDays).toInt)
           val sumWt = wts.sum
           def pos(i: Int): Long =
             if (n == 1) 1000000L

@@ -204,6 +204,96 @@ class AttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("position model survives touch_t ties: duplicated conversion over one touch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAttribution
+    implicit val ctx = spark.sqlContext
+    // two same-instant purchases × ONE click → one (user, conv_t)
+    // window partition holding n = 2 rows TIED on touch_t. Independent
+    // asc/desc row_numbers would hand both endpoint roles to the same
+    // row and push the other onto 200000 div (n−2) = div-by-zero under
+    // ANSI; the positional rule (rn 1 / rn n over one ordering) gives
+    // 500000 each and conserves the single conversion's credit.
+    val fixture = Seq(
+      (8L, "click", Timestamp.valueOf("2024-01-01 00:00:05")),
+      (8L, "purchase", Timestamp.valueOf("2024-01-01 00:00:20")),
+      (8L, "purchase", Timestamp.valueOf("2024-01-01 00:00:20")))
+    val tmp = java.nio.file.Files.createTempDirectory("attr_tie").toString
+    fixture.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batch = Attribution.creditDaily(spark, tmp, lookbackSec = 60L).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[String]("model")) ->
+        ((r.getAs[Long]("credit_millionths"), r.getAs[Long]("n_touches")))).toMap
+    val d = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L / 86400L * 86400L
+    assert(batch == Map(
+      (d, "first") -> ((1000000L, 1L)), (d, "last") -> ((1000000L, 1L)),
+      (d, "linear") -> ((1000000L, 2L)), (d, "decay") -> ((1000000L, 2L)),
+      (d, "position") -> ((1000000L, 2L))), s"got $batch")
+    // streaming twin settles the same multiset identically
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAttribution.credits(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", lookbackSec = 60L)
+      .writeStream.format("memory").queryName("sattr_tie").outputMode("append").start()
+    try {
+      ms.addData(fixture: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT d, model, credit FROM sattr_tie")
+        .filter(col("d") > 0).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(x => (x._1, x._2))
+        .view.mapValues(cs => (cs.map(_._3).sum, cs.length.toLong)).toMap
+      assert(streamed == batch, s"stream $streamed must equal batch $batch")
+    } finally q.stop()
+  }
+
+  test("decay half-life parameterizes as an exact shift: H = 7 batch/stream parity") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAttribution
+    implicit val ctx = spark.sqlContext
+    // 30-day lookback → maxLagDays 29; H = 7 → exponent (29 − lag) div 7:
+    // lags 0, 8, 29 d → exponents 4, 3, 0 → weights 16, 8, 1 (Σ 25).
+    val base = 86400L * 20000
+    val conv = base + 30 * 86400L
+    val t1 = conv - 50L                    // lag 0 d  → w 16, last
+    val t2 = conv - (8 * 86400L + 100L)    // lag 8 d  → w 8, middle
+    val t3 = conv - (29 * 86400L + 100L)   // lag 29 d → w 1, first
+    val fixture = Seq((5L, "purchase", conv), (5L, "click", t1),
+      (5L, "click", t2), (5L, "click", t3))
+      .map { case (u, ty, s) => (u, ty, new Timestamp(s * 1000L)) }
+    val tmp = java.nio.file.Files.createTempDirectory("attr_hl").toString
+    fixture.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def day(t: Long) = t / 86400L * 86400L
+    val got = Attribution.creditDaily(spark, tmp,
+      lookbackSec = 30L * 86400L, halfLifeDays = 7).collect()
+      .filter(_.getAs[String]("model") == "decay")
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("credit_millionths")).toMap
+    assert(got == Map(
+      day(t1) -> 16000000L / 25L, day(t2) -> 8000000L / 25L,
+      day(t3) -> 1000000L / 25L), s"got $got")
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAttribution.credits(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", lookbackSec = 30L * 86400L, halfLifeDays = 7)
+      .writeStream.format("memory").queryName("sattr_hl").outputMode("append").start()
+    try {
+      ms.addData(fixture: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "click", new Timestamp((conv + 40 * 86400L) * 1000L)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT d, credit FROM sattr_hl WHERE model = 'decay'")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == got, s"stream $streamed must equal batch $got")
+    } finally q.stop()
+    // the exact-arithmetic guard rejects overflowing exponents
+    intercept[IllegalArgumentException] {
+      Attribution.creditDaily(spark, tmp, lookbackSec = 45L * 86400L, halfLifeDays = 1)
+    }
+  }
+
   test("plan shape: equi-join pairing (no cartesian), one window shuffle") {
     val plan = Attribution.creditDaily(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), "pairing must be the banded equi-join")
