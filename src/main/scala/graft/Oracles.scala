@@ -1118,6 +1118,56 @@ object Oracles {
       |       LEFT JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact twin of [[graft.operators.PathAnalysis.topkSession]]:
+    * [[funnelSession]]'s session-assignment CTE chain, then each
+    * session's first-5-type path in (ts_s, event_id) order, counted
+    * per (session-start day, path), top-5 per day with the
+    * (count desc, path) tie-break.
+    */
+  val pathSession: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, event_type, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x),
+      |z AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS session_id
+      |      FROM y),
+      |s AS (SELECT user_id, session_id, (min(ts_s) // 86400) * 86400 AS d,
+      |        array_to_string(list_slice(
+      |          list(event_type ORDER BY ts_s, event_id), 1, 5), '>') AS path
+      |      FROM z GROUP BY 1, 2),
+      |c AS (SELECT d, path, count(*) AS n_sessions FROM s GROUP BY 1, 2),
+      |r AS (SELECT d, path, n_sessions,
+      |        row_number() OVER (PARTITION BY d ORDER BY n_sessions DESC, path) AS rk
+      |      FROM c)
+      |SELECT d, path, n_sessions FROM r WHERE rk <= 5
+      |ORDER BY d, n_sessions DESC, path""".stripMargin
+
+  /** Exact twin of [[graft.operators.PathAnalysis.transitionsSession]]:
+    * the same session CTEs, lead in (ts_s, event_id) session order,
+    * edges on the session-start day.
+    */
+  val pathTransitionsSession: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, event_type, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x),
+      |z AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS session_id
+      |      FROM y),
+      |t AS (SELECT min(ts_s) OVER (PARTITION BY user_id, session_id) AS start_s,
+      |        event_type AS src_step,
+      |        lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_s, event_id) AS dst_step
+      |      FROM z)
+      |SELECT (start_s // 86400) * 86400 AS d, src_step, dst_step,
+      |       count(*) AS n_trans
+      |FROM t WHERE dst_step IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Exact twin of [[graft.operators.PathAnalysis.transitionsDaily]]:
     * lead over the same (ts, event_type) per-(day, user) order — the
     * sorted VALUE sequence is unique even when tied rows are

@@ -116,6 +116,10 @@ object SparkEntry {
     // Markov transition matrix: lead-paired adjacent steps reduced to
     // the bounded (day, src, dst) frame — the sankey's edge weights
     "path_transitions" -> ((s, dir) => PathAnalysis.transitionsDaily(s, dir)),
+    // session-grain journeys: top-k per-session paths and the
+    // within-session transition matrix, sessions on their start day
+    "path_session" -> ((s, dir) => PathAnalysis.topkSession(s, dir)),
+    "path_transitions_session" -> ((s, dir) => PathAnalysis.transitionsSession(s, dir)),
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
@@ -129,6 +133,14 @@ object SparkEntry {
     // first-seen cohort triangle: distinct reduction + user-window
     // cohort; (d, user) uniqueness makes the final count distinct-free
     "cohort_matrix" -> ((s, dir) => Cohort.matrixDaily(s, dir)),
+    // the stored form end-to-end: persist per-(cohort, age) audience
+    // sketches + the first-seen companion, answer from the bounded
+    // sketch table alone — exact mode at gate scale hash-matches the
+    // same oracle as the direct key
+    "cohort_matrix_stored" -> ((s, dir) => {
+      Cohort.writeMatrixTable(s, "gate_cohort_matrix", graft.Tables.events(s, dir))
+      Cohort.matrixFromThetaTable(s, "gate_cohort_matrix")
+    }),
 
     // ---- A-suite: k-means ----
     "kmeans_assign_2d" -> ((s, dir) => {
@@ -415,10 +427,13 @@ object SparkEntry {
     "funnel_session" -> Oracles.funnelSession,
     "path_topk" -> Oracles.pathTopk,
     "path_transitions" -> Oracles.pathTransitions,
+    "path_session" -> Oracles.pathSession,
+    "path_transitions_session" -> Oracles.pathTransitionsSession,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
     "events_gapfill" -> Oracles.eventsGapFill,
     "cohort_matrix" -> Oracles.cohortMatrix,
+    "cohort_matrix_stored" -> Oracles.cohortMatrix,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,
     "kmeans_metrics" -> Oracles.kmeansMetrics,
     "kmeans_lloyd_2d" -> Oracles.kmeansLloyd2d,

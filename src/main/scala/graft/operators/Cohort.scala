@@ -26,13 +26,88 @@ object Cohort {
     * by (cohort_d, age_days); age 0 row = the cohort's size.
     */
   def matrixDaily(spark: SparkSession, dir: String): DataFrame = {
-    val act = graft.Tables.events(spark, dir)
-      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("user_id"))
-      .distinct()
+    val act = dayActivity(graft.Tables.events(spark, dir))
     val cohort = min(col("d")).over(Window.partitionBy(col("user_id")))
     act.withColumn("cohort_d", cohort)
       .groupBy(col("cohort_d"), expr("(d - cohort_d) div 86400").as("age_days"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort_d"), col("age_days"))
   }
+
+  /** The distinct per-(day, user) activity frame every cohort form
+    * counts over — repeat events within a day collapse here.
+    */
+  private def dayActivity(events: DataFrame): DataFrame =
+    events
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("user_id"))
+      .distinct()
+
+  // ---- stored cohort-matrix lifecycle ----------------------------------
+
+  /** The [[matrixDaily]] triangle persisted in the theta-table
+    * lifecycle: one audience sketch per (cohort_d, age_days) cell in
+    * `<name>_sketches` (bucketed, generation-flipped — the
+    * [[Sketches.writeThetaTable]] layout), plus a `<name>_firstseen`
+    * companion (user_id → cohort_d, bucketed on user_id) so appends
+    * can cohort-assign new activity without rescanning history. The
+    * growth dashboard then answers at any grain from the BOUNDED
+    * sketch table — cohorts × ages rows regardless of event volume —
+    * with zero raw-history rescans, like the rest of the stored tier
+    * ([[Sketches.retentionFromThetaTable]]'s posture).
+    *
+    * Append semantics: a user's cohort day is min-merged across
+    * batches, so day-ordered (per-user non-decreasing) ingest
+    * reproduces the batch twin exactly, and replaying a batch is a
+    * no-op end to end (min is idempotent, theta union is
+    * insertion-idempotent). An out-of-order EARLIER first appearance
+    * lowers the user's cohort for rows absorbed AFTER it arrives, but
+    * sketch cells already holding the user's activity under the old
+    * cohort cannot give it back (sketches don't subtract) — the
+    * documented reconciliation is a rebuild, the standard posture for
+    * streaming cohort stores.
+    */
+  def writeMatrixTable(spark: SparkSession, name: String, events: DataFrame,
+                       nominalEntries: Int = Sketches.DefaultNominalEntries,
+                       buckets: Int = 16): Unit = {
+    val act = dayActivity(events)
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    graft.sources.Sinks.writeBucketed(first, s"${name}_firstseen", "user_id", buckets)
+    Sketches.writeThetaTable(spark, name, cohortFrame(spark, name, act),
+      Seq("cohort_d", "age_days"), "user_id", nominalEntries, buckets)
+  }
+
+  /** (cohort_d, age_days, user_id) rows for an activity frame, cohort
+    * days resolved against the stored first-seen table.
+    */
+  private def cohortFrame(spark: SparkSession, name: String, act: DataFrame): DataFrame =
+    act.join(spark.table(s"${name}_firstseen"), Seq("user_id"))
+      .select(col("cohort_d"), expr("(d - cohort_d) div 86400").as("age_days"),
+        col("user_id"))
+
+  /** Fold one new batch of raw events in: min-merge the batch's
+    * first appearances into `<name>_firstseen` (new users join the
+    * matrix here), then union the batch's cohort-assigned activity
+    * into the sketch cells. Two bounded rewrites; the batch is the
+    * only data-sized input.
+    */
+  def appendToMatrixTable(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    spark.catalog.refreshTable(s"${name}_firstseen")
+    val (_, _, _, buckets) = Sketches.thetaMeta(spark, name)
+    val act = dayActivity(batch)
+    val batchFirst = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    graft.sources.Sinks.rewriteBucketed(spark, s"${name}_firstseen", Seq("user_id"), buckets,
+      stored => stored.unionByName(batchFirst)
+        .groupBy(col("user_id")).agg(min(col("cohort_d")).as("cohort_d")))
+    spark.catalog.refreshTable(s"${name}_firstseen")
+    Sketches.appendToThetaTable(spark, name, cohortFrame(spark, name, act))
+  }
+
+  /** The triangle from the STORED sketches alone — [[matrixDaily]]'s
+    * exact shape (and, below nominalEntries actives per cell, its
+    * exact values: the theta estimate is the retained-hash count).
+    */
+  def matrixFromThetaTable(spark: SparkSession, name: String): DataFrame =
+    Sketches.estimateThetaTable(spark, name)
+      .select(col("cohort_d"), col("age_days"), col("n_distinct").as("n_active"))
+      .orderBy(col("cohort_d"), col("age_days"))
 }

@@ -79,4 +79,69 @@ object PathAnalysis {
       .agg(count(lit(1)).as("n_trans"))
       .orderBy(col("d"), col("src_step"), col("dst_step"))
   }
+
+  /** SESSION-grain top-k paths: the journey is one gap-session's
+    * ordered type sequence, not a calendar day's — "what do visits
+    * look like", the grain product analytics defaults to (the
+    * [[Funnel.sessionDaily]] composition applied to the sankey
+    * question). Sessions come from [[Sessionize.withSessionIds]]
+    * over ALL events; each session's path is its first `maxSteps`
+    * types in (ts_s, event_id) order (the sessionize ordering — total
+    * because event_id is, so tie handling is engine-portable), counts
+    * are SESSIONS sharing the path, and a session reports on the day
+    * of its FIRST event. Plan: the sessionize window shuffle on user
+    * + one (user, session) aggregation building path and start day
+    * together — two data-sized exchanges — then the same bounded
+    * (day, path) count and WindowGroupLimit-capped rank as
+    * [[topkDaily]]. Output: `d`, `path`, `n_sessions`, ordered by
+    * (d, n_sessions desc, path).
+    */
+  def topkSession(spark: SparkSession, dir: String, gapSeconds: Long = 1800L,
+                  k: Int = 5, maxSteps: Int = 5): DataFrame = {
+    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+    val seq0 = array_sort(collect_list(
+      struct(col("ts_s"), col("event_id"), col("event_type"))))
+    val path = array_join(
+      slice(transform(seq0, e => e.getField("event_type")), 1, maxSteps), ">")
+    val byDay = Window.partitionBy(col("d"))
+      .orderBy(col("n_sessions").desc, col("path"))
+    se.groupBy(col("user_id"), col("session_id"))
+      .agg(path.as("path"), expr("(min(ts_s) div 86400) * 86400").as("d"))
+      .groupBy(col("d"), col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(byDay))
+      .filter(col("rk") <= k)
+      .select(col("d"), col("path"), col("n_sessions"))
+      .orderBy(col("d"), col("n_sessions").desc, col("path"))
+  }
+
+  /** SESSION-grain transition matrix: adjacency is within one
+    * gap-session (a morning view does NOT feed an evening click the
+    * way the day grain says it does), `lead` pairing each event with
+    * its successor in (ts_s, event_id) session order; all of a
+    * session's edges report on its FIRST event's day, matching
+    * [[Funnel.sessionDaily]] / [[topkSession]]. The sessionize
+    * hashpartitioning(user) SATISFIES the (user, session) windows'
+    * clustering, so the lead window and the session-start min only
+    * re-sort — the whole pipeline rides ONE event-set shuffle
+    * (spec plan-pinned: zero session exchanges); terminal events
+    * (null lead) drop; the count reduces to the bounded
+    * days × alphabet² frame. Output: `d`, `src_step`, `dst_step`,
+    * `n_trans`, ordered by all four.
+    */
+  def transitionsSession(spark: SparkSession, dir: String,
+                         gapSeconds: Long = 1800L): DataFrame = {
+    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+    val ordered = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val whole = Window.partitionBy(col("user_id"), col("session_id"))
+    se.withColumn("dst_step", lead(col("event_type"), 1).over(ordered))
+      .withColumn("start_s", min(col("ts_s")).over(whole))
+      .filter(col("dst_step").isNotNull)
+      .select(expr("(start_s div 86400) * 86400").as("d"),
+        col("event_type").as("src_step"), col("dst_step"))
+      .groupBy(col("d"), col("src_step"), col("dst_step"))
+      .agg(count(lit(1)).as("n_trans"))
+      .orderBy(col("d"), col("src_step"), col("dst_step"))
+  }
 }

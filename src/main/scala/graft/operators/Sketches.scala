@@ -427,7 +427,7 @@ object Sketches {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  private def thetaMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
+  private[operators] def thetaMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"theta table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
