@@ -1,0 +1,157 @@
+package graft
+
+/** Session-SQL recipes for the temporal-analytics tier — the
+  * documented pure-SQL forms of the operators that otherwise live
+  * behind the Scala DataFrame API (attribution, retention, anomaly,
+  * paths, cohorts). Each string runs under `spark.sql(...)` against a
+  * view `events(user_id BIGINT, event_id BIGINT, event_type STRING,
+  * ts TIMESTAMP)` — register one with
+  * `Tables.events(spark, dir).createOrReplaceTempView("events")` —
+  * and returns EXACTLY the corresponding operator's rows
+  * (spec-pinned in SqlRecipesSpec), because each recipe is the same
+  * logical plan Catalyst sees from the Column API: the banded
+  * attribution join, the bounded count-frame windows, the
+  * WindowGroupLimit-capped rank. [[retention]] additionally needs the
+  * [[GraftExtensions]] sketch aggregates registered
+  * (`spark.sql.extensions=graft.GraftExtensions`), which is how the
+  * whole sketch tier is reachable from SQL.
+  *
+  * Parameters are inlined at their operator defaults (7-day lookback,
+  * 1-day decay half-life, lags 1/7, window 7, k 5, maxSteps 5) — the
+  * strings are templates to edit, not a parser; the Scala API remains
+  * the programmatic form.
+  */
+object SqlRecipes {
+
+  /** [[graft.operators.Attribution.creditDaily]]: five-model
+    * multi-touch credit via the SAME banded lookback equi-join
+    * (conversions replicate to {band, band−1}; never a per-user cross
+    * product) and the single ascending row_number endpoint rule.
+    * 604800000000 = the 7-day lookback in µs; 6 = maxLagDays.
+    */
+  val attributionCredit: String =
+    """WITH ev AS (SELECT user_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS t
+      |            FROM events),
+      |conv AS (SELECT user_id, t AS conv_t,
+      |           explode(array(t div 604800000000, t div 604800000000 - 1)) AS band
+      |         FROM ev WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id, t AS touch_t, t div 604800000000 AS band
+      |          FROM ev WHERE event_type = 'click'),
+      |j AS (SELECT conv.user_id, conv_t, touch_t,
+      |        shiftleft(1L, CAST(6 - (conv_t - touch_t) div 86400000000 AS INT)) AS wt
+      |      FROM conv JOIN touch
+      |        ON conv.user_id = touch.user_id AND conv.band = touch.band
+      |      WHERE touch_t <= conv_t AND touch_t > conv_t - 604800000000),
+      |w AS (SELECT (touch_t div 86400000000) * 86400 AS d,
+      |        count(*) OVER win AS n, wt, sum(wt) OVER win AS sum_wt,
+      |        row_number() OVER (PARTITION BY user_id, conv_t ORDER BY touch_t) AS rn
+      |      FROM j WINDOW win AS (PARTITION BY user_id, conv_t)),
+      |cr AS (SELECT d, 'linear' AS model, 1000000L div n AS credit FROM w
+      |       UNION ALL SELECT d, 'decay', (1000000L * wt) div sum_wt FROM w
+      |       UNION ALL SELECT d, 'position',
+      |         CASE WHEN n = 1 THEN 1000000L
+      |              WHEN rn = 1 OR rn = n THEN CASE WHEN n = 2 THEN 500000L ELSE 400000L END
+      |              ELSE 200000L div (n - 2) END FROM w
+      |       UNION ALL SELECT d, 'first', 1000000L FROM w WHERE rn = 1
+      |       UNION ALL SELECT d, 'last', 1000000L FROM w WHERE rn = n)
+      |SELECT d, model, sum(credit) AS credit_millionths, count(*) AS n_touches
+      |FROM cr GROUP BY d, model ORDER BY d, model""".stripMargin
+
+  /** [[graft.operators.Sketches.retentionDaily]] at lags 1/7: one
+    * theta sketch per day via the registered SQL aggregate, then the
+    * same bounded lag self-join — day d+lag's sketch left-joins back
+    * onto day d and intersects.
+    */
+  val retention: String =
+    """WITH days AS (SELECT unix_timestamp(date_trunc('DAY', ts)) AS d,
+      |                graft_theta_sketch_agg(user_id) AS sketch
+      |              FROM events GROUP BY 1)
+      |SELECT b.d,
+      |  graft_theta_summary(b.sketch).estimate AS n_active,
+      |  CASE WHEN l1.sketch IS NULL THEN 0L
+      |       ELSE graft_theta_summary(graft_theta_intersect(b.sketch, l1.sketch)).estimate
+      |  END AS n_ret_1d,
+      |  CASE WHEN l7.sketch IS NULL THEN 0L
+      |       ELSE graft_theta_summary(graft_theta_intersect(b.sketch, l7.sketch)).estimate
+      |  END AS n_ret_7d
+      |FROM days b
+      |LEFT JOIN days l1 ON l1.d = b.d + 86400
+      |LEFT JOIN days l7 ON l7.d = b.d + 7 * 86400
+      |ORDER BY b.d""".stripMargin
+
+  /** [[graft.operators.Anomaly.eventVolume]] at window 7: integer
+    * trailing sums over the bounded (type, day) count frame, then the
+    * identical IEEE mean/variance/z algebra and floor(1000·z); flat
+    * baselines (variance 0) emit NULL.
+    */
+  val eventsAnomaly: String =
+    """WITH c AS (SELECT unix_timestamp(date_trunc('DAY', ts)) AS d, event_type,
+      |             count(*) AS n_events
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT d, event_type, n_events,
+      |        sum(n_events) OVER win AS s,
+      |        sum(n_events * n_events) OVER win AS ss,
+      |        count(n_events) OVER win AS np
+      |      FROM c WINDOW win AS (PARTITION BY event_type ORDER BY d
+      |                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT d, event_type, n_events,
+      |  CASE WHEN ss / 7.0D - (s / 7.0D) * (s / 7.0D) > 0D
+      |       THEN CAST(floor(1000.0D * (n_events - s / 7.0D)
+      |                       / sqrt(ss / 7.0D - (s / 7.0D) * (s / 7.0D))) AS BIGINT)
+      |  END AS z_milli
+      |FROM w WHERE np = 7
+      |ORDER BY d, event_type""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.topkDaily]] at k 5 / maxSteps 5:
+    * the per-user-day time-sorted type sequence, truncated, counted,
+    * ranked — the rank's WHERE rk <= 5 gets the same WindowGroupLimit
+    * plan as the Column form.
+    */
+  val pathTopk: String =
+    """WITH p AS (SELECT unix_timestamp(date_trunc('DAY', ts)) AS d, user_id,
+      |             array_join(slice(transform(array_sort(collect_list(
+      |               struct(unix_micros(CAST(ts AS TIMESTAMP)) AS t, event_type))),
+      |               e -> e.event_type), 1, 5), '>') AS path
+      |           FROM events GROUP BY 1, 2),
+      |c AS (SELECT d, path, count(*) AS n_users FROM p GROUP BY 1, 2),
+      |r AS (SELECT d, path, n_users,
+      |        row_number() OVER (PARTITION BY d ORDER BY n_users DESC, path) AS rk
+      |      FROM c)
+      |SELECT d, path, n_users FROM r WHERE rk <= 5
+      |ORDER BY d, n_users DESC, path""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.transitionsDaily]]: lead-paired
+    * adjacent steps in (t, event_type) per-(day, user) order, reduced
+    * to the days × alphabet² frame.
+    */
+  val pathTransitions: String =
+    """WITH e AS (SELECT unix_timestamp(date_trunc('DAY', ts)) AS d, user_id,
+      |             unix_micros(CAST(ts AS TIMESTAMP)) AS t, event_type
+      |           FROM events),
+      |l AS (SELECT d, event_type AS src_step,
+      |        lead(event_type) OVER (PARTITION BY d, user_id ORDER BY t, event_type) AS dst_step
+      |      FROM e)
+      |SELECT d, src_step, dst_step, count(*) AS n_trans
+      |FROM l WHERE dst_step IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** [[graft.operators.Cohort.matrixDaily]]: first-seen cohort day by
+    * user-window min over the distinct activity frame, counted per
+    * (cohort, age).
+    */
+  val cohortMatrix: String =
+    """WITH a AS (SELECT DISTINCT unix_timestamp(date_trunc('DAY', ts)) AS d, user_id
+      |           FROM events),
+      |f AS (SELECT d, min(d) OVER (PARTITION BY user_id) AS cohort_d FROM a)
+      |SELECT cohort_d, (d - cohort_d) div 86400 AS age_days, count(*) AS n_active
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Every recipe keyed by the gate key it mirrors. */
+  val all: Map[String, String] = Map(
+    "attribution_credit" -> attributionCredit,
+    "sketch_retention" -> retention,
+    "events_anomaly" -> eventsAnomaly,
+    "path_topk" -> pathTopk,
+    "path_transitions" -> pathTransitions,
+    "cohort_matrix" -> cohortMatrix)
+}

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // fresh warehouse per run: stored-lifecycle gate keys create
+      // managed tables, and a STALE ./spark-warehouse location from a
+      // previous JVM (whose in-memory catalog died with it) would fail
+      // saveAsTable with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_verify_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

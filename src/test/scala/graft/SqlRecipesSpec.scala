@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Anomaly, Attribution, Cohort, PathAnalysis, Sketches}
+
+/** The SQL tier contract: every [[SqlRecipes]] string, run through
+  * plain `spark.sql` over the registered `events` view, returns the
+  * DataFrame operator's rows EXACTLY — values, order, column names.
+  */
+class SqlRecipesSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private lazy val registered: Unit =
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+
+  private def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    registered
+    val sql = spark.sql(SqlRecipes.all(name))
+    assert(sql.columns.toSeq == df.columns.toSeq,
+      s"$name: SQL columns ${sql.columns.toSeq} != operator ${df.columns.toSeq}")
+    val (got, want) = (rows(sql), rows(df))
+    assert(got.nonEmpty, s"$name: recipe returned nothing")
+    assert(got == want, s"$name: SQL rows diverge from the operator")
+  }
+
+  test("attribution recipe ≡ Attribution.creditDaily") {
+    check("attribution_credit", Attribution.creditDaily(spark, sfDir))
+  }
+
+  test("retention recipe ≡ Sketches.retentionDaily (via the registered theta aggregates)") {
+    check("sketch_retention", Sketches.retentionDaily(spark, sfDir))
+  }
+
+  test("anomaly recipe ≡ Anomaly.eventVolume (bit-identical z algebra)") {
+    check("events_anomaly", Anomaly.eventVolume(spark, sfDir))
+  }
+
+  test("path top-k recipe ≡ PathAnalysis.topkDaily") {
+    check("path_topk", PathAnalysis.topkDaily(spark, sfDir))
+  }
+
+  test("transitions recipe ≡ PathAnalysis.transitionsDaily") {
+    check("path_transitions", PathAnalysis.transitionsDaily(spark, sfDir))
+  }
+
+  test("cohort recipe ≡ Cohort.matrixDaily") {
+    check("cohort_matrix", Cohort.matrixDaily(spark, sfDir))
+  }
+
+  test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
+    registered
+    val attr = spark.sql(SqlRecipes.attributionCredit)
+      .queryExecution.executedPlan.toString
+    assert(!attr.contains("Cartesian") && !attr.contains("BroadcastNestedLoop"),
+      s"the SQL attribution pairing must stay the banded equi-join:\n$attr")
+    val topk = spark.sql(SqlRecipes.pathTopk).queryExecution.executedPlan.toString
+    assert(topk.contains("WindowGroupLimit"),
+      s"the SQL rank must get the same group-limit pushdown:\n$topk")
+  }
+}
