@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Anomaly, Temporal}
+import graft.operators.{Anomaly, Funnel, PathAnalysis, Temporal}
 
 /** Scale rehearsal for the temporal-analytics pair beyond the
   * driver's sf0.1 corpus: a deterministic spark.range event stream
@@ -27,6 +27,18 @@ import graft.operators.{Anomaly, Temporal}
   * OBSERVED days, the integer-sum algebra applied to the planted
   * counts); the full gapFill output equals the closed-form dense
   * spine (0-fill + LOCF hold + is_gap exactly on planted gaps).
+  *
+  * Session tier (r15): a SECOND planted stream — n/(100·8) users ×
+  * 100 days × 8 events, types cycling view/click/purchase with a
+  * 3660 s mid-day jump splitting each user-day into exactly two
+  * gap-sessions of known paths (v,c,p,v | c,p,v,c) — drives
+  * [[Funnel.sessionDaily]], [[PathAnalysis.topkSession]],
+  * [[PathAnalysis.transitionsSession]] and
+  * [[PathAnalysis.transitionsDaily]] at the same scale. Every output
+  * row equals the closed form; the day-grain transition matrix
+  * carries exactly ONE more (view, click) count per user-day than
+  * the session grain — the cross-gap edge the session split must
+  * drop.
   *
   *   tools/run.sh graft.TemporalRehearsal [n] [outBase]
   */
@@ -157,11 +169,75 @@ object TemporalRehearsal {
       got == expGapFill
     }
 
-    val allPass = anomOk && seasonalOk && gapOk
+    // ---- the planted session stream (r15) ------------------------------
+    val EvPerDay = 8
+    require(n % (Days * EvPerDay) == 0, s"n=$n must divide by $Days days x $EvPerDay events")
+    val users = n / (Days * EvPerDay)
+    // p = position within the user-day: p 0-3 at 0/60/120/180 s, p 4-7
+    // at 3840/3900/3960/4020 s — the 3660 s jump splits two sessions
+    // at gap 1800; types cycle v/c/p, so session paths are
+    // v,c,p,v and c,p,v,c. event_id = id keeps ordering total.
+    def sessionEvents = {
+      val p = col("id") % EvPerDay
+      val off = when(p < 4, p * 60L).otherwise(p * 60L + 3600L)
+      val tpe = when(p % 3 === 0, "view").when(p % 3 === 1, "click")
+        .otherwise("purchase")
+      spark.range(n).select(
+        expr(s"id div ${Days * EvPerDay}").as("user_id"),
+        col("id").as("event_id"),
+        tpe.as("event_type"),
+        timestamp_seconds(lit(Day0) + expr(s"(id div $EvPerDay) % $Days") * 86400L + off)
+          .as("ts"))
+    }
+    val allDays = (0 until Days).map(Day0 + _ * 86400L)
+    val sessFunnelOk = timed("sess_funnel") {
+      val got = Funnel.sessionDaily(sessionEvents, 1800L, Seq("view", "click", "purchase"))
+        .collect().map(r => r.getAs[Long]("d") ->
+          ((r.getAs[Long]("n_step1"), r.getAs[Long]("n_step2"), r.getAs[Long]("n_step3"))))
+        .toMap
+      // both sessions view (s1 at p0, s2 at p6) and click after it;
+      // only s1 purchases after its click → 2U / 2U / U per day
+      got == allDays.map(_ -> ((2 * users, 2 * users, users))).toMap
+    }
+    val sessPathsOk = timed("sess_paths") {
+      val got = PathAnalysis.topkSession(sessionEvents, 1800L, 5, 5).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
+      // U-count tie per day breaks on the path string ascending
+      val want = allDays.flatMap(day => Seq(
+        (day, "click>purchase>view>click", users),
+        (day, "view>click>purchase>view", users)))
+      got.toSeq == want
+    }
+    val sessTransOk = timed("sess_trans") {
+      val got = PathAnalysis.transitionsSession(sessionEvents, 1800L).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("src_step"),
+          r.getAs[String]("dst_step")) -> r.getAs[Long]("n_trans")).toMap
+      got == allDays.flatMap(day => Seq(
+        (day, "click", "purchase") -> 2 * users,
+        (day, "purchase", "view") -> 2 * users,
+        (day, "view", "click") -> 2 * users)).toMap
+    }
+    val dayTransOk = timed("day_trans") {
+      val got = PathAnalysis.transitionsDaily(sessionEvents).collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("src_step"),
+          r.getAs[String]("dst_step")) -> r.getAs[Long]("n_trans")).toMap
+      // the day grain keeps the cross-gap p3→p4 (view, click) edge the
+      // session grain drops: 3U vs 2U
+      got == allDays.flatMap(day => Seq(
+        (day, "click", "purchase") -> 2 * users,
+        (day, "purchase", "view") -> 2 * users,
+        (day, "view", "click") -> 3 * users)).toMap
+    }
+
+    val allPass = anomOk && seasonalOk && gapOk &&
+      sessFunnelOk && sessPathsOk && sessTransOk && dayTransOk
     val phaseJson = phases.map { case (k, s) => s""""$k":${f"$s%.2f"}""" }.mkString("{", ",", "}")
     println(s"""{"rehearsal":"temporal","n":$n,"all_checks_pass":$allPass,""" +
       s""""checks":{"anomaly_closed_form":$anomOk,"seasonal_closed_form":$seasonalOk,""" +
-      s""""gapfill_closed_form":$gapOk},""" +
+      s""""gapfill_closed_form":$gapOk,"session_funnel_closed_form":$sessFunnelOk,""" +
+      s""""session_paths_closed_form":$sessPathsOk,""" +
+      s""""session_transitions_closed_form":$sessTransOk,""" +
+      s""""day_transitions_closed_form":$dayTransOk},""" +
       s""""phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
     if (!allPass) sys.exit(1)

@@ -127,9 +127,15 @@ object Funnel {
     */
   def sessionDaily(spark: SparkSession, dir: String,
                    gapSeconds: Long = 1800L,
-                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    sessionDaily(graft.Tables.events(spark, dir), gapSeconds, steps)
+
+  /** The same computation over any frame with `user_id`, `event_id`,
+    * `ts`, `event_type` — the composition/rehearsal form.
+    */
+  def sessionDaily(events: DataFrame, gapSeconds: Long, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+    val se = Sessionize.withSessionIds(events, gapSeconds)
     val byUS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("session_id"))
     val f = se

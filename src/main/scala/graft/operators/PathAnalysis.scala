@@ -30,8 +30,14 @@ object PathAnalysis {
     * by (d, n_users desc, path).
     */
   def topkDaily(spark: SparkSession, dir: String,
-                k: Int = 5, maxSteps: Int = 5): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
+                k: Int = 5, maxSteps: Int = 5): DataFrame =
+    topkDaily(graft.Tables.events(spark, dir), k, maxSteps)
+
+  /** The same computation over any frame with `user_id`, `ts`,
+    * `event_type` — the composition/rehearsal form.
+    */
+  def topkDaily(events: DataFrame, k: Int, maxSteps: Int): DataFrame = {
+    val ev = events
       .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
         col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("t"),
@@ -64,8 +70,14 @@ object PathAnalysis {
     * event volume. Output: `d`, `src_step`, `dst_step`, `n_trans`,
     * ordered by all four.
     */
-  def transitionsDaily(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
+  def transitionsDaily(spark: SparkSession, dir: String): DataFrame =
+    transitionsDaily(graft.Tables.events(spark, dir))
+
+  /** The same computation over any frame with `user_id`, `ts`,
+    * `event_type`.
+    */
+  def transitionsDaily(events: DataFrame): DataFrame = {
+    val ev = events
       .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
         col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("t"),
@@ -97,8 +109,14 @@ object PathAnalysis {
     * (d, n_sessions desc, path).
     */
   def topkSession(spark: SparkSession, dir: String, gapSeconds: Long = 1800L,
-                  k: Int = 5, maxSteps: Int = 5): DataFrame = {
-    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+                  k: Int = 5, maxSteps: Int = 5): DataFrame =
+    topkSession(graft.Tables.events(spark, dir), gapSeconds, k, maxSteps)
+
+  /** The same computation over any frame with `user_id`, `event_id`,
+    * `ts`, `event_type`.
+    */
+  def topkSession(events: DataFrame, gapSeconds: Long, k: Int, maxSteps: Int): DataFrame = {
+    val se = Sessionize.withSessionIds(events, gapSeconds)
     val seq0 = array_sort(collect_list(
       struct(col("ts_s"), col("event_id"), col("event_type"))))
     val path = array_join(
@@ -130,8 +148,14 @@ object PathAnalysis {
     * `n_trans`, ordered by all four.
     */
   def transitionsSession(spark: SparkSession, dir: String,
-                         gapSeconds: Long = 1800L): DataFrame = {
-    val se = Sessionize.withSessionIds(graft.Tables.events(spark, dir), gapSeconds)
+                         gapSeconds: Long = 1800L): DataFrame =
+    transitionsSession(graft.Tables.events(spark, dir), gapSeconds)
+
+  /** The same computation over any frame with `user_id`, `event_id`,
+    * `ts`, `event_type`.
+    */
+  def transitionsSession(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val se = Sessionize.withSessionIds(events, gapSeconds)
     val ordered = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_s"), col("event_id"))
     val whole = Window.partitionBy(col("user_id"), col("session_id"))
