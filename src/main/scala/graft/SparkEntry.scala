@@ -120,9 +120,19 @@ object SparkEntry {
     // within-session transition matrix, sessions on their start day
     "path_session" -> ((s, dir) => PathAnalysis.topkSession(s, dir)),
     "path_transitions_session" -> ((s, dir) => PathAnalysis.transitionsSession(s, dir)),
+    // stored additive-count lifecycles end-to-end: persist the bounded
+    // frame, answer from the store alone — exact, same oracles
+    "path_transitions_stored" -> ((s, dir) => {
+      PathAnalysis.writeTransitionsTable(s, "gate_transitions", graft.Tables.events(s, dir))
+      PathAnalysis.transitionsFromTable(s, "gate_transitions")
+    }),
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
+    "events_anomaly_stored" -> ((s, dir) => {
+      Anomaly.writeVolumeTable(s, "gate_volume", graft.Tables.events(s, dir))
+      Anomaly.volumeFromTable(s, "gate_volume")
+    }),
     // seasonality-aware sibling: trailing-7 AND same-day-of-week
     // baselines side by side — a weekly-periodic workload alarms the
     // first and reads as noise on the second
@@ -429,6 +439,8 @@ object SparkEntry {
     "path_transitions" -> Oracles.pathTransitions,
     "path_session" -> Oracles.pathSession,
     "path_transitions_session" -> Oracles.pathTransitionsSession,
+    "path_transitions_stored" -> Oracles.pathTransitions,
+    "events_anomaly_stored" -> Oracles.eventsAnomaly,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
     "events_gapfill" -> Oracles.eventsGapFill,

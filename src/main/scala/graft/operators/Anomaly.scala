@@ -90,10 +90,42 @@ object Anomaly {
       .orderBy(col("d"), col("event_type"))
   }
 
-  def eventVolume(events: DataFrame, window: Int): DataFrame = {
-    val counts = events
+  def eventVolume(events: DataFrame, window: Int): DataFrame =
+    zScores(volumeCounts(events), window)
+
+  /** The (d, event_type, n_events) count frame every anomaly form
+    * scores over — the only data-sized aggregation. Counts are
+    * DISTRIBUTIVE over any row split, so this is also the stored
+    * lifecycle's batch unit: arbitrary batch boundaries sum exactly.
+    */
+  def volumeCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  // ---- stored volume lifecycle ----------------------------------------
+
+  /** Persist the count frame in the exact additive [[CountTable]]
+    * lifecycle (types × days rows — bounded at any event volume), so
+    * the anomaly dashboard re-scores any window from the stored table
+    * with zero raw-history rescans. Append batches may split the
+    * stream ANYWHERE (counts sum exactly); `batchId` gives replayed
+    * foreachBatch deliveries the exactly-once guard.
+    */
+  def writeVolumeTable(spark: SparkSession, name: String, events: DataFrame,
+                       buckets: Int = 16): Unit =
+    CountTable.write(spark, name, volumeCounts(events),
+      Seq("event_type", "d"), "n_events", buckets)
+
+  def appendToVolumeTable(spark: SparkSession, name: String, batch: DataFrame,
+                          batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, volumeCounts(batch), batchId)
+
+  /** [[eventVolume]] answered from the STORED counts alone. */
+  def volumeFromTable(spark: SparkSession, name: String, window: Int = 7): DataFrame =
+    zScores(CountTable.read(spark, name), window)
+
+  private def zScores(counts: DataFrame, window: Int): DataFrame = {
     val trail = Window.partitionBy(col("event_type")).orderBy(col("d"))
       .rowsBetween(-window, -1)
     val w = lit(window.toDouble)

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored EXACT additive-count table — the bounded-frame companion of
+  * the sketch-table lifecycles for the operators whose state is
+  * already tiny: per-(type, day) event volumes (types × days rows),
+  * per-(day, src, dst) transition counts (days × alphabet²). Counts
+  * are additive, so the append is a SUM merge — and like the
+  * frequency tier (whose additivity shares the replay hazard) every
+  * row carries a `last_batch` stamp committed in the SAME
+  * generation-flip as the merged counts: a replayed `foreachBatch`
+  * at-or-below the stamp no-ops, making ingest exactly-once under
+  * at-least-once delivery ([[Sketches.appendToFreqTable]]'s
+  * contract).
+  *
+  * Layout: `<name>_counts` (groupCols ++ cnt ++ last_batch), bucketed
+  * on `groupCols.head` so the append's merge groupBy reads the stored
+  * side shuffle-free, plus `<name>_meta`. The table is the
+  * AGGREGATED frame — callers aggregate their batch before appending;
+  * the count column is summed.
+  */
+object CountTable {
+
+  private def refresh(spark: SparkSession, name: String): Unit = {
+    spark.catalog.refreshTable(s"${name}_counts")
+    spark.catalog.refreshTable(s"${name}_meta")
+  }
+
+  /** Create/overwrite the stored table from an already-aggregated
+    * counts frame (groupCols ++ countCol).
+    */
+  def write(spark: SparkSession, name: String, counts: DataFrame,
+            groupCols: Seq[String], countCol: String, buckets: Int = 16): Unit = {
+    graft.sources.Sinks.writeBucketed(
+      counts.select(groupCols.map(col) :+ col(countCol).cast("long").as("cnt"): _*)
+        .withColumn("last_batch", lit(-1L)),
+      s"${name}_counts", groupCols.head, buckets)
+    import spark.implicits._
+    Seq((groupCols, countCol, buckets))
+      .toDF("group_cols", "count_col", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def meta(spark: SparkSession, name: String): (Seq[String], String, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"count table $name: corrupt meta (${rows.length} rows)")
+    val r = rows(0)
+    (r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+      r.getAs[String]("count_col"), r.getAs[Int]("buckets"))
+  }
+
+  /** Sum one aggregated batch in. With `batchId >= 0` a replay
+    * at-or-below the stored stamp no-ops (exactly-once; ids must be
+    * monotone — the foreachBatch contract). `batchId = -1` skips the
+    * guard for ad-hoc appends.
+    */
+  def append(spark: SparkSession, name: String, batchCounts: DataFrame,
+             batchId: Long = -1L): Unit = {
+    refresh(spark, name)
+    val (groupCols, countCol, buckets) = meta(spark, name)
+    val applied = spark.table(s"${name}_counts")
+      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
+    if (batchId >= 0 && batchId <= applied) return
+    val stamp = if (batchId >= 0) batchId else applied
+    val batchFrame = batchCounts
+      .select(groupCols.map(col) :+ col(countCol).cast("long").as("cnt"): _*)
+    graft.sources.Sinks.rewriteBucketed(spark, s"${name}_counts", Seq(groupCols.head), buckets,
+      stored => stored.drop("last_batch").unionByName(batchFrame)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("last_batch", lit(stamp)))
+  }
+
+  /** The stored counts (groupCols ++ the original count column name)
+    * — zero raw data touched.
+    */
+  def read(spark: SparkSession, name: String): DataFrame = {
+    refresh(spark, name)
+    val (groupCols, countCol, _) = meta(spark, name)
+    spark.table(s"${name}_counts")
+      .select(groupCols.map(col) :+ col("cnt").as(countCol): _*)
+  }
+}

@@ -92,6 +92,34 @@ object PathAnalysis {
       .orderBy(col("d"), col("src_step"), col("dst_step"))
   }
 
+  // ---- stored transitions lifecycle ------------------------------------
+
+  /** Persist the (d, src_step, dst_step, n_trans) matrix in the exact
+    * additive [[CountTable]] lifecycle — days × alphabet² rows at any
+    * event volume, so the sankey answers any day range (or the
+    * all-time matrix, one groupBy on the tiny stored frame) with zero
+    * raw-history rescans. CONTRACT: because adjacency is a window
+    * within (day, user), an append batch must carry WHOLE (day, user)
+    * event groups — the natural daily-load unit; a user-day split
+    * across two batches would miss its boundary edge (the streaming
+    * twin [[graft.streaming.StreamingSessionPaths]] handles arbitrary
+    * arrival order with state instead). `batchId` gives replayed
+    * deliveries the exactly-once guard.
+    */
+  def writeTransitionsTable(spark: SparkSession, name: String, events: DataFrame,
+                            buckets: Int = 16): Unit =
+    CountTable.write(spark, name, transitionsDaily(events),
+      Seq("d", "src_step", "dst_step"), "n_trans", buckets)
+
+  def appendToTransitionsTable(spark: SparkSession, name: String, batch: DataFrame,
+                               batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, transitionsDaily(batch), batchId)
+
+  /** [[transitionsDaily]] answered from the STORED counts alone. */
+  def transitionsFromTable(spark: SparkSession, name: String): DataFrame =
+    CountTable.read(spark, name)
+      .orderBy(col("d"), col("src_step"), col("dst_step"))
+
   /** SESSION-grain top-k paths: the journey is one gap-session's
     * ordered type sequence, not a calendar day's — "what do visits
     * look like", the grain product analytics defaults to (the

@@ -134,6 +134,56 @@ class AnomalySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stored volume table ≡ direct; arbitrary splits sum exactly; replays no-op") {
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+    val day0 = 86400L * 22000
+    def at(d: Int, i: Int) = day0 + d * 86400L + 100L + i
+    // 10 days of alternating click volume — enough for two scored days
+    val all = (0 until 10).flatMap(d =>
+      (0 until (if (d % 2 == 0) 1 else 3)).map(i => (1L + i, "click", at(d, i))))
+    // split MID-DAY: counts are distributive, the stored sum is exact
+    val (b1, b2) = all.splitAt(all.length / 2)
+    Anomaly.writeVolumeTable(spark, "av_spec", ev(b1), buckets = 2)
+    Anomaly.appendToVolumeTable(spark, "av_spec", ev(b2), batchId = 1L)
+    def stored = Anomaly.volumeFromTable(spark, "av_spec").collect().map(_.toSeq).toSeq
+    val direct = Anomaly.eventVolume(ev(all), 7).collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && stored == direct,
+      "stored-counts z-scores must equal the direct operator on any batch split")
+    // a replayed batch id must not double-count
+    Anomaly.appendToVolumeTable(spark, "av_spec", ev(b2), batchId = 1L)
+    assert(stored == direct, "replaying a stamped batch must change nothing")
+  }
+
+  test("stored transitions table ≡ direct on whole-user-day batches; replays no-op") {
+    import graft.operators.PathAnalysis
+    def ev(rows: Seq[(Long, Long, String, Long)]) =
+      rows.map { case (u, e, t, s) => (u, e, t, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_id", "event_type", "ts")
+    val day0 = 86400L * 22000
+    // two users × two days, known edges per user-day
+    def userDay(u: Long, d: Int, base: Long) = Seq(
+      (u, base, "view", day0 + d * 86400L + 10),
+      (u, base + 1, "click", day0 + d * 86400L + 20),
+      (u, base + 2, "purchase", day0 + d * 86400L + 30))
+    val all = userDay(1L, 0, 10) ++ userDay(2L, 0, 20) ++
+      userDay(1L, 1, 30) ++ userDay(2L, 1, 40)
+    // append batches carry WHOLE (day, user) groups — the contract
+    PathAnalysis.writeTransitionsTable(spark, "tr_spec",
+      ev(userDay(1L, 0, 10) ++ userDay(2L, 0, 20)), buckets = 2)
+    PathAnalysis.appendToTransitionsTable(spark, "tr_spec",
+      ev(userDay(1L, 1, 30) ++ userDay(2L, 1, 40)), batchId = 1L)
+    def stored = PathAnalysis.transitionsFromTable(spark, "tr_spec")
+      .collect().map(_.toSeq).toSeq
+    val direct = PathAnalysis.transitionsDaily(ev(all)).collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty && stored == direct,
+      "whole-user-day appends must reproduce the direct matrix")
+    PathAnalysis.appendToTransitionsTable(spark, "tr_spec",
+      ev(userDay(2L, 1, 40)), batchId = 1L)
+    assert(stored == direct, "replaying a stamped batch must change nothing")
+  }
+
   test("real data: one data-sized exchange; window runs on the bounded count frame") {
     val df = Anomaly.eventVolume(spark, sfDir)
     val rows = df.collect()
