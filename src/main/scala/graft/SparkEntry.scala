@@ -133,6 +133,16 @@ object SparkEntry {
       Anomaly.writeVolumeTable(s, "gate_volume", graft.Tables.events(s, dir))
       Anomaly.volumeFromTable(s, "gate_volume")
     }),
+    // the SAME stored volume table answers the seasonal baselines and
+    // the gap-fill spine — one bounded count table, three dashboards
+    "events_anomaly_seasonal_stored" -> ((s, dir) => {
+      Anomaly.writeVolumeTable(s, "gate_volume_sea", graft.Tables.events(s, dir))
+      Anomaly.seasonalFromTable(s, "gate_volume_sea")
+    }),
+    "events_gapfill_stored" -> ((s, dir) => {
+      Anomaly.writeVolumeTable(s, "gate_volume_gap", graft.Tables.events(s, dir))
+      Temporal.gapFillFromTable(s, "gate_volume_gap")
+    }),
     // seasonality-aware sibling: trailing-7 AND same-day-of-week
     // baselines side by side — a weekly-periodic workload alarms the
     // first and reads as noise on the second
@@ -443,7 +453,9 @@ object SparkEntry {
     "events_anomaly_stored" -> Oracles.eventsAnomaly,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
+    "events_anomaly_seasonal_stored" -> Oracles.eventsAnomalySeasonal,
     "events_gapfill" -> Oracles.eventsGapFill,
+    "events_gapfill_stored" -> Oracles.eventsGapFill,
     "cohort_matrix" -> Oracles.cohortMatrix,
     "cohort_matrix_stored" -> Oracles.cohortMatrix,
     "kmeans_assign_2d" -> Oracles.kmeansAssign2d,

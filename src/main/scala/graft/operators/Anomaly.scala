@@ -61,11 +61,20 @@ object Anomaly {
     eventVolumeSeasonal(graft.Tables.events(spark, dir), window, seasonalWindow)
 
   def eventVolumeSeasonal(events: DataFrame, window: Int,
-                          seasonalWindow: Int): DataFrame = {
-    val counts = events
-      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("dow", expr("(d div 86400) % 7"))
+                          seasonalWindow: Int): DataFrame =
+    seasonalScores(volumeCounts(events), window, seasonalWindow)
+
+  /** [[eventVolumeSeasonal]] answered from the STORED counts alone —
+    * the same [[writeVolumeTable]] table serves both baselines and
+    * [[Temporal.gapFillFromTable]]'s spine.
+    */
+  def seasonalFromTable(spark: SparkSession, name: String, window: Int = 7,
+                        seasonalWindow: Int = 4): DataFrame =
+    seasonalScores(CountTable.read(spark, name), window, seasonalWindow)
+
+  private def seasonalScores(counts0: DataFrame, window: Int,
+                             seasonalWindow: Int): DataFrame = {
+    val counts = counts0.withColumn("dow", expr("(d div 86400) % 7"))
     val t = Window.partitionBy(col("event_type")).orderBy(col("d"))
       .rowsBetween(-window, -1)
     val sow = Window.partitionBy(col("event_type"), col("dow")).orderBy(col("d"))

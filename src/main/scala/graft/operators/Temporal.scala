@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
@@ -84,10 +84,21 @@ object Temporal {
     * so the operator's cost is the count aggregation at any event
     * volume.
     */
-  def gapFill(events: DataFrame): DataFrame = {
-    val counts = events
+  def gapFill(events: DataFrame): DataFrame =
+    gapFillFromCounts(events
       .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[gapFill]] answered from a STORED volume table
+    * ([[Anomaly.writeVolumeTable]]'s [[CountTable]] lifecycle) — the
+    * SAME stored counts that re-score anomalies also densify for the
+    * charting layer, zero raw-history rescans.
+    */
+  def gapFillFromTable(spark: SparkSession, name: String): DataFrame =
+    gapFillFromCounts(CountTable.read(spark, name)
+      .select(col("d"), col("event_type"), col("n_events").as("n")))
+
+  private def gapFillFromCounts(counts: DataFrame): DataFrame = {
     val spine = counts.groupBy(col("event_type"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("event_type"),

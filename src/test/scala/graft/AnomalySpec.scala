@@ -154,6 +154,18 @@ class AnomalySpec extends SparkSpec {
     // a replayed batch id must not double-count
     Anomaly.appendToVolumeTable(spark, "av_spec", ev(b2), batchId = 1L)
     assert(stored == direct, "replaying a stamped batch must change nothing")
+    // the SAME stored table serves the seasonal baselines and the
+    // gap-fill spine — the whole volume dashboard, zero rescans
+    val seasonalStored = Anomaly.seasonalFromTable(spark, "av_spec")
+      .collect().map(_.toSeq).toSeq
+    val seasonalDirect = Anomaly.eventVolumeSeasonal(ev(all), 7, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(seasonalDirect.nonEmpty && seasonalStored == seasonalDirect)
+    val gapStored = graft.operators.Temporal.gapFillFromTable(spark, "av_spec")
+      .collect().map(_.toSeq).toSeq
+    val gapDirect = graft.operators.Temporal.gapFill(ev(all))
+      .collect().map(_.toSeq).toSeq
+    assert(gapDirect.nonEmpty && gapStored == gapDirect)
   }
 
   test("stored transitions table ≡ direct on whole-user-day batches; replays no-op") {
