@@ -146,6 +146,76 @@ object SqlRecipes {
       |SELECT cohort_d, (d - cohort_d) div 86400 AS age_days, count(*) AS n_active
       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The gap-session assignment CTE chain (q12's sessionize in SQL,
+    * 1800 s gap) the session-grain recipes share: `z` carries every
+    * event with its per-user `session_id`.
+    */
+  private val sessionCte: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             unix_timestamp(date_trunc('SECOND', ts)) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, event_type, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1L ELSE 0L END AS is_new FROM x),
+      |z AS (SELECT user_id, event_id, event_type, ts_s,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS session_id
+      |      FROM y)""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.topkSession]] at k 5 / maxSteps
+    * 5 / gap 1800 s: each session's path in (ts_s, event_id) order,
+    * counted per (start day, path), ranked.
+    */
+  val pathSession: String = sessionCte + ",\n" +
+    """s AS (SELECT user_id, session_id, (min(ts_s) div 86400) * 86400 AS d,
+      |        array_join(slice(transform(array_sort(collect_list(
+      |          struct(ts_s, event_id, event_type))), e -> e.event_type), 1, 5), '>') AS path
+      |      FROM z GROUP BY 1, 2),
+      |c AS (SELECT d, path, count(*) AS n_sessions FROM s GROUP BY 1, 2),
+      |r AS (SELECT d, path, n_sessions,
+      |        row_number() OVER (PARTITION BY d ORDER BY n_sessions DESC, path) AS rk
+      |      FROM c)
+      |SELECT d, path, n_sessions FROM r WHERE rk <= 5
+      |ORDER BY d, n_sessions DESC, path""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.transitionsSession]]: lead in
+    * (ts_s, event_id) session order, edges on the session-start day.
+    */
+  val pathTransitionsSession: String = sessionCte + ",\n" +
+    """t AS (SELECT min(ts_s) OVER (PARTITION BY user_id, session_id) AS start_s,
+      |        event_type AS src_step,
+      |        lead(event_type) OVER (PARTITION BY user_id, session_id
+      |                               ORDER BY ts_s, event_id) AS dst_step
+      |      FROM z)
+      |SELECT (start_s div 86400) * 86400 AS d, src_step, dst_step,
+      |       count(*) AS n_trans
+      |FROM t WHERE dst_step IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** [[graft.operators.Funnel.sessionDaily]] via the registered
+    * `graft_window_funnel` aggregate (needs [[GraftExtensions]]): an
+    * effectively-unbounded window degenerates the windowed fold to
+    * sessionDaily's unwindowed greedy match, so per-session depths —
+    * and the per-day session counts at each depth — are identical.
+    */
+  val funnelSession: String = sessionCte + ",\n" +
+    """st AS (SELECT user_id, session_id, (min(ts_s) div 86400) * 86400 AS d
+      |       FROM z GROUP BY 1, 2),
+      |dep AS (SELECT user_id, session_id,
+      |          graft_window_funnel(ts_s,
+      |            CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |                 WHEN 'purchase' THEN 2 ELSE -1 END,
+      |            1000000000000000L, 3) AS depth
+      |        FROM z WHERE event_type IN ('view', 'click', 'purchase')
+      |        GROUP BY 1, 2),
+      |agg AS (SELECT st.d,
+      |          sum(CASE WHEN depth >= 1 THEN 1L ELSE 0L END) AS n_step1,
+      |          sum(CASE WHEN depth >= 2 THEN 1L ELSE 0L END) AS n_step2,
+      |          sum(CASE WHEN depth >= 3 THEN 1L ELSE 0L END) AS n_step3
+      |        FROM st JOIN dep USING (user_id, session_id)
+      |        GROUP BY st.d)
+      |SELECT d, n_step1, n_step2, n_step3 FROM agg
+      |WHERE n_step1 > 0 ORDER BY d""".stripMargin
+
   /** Every recipe keyed by the gate key it mirrors. */
   val all: Map[String, String] = Map(
     "attribution_credit" -> attributionCredit,
@@ -153,5 +223,8 @@ object SqlRecipes {
     "events_anomaly" -> eventsAnomaly,
     "path_topk" -> pathTopk,
     "path_transitions" -> pathTransitions,
-    "cohort_matrix" -> cohortMatrix)
+    "cohort_matrix" -> cohortMatrix,
+    "path_session" -> pathSession,
+    "path_transitions_session" -> pathTransitionsSession,
+    "funnel_session" -> funnelSession)
 }

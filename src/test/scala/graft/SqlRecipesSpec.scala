@@ -48,6 +48,18 @@ class SqlRecipesSpec extends SparkSpec {
     check("cohort_matrix", Cohort.matrixDaily(spark, sfDir))
   }
 
+  test("session path recipe ≡ PathAnalysis.topkSession") {
+    check("path_session", PathAnalysis.topkSession(spark, sfDir))
+  }
+
+  test("session transitions recipe ≡ PathAnalysis.transitionsSession") {
+    check("path_transitions_session", PathAnalysis.transitionsSession(spark, sfDir))
+  }
+
+  test("session funnel recipe ≡ Funnel.sessionDaily (via graft_window_funnel)") {
+    check("funnel_session", graft.operators.Funnel.sessionDaily(spark, sfDir))
+  }
+
   test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
     registered
     val attr = spark.sql(SqlRecipes.attributionCredit)
