@@ -107,6 +107,12 @@ object SparkEntry {
     // weights 2^((29 − lag) div 7) stay exact integer shifts
     "attribution_credit_hl7" -> ((s, dir) =>
       Attribution.creditDaily(s, dir, lookbackSec = 30L * 86400L, halfLifeDays = 7)),
+    // the stored credit ledger end-to-end: persist the bounded
+    // (d, model) frame, answer from the store — same oracle
+    "attribution_credit_stored" -> ((s, dir) => {
+      Attribution.writeCreditTable(s, "gate_credit", Attribution.creditDaily(s, dir))
+      Attribution.creditFromTable(s, "gate_credit")
+    }),
     // session-grain funnel: q12's gap-sessions + the greedy fold per
     // (user, session), sessions rolled up to their start day
     "funnel_session" -> ((s, dir) => Funnel.sessionDaily(s, dir)),
@@ -444,6 +450,7 @@ object SparkEntry {
     "funnel_lag_quantiles" -> Oracles.funnelLagQuantiles,
     "attribution_credit" -> Oracles.attributionCredit,
     "attribution_credit_hl7" -> Oracles.attributionCreditHl7,
+    "attribution_credit_stored" -> Oracles.attributionCredit,
     "funnel_session" -> Oracles.funnelSession,
     "path_topk" -> Oracles.pathTopk,
     "path_transitions" -> Oracles.pathTransitions,

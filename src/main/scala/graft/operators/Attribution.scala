@@ -121,4 +121,45 @@ object Attribution {
         count(lit(1)).as("n_touches"))
       .orderBy(col("d"), col("model"))
   }
+
+  // ---- stored credit ledger ---------------------------------------------
+
+  /** Persist the (d, model) credit ledger in the exact additive
+    * [[CountTable]] lifecycle (days × 5 rows — bounded at any event
+    * volume). Credit is ADDITIVE over disjoint conversion sets (each
+    * conversion's rows are computed from its complete in-window touch
+    * set and just sum into the day totals), so the append unit is "a
+    * batch of settled conversions' credit rows" — exactly what
+    * [[graft.streaming.StreamingAttribution]] emits per micro-batch:
+    * route its watermark-final credits through `foreachBatch` →
+    * roll up to (d, model) → [[appendToCreditTable]] with the batch
+    * id, and the dashboard reads any day range from the store with
+    * zero event-history rescans, exactly-once under foreachBatch
+    * replays (spec-pinned: replayed stream ledger ≡ batch
+    * creditDaily).
+    */
+  def writeCreditTable(spark: SparkSession, name: String, credits: DataFrame,
+                       buckets: Int = 16): Unit =
+    CountTable.write(spark, name, credits, Seq("d", "model"),
+      Seq("credit_millionths", "n_touches"), buckets)
+
+  /** Fold one batch of (d, model, credit_millionths, n_touches) rows
+    * in — [[CountTable.append]]'s exactly-once batch-stamp contract.
+    */
+  def appendToCreditTable(spark: SparkSession, name: String, batchCredits: DataFrame,
+                          batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, batchCredits, batchId)
+
+  /** The ledger from the STORED counts alone. */
+  def creditFromTable(spark: SparkSession, name: String): DataFrame =
+    CountTable.read(spark, name).orderBy(col("d"), col("model"))
+
+  /** The (d, model) rollup of a [[graft.streaming.StreamingAttribution]]
+    * micro-batch — the `foreachBatch` body before
+    * [[appendToCreditTable]].
+    */
+  def rollupCredits(batch: DataFrame): DataFrame =
+    batch.groupBy(col("d"), col("model"))
+      .agg(sum(col("credit")).as("credit_millionths"),
+        count(lit(1)).as("n_touches"))
 }

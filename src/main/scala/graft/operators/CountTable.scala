@@ -29,26 +29,36 @@ object CountTable {
   }
 
   /** Create/overwrite the stored table from an already-aggregated
-    * counts frame (groupCols ++ countCol).
+    * counts frame (groupCols ++ one or more additive sum columns).
     */
   def write(spark: SparkSession, name: String, counts: DataFrame,
-            groupCols: Seq[String], countCol: String, buckets: Int = 16): Unit = {
+            groupCols: Seq[String], sumCols: Seq[String], buckets: Int = 16): Unit = {
+    require(sumCols.nonEmpty, "a count table needs at least one sum column")
     graft.sources.Sinks.writeBucketed(
-      counts.select(groupCols.map(col) :+ col(countCol).cast("long").as("cnt"): _*)
+      counts.select(groupCols.map(col) ++
+        sumCols.map(c => col(c).cast("long").as(c)): _*)
         .withColumn("last_batch", lit(-1L)),
       s"${name}_counts", groupCols.head, buckets)
     import spark.implicits._
-    Seq((groupCols, countCol, buckets))
-      .toDF("group_cols", "count_col", "buckets")
+    Seq((groupCols, sumCols, buckets))
+      .toDF("group_cols", "sum_cols", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  private def meta(spark: SparkSession, name: String): (Seq[String], String, Int) = {
+  /** Single-sum-column convenience. */
+  def write(spark: SparkSession, name: String, counts: DataFrame,
+            groupCols: Seq[String], countCol: String, buckets: Int): Unit =
+    write(spark, name, counts, groupCols, Seq(countCol), buckets)
+  def write(spark: SparkSession, name: String, counts: DataFrame,
+            groupCols: Seq[String], countCol: String): Unit =
+    write(spark, name, counts, groupCols, Seq(countCol), 16)
+
+  private def meta(spark: SparkSession, name: String): (Seq[String], Seq[String], Int) = {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"count table $name: corrupt meta (${rows.length} rows)")
     val r = rows(0)
     (r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
-      r.getAs[String]("count_col"), r.getAs[Int]("buckets"))
+      r.getAs[scala.collection.Seq[String]]("sum_cols").toSeq, r.getAs[Int]("buckets"))
   }
 
   /** Sum one aggregated batch in. With `batchId >= 0` a replay
@@ -59,27 +69,28 @@ object CountTable {
   def append(spark: SparkSession, name: String, batchCounts: DataFrame,
              batchId: Long = -1L): Unit = {
     refresh(spark, name)
-    val (groupCols, countCol, buckets) = meta(spark, name)
+    val (groupCols, sumCols, buckets) = meta(spark, name)
     val applied = spark.table(s"${name}_counts")
       .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
     if (batchId >= 0 && batchId <= applied) return
     val stamp = if (batchId >= 0) batchId else applied
     val batchFrame = batchCounts
-      .select(groupCols.map(col) :+ col(countCol).cast("long").as("cnt"): _*)
+      .select(groupCols.map(col) ++ sumCols.map(c => col(c).cast("long").as(c)): _*)
     graft.sources.Sinks.rewriteBucketed(spark, s"${name}_counts", Seq(groupCols.head), buckets,
       stored => stored.drop("last_batch").unionByName(batchFrame)
         .groupBy(groupCols.map(col): _*)
-        .agg(sum(col("cnt")).as("cnt"))
+        .agg(sumCols.map(c => sum(col(c)).as(c)).head,
+          sumCols.map(c => sum(col(c)).as(c)).tail: _*)
         .withColumn("last_batch", lit(stamp)))
   }
 
-  /** The stored counts (groupCols ++ the original count column name)
+  /** The stored counts (groupCols ++ the original sum column names)
     * — zero raw data touched.
     */
   def read(spark: SparkSession, name: String): DataFrame = {
     refresh(spark, name)
-    val (groupCols, countCol, _) = meta(spark, name)
+    val (groupCols, sumCols, _) = meta(spark, name)
     spark.table(s"${name}_counts")
-      .select(groupCols.map(col) :+ col("cnt").as(countCol): _*)
+      .select((groupCols ++ sumCols).map(col): _*)
   }
 }

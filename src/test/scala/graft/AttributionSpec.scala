@@ -294,6 +294,60 @@ class AttributionSpec extends SparkSpec {
     }
   }
 
+  test("streaming credits → stored ledger: the foreachBatch pipeline equals batch creditDaily") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingAttribution
+    implicit val ctx = spark.sqlContext
+    val fixture = Seq(
+      (1L, "click", Timestamp.valueOf("2024-01-01 00:00:10")),
+      (1L, "click", Timestamp.valueOf("2024-01-01 00:00:30")),
+      (1L, "purchase", Timestamp.valueOf("2024-01-01 00:00:40")),
+      (2L, "click", Timestamp.valueOf("2024-01-01 00:00:05")),
+      (2L, "purchase", Timestamp.valueOf("2024-01-01 00:00:20")))
+    // seed an empty ledger, then route the watermark-final streaming
+    // credits through the documented foreachBatch body
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("d"), lit("x").as("model"),
+        lit(0L).as("credit_millionths"), lit(0L).as("n_touches")).limit(0)
+    Attribution.writeCreditTable(spark, "cl_spec", empty, buckets = 2)
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingAttribution.credits(ms.toDF().toDF("user_id", "event_type", "ts"),
+      "ts", "10 minutes", lookbackSec = 60L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingAttribution.CreditOut],
+                       id: Long) =>
+        Attribution.appendToCreditTable(spark, "cl_spec",
+          Attribution.rollupCredits(batch.toDF()), batchId = id)
+      }
+      .start()
+    try {
+      ms.addData(fixture: _*)
+      q.processAllAvailable()
+      ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      ms.addData((99L, "click", Timestamp.valueOf("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = Attribution.creditFromTable(spark, "cl_spec")
+      .collect().map(_.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("attr_ledger").toString
+    fixture.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val batchLedger = Attribution.creditDaily(spark, tmp, lookbackSec = 60L)
+      .collect().map(_.toSeq).toSeq
+    assert(batchLedger.nonEmpty && stored == batchLedger,
+      s"the streamed ledger must equal batch creditDaily: $stored vs $batchLedger")
+    // an ad-hoc replay of an already-stamped batch id must no-op
+    Attribution.appendToCreditTable(spark, "cl_spec",
+      Attribution.rollupCredits(
+        Seq((1L, 0L, 19723L * 86400L, "linear", 500000L))
+          .toDF("user_id", "conv_t", "d", "model", "credit")), batchId = 0L)
+    assert(Attribution.creditFromTable(spark, "cl_spec")
+      .collect().map(_.toSeq).toSeq == batchLedger,
+      "a replayed batch id must not double-count the ledger")
+  }
+
   test("plan shape: equi-join pairing (no cartesian), one window shuffle") {
     val plan = Attribution.creditDaily(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), "pairing must be the banded equi-join")
