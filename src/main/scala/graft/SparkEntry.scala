@@ -126,6 +126,24 @@ object SparkEntry {
     // within-session transition matrix, sessions on their start day
     "path_session" -> ((s, dir) => PathAnalysis.topkSession(s, dir)),
     "path_transitions_session" -> ((s, dir) => PathAnalysis.transitionsSession(s, dir)),
+    // the session LEDGER end-to-end: one per-session pass populates
+    // three bounded stored tables; each reader answers its dashboard
+    // from the store alone, hash-matching the direct keys' oracles
+    "session_ledger_funnel" -> ((s, dir) => {
+      SessionLedger.writeTables(s, "gate_ledger_f",
+        SessionLedger.sessionRows(graft.Tables.events(s, dir)))
+      SessionLedger.funnelDaily(s, "gate_ledger_f")
+    }),
+    "session_ledger_paths" -> ((s, dir) => {
+      SessionLedger.writeTables(s, "gate_ledger_p",
+        SessionLedger.sessionRows(graft.Tables.events(s, dir)))
+      SessionLedger.topkPaths(s, "gate_ledger_p")
+    }),
+    "session_ledger_transitions" -> ((s, dir) => {
+      SessionLedger.writeTables(s, "gate_ledger_t",
+        SessionLedger.sessionRows(graft.Tables.events(s, dir)))
+      SessionLedger.transitions(s, "gate_ledger_t")
+    }),
     // stored additive-count lifecycles end-to-end: persist the bounded
     // frame, answer from the store alone — exact, same oracles
     "path_transitions_stored" -> ((s, dir) => {
@@ -457,6 +475,9 @@ object SparkEntry {
     "path_session" -> Oracles.pathSession,
     "path_transitions_session" -> Oracles.pathTransitionsSession,
     "path_transitions_stored" -> Oracles.pathTransitions,
+    "session_ledger_funnel" -> Oracles.funnelSession,
+    "session_ledger_paths" -> Oracles.pathSession,
+    "session_ledger_transitions" -> Oracles.pathTransitionsSession,
     "events_anomaly_stored" -> Oracles.eventsAnomaly,
     "events_anomaly" -> Oracles.eventsAnomaly,
     "events_anomaly_seasonal" -> Oracles.eventsAnomalySeasonal,
