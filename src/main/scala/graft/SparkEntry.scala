@@ -130,17 +130,17 @@ object SparkEntry {
     // three bounded stored tables; each reader answers its dashboard
     // from the store alone, hash-matching the direct keys' oracles
     "session_ledger_funnel" -> ((s, dir) => {
-      SessionLedger.writeTables(s, "gate_ledger_f",
+      SessionLedger.writeFunnelTable(s, "gate_ledger_f",
         SessionLedger.sessionRows(graft.Tables.events(s, dir)))
       SessionLedger.funnelDaily(s, "gate_ledger_f")
     }),
     "session_ledger_paths" -> ((s, dir) => {
-      SessionLedger.writeTables(s, "gate_ledger_p",
+      SessionLedger.writePathsTable(s, "gate_ledger_p",
         SessionLedger.sessionRows(graft.Tables.events(s, dir)))
       SessionLedger.topkPaths(s, "gate_ledger_p")
     }),
     "session_ledger_transitions" -> ((s, dir) => {
-      SessionLedger.writeTables(s, "gate_ledger_t",
+      SessionLedger.writeEdgesTable(s, "gate_ledger_t",
         SessionLedger.sessionRows(graft.Tables.events(s, dir)))
       SessionLedger.transitions(s, "gate_ledger_t")
     }),

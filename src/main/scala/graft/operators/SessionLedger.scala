@@ -91,13 +91,30 @@ object SessionLedger {
     */
   def writeTables(spark: SparkSession, name: String, sessions: DataFrame,
                   nSteps: Int = 3, buckets: Int = 16): Unit = {
+    writeFunnelTable(spark, name, sessions, nSteps, buckets)
+    writePathsTable(spark, name, sessions, buckets)
+    writeEdgesTable(spark, name, sessions, buckets)
+  }
+
+  /** Single-table creators — for a dashboard that only needs one
+    * rollup ([[appendBatch]] then stamps whichever of the three
+    * tables exist is up to the caller; the shared-name convention
+    * keeps them one ledger).
+    */
+  def writeFunnelTable(spark: SparkSession, name: String, sessions: DataFrame,
+                       nSteps: Int = 3, buckets: Int = 16): Unit =
     CountTable.write(spark, s"${name}_funnel", rollupDepths(sessions, nSteps),
       Seq("d"), (1 to nSteps).map(i => s"n_step$i"), buckets)
+
+  def writePathsTable(spark: SparkSession, name: String, sessions: DataFrame,
+                      buckets: Int = 16): Unit =
     CountTable.write(spark, s"${name}_paths", rollupPaths(sessions),
       Seq("d", "path"), Seq("n_sessions"), buckets)
+
+  def writeEdgesTable(spark: SparkSession, name: String, sessions: DataFrame,
+                      buckets: Int = 16): Unit =
     CountTable.write(spark, s"${name}_edges", rollupEdges(sessions),
       Seq("d", "src_step", "dst_step"), Seq("n_trans"), buckets)
-  }
 
   /** Fold one batch of per-session rows into all three tables — the
     * `foreachBatch` body for a [[graft.streaming.StreamingSessionPaths]]
