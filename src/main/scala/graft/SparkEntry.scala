@@ -150,6 +150,14 @@ object SparkEntry {
       PathAnalysis.writeTransitionsTable(s, "gate_transitions", graft.Tables.events(s, dir))
       PathAnalysis.transitionsFromTable(s, "gate_transitions")
     }),
+    "path_topk_stored" -> ((s, dir) => {
+      PathAnalysis.writePathsTable(s, "gate_paths", graft.Tables.events(s, dir))
+      PathAnalysis.topkFromTable(s, "gate_paths")
+    }),
+    "funnel_ordered_stored" -> ((s, dir) => {
+      Funnel.writeDailyTable(s, "gate_funnel_daily", graft.Tables.events(s, dir))
+      Funnel.dailyFromTable(s, "gate_funnel_daily")
+    }),
     // event-volume anomaly z-scores: integer-exact window sums keep
     // the IEEE algebra bit-identical cross-engine; floor(1000·z)
     "events_anomaly" -> ((s, dir) => Anomaly.eventVolume(s, dir)),
@@ -475,6 +483,8 @@ object SparkEntry {
     "path_session" -> Oracles.pathSession,
     "path_transitions_session" -> Oracles.pathTransitionsSession,
     "path_transitions_stored" -> Oracles.pathTransitions,
+    "path_topk_stored" -> Oracles.pathTopk,
+    "funnel_ordered_stored" -> Oracles.funnelOrdered,
     "session_ledger_funnel" -> Oracles.funnelSession,
     "session_ledger_paths" -> Oracles.pathSession,
     "session_ledger_transitions" -> Oracles.pathTransitionsSession,

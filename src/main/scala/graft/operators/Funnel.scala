@@ -50,9 +50,12 @@ object Funnel {
     * to the source timestamps (µs-resolution data) and subtract
     * directly for conversion lags.
     */
-  private def dayFrame(spark: SparkSession, dir: String, steps: Seq[String]): DataFrame = {
+  private def dayFrame(spark: SparkSession, dir: String, steps: Seq[String]): DataFrame =
+    dayFrameOf(graft.Tables.events(spark, dir), steps)
+
+  private def dayFrameOf(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    graft.Tables.events(spark, dir)
+    events
       .filter(col("event_type").isin(steps: _*))
       .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
         col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"),
@@ -65,8 +68,22 @@ object Funnel {
     * relational form (oracle-verified), in one event-set shuffle.
     */
   def orderedDaily(spark: SparkSession, dir: String,
-                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    val ev = dayFrame(spark, dir, steps)
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    orderedCounts(graft.Tables.events(spark, dir), steps)
+      // a day whose step events never include step 1 has no funnel
+      // entrants; the chained-min relational form (and the oracle
+      // built from it) emits no row for such days
+      .filter(col("n_step1") > 0)
+      .orderBy(col("d"))
+
+  /** The UNFILTERED per-day depth counts (d, n_step1..n) — additive
+    * over whole (day, user) event groups, so also the stored
+    * lifecycle's batch unit. The step-1 row filter applies at READ
+    * time (a later batch can still bring a day its first entrant).
+    */
+  def orderedCounts(events: DataFrame,
+                    steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = dayFrameOf(events, steps)
     val depth = size(matchTimes(array_sort(collect_list(struct(col("t"), col("si"))))))
     val counts = steps.indices.map(i =>
       sum(when(col("depth") > i, 1L).otherwise(0L)).as(s"n_step${i + 1}"))
@@ -74,12 +91,32 @@ object Funnel {
       .agg(depth.as("depth"))
       .groupBy(col("d"))
       .agg(counts.head, counts.tail: _*)
-      // a day whose step events never include step 1 has no funnel
-      // entrants; the chained-min relational form (and the oracle
-      // built from it) emits no row for such days
+  }
+
+  // ---- stored daily-funnel lifecycle ------------------------------------
+
+  /** The ordered day-grain funnel in the exact additive [[CountTable]]
+    * lifecycle (days × 1 rows): append batches must carry WHOLE
+    * (day, user) event groups — the greedy fold is a window within
+    * that grain (the daily-load unit; [[graft.streaming.StreamingFunnel]]
+    * is the arbitrary-arrival path). `batchId` stamps replays away.
+    */
+  def writeDailyTable(spark: SparkSession, name: String, events: DataFrame,
+                      steps: Seq[String] = Seq("view", "click", "purchase"),
+                      buckets: Int = 16): Unit =
+    CountTable.write(spark, name, orderedCounts(events, steps),
+      Seq("d"), steps.indices.map(i => s"n_step${i + 1}"), buckets)
+
+  def appendToDailyTable(spark: SparkSession, name: String, batch: DataFrame,
+                         steps: Seq[String] = Seq("view", "click", "purchase"),
+                         batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, orderedCounts(batch, steps), batchId)
+
+  /** [[orderedDaily]] answered from the STORED counts alone. */
+  def dailyFromTable(spark: SparkSession, name: String): DataFrame =
+    CountTable.read(spark, name)
       .filter(col("n_step1") > 0)
       .orderBy(col("d"))
-  }
 
   /** Per-day conversion latency: how many users completed the WHOLE
     * chain in order, and the summed first-step → last-step lag (µs)

@@ -36,7 +36,14 @@ object PathAnalysis {
   /** The same computation over any frame with `user_id`, `ts`,
     * `event_type` — the composition/rehearsal form.
     */
-  def topkDaily(events: DataFrame, k: Int, maxSteps: Int): DataFrame = {
+  def topkDaily(events: DataFrame, k: Int, maxSteps: Int): DataFrame =
+    rankPaths(pathCounts(events, maxSteps), k)
+
+  /** The full UNRANKED (d, path, n_users) histogram — additive over
+    * whole (day, user) event groups, the stored lifecycle's batch
+    * unit.
+    */
+  def pathCounts(events: DataFrame, maxSteps: Int = 5): DataFrame = {
     val ev = events
       .select(unix_timestamp(date_trunc("day", col("ts"))).as("d"),
         col("user_id"),
@@ -45,17 +52,42 @@ object PathAnalysis {
     val seq0 = array_sort(collect_list(struct(col("t"), col("event_type"))))
     val path = array_join(
       slice(transform(seq0, e => e.getField("event_type")), 1, maxSteps), ">")
-    val byDay = Window.partitionBy(col("d"))
-      .orderBy(col("n_users").desc, col("path"))
     ev.groupBy(col("d"), col("user_id"))
       .agg(path.as("path"))
       .groupBy(col("d"), col("path"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  private def rankPaths(counts: DataFrame, k: Int): DataFrame = {
+    val byDay = Window.partitionBy(col("d"))
+      .orderBy(col("n_users").desc, col("path"))
+    counts
       .withColumn("rk", row_number().over(byDay))
       .filter(col("rk") <= k)
       .select(col("d"), col("path"), col("n_users"))
       .orderBy(col("d"), col("n_users").desc, col("path"))
   }
+
+  // ---- stored day-grain path histogram -----------------------------------
+
+  /** The (d, path, n_users) histogram in the exact additive
+    * [[CountTable]] lifecycle: top-k over any day range answers from
+    * the bounded stored frame. Append batches carry WHOLE (day, user)
+    * groups (the path is a fold within that grain — the daily-load
+    * unit); `batchId` stamps replays away.
+    */
+  def writePathsTable(spark: SparkSession, name: String, events: DataFrame,
+                      maxSteps: Int = 5, buckets: Int = 16): Unit =
+    CountTable.write(spark, name, pathCounts(events, maxSteps),
+      Seq("d", "path"), Seq("n_users"), buckets)
+
+  def appendToPathsTable(spark: SparkSession, name: String, batch: DataFrame,
+                         maxSteps: Int = 5, batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, pathCounts(batch, maxSteps), batchId)
+
+  /** [[topkDaily]] answered from the STORED histogram alone. */
+  def topkFromTable(spark: SparkSession, name: String, k: Int = 5): DataFrame =
+    rankPaths(CountTable.read(spark, name), k)
 
   /** Per-day Markov transition matrix: how often step type A was
     * IMMEDIATELY followed by step type B within a user's day — the

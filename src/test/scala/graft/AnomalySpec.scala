@@ -196,6 +196,40 @@ class AnomalySpec extends SparkSpec {
     assert(stored == direct, "replaying a stamped batch must change nothing")
   }
 
+  test("stored day-grain funnel and path histogram ≡ direct; the step-1 filter applies at read") {
+    import graft.operators.{Funnel, PathAnalysis}
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.map { case (u, t, s) => (u, t, new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+    val day0 = 86400L * 22000
+    def userDay(u: Long, d: Int, types: Seq[String]) =
+      types.zipWithIndex.map { case (t, i) => (u, t, day0 + d * 86400L + 10L + i * 10L) }
+    // batch 1: day 0 has only a clicker (NO step-1 entrant yet);
+    // batch 2 brings day 0 its viewer plus day 1 — the read-time
+    // filter must reveal day 0 only after batch 2
+    val b1 = userDay(1L, 0, Seq("click", "purchase"))
+    val b2 = userDay(2L, 0, Seq("view", "click")) ++ userDay(1L, 1, Seq("view", "purchase"))
+    Funnel.writeDailyTable(spark, "fd_spec", ev(b1), buckets = 2)
+    assert(Funnel.dailyFromTable(spark, "fd_spec").collect().isEmpty,
+      "a day with no step-1 entrant emits nothing — the orderedDaily convention")
+    Funnel.appendToDailyTable(spark, "fd_spec", ev(b2), batchId = 1L)
+    def storedF = Funnel.dailyFromTable(spark, "fd_spec").collect().map(_.toSeq).toSeq
+    val directF = {
+      val tmp = java.nio.file.Files.createTempDirectory("fd").toString
+      ev(b1 ++ b2).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      Funnel.orderedDaily(spark, tmp).collect().map(_.toSeq).toSeq
+    }
+    assert(directF.nonEmpty && storedF == directF)
+    Funnel.appendToDailyTable(spark, "fd_spec", ev(b2), batchId = 1L)
+    assert(storedF == directF, "replaying a stamped batch must change nothing")
+
+    PathAnalysis.writePathsTable(spark, "pd_spec", ev(b1), buckets = 2)
+    PathAnalysis.appendToPathsTable(spark, "pd_spec", ev(b2), batchId = 1L)
+    val storedP = PathAnalysis.topkFromTable(spark, "pd_spec").collect().map(_.toSeq).toSeq
+    val directP = PathAnalysis.topkDaily(ev(b1 ++ b2), 5, 5).collect().map(_.toSeq).toSeq
+    assert(directP.nonEmpty && storedP == directP)
+  }
+
   test("real data: one data-sized exchange; window runs on the bounded count frame") {
     val df = Anomaly.eventVolume(spark, sfDir)
     val rows = df.collect()
