@@ -1118,6 +1118,39 @@ object Oracles {
       |       LEFT JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact twin of [[graft.operators.Funnel.lagSessionDaily]]:
+    * [[funnelSession]]'s chained-min CTEs; a fully converted session
+    * contributes its purchase-min − view-min seconds.
+    */
+  val funnelLagSession: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s FROM events),
+      |x AS (SELECT user_id, event_id, event_type, ts_s,
+      |        lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_s FROM e),
+      |y AS (SELECT user_id, event_id, event_type, ts_s,
+      |        CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM x),
+      |z AS (SELECT user_id, event_type, ts_s,
+      |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS session_id
+      |      FROM y),
+      |st AS (SELECT user_id, session_id, (min(ts_s) // 86400) * 86400 AS d
+      |       FROM z GROUP BY 1, 2),
+      |f AS (SELECT user_id, session_id, event_type, ts_s FROM z
+      |      WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (SELECT user_id, session_id, min(ts_s) AS vt FROM f
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT f.user_id, f.session_id, min(f.ts_s) AS ct FROM f
+      |      JOIN v ON f.user_id = v.user_id AND f.session_id = v.session_id
+      |      WHERE f.event_type = 'click' AND f.ts_s >= v.vt GROUP BY 1, 2),
+      |p AS (SELECT f.user_id, f.session_id, min(f.ts_s) AS pt FROM f
+      |      JOIN c ON f.user_id = c.user_id AND f.session_id = c.session_id
+      |      WHERE f.event_type = 'purchase' AND f.ts_s >= c.ct GROUP BY 1, 2)
+      |SELECT st.d, count(p.pt) AS n_conv,
+      |       CAST(coalesce(sum(p.pt - v.vt), 0) AS BIGINT) AS sum_lag_s
+      |FROM v JOIN st ON v.user_id = st.user_id AND v.session_id = st.session_id
+      |       LEFT JOIN c ON v.user_id = c.user_id AND v.session_id = c.session_id
+      |       LEFT JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Exact twin of [[graft.operators.PathAnalysis.topkSession]]:
     * [[funnelSession]]'s session-assignment CTE chain, then each
     * session's first-5-type path in (ts_s, event_id) order, counted

@@ -116,6 +116,9 @@ object SparkEntry {
     // session-grain funnel: q12's gap-sessions + the greedy fold per
     // (user, session), sessions rolled up to their start day
     "funnel_session" -> ((s, dir) => Funnel.sessionDaily(s, dir)),
+    // session-grain time-to-convert: the matched-times fold's chain
+    // endpoints, sessions on their start day — lagDaily's session twin
+    "funnel_lag_session" -> ((s, dir) => Funnel.lagSessionDaily(s, dir)),
     // top-k user-journey paths per day: one (day, user) shuffle builds
     // the sequences, WindowGroupLimit caps the per-day rank shuffle
     "path_topk" -> ((s, dir) => PathAnalysis.topkDaily(s, dir)),
@@ -478,6 +481,7 @@ object SparkEntry {
     "attribution_credit_hl7" -> Oracles.attributionCreditHl7,
     "attribution_credit_stored" -> Oracles.attributionCredit,
     "funnel_session" -> Oracles.funnelSession,
+    "funnel_lag_session" -> Oracles.funnelLagSession,
     "path_topk" -> Oracles.pathTopk,
     "path_transitions" -> Oracles.pathTransitions,
     "path_session" -> Oracles.pathSession,

@@ -192,6 +192,47 @@ object Funnel {
       .orderBy(col("d"))
   }
 
+  /** SESSION-grain conversion latency: sessions completing the WHOLE
+    * ordered chain within one gap-session, and their summed
+    * first-step → last-step lag in SECONDS (the session tier's q12
+    * truncation — [[lagDaily]]'s day-grain twin reports µs off the
+    * raw timestamps). Sessions from [[Sessionize.withSessionIds]]
+    * over ALL events, the greedy fold per (user, session), sessions
+    * on their FIRST event's day, days with no step-1 entrant emit
+    * nothing — the [[sessionDaily]] conventions exactly, with the
+    * matched-times array carrying the chain endpoints out of the same
+    * single fold. Output: `d`, `n_conv`, `sum_lag_s`.
+    */
+  def lagSessionDaily(spark: SparkSession, dir: String,
+                      gapSeconds: Long = 1800L,
+                      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    lagSessionDaily(graft.Tables.events(spark, dir), gapSeconds, steps)
+
+  def lagSessionDaily(events: DataFrame, gapSeconds: Long,
+                      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val se = Sessionize.withSessionIds(events, gapSeconds)
+    val byUS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+    val f = se
+      .withColumn("start_s", min(col("ts_s")).over(byUS))
+      .filter(col("event_type").isin(steps: _*))
+      .select(expr("(start_s div 86400) * 86400").as("d"),
+        col("user_id"), col("session_id"),
+        col("ts_s").as("t"), stepIndex(steps).as("si"))
+    val times = matchTimes(array_sort(collect_list(struct(col("t"), col("si")))))
+    f.groupBy(col("d"), col("user_id"), col("session_id"))
+      .agg(times.as("mt"))
+      .groupBy(col("d"))
+      .agg(sum(when(size(col("mt")) === n, 1L).otherwise(0L)).as("n_conv"),
+        coalesce(sum(when(size(col("mt")) === n,
+          element_at(col("mt"), n) - element_at(col("mt"), 1))), lit(0L)).as("sum_lag_s"),
+        sum(when(size(col("mt")) >= 1, 1L).otherwise(0L)).as("_n1"))
+      .filter(col("_n1") > 0).drop("_n1")
+      .orderBy(col("d"))
+  }
+
   /** Matched first-step → last-step conversion lags (µs) of fully
     * converted (day, user) chains — the raw-value feed behind
     * [[lagQuantilesDaily]] and the stored per-day lag-summary

@@ -237,6 +237,33 @@ class FunnelSpec extends SparkSpec {
     Seq("lagq_sketches", "lagq_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("session-grain lag: in-session chains only, seconds, sessions on their start day") {
+    import graft.operators.Funnel
+    val day = 86400L * 20000
+    // u1 session A converts (v@10 → p@210, lag 200; the trailing view
+    // is past the chain); past the gap, session B (c,p,v,c) reaches
+    // depth 2 only — the DAY grain would have counted u1 once anyway,
+    // but a second converting session same-day counts TWICE here;
+    // u2 straddles midnight (v@86390 → p@86425, lag 35, start day d);
+    // u4's purchase-before-view session never completes the chain
+    val rows = Seq(
+      (1L, 1L, "view", day + 10), (1L, 2L, "click", day + 110),
+      (1L, 3L, "purchase", day + 210), (1L, 4L, "view", day + 310),
+      (1L, 5L, "click", day + 4000), (1L, 6L, "purchase", day + 4100),
+      (1L, 7L, "view", day + 4200), (1L, 8L, "click", day + 4300),
+      (2L, 9L, "view", day + 86390), (2L, 10L, "click", day + 86420),
+      (2L, 11L, "purchase", day + 86425),
+      (4L, 12L, "purchase", day + 50), (4L, 13L, "view", day + 60),
+      (4L, 14L, "click", day + 70))
+    val tmp = java.nio.file.Files.createTempDirectory("slag").toString
+    rows.map { case (u, e, t, s) => (u, e, t, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Funnel.lagSessionDaily(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n_conv"), r.getAs[Long]("sum_lag_s")))
+    assert(got.toSeq == Seq((day, 2L, 235L)), s"got ${got.toSeq}")
+  }
+
   test("a day with step events but no step-1 entrant emits no row (oracle row-set parity)") {
     // d2 has clicks and purchases but not one view: the chained-min
     // relational form (the oracle's FROM clause) has no row for d2,
