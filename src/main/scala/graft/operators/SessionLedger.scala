@@ -97,9 +97,9 @@ object SessionLedger {
   }
 
   /** Single-table creators — for a dashboard that only needs one
-    * rollup ([[appendBatch]] then stamps whichever of the three
-    * tables exist is up to the caller; the shared-name convention
-    * keeps them one ledger).
+    * rollup; [[appendBatch]] then stamps whichever of the three
+    * tables exist (catalog-checked), so a funnel-only ledger takes
+    * appends without the other two.
     */
   def writeFunnelTable(spark: SparkSession, name: String, sessions: DataFrame,
                        nSteps: Int = 3, buckets: Int = 16): Unit =
@@ -116,16 +116,25 @@ object SessionLedger {
     CountTable.write(spark, s"${name}_edges", rollupEdges(sessions),
       Seq("d", "src_step", "dst_step"), Seq("n_trans"), buckets)
 
-  /** Fold one batch of per-session rows into all three tables — the
-    * `foreachBatch` body for a [[graft.streaming.StreamingSessionPaths]]
-    * sink (exactly-once via the shared batch stamp).
+  /** Fold one batch of per-session rows into whichever ledger tables
+    * exist — the `foreachBatch` body for a
+    * [[graft.streaming.StreamingSessionPaths]] sink (exactly-once via
+    * each table's batch stamp). A single-table ledger (one of the
+    * `write*Table` creators alone) takes appends to just that table.
     */
   def appendBatch(spark: SparkSession, name: String, sessions: DataFrame,
                   batchId: Long = -1L): Unit = {
-    val nSteps = CountTable.read(spark, s"${name}_funnel").columns.length - 1
-    CountTable.append(spark, s"${name}_funnel", rollupDepths(sessions, nSteps), batchId)
-    CountTable.append(spark, s"${name}_paths", rollupPaths(sessions), batchId)
-    CountTable.append(spark, s"${name}_edges", rollupEdges(sessions), batchId)
+    def has(suffix: String) = spark.catalog.tableExists(s"${name}_${suffix}_meta")
+    require(has("funnel") || has("paths") || has("edges"),
+      s"session ledger $name: no ledger tables exist")
+    if (has("funnel")) {
+      val nSteps = CountTable.read(spark, s"${name}_funnel").columns.length - 1
+      CountTable.append(spark, s"${name}_funnel", rollupDepths(sessions, nSteps), batchId)
+    }
+    if (has("paths"))
+      CountTable.append(spark, s"${name}_paths", rollupPaths(sessions), batchId)
+    if (has("edges"))
+      CountTable.append(spark, s"${name}_edges", rollupEdges(sessions), batchId)
   }
 
   /** ≡ [[Funnel.sessionDaily]] from the stored ledger alone. */

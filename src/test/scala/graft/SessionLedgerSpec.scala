@@ -99,4 +99,25 @@ class SessionLedgerSpec extends SparkSpec {
     assert(SessionLedger.transitions(spark, "sl_spec")
       .filter(col("d") < cutoff).collect().map(_.toSeq).toSeq == gotEdges)
   }
+
+  test("a funnel-only ledger takes appends and replays without the other tables") {
+    val empty = SessionLedger.sessionRows(batchDf.limit(0))
+    SessionLedger.writeFunnelTable(spark, "sl_solo", empty, nSteps = 3, buckets = 2)
+    assert(!spark.catalog.tableExists("sl_solo_paths_meta"))
+    SessionLedger.appendBatch(spark, "sl_solo",
+      SessionLedger.sessionRows(batchDf), batchId = 0L)
+    val want = Funnel.sessionDaily(batchDf, 1800L, Seq("view", "click", "purchase"))
+      .collect().map(_.toSeq).toSeq
+    assert(SessionLedger.funnelDaily(spark, "sl_solo")
+      .collect().map(_.toSeq).toSeq == want)
+    // replay of the stamped batch no-ops
+    SessionLedger.appendBatch(spark, "sl_solo",
+      SessionLedger.sessionRows(batchDf), batchId = 0L)
+    assert(SessionLedger.funnelDaily(spark, "sl_solo")
+      .collect().map(_.toSeq).toSeq == want)
+    val ex = intercept[IllegalArgumentException] {
+      SessionLedger.appendBatch(spark, "sl_nothing", empty)
+    }
+    assert(ex.getMessage.contains("no ledger tables"))
+  }
 }
