@@ -814,6 +814,43 @@ object Oracles {
       |FROM ch LEFT JOIN b USING (chunk_md5)
       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  /** text_span_dedup: exact-substring span accounting — 8-gram
+    * positions whose md5 lands in ≥ 2 distinct docs, coalesced per
+    * doc into coverage regions while consecutive positions are ≤ 8
+    * apart (the gap trick; lag NULL on the first row falls through
+    * CASE to the break), regions ≥ 16 tokens counted. Mirrors
+    * TextAnalysis.spanDedup region for region; BIGINT casts guard
+    * the HUGEINT sums, coalesce(…, 0) covers span-free docs.
+    */
+  val textSpanDedup: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |       FROM t WHERE len(toks) >= 8),
+      |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |      FROM g0),
+      |sh AS (SELECT gram_md5 FROM g GROUP BY gram_md5
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM g JOIN sh USING (gram_md5)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM p),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+      |      FROM r),
+      |s AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
+      |      FROM i GROUP BY doc_id, region),
+      |q AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+      |      FROM s WHERE span_tokens >= 16 GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      | CAST(coalesce(q.n_spans, 0) AS BIGINT) AS n_spans,
+      | CAST(coalesce(q.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      | CAST(len(t.toks) - coalesce(q.dup_tokens, 0) AS BIGINT) AS kept_tokens
+      |FROM t LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** text_pack: cumulative-offset packing into 512-token bins —
     * within-group running sums windowed over (source, pack_group),
     * CHAINED by the cumulative per-group totals so bins fill

@@ -482,6 +482,74 @@ object TextAnalysis {
     ScopedCache.releaseAfterAction(out, Seq(chunks))
   }
 
+  /** Exact-substring (span-level) dedup accounting — the scale-safe
+    * SQL form of the Lee et al. 2022 suffix-array family: find
+    * maximal regions of each document covered by word n-grams that
+    * also occur in ≥ `minDocs` OTHER-or-same distinct documents
+    * (boilerplate headers/footers, licence blocks, syndicated
+    * paragraphs — repeated SPANS of variable length at ARBITRARY
+    * offsets, which neither [[passageDedup]]'s stride-anchored chunks
+    * nor whole-doc dedup can see). Emits per-doc accounting: total
+    * tokens, qualifying span count, tokens covered by qualifying
+    * spans, kept tokens — the frame a curation pipeline trims on.
+    *
+    * Span semantics: each shared gram at position p covers tokens
+    * [p, p+n−1]; per doc, position-sorted shared grams coalesce into
+    * one region while consecutive positions are ≤ n apart (their
+    * token intervals overlap or touch — the sessionize gap trick on
+    * gram positions), so merged regions are DISJOINT and their
+    * lengths sum to the exact token-coverage union. Regions shorter
+    * than `minSpanTokens` are noise (a single common phrase), not
+    * boilerplate, and are dropped — Lee et al.'s 50-token rule at
+    * this engine's defaults (n=8, minSpan=16).
+    *
+    * Scale shape: gram fan-out is map-side (explode of an index
+    * sequence; after it no shuffled row carries text — only (doc_id,
+    * pos, 16-byte md5)); the shared-gram set is ONE partial-agg
+    * groupBy on the hash, equi-joined back; run-coalescing is a
+    * doc_id window whose (doc_id, region) groupBy rides the SAME
+    * exchange; the final left join is doc-count-sized on both sides.
+    * The gram frame is a diamond (shared-set groupBy + join back) —
+    * persisted slim and scope-released like [[passageDedup]]'s.
+    */
+  def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                minSpanTokens: Int = 16): DataFrame = {
+    require(n >= 2 && minDocs >= 2 && minSpanTokens >= n,
+      s"need n ≥ 2, minDocs ≥ 2, minSpanTokens ≥ n; got n=$n minDocs=$minDocs minSpan=$minSpanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val grams = Par.spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("gram_md5"))
+      .persist()
+    val shared = grams.groupBy(col("gram_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram_md5"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(shared, Seq("gram_md5"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L).otherwise(1L))
+      .withColumn("region", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("region"))
+      .agg((max(col("pos")) - min(col("pos")) + n).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    val out = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+    ScopedCache.releaseAfterAction(out, Seq(grams))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
     val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))

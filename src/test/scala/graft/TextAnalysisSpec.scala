@@ -235,6 +235,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, 6L)), s"doc 4: unique doc untouched, got ${out(4L)}")
   }
 
+  test("span dedup: planted boilerplate at different offsets, interval merge, min-span filter") {
+    // n=3, minSpan=4: docs 1 and 2 share an 8-token licence block at
+    // DIFFERENT offsets (what passage/stride alignment cannot see);
+    // docs 3 and 5 share only a 3-token phrase (below min-span);
+    // doc 4 is shorter than a gram; docs 6 and 7 share two 4-token
+    // blocks split by one differing token (two disjoint spans); doc 8
+    // merges two shared runs whose token intervals TOUCH (positions
+    // 0 and 3 at n=3 → one 6-token span) while doc 9 holds the same
+    // two grams a gap apart (two 3-token regions, both filtered)
+    val boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler t1 t2 t3"),
+      (3L, "one two three the quick fox four five six"),
+      (4L, "hi there"),
+      (5L, "seven eight the quick fox nine ten"),
+      (6L, "A B C D x E F G H"),
+      (7L, "A B C D y E F G H"),
+      (8L, "A B C P Q R x1"),
+      (9L, "A B C z P Q R w")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(d, n = 3, minDocs = 2, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("kept_tokens"))).toMap
+    assert(out(1L) == ((12L, 1L, 8L, 4L)), s"doc 1: offset-2 block, got ${out(1L)}")
+    assert(out(2L) == ((11L, 1L, 8L, 3L)), s"doc 2: offset-0 block, got ${out(2L)}")
+    assert(out(3L) == ((9L, 0L, 0L, 9L)), s"doc 3: 3-token phrase filtered, got ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, 0L, 2L)), s"doc 4: sub-gram doc, got ${out(4L)}")
+    assert(out(5L) == ((7L, 0L, 0L, 7L)), s"doc 5: 3-token phrase filtered, got ${out(5L)}")
+    assert(out(6L) == ((9L, 2L, 8L, 1L)), s"doc 6: two disjoint spans, got ${out(6L)}")
+    assert(out(7L) == ((9L, 2L, 8L, 1L)), s"doc 7: two disjoint spans, got ${out(7L)}")
+    assert(out(8L) == ((7L, 1L, 6L, 1L)), s"doc 8: touching intervals merge, got ${out(8L)}")
+    assert(out(9L) == ((8L, 0L, 0L, 8L)), s"doc 9: gapped short regions filtered, got ${out(9L)}")
+  }
+
   test("chunk invariants hold for every document in the corpus") {
     import org.apache.spark.sql.functions.{ceil => sqlCeil, col, countDistinct, lit, max, min, sum}
     val docs = Tables.documents(spark, sfDir)
