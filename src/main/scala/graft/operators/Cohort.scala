@@ -63,17 +63,20 @@ object Cohort {
     * lowers the user's cohort for rows absorbed AFTER it arrives, but
     * sketch cells already holding the user's activity under the old
     * cohort cannot give it back (sketches don't subtract) — the
-    * documented reconciliation is a rebuild, the standard posture for
-    * streaming cohort stores.
+    * reconciliation is [[rebuildMatrixTable]], and every such user is
+    * counted into `<name>_drift` so [[cohortNeedsRebuild]] can fire
+    * it (the [[Similarity.ivfNeedsRecluster]] posture).
     */
   def writeMatrixTable(spark: SparkSession, name: String, events: DataFrame,
                        nominalEntries: Int = Sketches.DefaultNominalEntries,
                        buckets: Int = 16): Unit = {
     val act = dayActivity(events)
     val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
-    graft.sources.Sinks.writeBucketed(first, s"${name}_firstseen", "user_id", buckets)
+    graft.sources.Sinks.replaceBucketed(spark, first, s"${name}_firstseen",
+      Seq("user_id"), buckets)
     Sketches.writeThetaTable(spark, name, cohortFrame(spark, name, act),
       Seq("cohort_d", "age_days"), "user_id", nominalEntries, buckets)
+    writeDrift(spark, name, 0L)
   }
 
   /** (cohort_d, age_days, user_id) rows for an activity frame, cohort
@@ -88,18 +91,33 @@ object Cohort {
     * first appearances into `<name>_firstseen` (new users join the
     * matrix here), then union the batch's cohort-assigned activity
     * into the sketch cells. Two bounded rewrites; the batch is the
-    * only data-sized input.
+    * only data-sized input. Returns the number of users whose cohort
+    * day this batch LOWERED — each is a cell the triangle can no
+    * longer reconcile incrementally (their prior activity was
+    * absorbed under the old cohort and sketches don't subtract); the
+    * count accumulates in `<name>_drift`, read by [[driftReport]] /
+    * [[cohortNeedsRebuild]]. Day-ordered ingest keeps it at 0 and
+    * skips the drift write entirely.
     */
-  def appendToMatrixTable(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+  def appendToMatrixTable(spark: SparkSession, name: String, batch: DataFrame): Long = {
     spark.catalog.refreshTable(s"${name}_firstseen")
     val (_, _, _, buckets) = Sketches.thetaMeta(spark, name)
     val act = dayActivity(batch)
-    val batchFirst = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
-    graft.sources.Sinks.rewriteBucketed(spark, s"${name}_firstseen", Seq("user_id"), buckets,
-      stored => stored.unionByName(batchFirst)
-        .groupBy(col("user_id")).agg(min(col("cohort_d")).as("cohort_d")))
+    val batchFirst = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d")).persist()
+    val nLowered = try {
+      val n = batchFirst
+        .join(spark.table(s"${name}_firstseen").withColumnRenamed("cohort_d", "stored_d"),
+          Seq("user_id"))
+        .filter(col("cohort_d") < col("stored_d")).count()
+      graft.sources.Sinks.rewriteBucketed(spark, s"${name}_firstseen", Seq("user_id"), buckets,
+        stored => stored.unionByName(batchFirst)
+          .groupBy(col("user_id")).agg(min(col("cohort_d")).as("cohort_d")))
+      n
+    } finally batchFirst.unpersist()
     spark.catalog.refreshTable(s"${name}_firstseen")
     Sketches.appendToThetaTable(spark, name, cohortFrame(spark, name, act))
+    if (nLowered > 0) writeDrift(spark, name, readDrift(spark, name) + nLowered)
+    nLowered
   }
 
   /** The triangle from the STORED sketches alone — [[matrixDaily]]'s
@@ -110,4 +128,56 @@ object Cohort {
     Sketches.estimateThetaTable(spark, name)
       .select(col("cohort_d"), col("age_days"), col("n_distinct").as("n_active"))
       .orderBy(col("cohort_d"), col("age_days"))
+
+  // ---- drift / rebuild lifecycle ----------------------------------------
+
+  private def writeDrift(spark: SparkSession, name: String, n: Long): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("n_lowered").write.mode("overwrite").saveAsTable(s"${name}_drift")
+  }
+
+  private def readDrift(spark: SparkSession, name: String): Long =
+    if (!spark.catalog.tableExists(s"${name}_drift")) 0L
+    else {
+      spark.catalog.refreshTable(s"${name}_drift")
+      spark.table(s"${name}_drift").collect()(0).getLong(0)
+    }
+
+  /** One row: matrix size vs accumulated out-of-order divergence —
+    * `n_users` in the first-seen companion, `n_lowered` users whose
+    * cohort day an append lowered after their activity was absorbed,
+    * and the ratio. The cohort twin of [[Similarity.ivfDriftReport]]:
+    * two bounded reads (the user-count scan and the 1-row drift
+    * table), zero raw history touched.
+    */
+  def driftReport(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    spark.catalog.refreshTable(s"${name}_firstseen")
+    val nUsers = spark.table(s"${name}_firstseen").count()
+    val nLow = readDrift(spark, name)
+    Seq((nUsers, nLow, if (nUsers == 0) 0.0 else nLow.toDouble / nUsers))
+      .toDF("n_users", "n_lowered", "lowered_frac")
+  }
+
+  /** The documented rebuild trigger: fires once ANY user's cohort was
+    * lowered post-absorption (default tolerance 0 — a single lowered
+    * user leaves stale cells, since sketches don't subtract). Raise
+    * `maxLowered` for dashboards that accept bounded staleness
+    * between scheduled rebuilds.
+    */
+  def cohortNeedsRebuild(spark: SparkSession, name: String, maxLowered: Long = 0L): Boolean =
+    readDrift(spark, name) > maxLowered
+
+  /** The reconciliation: full rebuild from the caller's raw-history
+    * frame under the stored geometry (nominalEntries/buckets from the
+    * theta meta), resetting the drift counter. Deliberately a FULL
+    * rebuild, not an incremental repair, for the
+    * [[Similarity.reclusterIvfIndex]] reason: the rule fires on real
+    * out-of-order history, and a partial fix-up cannot subtract the
+    * misplaced users from their old cells.
+    */
+  def rebuildMatrixTable(spark: SparkSession, name: String, events: DataFrame): Unit = {
+    val (nominalEntries, _, _, buckets) = Sketches.thetaMeta(spark, name)
+    writeMatrixTable(spark, name, events, nominalEntries, buckets)
+  }
 }

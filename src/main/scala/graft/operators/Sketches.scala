@@ -419,8 +419,11 @@ object Sketches {
                       groupCols: Seq[String], valueCol: String,
                       nominalEntries: Int = DefaultNominalEntries,
                       buckets: Int = 16): Unit = {
-    Sinks.writeBucketed(thetaSketchByGroup(df, groupCols, valueCol, nominalEntries),
-      s"${name}_sketches", groupCols.head, buckets)
+    // replace-aware: a full REBUILD of a flipped table (cohort
+    // reconciliation) must stage a new generation, not overwrite
+    Sinks.replaceBucketed(spark,
+      thetaSketchByGroup(df, groupCols, valueCol, nominalEntries),
+      s"${name}_sketches", Seq(groupCols.head), buckets)
     import spark.implicits._
     Seq((nominalEntries, groupCols, valueCol, buckets))
       .toDF("nominal_entries", "group_cols", "value_col", "buckets")

@@ -154,6 +154,27 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Create-or-replace a bucketed table with a FRESH frame. A plain
+    * overwrite `saveAsTable` on a table that has generation-flipped
+    * fails with LOCATION_ALREADY_EXISTS (the drop recreates at the
+    * base location, which still holds a kept old generation) — so
+    * replacement of an existing table routes through the same
+    * staged-generation pointer flip as maintenance rewrites (transform
+    * ignores the stored rows), keeping concurrent readers live too.
+    * First creation is a plain bucketed write. The full-rebuild
+    * lifecycles (recluster/cohort-rebuild) write through here.
+    */
+  def replaceBucketed(spark: SparkSession, df: DataFrame, table: String,
+                      bucketCols: Seq[String], buckets: Int): Unit =
+    if (spark.catalog.tableExists(table)) {
+      // the flip keeps the live catalog entry (and its schema): a
+      // replacement may only change DATA, not shape
+      val live = spark.table(table).columns.toSet
+      require(df.columns.toSet == live,
+        s"replaceBucketed $table: schema change ${df.columns.toSet} vs $live")
+      rewriteBucketed(spark, table, bucketCols, buckets, _ => df)
+    } else writeBucketed(df, table, bucketCols, buckets, SaveMode.ErrorIfExists)
+
   /** Rewrite a bucketed table so each bucket is ONE file again — the
     * maintenance pass for append-accumulated small files, with ZERO
     * shuffle: forcing the bucketed scan (autoBucketedScan off for the

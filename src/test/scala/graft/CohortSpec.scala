@@ -74,6 +74,79 @@ class CohortSpec extends SparkSpec {
       "below nominalEntries actives/cell the stored triangle is value-exact")
   }
 
+  test("out-of-order first appearance: drift fires, rebuild reconciles to the direct triangle") {
+    val day0 = 86400L * 22000
+    def at(d: Int, s: Int = 0) = day0 + d * 86400L + 100L + s
+    def ev(rows: Seq[(Long, Long)]) =
+      rows.map { case (u, s) => (u, "view", new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+    def direct(rows: Seq[(Long, Long)]) =
+      graft.operators.Cohort.matrixDaily(spark, write(rows)).collect()
+        .map(r => (r.getAs[Long]("cohort_d"), r.getAs[Long]("age_days")) ->
+          r.getAs[Long]("n_active")).toMap
+    def stored = graft.operators.Cohort.matrixFromThetaTable(spark, "cm_drift").collect()
+      .map(r => (r.getAs[Long]("cohort_d"), r.getAs[Long]("age_days")) ->
+        r.getAs[Long]("n_active")).toMap
+    // seed sees u1 FIRST at day 2; the late batch reveals u1's real
+    // day-0 first appearance (plus in-order u2 activity)
+    val seed = Seq((1L, at(2)), (2L, at(2)))
+    val late = Seq((1L, at(0)), (2L, at(3)))
+    graft.operators.Cohort.writeMatrixTable(spark, "cm_drift", ev(seed), buckets = 2)
+    assert(!graft.operators.Cohort.cohortNeedsRebuild(spark, "cm_drift"),
+      "a fresh build starts clean")
+    val lowered = graft.operators.Cohort.appendToMatrixTable(spark, "cm_drift", ev(late))
+    assert(lowered == 1L, s"u1's cohort was lowered, u2's was not — got $lowered")
+    val report = graft.operators.Cohort.driftReport(spark, "cm_drift").collect()(0)
+    assert(report.getAs[Long]("n_users") == 2L && report.getAs[Long]("n_lowered") == 1L)
+    assert(graft.operators.Cohort.cohortNeedsRebuild(spark, "cm_drift"),
+      "one lowered user must fire the default rule")
+    // the hazard is real: u1's day-2 activity sits in a stale cell
+    // under the old cohort (sketches don't subtract)
+    val want = direct(seed ++ late)
+    assert(stored != want, "pre-rebuild triangle must show the documented divergence")
+    graft.operators.Cohort.rebuildMatrixTable(spark, "cm_drift", ev(seed ++ late))
+    assert(stored == want, "rebuild must reconcile to the direct triangle exactly")
+    assert(!graft.operators.Cohort.cohortNeedsRebuild(spark, "cm_drift"),
+      "rebuild resets the drift counter")
+  }
+
+  test("streaming cohort ingest: day-ordered micro-batches track matrixDaily, replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val day0 = 86400L * 23000
+    def at(d: Int, s: Int = 0) = day0 + d * 86400L + 100L + s
+    val b1 = Seq((1L, at(0)), (2L, at(0)), (1L, at(1)))
+    val b2 = Seq((1L, at(2)), (3L, at(2)), (3L, at(2, 9)))
+    def stored = graft.operators.Cohort.matrixFromThetaTable(spark, "cm_stream").collect()
+      .map(r => (r.getAs[Long]("cohort_d"), r.getAs[Long]("age_days")) ->
+        r.getAs[Long]("n_active")).toMap
+    def direct(rows: Seq[(Long, Long)]) =
+      graft.operators.Cohort.matrixDaily(spark, write(rows)).collect()
+        .map(r => (r.getAs[Long]("cohort_d"), r.getAs[Long]("age_days")) ->
+          r.getAs[Long]("n_active")).toMap
+    // a pure-streaming matrix starts from an empty frame
+    graft.operators.Cohort.writeMatrixTable(spark, "cm_stream",
+      Seq.empty[(Long, String, java.sql.Timestamp)].toDF("user_id", "event_type", "ts"),
+      buckets = 2)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingPipeline.cohortIngestStream(
+      ms.toDF().toDF("user_id", "event_type", "ts"), "cm_stream").start()
+    try {
+      ms.addData(b1.map { case (u, s) => (u, "view", new java.sql.Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      assert(stored == direct(b1), "mid-stream triangle must track the live store")
+      ms.addData(b2.map { case (u, s) => (u, "view", new java.sql.Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      assert(stored == direct(b1 ++ b2), "day-ordered ingest reproduces the batch twin")
+      // redelivery: min-merge and theta insertion are both idempotent
+      ms.addData(b2.map { case (u, s) => (u, "view", new java.sql.Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      assert(stored == direct(b1 ++ b2), "a replayed micro-batch must change nothing")
+      assert(!graft.operators.Cohort.cohortNeedsRebuild(spark, "cm_stream"),
+        "day-ordered ingest accumulates no drift")
+    } finally q.stop()
+  }
+
   test("real data: two data-sized shuffles — distinct reduction, then the user window") {
     val df = Cohort.matrixDaily(spark, sfDir)
     val rows = df.collect()
