@@ -216,6 +216,107 @@ object SqlRecipes {
       |SELECT d, n_step1, n_step2, n_step3 FROM agg
       |WHERE n_step1 > 0 ORDER BY d""".stripMargin
 
+  // ---- stored-reader recipes ---------------------------------------------
+  // The stored tier's tables are plain catalog tables (`<name>_counts`
+  // for the exact additive CountTable lifecycle, `<name>_sketches` for
+  // the theta tier), so every `*FromTable` DataFrame reader has a
+  // direct SELECT form too — rendered per ledger name below and
+  // spec-pinned row-for-row against the readers in SqlRecipesSpec.
+  // `last_batch` is lifecycle bookkeeping, never selected.
+
+  /** [[graft.operators.Funnel.dailyFromTable]]: the stored day-grain
+    * funnel IS the counts table; the step-1 entrant filter applies at
+    * read time (a later batch can still bring a day its first
+    * entrant, so stored rows are unfiltered).
+    */
+  def funnelFromTable(name: String): String =
+    s"""SELECT d, n_step1, n_step2, n_step3 FROM ${name}_counts
+       |WHERE n_step1 > 0 ORDER BY d""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.topkFromTable]] at k 5: the rank
+    * runs over the bounded stored (day, path) histogram.
+    */
+  def pathTopkFromTable(name: String): String =
+    s"""WITH r AS (SELECT d, path, n_users,
+       |        row_number() OVER (PARTITION BY d ORDER BY n_users DESC, path) AS rk
+       |      FROM ${name}_counts)
+       |SELECT d, path, n_users FROM r WHERE rk <= 5
+       |ORDER BY d, n_users DESC, path""".stripMargin
+
+  /** [[graft.operators.PathAnalysis.transitionsFromTable]]: the
+    * sankey's edge weights, a plain ordered SELECT.
+    */
+  def transitionsFromTable(name: String): String =
+    s"""SELECT d, src_step, dst_step, n_trans FROM ${name}_counts
+       |ORDER BY d, src_step, dst_step""".stripMargin
+
+  /** [[graft.operators.Attribution.creditFromTable]]: the five-model
+    * credit ledger, a plain ordered SELECT.
+    */
+  def creditFromTable(name: String): String =
+    s"""SELECT d, model, credit_millionths, n_touches FROM ${name}_counts
+       |ORDER BY d, model""".stripMargin
+
+  /** [[graft.operators.Anomaly.volumeFromTable]] at window 7: the
+    * [[eventsAnomaly]] z algebra with the stored volume table
+    * replacing the raw-event count CTE — any day range, zero
+    * raw-history rescans.
+    */
+  def anomalyFromTable(name: String): String =
+    s"""WITH w AS (SELECT d, event_type, n_events,
+       |        sum(n_events) OVER win AS s,
+       |        sum(n_events * n_events) OVER win AS ss,
+       |        count(n_events) OVER win AS np
+       |      FROM ${name}_counts WINDOW win AS (PARTITION BY event_type ORDER BY d
+       |                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       |SELECT d, event_type, n_events,
+       |  CASE WHEN ss / 7.0D - (s / 7.0D) * (s / 7.0D) > 0D
+       |       THEN CAST(floor(1000.0D * (n_events - s / 7.0D)
+       |                       / sqrt(ss / 7.0D - (s / 7.0D) * (s / 7.0D))) AS BIGINT)
+       |  END AS z_milli
+       |FROM w WHERE np = 7
+       |ORDER BY d, event_type""".stripMargin
+
+  /** [[graft.operators.Cohort.matrixFromThetaTable]]: the stored
+    * triangle through the registered `graft_theta_summary` scalar
+    * (needs [[GraftExtensions]]).
+    */
+  def cohortMatrixFromTable(name: String): String =
+    s"""SELECT cohort_d, age_days,
+       |  graft_theta_summary(sketch).estimate AS n_active
+       |FROM ${name}_sketches ORDER BY cohort_d, age_days""".stripMargin
+
+  /** [[graft.operators.Sketches.retentionFromThetaTable]] at lags
+    * 1/7: per-day sketches unioned down to the day grain via the
+    * registered `graft_theta_union_agg` aggregate, then the same
+    * bounded lag self-join as [[retention]].
+    */
+  def retentionFromTable(name: String): String =
+    s"""WITH days AS (SELECT d, graft_theta_union_agg(sketch) AS sketch
+       |              FROM ${name}_sketches GROUP BY d)
+       |SELECT b.d,
+       |  graft_theta_summary(b.sketch).estimate AS n_active,
+       |  CASE WHEN l1.sketch IS NULL THEN 0L
+       |       ELSE graft_theta_summary(graft_theta_intersect(b.sketch, l1.sketch)).estimate
+       |  END AS n_ret_1d,
+       |  CASE WHEN l7.sketch IS NULL THEN 0L
+       |       ELSE graft_theta_summary(graft_theta_intersect(b.sketch, l7.sketch)).estimate
+       |  END AS n_ret_7d
+       |FROM days b
+       |LEFT JOIN days l1 ON l1.d = b.d + 86400
+       |LEFT JOIN days l7 ON l7.d = b.d + 7 * 86400
+       |ORDER BY b.d""".stripMargin
+
+  /** Every stored-reader recipe keyed by the reader it mirrors. */
+  val storedReaders: Map[String, String => String] = Map(
+    "funnel_dailyFromTable" -> funnelFromTable,
+    "path_topkFromTable" -> pathTopkFromTable,
+    "path_transitionsFromTable" -> transitionsFromTable,
+    "attribution_creditFromTable" -> creditFromTable,
+    "anomaly_volumeFromTable" -> anomalyFromTable,
+    "cohort_matrixFromThetaTable" -> cohortMatrixFromTable,
+    "sketches_retentionFromThetaTable" -> retentionFromTable)
+
   /** Every recipe keyed by the gate key it mirrors. */
   val all: Map[String, String] = Map(
     "attribution_credit" -> attributionCredit,

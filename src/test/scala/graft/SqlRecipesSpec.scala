@@ -60,6 +60,43 @@ class SqlRecipesSpec extends SparkSpec {
     check("funnel_session", graft.operators.Funnel.sessionDaily(spark, sfDir))
   }
 
+  test("stored-reader recipes ≡ the *FromTable readers, row for row") {
+    import graft.operators.Funnel
+    val events = Tables.events(spark, sfDir)
+    def parity(sql: String, df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val got = spark.sql(sql)
+      assert(got.columns.toSeq == df.columns.toSeq,
+        s"$what: SQL columns ${got.columns.toSeq} != reader ${df.columns.toSeq}")
+      assert(rows(got).nonEmpty && rows(got) == rows(df),
+        s"$what: stored-reader SQL diverges from the DataFrame reader")
+    }
+    Funnel.writeDailyTable(spark, "sqlr_fn", events, buckets = 2)
+    parity(SqlRecipes.funnelFromTable("sqlr_fn"),
+      Funnel.dailyFromTable(spark, "sqlr_fn"), "funnel")
+    PathAnalysis.writePathsTable(spark, "sqlr_pt", events, buckets = 2)
+    parity(SqlRecipes.pathTopkFromTable("sqlr_pt"),
+      PathAnalysis.topkFromTable(spark, "sqlr_pt"), "topk paths")
+    PathAnalysis.writeTransitionsTable(spark, "sqlr_tr", events, buckets = 2)
+    parity(SqlRecipes.transitionsFromTable("sqlr_tr"),
+      PathAnalysis.transitionsFromTable(spark, "sqlr_tr"), "transitions")
+    Attribution.writeCreditTable(spark, "sqlr_cr",
+      Attribution.creditDaily(spark, sfDir), buckets = 2)
+    parity(SqlRecipes.creditFromTable("sqlr_cr"),
+      Attribution.creditFromTable(spark, "sqlr_cr"), "credit")
+    Anomaly.writeVolumeTable(spark, "sqlr_an", events, buckets = 2)
+    parity(SqlRecipes.anomalyFromTable("sqlr_an"),
+      Anomaly.volumeFromTable(spark, "sqlr_an"), "anomaly")
+    Cohort.writeMatrixTable(spark, "sqlr_cm", events, buckets = 2)
+    parity(SqlRecipes.cohortMatrixFromTable("sqlr_cm"),
+      Cohort.matrixFromThetaTable(spark, "sqlr_cm"), "cohort matrix")
+    import org.apache.spark.sql.functions.{col, date_trunc, unix_timestamp}
+    Sketches.writeThetaTable(spark, "sqlr_rt",
+      events.select(unix_timestamp(date_trunc("day", col("ts"))).as("d"), col("user_id")),
+      Seq("d"), "user_id", buckets = 2)
+    parity(SqlRecipes.retentionFromTable("sqlr_rt"),
+      Sketches.retentionFromThetaTable(spark, "sqlr_rt", "d"), "retention")
+  }
+
   test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
     registered
     val attr = spark.sql(SqlRecipes.attributionCredit)
