@@ -23,10 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object CountTable {
 
-  private def refresh(spark: SparkSession, name: String): Unit = {
-    spark.catalog.refreshTable(s"${name}_counts")
-    spark.catalog.refreshTable(s"${name}_meta")
-  }
+  private def refresh(spark: SparkSession, name: String): Unit =
+    StoredTable.refresh(spark, s"${name}_counts", s"${name}_meta")
 
   /** Create/overwrite the stored table from an already-aggregated
     * counts frame (groupCols ++ one or more additive sum columns).
@@ -34,10 +32,9 @@ object CountTable {
   def write(spark: SparkSession, name: String, counts: DataFrame,
             groupCols: Seq[String], sumCols: Seq[String], buckets: Int = 16): Unit = {
     require(sumCols.nonEmpty, "a count table needs at least one sum column")
-    graft.sources.Sinks.writeBucketed(
+    StoredTable.writeStamped(
       counts.select(groupCols.map(col) ++
-        sumCols.map(c => col(c).cast("long").as(c)): _*)
-        .withColumn("last_batch", lit(-1L)),
+        sumCols.map(c => col(c).cast("long").as(c)): _*),
       s"${name}_counts", groupCols.head, buckets)
     import spark.implicits._
     Seq((groupCols, sumCols, buckets))
@@ -54,11 +51,9 @@ object CountTable {
     write(spark, name, counts, groupCols, Seq(countCol), 16)
 
   private def meta(spark: SparkSession, name: String): (Seq[String], Seq[String], Int) = {
-    val rows = spark.table(s"${name}_meta").collect()
-    require(rows.length == 1, s"count table $name: corrupt meta (${rows.length} rows)")
-    val r = rows(0)
-    (r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
-      r.getAs[scala.collection.Seq[String]]("sum_cols").toSeq, r.getAs[Int]("buckets"))
+    val r = StoredTable.metaRow(spark, name, "count")
+    (StoredTable.metaGroupCols(r), StoredTable.metaGroupCols(r, "sum_cols"),
+      r.getAs[Int]("buckets"))
   }
 
   /** Sum one aggregated batch in. With `batchId >= 0` a replay
@@ -70,18 +65,15 @@ object CountTable {
              batchId: Long = -1L): Unit = {
     refresh(spark, name)
     val (groupCols, sumCols, buckets) = meta(spark, name)
-    val applied = spark.table(s"${name}_counts")
-      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
-    if (batchId >= 0 && batchId <= applied) return
-    val stamp = if (batchId >= 0) batchId else applied
     val batchFrame = batchCounts
       .select(groupCols.map(col) ++ sumCols.map(c => col(c).cast("long").as(c)): _*)
-    graft.sources.Sinks.rewriteBucketed(spark, s"${name}_counts", Seq(groupCols.head), buckets,
-      stored => stored.drop("last_batch").unionByName(batchFrame)
+    StoredTable.appendStamped(spark, s"${name}_counts", Seq(groupCols.head), buckets, batchId) {
+      stored => stored.unionByName(batchFrame)
         .groupBy(groupCols.map(col): _*)
         .agg(sumCols.map(c => sum(col(c)).as(c)).head,
           sumCols.map(c => sum(col(c)).as(c)).tail: _*)
-        .withColumn("last_batch", lit(stamp)))
+    }
+    ()
   }
 
   /** The stored counts (groupCols ++ the original sum column names)

@@ -100,38 +100,17 @@ object Sketches {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  /** The table may have been rewritten (append's generation flip, or
-    * a rebuild) since THIS session — or a streaming micro-batch's
-    * session CLONE — last listed it: a stale sketches listing reads a
-    * flipped-away generation. Refresh both relations (metadata-only)
-    * before any stored read — the ExactIndex staleness lesson.
+  /** Stale-generation refresh before any stored read — see
+    * [[StoredTable.refresh]] (the shared lifecycle core).
     */
-  private def refresh(spark: SparkSession, name: String): Unit = {
-    spark.catalog.refreshTable(s"${name}_sketches")
-    spark.catalog.refreshTable(s"${name}_meta")
-  }
+  private def refresh(spark: SparkSession, name: String): Unit =
+    StoredTable.refresh(spark, s"${name}_sketches", s"${name}_meta")
 
-  /** `group_cols` travels as array<string> since r13; tables written
-    * by earlier binaries stored a comma-joined string. Read either —
-    * a raw ClassCastException on a legacy meta row would force a
-    * needless stored-table rebuild (column names can't contain ','
-    * under the legacy writer, so the split is lossless).
-    */
   private def metaGroupCols(r: org.apache.spark.sql.Row): Seq[String] =
-    r.schema("group_cols").dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        // "".split(",") is Seq(""), not Seq.empty — a legacy GLOBAL
-        // (no-group-column) sketch must not resolve to a phantom
-        // empty-named column
-        val s = r.getAs[String]("group_cols")
-        if (s.isEmpty) Seq.empty else s.split(",").toSeq
-      case _ => r.getAs[scala.collection.Seq[String]]("group_cols").toSeq
-    }
+    StoredTable.metaGroupCols(r)
 
   private def meta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
-    val rows = spark.table(s"${name}_meta").collect()
-    require(rows.length == 1, s"sketch table $name: corrupt meta (${rows.length} rows)")
-    val r = rows(0)
+    val r = StoredTable.metaRow(spark, name, "sketch")
     (r.getAs[Int]("lg_k"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
@@ -239,10 +218,9 @@ object Sketches {
   def writeFreqTable(spark: SparkSession, name: String, df: DataFrame,
                      groupCols: Seq[String], itemCol: String,
                      maxMapSize: Int = DefaultMaxMapSize, buckets: Int = 16): Unit = {
-    Sinks.writeBucketed(
+    StoredTable.writeStamped(
       df.groupBy(groupCols.map(col): _*)
-        .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
-        .withColumn("last_batch", lit(-1L)),
+        .agg(freqSketch(col(itemCol), maxMapSize).as("sketch")),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
     Seq((maxMapSize, groupCols, itemCol, buckets))
@@ -251,9 +229,7 @@ object Sketches {
   }
 
   private def freqMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
-    val rows = spark.table(s"${name}_meta").collect()
-    require(rows.length == 1, s"freq table $name: corrupt meta (${rows.length} rows)")
-    val r = rows(0)
+    val r = StoredTable.metaRow(spark, name, "freq")
     (r.getAs[Int]("max_map_size"), metaGroupCols(r),
       r.getAs[String]("item_col"), r.getAs[Int]("buckets"))
   }
@@ -270,17 +246,14 @@ object Sketches {
                         batchId: Long = -1L): Unit = {
     refresh(spark, name)
     val (maxMapSize, groupCols, itemCol, buckets) = freqMeta(spark, name)
-    val applied = spark.table(s"${name}_sketches")
-      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
-    if (batchId >= 0 && batchId <= applied) return
-    val stamp = if (batchId >= 0) batchId else applied
     val batchSketches = batch.groupBy(groupCols.map(col): _*)
       .agg(freqSketch(col(itemCol), maxMapSize).as("sketch"))
-    Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
-      stored => stored.drop("last_batch").unionByName(batchSketches)
+    StoredTable.appendStamped(spark, s"${name}_sketches", Seq(groupCols.head), buckets, batchId) {
+      stored => stored.unionByName(batchSketches)
         .groupBy(groupCols.map(col): _*)
         .agg(freqSketchMerge(col("sketch"), maxMapSize).as("sketch"))
-        .withColumn("last_batch", lit(stamp)))
+    }
+    ()
   }
 
   /** Top-k per stored group — zero raw data touched. */
@@ -431,9 +404,7 @@ object Sketches {
   }
 
   private[operators] def thetaMeta(spark: SparkSession, name: String): (Int, Seq[String], String, Int) = {
-    val rows = spark.table(s"${name}_meta").collect()
-    require(rows.length == 1, s"theta table $name: corrupt meta (${rows.length} rows)")
-    val r = rows(0)
+    val r = StoredTable.metaRow(spark, name, "theta")
     (r.getAs[Int]("nominal_entries"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
@@ -731,10 +702,9 @@ object Sketches {
                          groupCols: Seq[String], valueCol: String,
                          relativeError: Double = DefaultQuantileError,
                          buckets: Int = 16): Unit = {
-    Sinks.writeBucketed(
+    StoredTable.writeStamped(
       df.groupBy(groupCols.map(col): _*)
-        .agg(quantileSketch(col(valueCol).cast("double"), relativeError).as("sketch"))
-        .withColumn("last_batch", lit(-1L)),
+        .agg(quantileSketch(col(valueCol).cast("double"), relativeError).as("sketch")),
       s"${name}_sketches", groupCols.head, buckets)
     import spark.implicits._
     Seq((relativeError, groupCols, valueCol, buckets))
@@ -744,9 +714,7 @@ object Sketches {
 
   private def quantileMeta(spark: SparkSession, name: String)
   : (Double, Seq[String], String, Int) = {
-    val rows = spark.table(s"${name}_meta").collect()
-    require(rows.length == 1, s"quantile table $name: corrupt meta (${rows.length} rows)")
-    val r = rows(0)
+    val r = StoredTable.metaRow(spark, name, "quantile")
     (r.getAs[Double]("relative_error"), metaGroupCols(r),
       r.getAs[String]("value_col"), r.getAs[Int]("buckets"))
   }
@@ -755,17 +723,14 @@ object Sketches {
                             batchId: Long = -1L): Unit = {
     refresh(spark, name)
     val (relErr, groupCols, valueCol, buckets) = quantileMeta(spark, name)
-    val applied = spark.table(s"${name}_sketches")
-      .agg(coalesce(max(col("last_batch")), lit(-1L))).collect()(0).getLong(0)
-    if (batchId >= 0 && batchId <= applied) return
-    val stamp = if (batchId >= 0) batchId else applied
     val batchSketches = batch.groupBy(groupCols.map(col): _*)
       .agg(quantileSketch(col(valueCol).cast("double"), relErr).as("sketch"))
-    Sinks.rewriteBucketed(spark, s"${name}_sketches", Seq(groupCols.head), buckets,
-      stored => stored.drop("last_batch").unionByName(batchSketches)
+    StoredTable.appendStamped(spark, s"${name}_sketches", Seq(groupCols.head), buckets, batchId) {
+      stored => stored.unionByName(batchSketches)
         .groupBy(groupCols.map(col): _*)
         .agg(quantileSketchMerge(col("sketch"), relErr).as("sketch"))
-        .withColumn("last_batch", lit(stamp)))
+    }
+    ()
   }
 
   /** Per-group quantiles from the STORED summaries — zero raw data. */
