@@ -380,6 +380,8 @@ object SparkEntry {
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(Tables.documents(s, dir))),
     "text_passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(Tables.documents(s, dir))),
     "text_span_dedup" -> ((s, dir) => TextAnalysis.spanDedup(Tables.documents(s, dir))),
+    "text_span_dedup_apply" -> ((s, dir) =>
+      TextAnalysis.spanDedupApply(Tables.documents(s, dir))),
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
@@ -529,6 +531,7 @@ object SparkEntry {
     "text_chunk" -> Oracles.textChunk,
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_span_dedup" -> Oracles.textSpanDedup,
+    "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,

@@ -514,6 +514,29 @@ object TextAnalysis {
     */
   def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                 minSpanTokens: Int = 16): DataFrame = {
+    val spans = spanRegions(docs, n, minDocs, minSpanTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The qualifying repeated-span coverage regions both span keys
+    * derive from: (doc_id, span_start, span_end) token intervals,
+    * DISJOINT and maximal per the [[spanDedup]] merge rule. The gram
+    * frame is the diamond (shared-set groupBy + join back) — persisted
+    * slim here and released after the first action on any frame built
+    * over the regions.
+    */
+  private[operators] def spanRegions(docs: DataFrame, n: Int, minDocs: Int,
+                                     minSpanTokens: Int): DataFrame = {
     require(n >= 2 && minDocs >= 2 && minSpanTokens >= n,
       s"need n ≥ 2, minDocs ≥ 2, minSpanTokens ≥ n; got n=$n minDocs=$minDocs minSpan=$minSpanTokens")
     import org.apache.spark.sql.expressions.Window
@@ -530,24 +553,49 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
       .select(col("gram_md5"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = grams.join(shared, Seq("gram_md5"))
+    val regions = grams.join(shared, Seq("gram_md5"))
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L).otherwise(1L))
       .withColumn("region", sum(col("brk")).over(byDoc))
       .groupBy(col("doc_id"), col("region"))
-      .agg((max(col("pos")) - min(col("pos")) + n).as("span_tokens"))
-      .filter(col("span_tokens") >= minSpanTokens)
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    ScopedCache.releaseAfterAction(regions, Seq(grams))
+  }
+
+  /** The span REWRITE — what a curation pipeline actually ships after
+    * [[spanDedup]]'s accounting: every token covered by a qualifying
+    * repeated span dropped, the surviving tokens re-joined in order
+    * (Lee et al. 2022 rewrite the corpus, not just score it). Emits
+    * per-doc `n_tokens` / `n_kept` / `clean_md5` (the rewritten text's
+    * digest — at gate scale the oracle recomputes it positionally).
+    *
+    * Scale shape: the regions frame reduces to per-doc interval
+    * ARRAYS (bounded — disjoint intervals over a doc, ≪ doc length),
+    * left-joined back doc-count-sized; the token drop is then a
+    * map-side higher-order `filter` with the position index probing
+    * the interval array — NO token-level shuffle, no explode: the
+    * rewrite runs at scan speed over the docs like the other per-doc
+    * text stages, and the only wide work is [[spanRegions]]' own.
+    */
+  def spanDedupApply(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     minSpanTokens: Int = 16): DataFrame = {
+    val regions = spanRegions(docs, n, minDocs, minSpanTokens)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
-    val out = docs
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(spans, Seq("doc_id"), "left")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("regions"))
+    val noRegions = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    val covered = (i: Column) => exists(col("regions"),
+      r => i >= r.getField("span_start") && i <= r.getField("span_end"))
+    docs.join(regions, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        coalesce(col("regions"), noRegions).as("regions"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) => !covered(i.cast("long"))).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
       .orderBy(col("doc_id"))
-    ScopedCache.releaseAfterAction(out, Seq(grams))
   }
 
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -270,6 +270,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L) == ((8L, 0L, 0L, 8L)), s"doc 9: gapped short regions filtered, got ${out(9L)}")
   }
 
+  test("span dedup apply: covered tokens drop, survivors re-join in order") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler t1 t2 t3"),
+      (4L, "hi there"),
+      (6L, "A B C D x E F G H"),
+      (7L, "A B C D y E F G H"),
+      (8L, "A B C P Q R x1"),
+      (9L, "A B C z P Q R w")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupApply(d, n = 3, minDocs = 2, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toMap
+    assert(out(1L) == ((4L, md5Hex("alpha beta gamma delta"))), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, md5Hex("t1 t2 t3"))), s"doc 2: ${out(2L)}")
+    assert(out(4L) == ((2L, md5Hex("hi there"))), "sub-gram doc untouched")
+    assert(out(6L) == ((1L, md5Hex("x"))), s"doc 6: both spans drop, got ${out(6L)}")
+    assert(out(7L) == ((1L, md5Hex("y"))), s"doc 7: ${out(7L)}")
+    assert(out(8L) == ((1L, md5Hex("x1"))), s"doc 8: merged span drops, got ${out(8L)}")
+    assert(out(9L) == ((8L, md5Hex("A B C z P Q R w"))),
+      s"doc 9: sub-min regions keep everything, got ${out(9L)}")
+    // a fully-covered doc keeps nothing: md5 of the empty rewrite
+    val full = Seq((1L, "f1 f2 f3 f4 f5"), (2L, "f1 f2 f3 f4 f5"))
+      .toDF("doc_id", "text")
+    val fo = TextAnalysis.spanDedupApply(full, n = 3, minDocs = 2, minSpanTokens = 4)
+      .collect().map(r => (r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toSet
+    assert(fo == Set((0L, md5Hex(""))), s"exact clones fully covered, got $fo")
+  }
+
+  test("span accounting and span rewrite agree on every real document") {
+    val docs = Tables.documents(spark, sfDir)
+    val joined = TextAnalysis.spanDedup(docs)
+      .join(TextAnalysis.spanDedupApply(docs).drop("n_tokens"), Seq("doc_id"))
+    // dup_tokens counts the disjoint coverage union — exactly the
+    // tokens the rewrite drops
+    import org.apache.spark.sql.functions.col
+    val bad = joined.filter(col("n_tokens") - col("dup_tokens") =!= col("n_kept")).count()
+    assert(bad == 0L, s"$bad docs where accounting and rewrite disagree")
+  }
+
   test("chunk invariants hold for every document in the corpus") {
     import org.apache.spark.sql.functions.{ceil => sqlCeil, col, countDistinct, lit, max, min, sum}
     val docs = Tables.documents(spark, sfDir)
