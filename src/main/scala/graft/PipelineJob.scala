@@ -115,17 +115,39 @@ object PipelineJob {
     * [[main]] so the E2E spec drives the exact job path.
     */
   def runMaintain(spark: SparkSession, mode: String, batchPath: String,
-                  indexName: String): Boolean = {
-    val batch = spark.read.parquet(batchPath)
+                  indexName: String, historyPath: Option[String] = None): Boolean = {
+    val batch = readWithTs(spark, batchPath)
     val fired = mode match {
       case "maintain-ivf" =>
         graft.operators.Similarity.maintainIvfIndex(batch, indexName)
       case "maintain-lsh" =>
         graft.operators.Dedup.maintainNgramLshIndex(batch, indexName)
+      case "maintain-cohort" =>
+        graft.operators.Cohort.maintainMatrixTable(spark, indexName, batch,
+          readWithTs(spark, historyPath.getOrElse(
+            sys.error("maintain-cohort needs <historyParquet> as the 4th argument"))))
     }
-    val pass = if (mode == "maintain-ivf") "recluster" else "compaction"
+    val pass = mode match {
+      case "maintain-ivf" => "recluster"
+      case "maintain-cohort" => "rebuild"
+      case _ => "compaction"
+    }
     println(s"index maintenance: $indexName (mode=$mode) $pass ${if (fired) "RAN" else "not needed"}")
     fired
+  }
+
+  /** Read an events-shaped parquet batch, normalizing TIMESTAMP(NANOS)
+    * columns read as long under nanosAsLong (the Tables.events
+    * conversion, applied here because the batch path is arbitrary).
+    */
+  private def readWithTs(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains("ts")) raw
+    else raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
 
   /** One job-level telemetry-sketch ingest step: fold one
@@ -210,13 +232,15 @@ object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "ingest", "vacuum", "sketch-ingest", "vector-ingest")
+      "maintain-cohort", "ingest", "vacuum", "sketch-ingest", "vector-ingest")
     require(args.length >= 3 && modes(args(0)),
-      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|ingest|" +
-        "vacuum|sketch-ingest|vector-ingest " +
-        "<docsPath|table> <outDir|tableName|indexName|keepGenerations> [minQualityFs|batchId]")
+      "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|" +
+        "maintain-cohort|ingest|vacuum|sketch-ingest|vector-ingest " +
+        "<docsPath|table> <outDir|tableName|indexName|keepGenerations> " +
+        "[minQualityFs|batchId|historyParquet]")
     val (mode, in, out) = (args(0), args(1), args(2))
-    val minQ = if (args.length > 3) args(3).toLong else 5000L
+    // lazy: maintain-cohort's 4th argument is a PATH, not a number
+    lazy val minQ = if (args.length > 3) args(3).toLong else 5000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -233,7 +257,7 @@ object PipelineJob {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode.startsWith("maintain-")) {
-      runMaintain(spark, mode, in, out)
+      runMaintain(spark, mode, in, out, args.lift(3))
       spark.stop()
       return
     }

@@ -180,4 +180,22 @@ object Cohort {
     val (nominalEntries, _, _, buckets) = Sketches.thetaMeta(spark, name)
     writeMatrixTable(spark, name, events, nominalEntries, buckets)
   }
+
+  /** ONE maintenance step of the stored cohort matrix — append the
+    * batch, evaluate the drift rule, rebuild from `history` when it
+    * fires: the [[Similarity.maintainIvfIndex]] loop for the cohort
+    * tier, previously left to the caller to hand-roll from the
+    * Scaladocs. `history` is by-name: the full raw-history frame is
+    * only constructed (and scanned) when a rebuild actually runs, so
+    * the quiet-path cost stays the append plus the 1-row drift read.
+    * Returns true iff a rebuild ran. Wired as a CLI mode in
+    * [[graft.PipelineJob]] (`maintain-cohort`).
+    */
+  def maintainMatrixTable(spark: SparkSession, name: String, batch: DataFrame,
+                          history: => DataFrame, maxLowered: Long = 0L): Boolean = {
+    appendToMatrixTable(spark, name, batch)
+    val fires = cohortNeedsRebuild(spark, name, maxLowered)
+    if (fires) rebuildMatrixTable(spark, name, history)
+    fires
+  }
 }

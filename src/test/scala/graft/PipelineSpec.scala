@@ -174,6 +174,42 @@ class PipelineSpec extends SparkSpec {
       "shifted queries must rank shifted-batch vectors as neighbors")
   }
 
+  test("maintain-cohort job mode: out-of-order history fires exactly ONE rebuild that reconciles") {
+    import graft.operators.Cohort
+    val day0 = 86400L * 24000
+    def at(d: Int) = day0 + d * 86400L + 100L
+    def ev(rows: Seq[(Long, Long)]) =
+      rows.map { case (u, s) => (u, "view", new java.sql.Timestamp(s * 1000L)) }
+        .toDF("user_id", "event_type", "ts")
+    def writeDir(rows: Seq[(Long, Long)], tag: String, asEvents: Boolean = false): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"cohm_$tag").toString
+      ev(rows).write.mode("overwrite")
+        .parquet(if (asEvents) s"$dir/events.parquet" else dir)
+      dir
+    }
+    val seed = Seq((1L, at(2)), (2L, at(2)))
+    val b1 = Seq((1L, at(3)), (3L, at(3))) // in-order: new user + returning
+    val b2 = Seq((1L, at(0))) // u1's REAL first day surfaces late
+    val b3 = Seq((2L, at(4))) // in-order again after the rebuild
+    val (h1, h2, h3) = (seed ++ b1, seed ++ b1 ++ b2, seed ++ b1 ++ b2 ++ b3)
+    Cohort.writeMatrixTable(spark, "cohm", ev(seed), buckets = 2)
+    val fired = Seq(
+      PipelineJob.runMaintain(spark, "maintain-cohort", writeDir(b1, "b1"), "cohm",
+        Some(writeDir(h1, "h1"))),
+      PipelineJob.runMaintain(spark, "maintain-cohort", writeDir(b2, "b2"), "cohm",
+        Some(writeDir(h2, "h2"))),
+      PipelineJob.runMaintain(spark, "maintain-cohort", writeDir(b3, "b3"), "cohm",
+        Some(writeDir(h3, "h3"))))
+    assert(fired == Seq(false, true, false),
+      s"exactly the out-of-order batch must rebuild, got $fired")
+    val stored = Cohort.matrixFromThetaTable(spark, "cohm").collect().map(_.toSeq).toSeq
+    val direct = Cohort.matrixDaily(spark, writeDir(h3, "direct", asEvents = true))
+      .collect().map(_.toSeq).toSeq
+    assert(stored == direct,
+      "after the maintenance loop the stored triangle must equal the direct one " +
+        "over the full history (rebuild reconciled, later appends stayed in-order)")
+  }
+
   test("maintain-lsh: append folds in, compaction fires only past the file threshold, idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

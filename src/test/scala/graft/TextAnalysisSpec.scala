@@ -302,6 +302,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fo == Set((0L, md5Hex(""))), s"exact clones fully covered, got $fo")
   }
 
+  test("span rewrite stays inside the region generator's shuffle budget") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.spanDedupApply(Tables.documents(spark, sfDir))
+    assert(df.filter(col("n_kept") < col("n_tokens")).count() > 0,
+      "fixture corpus must exercise real span drops")
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // gram groupBy + gram join-back + the doc window; the region
+    // array-join and both (doc, region) aggregations must RIDE those
+    // (clustering on doc_id satisfies them) — a 6th exchange means a
+    // token-level shuffle leaked into the rewrite
+    assert(exchanges <= 5, s"expected ≤5 hash exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span rewrite must stay equi-join shaped:\n$plan")
+  }
+
   test("span accounting and span rewrite agree on every real document") {
     val docs = Tables.documents(spark, sfDir)
     val joined = TextAnalysis.spanDedup(docs)
