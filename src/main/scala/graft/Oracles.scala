@@ -896,6 +896,44 @@ object Oracles {
       | coalesce(agg.clean_md5, md5('')) AS clean_md5
       |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** text_span_flag: the stored span-gram index end-to-end — the
+    * even-doc half's DISTINCT gram set plays the index, odd docs'
+    * gram positions join against it and coalesce through the same
+    * gap-trick chain as [[textSpanDedup]] (threshold 16). Cross-corpus
+    * semantics: a gram is known iff ANY even doc contains it.
+    */
+  val textSpanFlag: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |idx AS (SELECT DISTINCT md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |        FROM (SELECT toks,
+      |                unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |              FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 8)),
+      |b AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1),
+      |g0 AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |       FROM b WHERE len(toks) >= 8),
+      |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |      FROM g0),
+      |p AS (SELECT doc_id, pos FROM g JOIN idx USING (gram_md5)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM p),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+      |      FROM r),
+      |s AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
+      |      FROM i GROUP BY doc_id, region),
+      |q AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+      |      FROM s WHERE span_tokens >= 16 GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+      | CAST(coalesce(q.n_spans, 0) AS BIGINT) AS n_spans,
+      | CAST(coalesce(q.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      | CAST(len(b.toks) - coalesce(q.dup_tokens, 0) AS BIGINT) AS kept_tokens
+      |FROM b LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** text_pack: cumulative-offset packing into 512-token bins —
     * within-group running sums windowed over (source, pack_group),
     * CHAINED by the cumulative per-group totals so bins fill

@@ -382,6 +382,14 @@ object SparkEntry {
     "text_span_dedup" -> ((s, dir) => TextAnalysis.spanDedup(Tables.documents(s, dir))),
     "text_span_dedup_apply" -> ((s, dir) =>
       TextAnalysis.spanDedupApply(Tables.documents(s, dir))),
+    // stored span-gram index end-to-end: even docs seed the index,
+    // odd docs flag their corpus-repeated spans against it
+    "text_span_flag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SpanIndex.writeIndex(s, "g_spanidx", docs.filter(col("doc_id") % 2 === 0),
+        n = 8, buckets = 8)
+      SpanIndex.flagAgainstIndex(s, "g_spanidx", docs.filter(col("doc_id") % 2 === 1))
+    }),
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
@@ -532,6 +540,7 @@ object SparkEntry {
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_span_dedup" -> Oracles.textSpanDedup,
     "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
+    "text_span_flag" -> Oracles.textSpanFlag,
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,

@@ -513,8 +513,56 @@ object TextAnalysis {
     * persisted slim and scope-released like [[passageDedup]]'s.
     */
   def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                minSpanTokens: Int = 16): DataFrame = {
-    val spans = spanRegions(docs, n, minDocs, minSpanTokens)
+                minSpanTokens: Int = 16): DataFrame =
+    spanAccounting(docs, spanRegions(docs, n, minDocs, minSpanTokens))
+
+  /** The qualifying repeated-span coverage regions both span keys
+    * derive from: (doc_id, span_start, span_end) token intervals,
+    * DISJOINT and maximal per the [[spanDedup]] merge rule. The gram
+    * frame is the diamond (shared-set groupBy + join back) — persisted
+    * slim here and released after the first action on any frame built
+    * over the regions.
+    */
+  /** The positioned word-n-gram frame every span operator fans out
+    * to: (doc_id, pos, gram_md5) — map-side (explode of an index
+    * sequence), and after it no shuffled row carries text, only the
+    * 16-byte hash.
+    */
+  private[graft] def gramFrame(docs: DataFrame, n: Int): DataFrame =
+    Par.spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("gram_md5"))
+
+  /** Gap-trick run coalescing over a frame of (doc_id, pos) shared
+    * gram positions: DISJOINT maximal coverage regions (doc_id,
+    * span_start, span_end), intervals merged while they overlap or
+    * touch, regions shorter than `minSpanTokens` dropped. The window
+    * and the (doc, region) aggregation ride ONE doc_id exchange.
+    */
+  private[graft] def coalesceRegions(hits: DataFrame, n: Int,
+                                         minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L).otherwise(1L))
+      .withColumn("region", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("region"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
+      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Per-doc span accounting over a regions frame, left-joined so
+    * span-free docs report zeros — the shared tail of [[spanDedup]]
+    * and [[SpanIndex.flagAgainstIndex]].
+    */
+  private[graft] def spanAccounting(docs: DataFrame, regions: DataFrame): DataFrame = {
+    val spans = regions
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
@@ -528,39 +576,16 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** The qualifying repeated-span coverage regions both span keys
-    * derive from: (doc_id, span_start, span_end) token intervals,
-    * DISJOINT and maximal per the [[spanDedup]] merge rule. The gram
-    * frame is the diamond (shared-set groupBy + join back) — persisted
-    * slim here and released after the first action on any frame built
-    * over the regions.
-    */
   private[operators] def spanRegions(docs: DataFrame, n: Int, minDocs: Int,
                                      minSpanTokens: Int): DataFrame = {
     require(n >= 2 && minDocs >= 2 && minSpanTokens >= n,
       s"need n ≥ 2, minDocs ≥ 2, minSpanTokens ≥ n; got n=$n minDocs=$minDocs minSpan=$minSpanTokens")
-    import org.apache.spark.sql.expressions.Window
-    val grams = Par.spread(docs)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - n)).as("pos"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n)))).as("gram_md5"))
-      .persist()
+    val grams = gramFrame(docs, n).persist()
     val shared = grams.groupBy(col("gram_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("gram_md5"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val regions = grams.join(shared, Seq("gram_md5"))
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L).otherwise(1L))
-      .withColumn("region", sum(col("brk")).over(byDoc))
-      .groupBy(col("doc_id"), col("region"))
-      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + (n - 1)).as("span_end"))
-      .filter(col("span_end") - col("span_start") + 1 >= minSpanTokens)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val regions = coalesceRegions(grams.join(shared, Seq("gram_md5")), n, minSpanTokens)
     ScopedCache.releaseAfterAction(regions, Seq(grams))
   }
 

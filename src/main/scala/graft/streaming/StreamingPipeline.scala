@@ -179,6 +179,24 @@ object StreamingPipeline {
     * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
     * and reconcile via `rebuildMatrixTable` when it fires.
     */
+  /** The span-index ingest twin — the crawl loop for exact-substring
+    * dedup: each micro-batch is FLAGGED against the live index first
+    * (spans repeated vs the corpus so far — read-only, handed to the
+    * caller's sink with the batch id) and then folded in, so later
+    * batches see this one's grams. The fold is exactly-once under
+    * replays (the CountTable stamp); the flag re-runs on redelivery —
+    * sinks key on the batch id like every foreachBatch consumer.
+    * Batches must carry whole documents, each exactly once.
+    */
+  def spanIngestStream(docs: DataFrame, name: String, minSpanTokens: Int = 16)
+                      (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.SpanIndex.flagAgainstIndex(batch.sparkSession, name, batch,
+        minSpanTokens), batchId)
+      graft.operators.SpanIndex.appendToIndex(batch.sparkSession, name, batch, batchId)
+    }
+
   def cohortIngestStream(events: DataFrame, name: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

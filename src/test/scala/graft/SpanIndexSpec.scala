@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SpanIndex, TextAnalysis}
+
+class SpanIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // n=3 / minSpan=4 for countable fixtures (the gate key runs the 8/16
+  // defaults against the DuckDB oracle)
+  private val blockX = "x1 x2 x3 x4 x5 x6" // 6 tokens → grams at 4 offsets
+  private val blockE = "e1 e2 e3 e4 e5"
+
+  private def acct(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+        r.getAs[Long]("kept_tokens"))).toMap
+
+  test("flag is cross-corpus: index hits flag at any offset, within-batch repeats do not") {
+    val seed = Seq(
+      (1L, s"a1 a2 $blockX a3 a4"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "si_spec", seed, n = 3, buckets = 2)
+    val batch = Seq(
+      (11L, s"c1 $blockX c2 c3 c4"), // block X at a DIFFERENT offset than doc 1's
+      (12L, "d1 d2 d3 d4 d5 d6"), // unique
+      (13L, s"f1 f2 $blockE"), // E repeats only WITHIN this batch (doc 14)
+      (14L, s"$blockE g1 g2")).toDF("doc_id", "text")
+    val flagged = acct(SpanIndex.flagAgainstIndex(spark, "si_spec", batch, minSpanTokens = 4))
+    assert(flagged(11L) == ((1L, 6L, 4L)),
+      s"doc 11: index block flags at any offset, got ${flagged(11L)}")
+    assert(flagged(12L) == ((0L, 0L, 6L)), s"doc 12 unique, got ${flagged(12L)}")
+    assert(flagged(13L) == ((0L, 0L, 7L)),
+      s"doc 13: within-batch repeats are NOT index hits, got ${flagged(13L)}")
+    assert(flagged(14L) == ((0L, 0L, 7L)), s"doc 14: ${flagged(14L)}")
+    // the ingest loop: fold the batch in — a LATER batch now flags E
+    SpanIndex.appendToIndex(spark, "si_spec", batch, batchId = 0L)
+    val later = Seq((21L, s"h1 $blockE h2 h3")).toDF("doc_id", "text")
+    val flagged2 = acct(SpanIndex.flagAgainstIndex(spark, "si_spec", later, minSpanTokens = 4))
+    assert(flagged2(21L) == ((1L, 5L, 3L)),
+      s"doc 21: the index learned batch grams, got ${flagged2(21L)}")
+    // replayed append no-ops against the stamp: doc frequencies stable
+    val before = spark.table("si_spec_counts").agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    SpanIndex.appendToIndex(spark, "si_spec", batch, batchId = 0L)
+    val after = spark.table("si_spec_counts").agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(before == after, "a replayed batch must not inflate gram doc-frequencies")
+  }
+
+  test("flag matches the one-shot operator when the index holds the other half") {
+    val docs = Tables.documents(spark, sfDir)
+    SpanIndex.writeIndex(spark, "si_half", docs.filter(col("doc_id") % 2 === 0), n = 8,
+      buckets = 2)
+    val got = SpanIndex.flagAgainstIndex(spark, "si_half",
+      docs.filter(col("doc_id") % 2 === 1)).collect().map(_.toSeq).toSeq
+    // reference semantics recomputed inline: odd docs' grams that any
+    // even doc contains, through the same public region machinery
+    val evenGrams = TextAnalysis.gramFrame(docs.filter(col("doc_id") % 2 === 0), 8)
+      .select(col("gram_md5")).distinct()
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val hits = TextAnalysis.gramFrame(odd, 8).join(evenGrams, Seq("gram_md5"))
+    val want = TextAnalysis.spanAccounting(odd,
+      TextAnalysis.coalesceRegions(hits, 8, 16)).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming span ingest: flags ride the live index, fold-in is exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "si_stream", empty, n = 3, buckets = 2)
+    val results = scala.collection.mutable.Map.empty[Long, Map[Long, (Long, Long, Long)]]
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipeline.spanIngestStream(
+      ms.toDF().toDF("doc_id", "text"), "si_stream", minSpanTokens = 4) { (flagged, id) =>
+      results(id) = acct(flagged)
+    }.start()
+    try {
+      ms.addData((1L, s"a1 a2 $blockX a3"))
+      q.processAllAvailable()
+      assert(results(0L)(1L) == ((0L, 0L, 9L)), "an empty index flags nothing")
+      ms.addData((2L, s"$blockX b1 b2"))
+      q.processAllAvailable()
+      assert(results(1L)(2L) == ((1L, 6L, 2L)),
+        s"batch 2 must flag against batch 1's folded grams, got ${results(1L)(2L)}")
+    } finally q.stop()
+  }
+}
