@@ -934,6 +934,50 @@ object Oracles {
       | CAST(len(b.toks) - coalesce(q.dup_tokens, 0) AS BIGINT) AS kept_tokens
       |FROM b LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** text_span_flag_apply: the cross-corpus rewrite — the
+    * [[textSpanFlag]] region chain with [[textSpanDedupApply]]'s
+    * positional rewrite tail over the odd-doc batch.
+    */
+  val textSpanFlagApply: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |idx AS (SELECT DISTINCT md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |        FROM (SELECT toks,
+      |                unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |              FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 8)),
+      |b AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1),
+      |g0 AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |       FROM b WHERE len(toks) >= 8),
+      |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |      FROM g0),
+      |p AS (SELECT doc_id, pos FROM g JOIN idx USING (gram_md5)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM p),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+      |      FROM r),
+      |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      |      FROM i GROUP BY doc_id, region),
+      |f AS (SELECT doc_id, span_start, span_end FROM s
+      |      WHERE span_end - span_start + 1 >= 16),
+      |cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM f),
+      |tp AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(len(toks) AS BIGINT))) AS pos FROM b),
+      |tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos+1] AS tk FROM tp),
+      |kept AS (SELECT tok.doc_id, tok.pos, tok.tk
+      |         FROM tok ANTI JOIN cov USING (doc_id, pos)),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |          md5(string_agg(tk, ' ' ORDER BY pos)) AS clean_md5
+      |        FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+      | CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      | coalesce(agg.clean_md5, md5('')) AS clean_md5
+      |FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** text_pack: cumulative-offset packing into 512-token bins —
     * within-group running sums windowed over (source, pack_group),
     * CHAINED by the cumulative per-group totals so bins fill

@@ -390,6 +390,12 @@ object SparkEntry {
         n = 8, buckets = 8)
       SpanIndex.flagAgainstIndex(s, "g_spanidx", docs.filter(col("doc_id") % 2 === 1))
     }),
+    "text_span_flag_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      SpanIndex.writeIndex(s, "g_spanidx2", docs.filter(col("doc_id") % 2 === 0),
+        n = 8, buckets = 8)
+      SpanIndex.applyAgainstIndex(s, "g_spanidx2", docs.filter(col("doc_id") % 2 === 1))
+    }),
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
@@ -541,6 +547,7 @@ object SparkEntry {
     "text_span_dedup" -> Oracles.textSpanDedup,
     "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
     "text_span_flag" -> Oracles.textSpanFlag,
+    "text_span_flag_apply" -> Oracles.textSpanFlagApply,
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,

@@ -75,12 +75,29 @@ object SpanIndex {
     * never matches its own grams.
     */
   def flagAgainstIndex(spark: SparkSession, name: String, batch: DataFrame,
-                       minSpanTokens: Int = 16): DataFrame = {
+                       minSpanTokens: Int = 16): DataFrame =
+    TextAnalysis.spanAccounting(batch, indexRegions(spark, name, batch, minSpanTokens))
+
+  /** The rewrite against the stored corpus — [[flagAgainstIndex]]'s
+    * accounting turned into clean text ([[TextAnalysis.spanDedupApply]]'s
+    * output shape: n_tokens / n_kept / clean_md5), dropping every
+    * token covered by an index-known span. The incremental curation
+    * step: flag, rewrite, THEN fold the batch in.
+    */
+  def applyAgainstIndex(spark: SparkSession, name: String, batch: DataFrame,
+                        minSpanTokens: Int = 16): DataFrame =
+    TextAnalysis.spanRewrite(batch, indexRegions(spark, name, batch, minSpanTokens))
+
+  /** Coverage regions of a batch against the stored gram set — ONE
+    * equi-join (stored side bucketed on the join key) plus the shared
+    * gap-trick coalescing.
+    */
+  private def indexRegions(spark: SparkSession, name: String, batch: DataFrame,
+                           minSpanTokens: Int): DataFrame = {
     val n = gramN(spark, name)
     require(minSpanTokens >= n, s"minSpanTokens ≥ n required, got $minSpanTokens < $n")
     val known = CountTable.read(spark, name).select(col("gram_md5"))
     val hits = TextAnalysis.gramFrame(batch, n).join(known, Seq("gram_md5"))
-    TextAnalysis.spanAccounting(batch,
-      TextAnalysis.coalesceRegions(hits, n, minSpanTokens))
+    TextAnalysis.coalesceRegions(hits, n, minSpanTokens)
   }
 }

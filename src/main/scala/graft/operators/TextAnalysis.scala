@@ -605,8 +605,17 @@ object TextAnalysis {
     * text stages, and the only wide work is [[spanRegions]]' own.
     */
   def spanDedupApply(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                     minSpanTokens: Int = 16): DataFrame = {
-    val regions = spanRegions(docs, n, minDocs, minSpanTokens)
+                     minSpanTokens: Int = 16): DataFrame =
+    spanRewrite(docs, spanRegions(docs, n, minDocs, minSpanTokens))
+
+  /** The shared rewrite tail ([[spanDedupApply]] and
+    * [[SpanIndex.applyAgainstIndex]]): regions collapse to bounded
+    * per-doc interval arrays joined doc-count-sized, the token drop is
+    * a map-side higher-order filter probing the array by position
+    * index — no token-level shuffle or explode.
+    */
+  private[graft] def spanRewrite(docs: DataFrame, regionsFrame: DataFrame): DataFrame = {
+    val regions = regionsFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("regions"))
     val noRegions = array().cast("array<struct<span_start:bigint,span_end:bigint>>")

@@ -46,6 +46,15 @@ class SpanIndexSpec extends SparkSpec {
     SpanIndex.appendToIndex(spark, "si_spec", batch, batchId = 0L)
     val after = spark.table("si_spec_counts").agg(sum(col("n_docs"))).collect()(0).getLong(0)
     assert(before == after, "a replayed batch must not inflate gram doc-frequencies")
+    // the rewrite twin drops exactly the flagged coverage
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val applied = SpanIndex.applyAgainstIndex(spark, "si_spec", later, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toMap
+    assert(applied(21L) == ((3L, md5Hex("h1 h2 h3"))),
+      s"doc 21: the learned block drops from the rewrite, got ${applied(21L)}")
   }
 
   test("flag matches the one-shot operator when the index holds the other half") {
