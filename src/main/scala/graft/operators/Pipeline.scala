@@ -28,8 +28,9 @@ object Pipeline {
              minQualityFs: Long = 5000L,
              lshThresholdFs: Long = 9000L,
              maxRepetitionFs: Long = 9000L,
-             salt: String = "graft#"): DataFrame =
-    curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+             salt: String = "graft#",
+             spanTrimTokens: Int = 0): DataFrame =
+    curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
@@ -46,7 +47,8 @@ object Pipeline {
                  minQualityFs: Long = 5000L,
                  lshThresholdFs: Long = 9000L,
                  maxRepetitionFs: Long = 9000L,
-                 salt: String = "graft#"): DataFrame = {
+                 salt: String = "graft#",
+                 spanTrimTokens: Int = 0): DataFrame = {
     // 1. exact dedup: survivors are each hash group's keep_id
     val keep = Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))
@@ -56,7 +58,17 @@ object Pipeline {
     // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
     // ngramLsh's global sort would only add a sampling double-run)
     val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs)
-    val deduped = Dedup.applyPairs(exactDeduped, nearPairs)
+    val deduped0 = Dedup.applyPairs(exactDeduped, nearPairs)
+
+    // 2b. (opt-in, spanTrimTokens > 0) exact-substring trim: spans
+    // repeated across ≥ 2 SURVIVOR docs and at least spanTrimTokens
+    // long are removed from the text BEFORE scoring — boilerplate the
+    // doc-level dedups can't touch (the C4/RefinedWeb posture: trim
+    // first, then judge quality on what remains). The dropped-token
+    // count rides along as span_dup_tokens provenance.
+    val deduped =
+      if (spanTrimTokens <= 0) deduped0
+      else TextAnalysis.spanTrimmed(deduped0, minSpanTokens = spanTrimTokens)
 
     // 3.+4. quality score, repetition gate, and split tag are pure
     // column adds — all stay inside the survivors' scan, no extra

@@ -614,7 +614,34 @@ object TextAnalysis {
     * a map-side higher-order filter probing the array by position
     * index — no token-level shuffle or explode.
     */
-  private[graft] def spanRewrite(docs: DataFrame, regionsFrame: DataFrame): DataFrame = {
+  private[graft] def spanRewrite(docs: DataFrame, regionsFrame: DataFrame): DataFrame =
+    trimByRegions(docs, regionsFrame)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("_kept"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Docs with corpus-repeated spans REMOVED from `text` (every other
+    * column untouched, plus `span_dup_tokens` counting what was
+    * dropped) — the curation-facing form of [[spanDedupApply]], which
+    * reports digests for the oracle instead. [[Pipeline.curateFull]]'s
+    * opt-in trim stage runs through here.
+    */
+  def spanTrimmed(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                  minSpanTokens: Int = 16): DataFrame =
+    trimByRegions(docs, spanRegions(docs, n, minDocs, minSpanTokens))
+      .withColumn("span_dup_tokens",
+        (size(tokens(col("text"))) - size(col("_kept"))).cast("long"))
+      .withColumn("text", concat_ws(" ", col("_kept")))
+      .drop("_kept")
+
+  /** `docs` plus a `_kept` column of the tokens surviving the
+    * coverage regions — the shared rewrite core: regions collapse to
+    * bounded per-doc interval arrays joined doc-count-sized, the
+    * token drop is a map-side higher-order filter probing the array
+    * by position index (no token-level shuffle or explode).
+    */
+  private def trimByRegions(docs: DataFrame, regionsFrame: DataFrame): DataFrame = {
     val regions = regionsFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("regions"))
@@ -622,14 +649,10 @@ object TextAnalysis {
     val covered = (i: Column) => exists(col("regions"),
       r => i >= r.getField("span_start") && i <= r.getField("span_end"))
     docs.join(regions, Seq("doc_id"), "left")
-      .select(col("doc_id"), tokens(col("text")).as("toks"),
-        coalesce(col("regions"), noRegions).as("regions"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        filter(col("toks"), (_, i) => !covered(i.cast("long"))).as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("kept")).cast("long").as("n_kept"),
-        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
-      .orderBy(col("doc_id"))
+      .withColumn("regions", coalesce(col("regions"), noRegions))
+      .withColumn("_kept",
+        filter(tokens(col("text")), (_, i) => !covered(i.cast("long"))))
+      .drop("regions")
   }
 
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -174,6 +174,35 @@ class PipelineSpec extends SparkSpec {
       "shifted queries must rank shifted-batch vectors as neighbors")
   }
 
+  test("curate span trim: shared boilerplate drops from survivor text, off by default") {
+    import org.apache.spark.sql.functions.col
+    val block = (1 to 20).map(i => s"k$i").mkString(" ")
+    // A and B share the 20-token block at different offsets but are
+    // FAR from near-dups (30 unique tokens each) — doc-level dedup
+    // keeps both; only the span trim can touch the block
+    val d = Seq(
+      (1L, ((1 to 30).map(i => s"a$i").mkString(" ")) + " " + block, "en", "web"),
+      (2L, block + " " + ((1 to 30).map(i => s"b$i").mkString(" ")), "en", "web"),
+      (3L, (1 to 25).map(i => s"c$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val trimmed = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      spanTrimTokens = 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("span_dup_tokens"))).toMap
+    assert(trimmed.keySet == Set(1L, 2L, 3L), "no doc-level dedup applies here")
+    assert(trimmed(1L)._2 == 20L && !trimmed(1L)._1.contains("k1"),
+      s"doc 1's block must drop, got ${trimmed(1L)}")
+    assert(trimmed(2L)._2 == 20L && trimmed(2L)._1.startsWith("b1 "),
+      s"doc 2's leading block must drop, got ${trimmed(2L)}")
+    assert(trimmed(3L)._2 == 0L && trimmed(3L)._1.startsWith("c1 "),
+      s"unique doc untouched, got ${trimmed(3L)}")
+    // default off: text byte-identical, no provenance column
+    val off = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L)
+    assert(!off.columns.contains("span_dup_tokens"))
+    assert(off.filter(col("doc_id") === 1L).collect()(0).getAs[String]("text")
+      .endsWith(" k20"))
+  }
+
   test("maintain-cohort job mode: out-of-order history fires exactly ONE rebuild that reconciles") {
     import graft.operators.Cohort
     val day0 = 86400L * 24000
