@@ -122,6 +122,8 @@ object PipelineJob {
         graft.operators.Similarity.maintainIvfIndex(batch, indexName)
       case "maintain-lsh" =>
         graft.operators.Dedup.maintainNgramLshIndex(batch, indexName)
+      case "maintain-span" =>
+        graft.operators.SpanIndex.maintainIndex(spark, indexName, batch)
       case "maintain-cohort" =>
         graft.operators.Cohort.maintainMatrixTable(spark, indexName, batch,
           readWithTs(spark, historyPath.getOrElse(
@@ -232,10 +234,10 @@ object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "maintain-cohort", "ingest", "vacuum", "sketch-ingest", "vector-ingest")
+      "maintain-span", "maintain-cohort", "ingest", "vacuum", "sketch-ingest", "vector-ingest")
     require(args.length >= 3 && modes(args(0)),
       "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|" +
-        "maintain-cohort|ingest|vacuum|sketch-ingest|vector-ingest " +
+        "maintain-span|maintain-cohort|ingest|vacuum|sketch-ingest|vector-ingest " +
         "<docsPath|table> <outDir|tableName|indexName|keepGenerations> " +
         "[minQualityFs|batchId|historyParquet]")
     val (mode, in, out) = (args(0), args(1), args(2))

@@ -1,78 +1,107 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stored span-gram index — the [[ExactIndex]] posture for the span
   * family: a crawl pipeline dedups INCREMENTALLY, so incoming batches
   * must flag spans repeated against the ACCUMULATED corpus without
   * rescanning it ([[TextAnalysis.spanDedup]] is the one-shot
-  * within-corpus form). The index is the per-gram document-frequency
-  * table — (gram_md5, n_docs) — which is an exact additive count
-  * frame, so it lives in the [[CountTable]] lifecycle verbatim
-  * (bucketed on gram_md5, generation-flipped, batch-id-stamped
-  * exactly-once) plus a one-row `<name>_spanmeta` carrying the gram
-  * size (flag and append must gram at the STORED n; mixed-n grams
-  * never match).
+  * within-corpus form). The index is the DISTINCT gram set —
+  * `<name>_grams` (gram_md5), bucketed — plus a one-row
+  * `<name>_spanmeta` carrying the gram size and bucket count (flag
+  * and append must gram at the STORED n; mixed-n grams never match).
   *
-  * The ingest loop per batch: [[flagAgainstIndex]] (read-only — spans
-  * of batch docs covered by grams ALREADY IN the index), then
-  * [[appendToIndex]] folds the batch's grams in. Append batches must
-  * carry each document exactly once (whole-doc batches — the
-  * [[CountTable]] whole-grain contract applied to docs): per-gram
-  * distinct-doc counts are additive across doc-disjoint batches.
+  * GROWING-table append posture, not the bounded-frame rewrite: the
+  * gram set grows with the corpus (unbounded, unlike the days×models
+  * count tables), so a per-batch generation-flip rewrite would cost
+  * O(index) per append. Instead [[appendToIndex]] anti-joins the
+  * batch's distinct grams against the stored set (bucketed — the
+  * stored side reads shuffle-free) and FILE-APPENDS only the truly
+  * new ones: cost ∝ batch, replays no-op STRUCTURALLY (an absorbed
+  * gram anti-joins away — no batch-id bookkeeping, the
+  * [[ExactIndex.append]] idempotence), and file accumulation is
+  * [[maintainIndex]]'s threshold compaction
+  * ([[Dedup.maintainNgramLshIndex]]'s loop). Flag correctness is
+  * duplicate-tolerant anyway (regions derive from min/max per
+  * coalesced run, so a duplicated hit position changes nothing).
   *
-  * Scale shape: the index is gram-cardinality-bounded (distinct grams,
-  * not gram instances); flag's only new wide work is ONE equi-join of
-  * the batch's positioned grams against the bucketed stored side
-  * (read shuffle-free from the bucket layout) plus the doc-window
-  * coalescing — both batch-sized. Cross-corpus semantics: a gram is
-  * "known" once ANY indexed document contains it (stored n_docs ≥ 1);
-  * the within-batch repetition question stays [[TextAnalysis.spanDedup]]'s.
+  * The ingest loop per batch: [[flagAgainstIndex]] /
+  * [[applyAgainstIndex]] (read-only — spans covered by grams ALREADY
+  * IN the index, so a doc never matches its own grams), then the
+  * append folds the batch in. Cross-corpus semantics: a gram is
+  * "known" once ANY indexed document contains it; the within-batch
+  * repetition question stays [[TextAnalysis.spanDedup]]'s.
   */
 object SpanIndex {
 
-  /** The (gram_md5, n_docs) document-frequency frame of a corpus —
-    * one partial-agg groupBy over the positioned gram fan-out.
+  /** The distinct gram set of a corpus — one partial-agg distinct
+    * over the positioned gram fan-out.
     */
-  private def gramCounts(docs: DataFrame, n: Int): DataFrame =
-    TextAnalysis.gramFrame(docs, n)
-      .groupBy(col("gram_md5"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+  private def gramSet(docs: DataFrame, n: Int): DataFrame =
+    TextAnalysis.gramFrame(docs, n).select(col("gram_md5")).distinct()
 
-  /** Create/overwrite the index from a seed corpus (possibly empty —
-    * a pure-streaming index starts from `docs.limit(0)`).
+  /** Create/replace the index from a seed corpus (possibly empty — a
+    * pure-streaming index starts from `docs.limit(0)`). Replacement
+    * of a compaction-flipped table stages a new generation
+    * ([[graft.sources.Sinks.replaceBucketed]]).
     */
   def writeIndex(spark: SparkSession, name: String, docs: DataFrame,
                  n: Int = 8, buckets: Int = 16): Unit = {
     require(n >= 2, s"need gram size ≥ 2, got $n")
-    CountTable.write(spark, name, gramCounts(docs, n),
-      Seq("gram_md5"), Seq("n_docs"), buckets)
+    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n),
+      s"${name}_grams", Seq("gram_md5"), buckets)
     import spark.implicits._
-    Seq(n).toDF("gram_n").write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
+    Seq((n, buckets)).toDF("gram_n", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
   }
 
-  private def gramN(spark: SparkSession, name: String): Int = {
-    spark.catalog.refreshTable(s"${name}_spanmeta")
+  private def meta(spark: SparkSession, name: String): (Int, Int) = {
     val rows = spark.table(s"${name}_spanmeta").collect()
     require(rows.length == 1, s"span index $name: corrupt meta (${rows.length} rows)")
-    rows(0).getAs[Int]("gram_n")
+    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"))
   }
 
-  /** Fold one doc-disjoint batch of documents in — per-gram doc
-    * frequencies SUM ([[CountTable.append]]'s atomic stamp makes
-    * foreachBatch replays no-op).
+  private def refresh(spark: SparkSession, name: String): Unit =
+    StoredTable.refresh(spark, s"${name}_grams", s"${name}_spanmeta")
+
+  /** Fold one batch of documents in — only grams NOT yet indexed
+    * append (one anti-join against the bucketed stored side + a
+    * file-level bucketed append; cost ∝ batch, never ∝ index), so
+    * redelivered batches no-op without bookkeeping.
     */
-  def appendToIndex(spark: SparkSession, name: String, batch: DataFrame,
-                    batchId: Long = -1L): Unit =
-    CountTable.append(spark, name, gramCounts(batch, gramN(spark, name)), batchId)
+  def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
+    refresh(spark, name)
+    val (n, buckets) = meta(spark, name)
+    gramSet(batch, n)
+      .join(spark.table(s"${name}_grams"), Seq("gram_md5"), "left_anti")
+      .write.mode(SaveMode.Append)
+      .bucketBy(buckets, "gram_md5").sortBy("gram_md5").format("parquet")
+      .saveAsTable(s"${name}_grams")
+  }
+
+  /** ONE ingest-maintenance step: append the batch, then compact the
+    * gram table back to one file per bucket when appends have
+    * fragmented any bucket past `maxFilesPerBucket` (the
+    * [[Dedup.maintainNgramLshIndex]] loop). Returns true iff the
+    * compaction ran.
+    */
+  def maintainIndex(spark: SparkSession, name: String, batch: DataFrame,
+                    maxFilesPerBucket: Int = 16): Boolean = {
+    appendToIndex(spark, name, batch)
+    val (_, buckets) = meta(spark, name)
+    val files = spark.table(s"${name}_grams").inputFiles.length
+    val fires = files > buckets.toLong * maxFilesPerBucket
+    if (fires)
+      graft.sources.Sinks.compactBucketed(spark, s"${name}_grams", Seq("gram_md5"), buckets)
+    fires
+  }
 
   /** Per-doc accounting of the batch's spans already present in the
     * stored corpus — [[TextAnalysis.spanDedup]]'s output shape
     * (n_tokens / n_spans / dup_tokens / kept_tokens), `dup_tokens`
     * counting tokens covered by runs of INDEX-known grams at least
-    * `minSpanTokens` long. Read-only: flag before append, so a doc
-    * never matches its own grams.
+    * `minSpanTokens` long.
     */
   def flagAgainstIndex(spark: SparkSession, name: String, batch: DataFrame,
                        minSpanTokens: Int = 16): DataFrame =
@@ -94,10 +123,11 @@ object SpanIndex {
     */
   private def indexRegions(spark: SparkSession, name: String, batch: DataFrame,
                            minSpanTokens: Int): DataFrame = {
-    val n = gramN(spark, name)
+    refresh(spark, name)
+    val (n, _) = meta(spark, name)
     require(minSpanTokens >= n, s"minSpanTokens ≥ n required, got $minSpanTokens < $n")
-    val known = CountTable.read(spark, name).select(col("gram_md5"))
-    val hits = TextAnalysis.gramFrame(batch, n).join(known, Seq("gram_md5"))
+    val hits = TextAnalysis.gramFrame(batch, n)
+      .join(spark.table(s"${name}_grams"), Seq("gram_md5"))
     TextAnalysis.coalesceRegions(hits, n, minSpanTokens)
   }
 }

@@ -183,10 +183,11 @@ object StreamingPipeline {
     * dedup: each micro-batch is FLAGGED against the live index first
     * (spans repeated vs the corpus so far — read-only, handed to the
     * caller's sink with the batch id) and then folded in, so later
-    * batches see this one's grams. The fold is exactly-once under
-    * replays (the CountTable stamp); the flag re-runs on redelivery —
-    * sinks key on the batch id like every foreachBatch consumer.
-    * Batches must carry whole documents, each exactly once.
+    * batches see this one's grams. The fold no-ops on redelivery
+    * structurally (absorbed grams anti-join away — the ExactIndex
+    * idempotence, no batch-id bookkeeping); the flag re-runs on
+    * redelivery — sinks key on the batch id like every foreachBatch
+    * consumer.
     */
   def spanIngestStream(docs: DataFrame, name: String, minSpanTokens: Int = 16)
                       (sink: (DataFrame, Long) => Unit)
@@ -194,7 +195,7 @@ object StreamingPipeline {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.operators.SpanIndex.flagAgainstIndex(batch.sparkSession, name, batch,
         minSpanTokens), batchId)
-      graft.operators.SpanIndex.appendToIndex(batch.sparkSession, name, batch, batchId)
+      graft.operators.SpanIndex.appendToIndex(batch.sparkSession, name, batch)
     }
 
   def cohortIngestStream(events: DataFrame, name: String)

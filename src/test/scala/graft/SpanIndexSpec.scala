@@ -36,16 +36,21 @@ class SpanIndexSpec extends SparkSpec {
       s"doc 13: within-batch repeats are NOT index hits, got ${flagged(13L)}")
     assert(flagged(14L) == ((0L, 0L, 7L)), s"doc 14: ${flagged(14L)}")
     // the ingest loop: fold the batch in — a LATER batch now flags E
-    SpanIndex.appendToIndex(spark, "si_spec", batch, batchId = 0L)
+    SpanIndex.appendToIndex(spark, "si_spec", batch)
     val later = Seq((21L, s"h1 $blockE h2 h3")).toDF("doc_id", "text")
     val flagged2 = acct(SpanIndex.flagAgainstIndex(spark, "si_spec", later, minSpanTokens = 4))
     assert(flagged2(21L) == ((1L, 5L, 3L)),
       s"doc 21: the index learned batch grams, got ${flagged2(21L)}")
-    // replayed append no-ops against the stamp: doc frequencies stable
-    val before = spark.table("si_spec_counts").agg(sum(col("n_docs"))).collect()(0).getLong(0)
-    SpanIndex.appendToIndex(spark, "si_spec", batch, batchId = 0L)
-    val after = spark.table("si_spec_counts").agg(sum(col("n_docs"))).collect()(0).getLong(0)
-    assert(before == after, "a replayed batch must not inflate gram doc-frequencies")
+    // a replayed append no-ops structurally: absorbed grams anti-join
+    // away, so the gram set neither grows nor duplicates
+    spark.catalog.refreshTable("si_spec_grams")
+    val before = spark.table("si_spec_grams").count()
+    SpanIndex.appendToIndex(spark, "si_spec", batch)
+    spark.catalog.refreshTable("si_spec_grams")
+    assert(spark.table("si_spec_grams").count() == before,
+      "a replayed batch must not grow the gram set")
+    assert(spark.table("si_spec_grams").select("gram_md5").distinct().count() == before,
+      "the gram set must stay duplicate-free")
     // the rewrite twin drops exactly the flagged coverage
     def md5Hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -72,6 +77,27 @@ class SpanIndexSpec extends SparkSpec {
     val want = TextAnalysis.spanAccounting(odd,
       TextAnalysis.coalesceRegions(hits, 8, 16)).collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == want)
+  }
+
+  test("maintain: appends fragment buckets, compaction fires past the threshold and preserves flags") {
+    SpanIndex.writeIndex(spark, "si_maint",
+      Seq((1L, s"m1 m2 $blockX m3")).toDF("doc_id", "text"), n = 3, buckets = 2)
+    // each append lands new files; with maxFilesPerBucket=1 the third
+    // batch must trip compaction back to one file per bucket
+    val fired = (2 to 4).map { k =>
+      SpanIndex.maintainIndex(spark, "si_maint",
+        Seq((k.toLong, s"w${k}a w${k}b w${k}c w${k}d")).toDF("doc_id", "text"),
+        maxFilesPerBucket = 1)
+    }
+    assert(fired.contains(true), s"fragmentation must eventually fire compaction, got $fired")
+    spark.catalog.refreshTable("si_maint_grams")
+    assert(spark.table("si_maint_grams").inputFiles.length <= 2,
+      "compaction must restore one file per bucket")
+    // the compacted index still flags the seeded block
+    val flagged = acct(SpanIndex.flagAgainstIndex(spark, "si_maint",
+      Seq((99L, s"$blockX z1 z2")).toDF("doc_id", "text"), minSpanTokens = 4))
+    assert(flagged(99L)._1 == 1L && flagged(99L)._2 == 6L,
+      s"flag must survive compaction, got ${flagged(99L)}")
   }
 
   test("streaming span ingest: flags ride the live index, fold-in is exactly-once") {
