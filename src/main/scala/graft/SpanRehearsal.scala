@@ -72,6 +72,11 @@ object SpanRehearsal {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the index phase writes managed tables: a stale warehouse dir
+      // from a previous JVM fails saveAsTable with
+      // LOCATION_ALREADY_EXISTS, so each run gets a fresh one
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("span_rehearsal_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,11 +134,44 @@ object SpanRehearsal {
       (0L until 4L).forall(id => got(id) == md5Hex(expClean(id)))
     }
 
-    val allPass = acctOk && applyOk && md5Ok
+    // ---- the stored index path: build on slot 0, flag slot 1 ----------
+    // slot-1 docs carry slot-0's boilerplate at a DIFFERENT offset and
+    // nothing else in common, so every flagged doc reads exactly
+    // (1 span, 16 dup, 32 kept) — the cross-corpus closed form at
+    // D/4 indexed × D/4 flagged docs with ~D/4·40 distinct unique
+    // grams in the stored set
+    val indexOk = timed("index-build") {
+      graft.operators.SpanIndex.writeIndex(spark, "span_rehearsal",
+        docs.filter(col("doc_id") % 4 === 0), n = 8, buckets = 32)
+      true
+    }
+    val flagOk = timed("index-flag") {
+      val got = graft.operators.SpanIndex
+        .flagAgainstIndex(spark, "span_rehearsal", docs.filter(col("doc_id") % 4 === 1))
+        .groupBy(col("n_tokens"), col("n_spans"), col("dup_tokens"), col("kept_tokens"))
+        .count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+        .toMap
+      got == Map((48L, 1L, 16L, 32L) -> d / 4)
+    }
+    val appendOk = timed("index-append") {
+      // fold the unique slot-3 quarter in: the anti-join finds every
+      // gram fresh, the file append lands them, and a REPLAY no-ops
+      val slot3 = docs.filter(col("doc_id") % 4 === 3)
+      graft.operators.SpanIndex.appendToIndex(spark, "span_rehearsal", slot3)
+      spark.catalog.refreshTable("span_rehearsal_grams")
+      val grown = spark.table("span_rehearsal_grams").count()
+      graft.operators.SpanIndex.appendToIndex(spark, "span_rehearsal", slot3)
+      spark.catalog.refreshTable("span_rehearsal_grams")
+      spark.table("span_rehearsal_grams").count() == grown
+    }
+
+    val allPass = acctOk && applyOk && md5Ok && indexOk && flagOk && appendOk
     val phaseJson = phases.map { case (k, s) => s""""$k":${f"$s%.2f"}""" }.mkString("{", ",", "}")
     println(s"""{"rehearsal":"span","docs":$d,"all_checks_pass":$allPass,""" +
       s""""checks":{"accounting_closed_form":$acctOk,"rewrite_invariant":$applyOk,""" +
-      s""""sampled_digests":$md5Ok},"phases":$phaseJson,"cpus":"$cpus"}""")
+      s""""sampled_digests":$md5Ok,"index_flag_closed_form":$flagOk,""" +
+      s""""index_append_replay_noop":$appendOk},"phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
     if (!allPass) sys.exit(1)
   }
