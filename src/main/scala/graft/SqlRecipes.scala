@@ -216,6 +216,42 @@ object SqlRecipes {
       |SELECT d, n_step1, n_step2, n_step3 FROM agg
       |WHERE n_step1 > 0 ORDER BY d""".stripMargin
 
+  /** [[graft.operators.TextAnalysis.spanDedup]] at the engine
+    * defaults (8-gram, ≥2 docs, 16-token min span) — runs against a
+    * `documents(doc_id BIGINT, text STRING)` view instead of
+    * `events`: the gram fan-out, the ≥2-distinct-docs shared set, the
+    * gap-trick region coalescing, and the per-doc accounting are all
+    * plain session SQL (the same plan Catalyst sees from the Column
+    * API — explode is the map-side fan-out, the window and the
+    * (doc, region) aggregate ride one doc_id exchange).
+    */
+  val spanDedup: String =
+    """WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id, toks, explode(sequence(0, size(toks) - 8)) AS pos
+      |       FROM t WHERE size(toks) >= 8),
+      |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(concat_ws(' ', slice(toks, pos + 1, 8))) AS gram_md5
+      |      FROM g0),
+      |sh AS (SELECT gram_md5 FROM g GROUP BY gram_md5
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM g JOIN sh USING (gram_md5)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |             THEN 0L ELSE 1L END AS brk
+      |      FROM p),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS region
+      |      FROM r),
+      |s AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
+      |      FROM i GROUP BY doc_id, region),
+      |q AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+      |      FROM s WHERE span_tokens >= 16 GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(size(t.toks) AS BIGINT) AS n_tokens,
+      | coalesce(q.n_spans, 0L) AS n_spans,
+      | coalesce(q.dup_tokens, 0L) AS dup_tokens,
+      | CAST(size(t.toks) AS BIGINT) - coalesce(q.dup_tokens, 0L) AS kept_tokens
+      |FROM t LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- stored-reader recipes ---------------------------------------------
   // The stored tier's tables are plain catalog tables (`<name>_counts`
   // for the exact additive CountTable lifecycle, `<name>_sketches` for

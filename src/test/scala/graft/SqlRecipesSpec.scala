@@ -97,6 +97,15 @@ class SqlRecipesSpec extends SparkSpec {
       Sketches.retentionFromThetaTable(spark, "sqlr_rt", "d"), "retention")
   }
 
+  test("span dedup recipe ≡ TextAnalysis.spanDedup (over the documents view)") {
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("documents")
+    val sql = spark.sql(SqlRecipes.spanDedup)
+    val df = graft.operators.TextAnalysis.spanDedup(docs)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(rows(sql).nonEmpty && rows(sql) == rows(df))
+  }
+
   test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
     registered
     val attr = spark.sql(SqlRecipes.attributionCredit)
