@@ -934,6 +934,42 @@ object Oracles {
       | CAST(len(b.toks) - coalesce(q.dup_tokens, 0) AS BIGINT) AS kept_tokens
       |FROM b LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** text_span_top: the boilerplate leaderboard — the
+    * [[textSpanDedup]] region chain, each region's covered token
+    * slice recovered and ranked by occurrence count (total order:
+    * count desc, text asc — LIMIT is deterministic on both engines).
+    */
+  val textSpanTop: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |g0 AS (SELECT doc_id, toks,
+      |        unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+      |       FROM t WHERE len(toks) >= 8),
+      |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |        md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gram_md5
+      |      FROM g0),
+      |sh AS (SELECT gram_md5 FROM g GROUP BY gram_md5
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM g JOIN sh USING (gram_md5)),
+      |r AS (SELECT doc_id, pos,
+      |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |             THEN 0 ELSE 1 END AS brk
+      |      FROM p),
+      |i AS (SELECT doc_id, pos,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+      |      FROM r),
+      |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      |      FROM i GROUP BY doc_id, region),
+      |f AS (SELECT doc_id, span_start, span_end FROM s
+      |      WHERE span_end - span_start + 1 >= 16),
+      |x AS (SELECT array_to_string(t.toks[f.span_start+1 : f.span_end+1], ' ') AS span_text,
+      |        f.span_end - f.span_start + 1 AS span_tokens
+      |      FROM f JOIN t USING (doc_id))
+      |SELECT span_text, CAST(span_tokens AS BIGINT) AS span_tokens,
+      | CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM x GROUP BY 1, 2
+      |ORDER BY n_occurrences DESC, span_text LIMIT 20""".stripMargin
+
   /** text_span_flag_apply: the cross-corpus rewrite — the
     * [[textSpanFlag]] region chain with [[textSpanDedupApply]]'s
     * positional rewrite tail over the odd-doc batch.

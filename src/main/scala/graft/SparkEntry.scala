@@ -382,6 +382,7 @@ object SparkEntry {
     "text_span_dedup" -> ((s, dir) => TextAnalysis.spanDedup(Tables.documents(s, dir))),
     "text_span_dedup_apply" -> ((s, dir) =>
       TextAnalysis.spanDedupApply(Tables.documents(s, dir))),
+    "text_span_top" -> ((s, dir) => TextAnalysis.spanTop(Tables.documents(s, dir))),
     // stored span-gram index end-to-end: even docs seed the index,
     // odd docs flag their corpus-repeated spans against it
     "text_span_flag" -> ((s, dir) => {
@@ -547,6 +548,7 @@ object SparkEntry {
     "text_span_dedup" -> Oracles.textSpanDedup,
     "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
     "text_span_flag" -> Oracles.textSpanFlag,
+    "text_span_top" -> Oracles.textSpanTop,
     "text_span_flag_apply" -> Oracles.textSpanFlagApply,
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,

@@ -608,6 +608,37 @@ object TextAnalysis {
                      minSpanTokens: Int = 16): DataFrame =
     spanRewrite(docs, spanRegions(docs, n, minDocs, minSpanTokens))
 
+  /** The boilerplate LEADERBOARD — which spans ARE the corpus's
+    * repeated text: every qualifying coverage region's covered token
+    * string, grouped and ranked by occurrence count (ties broken by
+    * the text — a total order, so top-k is deterministic and
+    * oracle-hashable). The report a curation run reads before picking
+    * [[spanDedup]] thresholds: licence blocks and nav boilerplate
+    * float to the top with their actual text.
+    *
+    * Scale shape: the region frame is the span generator's SMALL
+    * output (qualifying boilerplate regions, not grams); recovering
+    * each region's text is one doc-count-sized join + a map-side
+    * slice, and the groupBy shuffles only (span text, count)
+    * partials — bounded by the distinct-boilerplate population. Note
+    * `n_occurrences` counts region instances (a doc carrying the same
+    * block twice as two disjoint regions counts twice).
+    */
+  def spanTop(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+              minSpanTokens: Int = 16, k: Int = 20): DataFrame = {
+    val regions = spanRegions(docs, n, minDocs, minSpanTokens)
+    regions
+      .join(docs.select(col("doc_id"), tokens(col("text")).as("toks")), Seq("doc_id"))
+      .select(
+        concat_ws(" ", slice(col("toks"), (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int"))).as("span_text"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .groupBy(col("span_text"), col("span_tokens"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("span_text"))
+      .limit(k)
+  }
+
   /** The shared rewrite tail ([[spanDedupApply]] and
     * [[SpanIndex.applyAgainstIndex]]): regions collapse to bounded
     * per-doc interval arrays joined doc-count-sized, the token drop is

@@ -302,6 +302,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fo == Set((0L, md5Hex(""))), s"exact clones fully covered, got $fo")
   }
 
+  test("span top: the boilerplate leaderboard ranks planted blocks by occurrence") {
+    val boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler t1 t2 t3"),
+      (6L, "A B C D x E F G H"),
+      (7L, "A B C D y E F G H"),
+      (8L, "A B C P Q R x1"),
+      (9L, "A B C z P Q R w")).toDF("doc_id", "text")
+    val got = TextAnalysis.spanTop(d, n = 3, minDocs = 2, minSpanTokens = 4)
+      .collect().map(r => (r.getAs[String]("span_text"),
+        r.getAs[Long]("span_tokens"), r.getAs[Long]("n_occurrences"))).toSeq
+    assert(got == Seq(
+      ("A B C D", 4L, 2L), ("E F G H", 4L, 2L), (boiler, 8L, 2L),
+      ("A B C P Q R", 6L, 1L)),
+      s"leaderboard order is (count desc, text asc), got $got")
+  }
+
   test("span rewrite stays inside the region generator's shuffle budget") {
     import org.apache.spark.sql.functions.col
     val df = TextAnalysis.spanDedupApply(Tables.documents(spark, sfDir))
