@@ -116,6 +116,12 @@ object PipelineJob {
     */
   def runMaintain(spark: SparkSession, mode: String, batchPath: String,
                   indexName: String, historyPath: Option[String] = None): Boolean = {
+    // eager: the history frame itself stays lazy (the quiet path never
+    // scans it), but a MISSING path must fail at dispatch — deferred
+    // into the by-name argument it would only surface mid-job on the
+    // first batch whose drift fires a rebuild
+    require(mode != "maintain-cohort" || historyPath.nonEmpty,
+      "maintain-cohort needs <historyParquet> as the 4th argument")
     val batch = readWithTs(spark, batchPath)
     val fired = mode match {
       case "maintain-ivf" =>

@@ -98,6 +98,14 @@ object Cohort {
     * count accumulates in `<name>_drift`, read by [[driftReport]] /
     * [[cohortNeedsRebuild]]. Day-ordered ingest keeps it at 0 and
     * skips the drift write entirely.
+    *
+    * Crash posture: the drift increment commits BEFORE the firstseen
+    * min-merge. A failure between the two replays to an OVERSTATED
+    * counter (the not-yet-lowered stored_d recounts the same users —
+    * at worst an unneeded defensive rebuild); the reverse order would
+    * LOSE the signal permanently — on replay the stored cohort_d is
+    * already lowered, nLowered recomputes as 0, and the stale sketch
+    * cells persist silently past [[cohortNeedsRebuild]].
     */
   def appendToMatrixTable(spark: SparkSession, name: String, batch: DataFrame): Long = {
     spark.catalog.refreshTable(s"${name}_firstseen")
@@ -109,6 +117,9 @@ object Cohort {
         .join(spark.table(s"${name}_firstseen").withColumnRenamed("cohort_d", "stored_d"),
           Seq("user_id"))
         .filter(col("cohort_d") < col("stored_d")).count()
+      // drift FIRST (see crash posture above): overstating on replay
+      // is conservative, understating silently strands stale cells
+      if (n > 0) writeDrift(spark, name, readDrift(spark, name) + n)
       graft.sources.Sinks.rewriteBucketed(spark, s"${name}_firstseen", Seq("user_id"), buckets,
         stored => stored.unionByName(batchFirst)
           .groupBy(col("user_id")).agg(min(col("cohort_d")).as("cohort_d")))
@@ -116,7 +127,6 @@ object Cohort {
     } finally batchFirst.unpersist()
     spark.catalog.refreshTable(s"${name}_firstseen")
     Sketches.appendToThetaTable(spark, name, cohortFrame(spark, name, act))
-    if (nLowered > 0) writeDrift(spark, name, readDrift(spark, name) + nLowered)
     nLowered
   }
 

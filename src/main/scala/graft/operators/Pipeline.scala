@@ -49,6 +49,12 @@ object Pipeline {
                  maxRepetitionFs: Long = 9000L,
                  salt: String = "graft#",
                  spanTrimTokens: Int = 0): DataFrame = {
+    // spanTrimTokens is a minimum span LENGTH and the trim stage
+    // grams at n = 8, which floors the usable threshold — surface
+    // that here by name rather than letting spanRegions throw its
+    // internal "minSpanTokens >= n" from three frames down
+    require(spanTrimTokens <= 0 || spanTrimTokens >= 8,
+      s"spanTrimTokens: pass 0 (trim off) or >= 8 (the 8-gram floor); got $spanTrimTokens")
     // 1. exact dedup: survivors are each hash group's keep_id
     val keep = Dedup.exact(docs)
       .select(col("keep_id").as("doc_id"))

@@ -168,10 +168,16 @@ object Sinks {
                       bucketCols: Seq[String], buckets: Int): Unit =
     if (spark.catalog.tableExists(table)) {
       // the flip keeps the live catalog entry (and its schema): a
-      // replacement may only change DATA, not shape
-      val live = spark.table(table).columns.toSet
-      require(df.columns.toSet == live,
-        s"replaceBucketed $table: schema change ${df.columns.toSet} vs $live")
+      // replacement may only change DATA, not shape — compared by
+      // name AND dataType (a dtype drift passing a name-only check
+      // would leave files disagreeing with the catalog schema and
+      // read back as nulls). Nullability is deliberately excluded:
+      // aggregate rewrites flip it benignly and parquet reads resolve
+      // it per-file.
+      val live = spark.table(table).schema.map(f => (f.name, f.dataType)).toSet
+      val fresh = df.schema.map(f => (f.name, f.dataType)).toSet
+      require(fresh == live,
+        s"replaceBucketed $table: schema change $fresh vs live $live")
       rewriteBucketed(spark, table, bucketCols, buckets, _ => df)
     } else writeBucketed(df, table, bucketCols, buckets, SaveMode.ErrorIfExists)
 

@@ -169,16 +169,6 @@ object StreamingPipeline {
       graft.operators.Sketches.appendToThetaTable(batch.sparkSession, name, batch)
     }
 
-  /** The cohort-matrix ingest twin — raw events fold into the
-    * first-seen companion (min-merge, idempotent) and the theta cells
-    * (insertion-idempotent), so day-ordered ingest reproduces the
-    * batch triangle exactly and a redelivered micro-batch no-ops end
-    * to end — no batch-id bookkeeping, like the theta/HLL twins.
-    * Out-of-order EARLIER first appearances accumulate in the drift
-    * counter instead of silently skewing cells; poll
-    * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
-    * and reconcile via `rebuildMatrixTable` when it fires.
-    */
   /** The span-index ingest twin — the crawl loop for exact-substring
     * dedup: each micro-batch is FLAGGED against the live index first
     * (spans repeated vs the corpus so far — read-only, handed to the
@@ -198,6 +188,16 @@ object StreamingPipeline {
       graft.operators.SpanIndex.appendToIndex(batch.sparkSession, name, batch)
     }
 
+  /** The cohort-matrix ingest twin — raw events fold into the
+    * first-seen companion (min-merge, idempotent) and the theta cells
+    * (insertion-idempotent), so day-ordered ingest reproduces the
+    * batch triangle exactly and a redelivered micro-batch no-ops end
+    * to end — no batch-id bookkeeping, like the theta/HLL twins.
+    * Out-of-order EARLIER first appearances accumulate in the drift
+    * counter instead of silently skewing cells; poll
+    * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
+    * and reconcile via `rebuildMatrixTable` when it fires.
+    */
   def cohortIngestStream(events: DataFrame, name: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

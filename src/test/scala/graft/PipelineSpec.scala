@@ -535,4 +535,19 @@ class PipelineSpec extends SparkSpec {
       s"near-dup of the new text + exact of the retired text must both drop, got $r3")
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS ingc_$t"))
   }
+  test("curateFull names the spanTrimTokens 8-gram floor; maintain-cohort fails eagerly without history") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.curateFull(d, spanTrimTokens = 5)
+    }
+    assert(e.getMessage.contains("spanTrimTokens") && e.getMessage.contains("8"),
+      s"the floor must be surfaced by parameter name, got: ${e.getMessage}")
+    // a missing history path must die at dispatch, not mid-job on the
+    // first drift-fired rebuild
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineJob.runMaintain(spark, "maintain-cohort", "/nonexistent", "cohm_eager")
+    }
+    assert(e2.getMessage.contains("historyParquet"))
+  }
 }

@@ -560,4 +560,22 @@ class SourcesSpec extends SparkSpec {
       s"windowed vacuum must keep live+1, found ${gensOnDisk().mkString(",")}")
     assert(spark.table("flip_spec").count() == n, "the live table must survive every vacuum")
   }
+  test("replaceBucketed rejects a dtype drift even when column names match") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    Sinks.writeBucketed(Seq((1L, 10L)).toDF("k", "v"), "dtype_guard_spec", Seq("k"), 4,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // same names, v re-typed long -> string: a name-only check passes
+    // this, and the generation flip (SET LOCATION) would leave files
+    // disagreeing with the live catalog schema
+    val drifted = Seq((1L, "10")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.replaceBucketed(spark, drifted, "dtype_guard_spec", Seq("k"), 4)
+    }
+    assert(e.getMessage.contains("schema change"))
+    // same shape passes and replaces the data
+    Sinks.replaceBucketed(spark, Seq((2L, 20L)).toDF("k", "v"), "dtype_guard_spec", Seq("k"), 4)
+    assert(spark.table("dtype_guard_spec").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((2L, 20L)))
+  }
 }
