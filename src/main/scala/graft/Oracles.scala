@@ -394,6 +394,18 @@ object Oracles {
     """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
+  /** dedup_exact_canon: the normalize-then-hash form — digest over
+    * [[graft.functions.TextFunctions.canonicalText]]'s DuckDB twin
+    * (lower + ASCII-class collapse + trim), so case/punctuation
+    * variants of a document land in one hash group. The expression is
+    * the documented cross-engine contract; the gate hash proves the
+    * two engines canonicalize byte-identically over the corpus.
+    */
+  val dedupExactCanon: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+      | count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
   val dedupNgramJaccard: String =
     """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
       |             list_distinct(string_split(text,' ')) AS toks FROM documents)
@@ -850,6 +862,22 @@ object Oracles {
       | CAST(coalesce(q.dup_tokens, 0) AS BIGINT) AS dup_tokens,
       | CAST(len(t.toks) - coalesce(q.dup_tokens, 0) AS BIGINT) AS kept_tokens
       |FROM t LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** text_span_dedup_canon: [[textSpanDedup]] with the corpus first
+    * folded through [[graft.functions.TextFunctions.canonicalText]]'s
+    * DuckDB twin — built mechanically from the raw oracle by swapping
+    * ONLY the tokenizing CTE, so the two formulations can never drift
+    * apart. Token counts and span coordinates live in the CANONICAL
+    * stream, matching TextAnalysis.spanDedup(canonical = true).
+    */
+  val textSpanDedupCanon: String = {
+    val swapped = textSpanDedup.replace(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),",
+      "WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), " +
+        "'[^a-z0-9]+', ' ', 'g')),' ') AS toks FROM documents),")
+    require(swapped != textSpanDedup, "canon CTE swap must apply")
+    swapped
+  }
 
   /** text_span_dedup_apply: the span rewrite — same gram/region CTE
     * chain as [[textSpanDedup]], then covered positions exploded from

@@ -237,6 +237,8 @@ object SparkEntry {
 
     // ---- C-suite: LLM-data pipeline ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_exact_canon" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), canonical = true)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
@@ -380,6 +382,8 @@ object SparkEntry {
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(Tables.documents(s, dir))),
     "text_passage_dedup" -> ((s, dir) => TextAnalysis.passageDedup(Tables.documents(s, dir))),
     "text_span_dedup" -> ((s, dir) => TextAnalysis.spanDedup(Tables.documents(s, dir))),
+    "text_span_dedup_canon" -> ((s, dir) =>
+      TextAnalysis.spanDedup(Tables.documents(s, dir), canonical = true)),
     "text_span_dedup_apply" -> ((s, dir) =>
       TextAnalysis.spanDedupApply(Tables.documents(s, dir))),
     "text_span_top" -> ((s, dir) => TextAnalysis.spanTop(Tables.documents(s, dir))),
@@ -526,6 +530,7 @@ object SparkEntry {
     "feature_scale" -> Oracles.featureScale,
     "embed_outliers" -> Oracles.embedOutliers,
     "dedup_exact" -> Oracles.dedupExact,
+    "dedup_exact_canon" -> Oracles.dedupExactCanon,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_embed_cosine" -> Oracles.dedupEmbedCosine,
     "dedup_semantic" -> Oracles.dedupSemantic,
@@ -546,6 +551,7 @@ object SparkEntry {
     "text_chunk" -> Oracles.textChunk,
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_span_dedup" -> Oracles.textSpanDedup,
+    "text_span_dedup_canon" -> Oracles.textSpanDedupCanon,
     "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
     "text_span_flag" -> Oracles.textSpanFlag,
     "text_span_top" -> Oracles.textSpanTop,

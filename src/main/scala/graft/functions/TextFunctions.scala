@@ -17,6 +17,30 @@ object TextFunctions {
   /** Whitespace tokens (single-space corpus; split keeps it exact). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text for dedup KEYING — the normalization production
+    * corpus dedup applies before hashing/gramming (Lee et al. 2022,
+    * C4/CCNet): case-fold, then every run of characters outside
+    * [a-z0-9] collapses to ONE space, trimmed. "The  Licence—Block,
+    * v2.0!" and "the licence block v2 0" key identically, so
+    * case/punctuation variants of the same boilerplate stop defeating
+    * exact-substring and digest matching. Offered as an OPT-IN
+    * parameter by the gram/digest families ([[graft.operators
+    * .TextAnalysis.spanDedup]], [[graft.operators.SpanIndex]],
+    * [[graft.operators.TextAnalysis.passageDedup]], [[graft.operators
+    * .Dedup.exact]], [[graft.operators.TextAnalysis.contamination]]) —
+    * the canonical stream is a KEY domain, not a display form.
+    *
+    * Cross-engine contract: the DuckDB twin is
+    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))` —
+    * the character class is pure ASCII so RE2 and Java regex agree
+    * exactly; non-ASCII letters are STRIPPED, not transliterated
+    * (both engines' `lower` maps the two scripts-to-ASCII edge cases
+    * U+0130 → i and U+212A → k identically — spec-pinned; anything
+    * else non-ASCII dies in the character class on both sides).
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Distinct token set (order preserved by first occurrence). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

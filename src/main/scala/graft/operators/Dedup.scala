@@ -122,11 +122,20 @@ object Dedup {
   /** Exact dedup via content hash: one hash-partitioned groupBy, the
     * cheapest possible shuffle (key = 32-byte digest, payload = count
     * + min id). `keep_id` = lowest doc_id is the canonical survivor.
+    * `canonical = true` digests [[graft.functions.TextFunctions
+    * .canonicalText]] instead of the raw text, so case/punctuation
+    * variants of the same document collapse into one hash group (the
+    * production normalize-then-hash posture — same scan-speed plan,
+    * the fold rides the projection feeding the groupBy).
     */
-  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("h"))
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+            canonical: Boolean = false): DataFrame = {
+    val key = if (canonical) graft.functions.TextFunctions.canonicalText(col(textCol))
+              else col(textCol)
+    docs.groupBy(md5(key).as("h"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
       .orderBy(col("h"))
+  }
 
   /** MinHash + LSH banding. Signature: `perms` min-hashes over word
     * shingles (unigrams by default — the corpus-appropriate shingle

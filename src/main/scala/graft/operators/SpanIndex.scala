@@ -36,30 +36,39 @@ import org.apache.spark.sql.functions._
 object SpanIndex {
 
   /** The distinct gram set of a corpus — one partial-agg distinct
-    * over the positioned gram fan-out.
+    * over the positioned gram fan-out (canonical-keyed when the index
+    * was written that way).
     */
-  private def gramSet(docs: DataFrame, n: Int): DataFrame =
-    TextAnalysis.gramFrame(docs, n).select(col("gram_md5")).distinct()
+  private def gramSet(docs: DataFrame, n: Int, canonical: Boolean): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeCanon(docs, canonical), n)
+      .select(col("gram_md5")).distinct()
 
   /** Create/replace the index from a seed corpus (possibly empty — a
     * pure-streaming index starts from `docs.limit(0)`). Replacement
     * of a compaction-flipped table stages a new generation
-    * ([[graft.sources.Sinks.replaceBucketed]]).
+    * ([[graft.sources.Sinks.replaceBucketed]]). `canonical` is an
+    * INDEX property, not a per-call choice: it rides the meta so
+    * append/flag/apply always gram in the same key domain — a
+    * raw-keyed probe of a canonical index (or vice versa) would
+    * silently never match.
     */
   def writeIndex(spark: SparkSession, name: String, docs: DataFrame,
-                 n: Int = 8, buckets: Int = 16): Unit = {
+                 n: Int = 8, buckets: Int = 16, canonical: Boolean = false): Unit = {
     require(n >= 2, s"need gram size ≥ 2, got $n")
-    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n),
+    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical),
       s"${name}_grams", Seq("gram_md5"), buckets)
     import spark.implicits._
-    Seq((n, buckets)).toDF("gram_n", "buckets")
+    Seq((n, buckets, canonical)).toDF("gram_n", "buckets", "canon")
       .write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
   }
 
-  private def meta(spark: SparkSession, name: String): (Int, Int) = {
-    val rows = spark.table(s"${name}_spanmeta").collect()
+  private def meta(spark: SparkSession, name: String): (Int, Int, Boolean) = {
+    val df = spark.table(s"${name}_spanmeta")
+    val rows = df.collect()
     require(rows.length == 1, s"span index $name: corrupt meta (${rows.length} rows)")
-    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"))
+    // legacy metas (pre-canonical) decode as raw-keyed
+    val canon = df.columns.contains("canon") && rows(0).getAs[Boolean]("canon")
+    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon)
   }
 
   private def refresh(spark: SparkSession, name: String): Unit =
@@ -72,8 +81,8 @@ object SpanIndex {
     */
   def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
     refresh(spark, name)
-    val (n, buckets) = meta(spark, name)
-    gramSet(batch, n)
+    val (n, buckets, canon) = meta(spark, name)
+    gramSet(batch, n, canon)
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"), "left_anti")
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "gram_md5").sortBy("gram_md5").format("parquet")
@@ -89,7 +98,7 @@ object SpanIndex {
   def maintainIndex(spark: SparkSession, name: String, batch: DataFrame,
                     maxFilesPerBucket: Int = 16): Boolean = {
     appendToIndex(spark, name, batch)
-    val (_, buckets) = meta(spark, name)
+    val (_, buckets, _) = meta(spark, name)
     val files = spark.table(s"${name}_grams").inputFiles.length
     val fires = files > buckets.toLong * maxFilesPerBucket
     if (fires)
@@ -101,33 +110,46 @@ object SpanIndex {
     * stored corpus — [[TextAnalysis.spanDedup]]'s output shape
     * (n_tokens / n_spans / dup_tokens / kept_tokens), `dup_tokens`
     * counting tokens covered by runs of INDEX-known grams at least
-    * `minSpanTokens` long.
+    * `minSpanTokens` long. On a canonical index the whole frame —
+    * token counts included — lives in the canonical stream (regions
+    * are canonical-coordinate intervals; mixing them with raw token
+    * counts would mis-account).
     */
   def flagAgainstIndex(spark: SparkSession, name: String, batch: DataFrame,
-                       minSpanTokens: Int = 16): DataFrame =
-    TextAnalysis.spanAccounting(batch, indexRegions(spark, name, batch, minSpanTokens))
+                       minSpanTokens: Int = 16): DataFrame = {
+    val (b, regions) = batchRegions(spark, name, batch, minSpanTokens)
+    TextAnalysis.spanAccounting(b, regions)
+  }
 
   /** The rewrite against the stored corpus — [[flagAgainstIndex]]'s
     * accounting turned into clean text ([[TextAnalysis.spanDedupApply]]'s
     * output shape: n_tokens / n_kept / clean_md5), dropping every
     * token covered by an index-known span. The incremental curation
-    * step: flag, rewrite, THEN fold the batch in.
+    * step: flag, rewrite, THEN fold the batch in. On a canonical
+    * index the rewrite ships the canonical stream (the C4/RefinedWeb
+    * posture: the normalized text is what the pipeline dedups and
+    * ships).
     */
   def applyAgainstIndex(spark: SparkSession, name: String, batch: DataFrame,
-                        minSpanTokens: Int = 16): DataFrame =
-    TextAnalysis.spanRewrite(batch, indexRegions(spark, name, batch, minSpanTokens))
+                        minSpanTokens: Int = 16): DataFrame = {
+    val (b, regions) = batchRegions(spark, name, batch, minSpanTokens)
+    TextAnalysis.spanRewrite(b, regions)
+  }
 
   /** Coverage regions of a batch against the stored gram set — ONE
     * equi-join (stored side bucketed on the join key) plus the shared
-    * gap-trick coalescing.
+    * gap-trick coalescing. Returns the batch in the index's key
+    * domain alongside, so accounting/rewrite tails stay coordinate-
+    * consistent with the regions.
     */
-  private def indexRegions(spark: SparkSession, name: String, batch: DataFrame,
-                           minSpanTokens: Int): DataFrame = {
+  private def batchRegions(spark: SparkSession, name: String, batch: DataFrame,
+                           minSpanTokens: Int): (DataFrame, DataFrame) = {
     refresh(spark, name)
-    val (n, _) = meta(spark, name)
+    val (n, _, canon) = meta(spark, name)
     require(minSpanTokens >= n, s"minSpanTokens ≥ n required, got $minSpanTokens < $n")
-    val hits = TextAnalysis.gramFrame(batch, n)
+    val b = TextAnalysis.maybeCanon(batch, canon)
+    val hits = TextAnalysis.gramFrame(b, n)
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"))
-    TextAnalysis.coalesceRegions(hits, n, minSpanTokens)
+    (b, TextAnalysis.coalesceRegions(hits, n, minSpanTokens))
   }
 }

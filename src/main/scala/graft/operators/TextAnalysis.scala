@@ -82,11 +82,14 @@ object TextAnalysis {
     * partial-agg groupBy on doc_id. No corpus text ever shuffles;
     * cost is linear in corpus grams at any scale.
     */
-  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                    canonical: Boolean = false): DataFrame = {
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val exploded = Par.spread(docs).select(col("doc_id"), explode(grams).as("gram"))
+    val exploded = Par.spread(maybeCanon(docs, canonical))
+      .select(col("doc_id"), explode(grams).as("gram"))
     val benchGrams = broadcast(
-      bench.select(explode(grams).as("gram")).distinct().withColumn("hit", lit(1)))
+      maybeCanon(bench, canonical)
+        .select(explode(grams).as("gram")).distinct().withColumn("hit", lit(1)))
     exploded.join(benchGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
@@ -463,9 +466,9 @@ object TextAnalysis {
     * as [[packByWindow]]'s and is persisted the same scoped way.
     */
   def passageDedup(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
-                   minDocs: Int = 2): DataFrame = {
+                   minDocs: Int = 2, canonical: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"boilerplate needs at least 2 docs, got $minDocs")
-    val chunks = chunkPieces(docs, chunkTokens, strideTokens)
+    val chunks = chunkPieces(maybeCanon(docs, canonical), chunkTokens, strideTokens)
       .select(col("doc_id"), col("n_chunk_tokens"), col("chunk_md5")).persist()
     val boiler = chunks.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -513,8 +516,22 @@ object TextAnalysis {
     * persisted slim and scope-released like [[passageDedup]]'s.
     */
   def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                minSpanTokens: Int = 16): DataFrame =
-    spanAccounting(docs, spanRegions(docs, n, minDocs, minSpanTokens))
+                minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
+    val d = maybeCanon(docs, canonical)
+    spanAccounting(d, spanRegions(d, n, minDocs, minSpanTokens))
+  }
+
+  /** Opt-in canonical keying for the gram/digest families: `text`
+    * replaced by [[graft.functions.TextFunctions.canonicalText]]
+    * (case-fold + non-alnum collapse), so case/punctuation variants
+    * of the same boilerplate key identically. Downstream token
+    * positions, counts, and rewrites then live in the CANONICAL
+    * stream — the C4/RefinedWeb posture, where the normalized text IS
+    * what the pipeline dedups and ships.
+    */
+  private[operators] def maybeCanon(docs: DataFrame, canonical: Boolean): DataFrame =
+    if (canonical) docs.withColumn("text", graft.functions.TextFunctions.canonicalText(col("text")))
+    else docs
 
   /** The qualifying repeated-span coverage regions both span keys
     * derive from: (doc_id, span_start, span_end) token intervals,
@@ -605,8 +622,10 @@ object TextAnalysis {
     * text stages, and the only wide work is [[spanRegions]]' own.
     */
   def spanDedupApply(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                     minSpanTokens: Int = 16): DataFrame =
-    spanRewrite(docs, spanRegions(docs, n, minDocs, minSpanTokens))
+                     minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
+    val d = maybeCanon(docs, canonical)
+    spanRewrite(d, spanRegions(d, n, minDocs, minSpanTokens))
+  }
 
   /** The boilerplate LEADERBOARD — which spans ARE the corpus's
     * repeated text: every qualifying coverage region's covered token
@@ -624,8 +643,10 @@ object TextAnalysis {
     * `n_occurrences` counts region instances (a doc carrying the same
     * block twice as two disjoint regions counts twice).
     */
-  def spanTop(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-              minSpanTokens: Int = 16, k: Int = 20): DataFrame = {
+  def spanTop(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
+              minSpanTokens: Int = 16, k: Int = 20,
+              canonical: Boolean = false): DataFrame = {
+    val docs = maybeCanon(docs0, canonical)
     val regions = spanRegions(docs, n, minDocs, minSpanTokens)
     regions
       .join(docs.select(col("doc_id"), tokens(col("text")).as("toks")), Seq("doc_id"))
@@ -658,13 +679,15 @@ object TextAnalysis {
     * reports digests for the oracle instead. [[Pipeline.curateFull]]'s
     * opt-in trim stage runs through here.
     */
-  def spanTrimmed(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                  minSpanTokens: Int = 16): DataFrame =
+  def spanTrimmed(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
+                  minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
+    val docs = maybeCanon(docs0, canonical)
     trimByRegions(docs, spanRegions(docs, n, minDocs, minSpanTokens))
       .withColumn("span_dup_tokens",
         (size(tokens(col("text"))) - size(col("_kept"))).cast("long"))
       .withColumn("text", concat_ws(" ", col("_kept")))
       .drop("_kept")
+  }
 
   /** `docs` plus a `_kept` column of the tokens surviving the
     * coverage regions — the shared rewrite core: regions collapse to

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exact dedup canonical: case/punct variants collapse into one hash group") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO... (world)"),
+      (4L, "a genuinely different doc")).toDF("doc_id", "text")
+    val raw = Dedup.exact(d).collect()
+    assert(raw.length == 4 && raw.forall(_.getAs[Long]("n_dups") == 1L),
+      "raw digests must all differ")
+    val canon = Dedup.exact(d, canonical = true).collect()
+    assert(canon.length == 2, s"canonical must leave 2 groups, got ${canon.length}")
+    val grp = canon.find(_.getAs[Long]("n_dups") == 3L).get
+    assert(grp.getAs[Long]("keep_id") == 1L, "lowest id survives the collapsed group")
+  }
+
   test("minhash-LSH finds the exact and near dup pairs, not the unrelated doc") {
     // 8 bands × 4 rows: high collision probability for the J=0.667 toy pair
     val pairs = Dedup.minhashLsh(docs, bands = 8, minJaccardFs = 5000L).collect()

@@ -120,4 +120,37 @@ class SpanIndexSpec extends SparkSpec {
         s"batch 2 must flag against batch 1's folded grams, got ${results(1L)(2L)}")
     } finally q.stop()
   }
+test("canonical index: variant boilerplate flags cross-corpus; legacy meta decodes raw") {
+    val block = "this program is free software you can redistribute it"
+    val blockVar = "This Program IS (free) Software; you CAN redistribute\u2014it"
+    val seed = Seq((2L, s"s1 s2 $block s3")).toDF("doc_id", "text")
+    val batch = Seq((11L, s"b1 $blockVar b2"), (13L, "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text")
+    // raw index: the variant's grams never match
+    SpanIndex.writeIndex(spark, "si_raw", seed, n = 3, buckets = 2)
+    val raw = SpanIndex.flagAgainstIndex(spark, "si_raw", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(raw.values.forall(_ == 0L), s"raw keying must miss the variant, got $raw")
+    // canonical index: the key domain rides the meta — flag canonicalizes
+    // the batch automatically and the variant's block is caught
+    SpanIndex.writeIndex(spark, "si_canon", seed, n = 3, buckets = 2, canonical = true)
+    val canon = SpanIndex.flagAgainstIndex(spark, "si_canon", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(canon(11L) == ((11L, 9L)),
+      s"canonical index must catch the varied block (canonical coordinates), got ${canon(11L)}")
+    assert(canon(13L) == ((8L, 0L)), s"unrelated doc untouched, got ${canon(13L)}")
+    // the append path stays in the index's key domain: folding the
+    // batch in and re-flagging a SECOND variant of the same block hits
+    SpanIndex.appendToIndex(spark, "si_canon", batch)
+    val batch2 = Seq((21L, "c1 THIS program is FREE software? you can REDISTRIBUTE it c2"))
+      .toDF("doc_id", "text")
+    val again = SpanIndex.flagAgainstIndex(spark, "si_canon", batch2, minSpanTokens = 4)
+      .collect()(0).getAs[Long]("dup_tokens")
+    assert(again == 9L, s"appended grams stay canonical-keyed, got $again")
+    // a pre-canonical (2-column) meta decodes as raw-keyed instead of failing
+    Seq((3, 2)).toDF("gram_n", "buckets").write.mode("overwrite").saveAsTable("si_raw_spanmeta")
+    val legacy = SpanIndex.flagAgainstIndex(spark, "si_raw", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(legacy.values.forall(_ == 0L), s"legacy meta keys raw, got $legacy")
+  }
 }

@@ -441,4 +441,77 @@ class TextAnalysisSpec extends SparkSpec {
     val binsUsed = layout(sparse).map(_._1).distinct.size
     assert(binsUsed * 2 < 40, s"bins must hold multiple docs, got $binsUsed bins for 40 docs")
   }
+
+  test("canonicalText: cross-engine contract pinned, including the scripts-to-ascii edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.canonicalText
+    val in = Seq("The  LICENSE\u2014Block, v2.0!", "tab\there\nnewline", "",
+      "Caf\u00e9 \u00dcn\u00efcode STRA\u00dfE", "a-b_c.d", "  lead trail  ",
+      "\u0130", "\u212a").toDF("text")
+    val got = in.select(canonicalText(col("text"))).collect().map(_.getString(0)).toSeq
+    // expected strings computed with the documented DuckDB twin:
+    // trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) —
+    // non-ascii letters strip; U+0130 lowers INTO 'i' (via i +
+    // combining dot on the JVM, the mark then dies in the class) and
+    // U+212A into 'k' on both engines
+    assert(got == Seq("the license block v2 0", "tab here newline", "",
+      "caf n code stra e", "a b c d", "lead trail", "i", "k"), s"got $got")
+  }
+
+  test("span dedup canonical: a case/punct-varied licence block is caught that raw keying misses") {
+    import spark.implicits._
+    val block = "this program is free software you can redistribute it"
+    val blockVar = "This Program IS (free) Software; you CAN redistribute\u2014it"
+    val d = Seq(
+      (1L, s"aaa bbb $block ccc"),
+      (2L, s"xxx $blockVar yyy"),
+      (3L, "zzz nothing shared here at all qqq rrr")).toDF("doc_id", "text")
+    def shape(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"))).toMap
+    val raw = shape(TextAnalysis.spanDedup(d, n = 3, minDocs = 2, minSpanTokens = 4))
+    assert(raw.values.forall(_._2 == 0L),
+      s"raw 3-grams of the variants must NEVER match (case/punct differ), got $raw")
+    val canon = shape(TextAnalysis.spanDedup(d, n = 3, minDocs = 2, minSpanTokens = 4,
+      canonical = true))
+    assert(canon(1L) == ((12L, 1L, 9L)), s"doc 1: canonical block caught, got ${canon(1L)}")
+    assert(canon(2L) == ((11L, 1L, 9L)),
+      s"doc 2: the VARIED block keys identically in the canonical stream, got ${canon(2L)}")
+    assert(canon(3L) == ((8L, 0L, 0L)), s"doc 3 untouched, got ${canon(3L)}")
+    // the rewrite and leaderboard ride the same opt-in
+    val applied = TextAnalysis.spanDedupApply(d, n = 3, minDocs = 2, minSpanTokens = 4,
+      canonical = true).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(applied(1L) == 3L && applied(2L) == 2L, s"canonical rewrite drops the block, got $applied")
+    val top = TextAnalysis.spanTop(d, n = 3, minDocs = 2, minSpanTokens = 4, k = 5,
+      canonical = true).collect()
+    assert(top.length == 1 && top(0).getAs[String]("span_text") == block &&
+      top(0).getAs[Long]("n_occurrences") == 2L,
+      s"leaderboard surfaces the CANONICAL block text, got ${top.mkString(";")}")
+  }
+
+  test("passage dedup and contamination honor the canonical opt-in") {
+    import spark.implicits._
+    val chunkTxt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, chunkTxt),
+      (2L, chunkTxt.toUpperCase + "!"),
+      (3L, (1 to 8).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val rawP = TextAnalysis.passageDedup(d, chunkTokens = 8, strideTokens = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boilerplate")).toMap
+    assert(rawP.values.forall(_ == 0L), s"raw chunks differ by case, got $rawP")
+    val canonP = TextAnalysis.passageDedup(d, chunkTokens = 8, strideTokens = 8, minDocs = 2,
+      canonical = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boilerplate")).toMap
+    assert(canonP(1L) == 1L && canonP(2L) == 1L && canonP(3L) == 0L,
+      s"canonical chunks collapse the case variant, got $canonP")
+    val bench = Seq((100L, "w1 w2 w3")).toDF("doc_id", "text")
+    val docs2 = Seq((1L, "W1, W2... W3!")).toDF("doc_id", "text")
+    val rawC = TextAnalysis.contamination(docs2, bench, n = 3)
+      .collect()(0).getAs[Long]("n_hit")
+    val canonC = TextAnalysis.contamination(docs2, bench, n = 3, canonical = true)
+      .collect()(0).getAs[Long]("n_hit")
+    assert(rawC == 0L && canonC == 1L,
+      s"canonical contamination catches the punct-varied quote, got raw=$rawC canon=$canonC")
+  }
 }
