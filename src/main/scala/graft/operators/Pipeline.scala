@@ -213,7 +213,12 @@ object Pipeline {
     *      pays one LSH-index rewrite + one corpus rewrite per batch
     *      (zero shuffle, but I/O ∝ store size) — batch changed-doc
     *      application at a cadence where that amortizes; report-only
-    *      remains the per-batch default;
+    *      remains the per-batch default. With `spanIndex = Some(ix)`
+    *      an exact-substring gram index ([[SpanIndex]]) becomes a
+    *      FOURTH managed store: changed docs' grams retract here too
+    *      ([[SpanIndex.deleteFromIndex]] — without it the index keeps
+    *      flagging against retired text forever) and the accepted set
+    *      folds in at step 4 ([[SpanIndex.maintainIndex]]);
     *   2. [[ExactIndex.flagAgainstIndex]] vs `<name>_exact`:
     *      bloom-accelerated exact content dedup — a re-crawled text
     *      under a NEW doc_id drops here;
@@ -245,7 +250,8 @@ object Pipeline {
   def ingest(batch: DataFrame, name: String,
              lshThresholdFs: Long = 9000L,
              maxFilesPerBucket: Int = 4,
-             applyChanged: Boolean = false): IngestReport = {
+             applyChanged: Boolean = false,
+             spanIndex: Option[String] = None): IngestReport = {
     val spark = batch.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = spark.table(s"${name}_corpus")
@@ -272,8 +278,12 @@ object Pipeline {
     if (applyChanged && nChanged > 0) {
       // retract the stale rows so the changed content re-enters the
       // add pipeline: LSH index rows + corpus rows (both zero-shuffle
-      // per-bucket rewrites); exact digests stay — content history
+      // per-bucket rewrites); exact digests stay — content history.
+      // A span index maintained alongside retracts in the same step —
+      // leaving it out would keep flagging against the RETIRED text's
+      // grams forever (SpanIndex.deleteFromIndex's whole point)
       Dedup.deleteFromNgramLshIndex(spark, s"${name}_lsh", changedIds)
+      spanIndex.foreach(SpanIndex.deleteFromIndex(spark, _, changedIds))
       graft.sources.Sinks.rewriteBucketed(spark, s"${name}_corpus", Seq("doc_id"),
         corpusBuckets, df => df.join(broadcast(changedIds), Seq("doc_id"), "left_anti"))
     }
@@ -299,6 +309,8 @@ object Pipeline {
       graft.sources.Sinks.writeBucketed(
         accepted.select(corpusCols.map(col): _*),
         s"${name}_corpus", "doc_id", corpusBuckets, org.apache.spark.sql.SaveMode.Append)
+      // symmetric fold-in: the span index sees exactly the accepted set
+      spanIndex.foreach(SpanIndex.maintainIndex(spark, _, accepted))
     }
     IngestReport(nBatch, nBatch - nChanged - nAdded, nChanged, nAdded, nChangedApplied,
       nAdded + nChangedApplied - nNovel, nNovel - nAccepted, nAccepted, compacted)

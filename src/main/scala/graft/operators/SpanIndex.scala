@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   * append folds the batch in. Cross-corpus semantics: a gram is
   * "known" once ANY indexed document contains it; the within-batch
   * repetition question stays [[TextAnalysis.spanDedup]]'s.
+  *
+  * RETRACTION (r17): the gram set alone cannot know when a gram's
+  * last contributor leaves, so the index carries a doc→grams
+  * companion — `<name>_spandocs` (doc_id, grams), one row per
+  * indexed doc, bucketed on doc_id like [[Dedup]]'s LSH grams
+  * table — and [[deleteFromIndex]] removes exactly the grams whose
+  * remaining contributors are all retracted ([[Dedup
+  * .deleteFromNgramLshIndex]]'s takedown/opt-out lifecycle step).
+  * The companion also upgrades append idempotence from gram grain to
+  * DOC grain: already-indexed doc_ids anti-join away first, so a
+  * redelivered batch re-grams nothing.
   */
 object SpanIndex {
 
@@ -42,6 +53,15 @@ object SpanIndex {
   private def gramSet(docs: DataFrame, n: Int, canonical: Boolean): DataFrame =
     TextAnalysis.gramFrame(TextAnalysis.maybeCanon(docs, canonical), n)
       .select(col("gram_md5")).distinct()
+
+  /** Per-doc distinct gram arrays — the `<name>_spandocs` companion
+    * row shape. Every appended doc gets a row even when all its grams
+    * were already indexed: retraction of a gram's FIRST contributor
+    * must not remove what a later contributor still holds.
+    */
+  private def docGrams(docs: DataFrame, n: Int, canonical: Boolean): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeCanon(docs, canonical), n)
+      .groupBy(col("doc_id")).agg(collect_set(col("gram_md5")).as("grams"))
 
   /** Create/replace the index from a seed corpus (possibly empty — a
     * pure-streaming index starts from `docs.limit(0)`). Replacement
@@ -57,6 +77,8 @@ object SpanIndex {
     require(n >= 2, s"need gram size ≥ 2, got $n")
     graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical),
       s"${name}_grams", Seq("gram_md5"), buckets)
+    graft.sources.Sinks.replaceBucketed(spark, docGrams(docs, n, canonical),
+      s"${name}_spandocs", Seq("doc_id"), buckets)
     import spark.implicits._
     Seq((n, buckets, canonical)).toDF("gram_n", "buckets", "canon")
       .write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
@@ -71,22 +93,86 @@ object SpanIndex {
     (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon)
   }
 
-  private def refresh(spark: SparkSession, name: String): Unit =
+  private def refresh(spark: SparkSession, name: String): Unit = {
     StoredTable.refresh(spark, s"${name}_grams", s"${name}_spanmeta")
+    if (spark.catalog.tableExists(s"${name}_spandocs"))
+      spark.catalog.refreshTable(s"${name}_spandocs")
+  }
 
-  /** Fold one batch of documents in — only grams NOT yet indexed
-    * append (one anti-join against the bucketed stored side + a
-    * file-level bucketed append; cost ∝ batch, never ∝ index), so
-    * redelivered batches no-op without bookkeeping.
+  /** Fold one batch of documents in — docs not yet indexed gram once
+    * (one doc_id anti-join against the bucketed companion, shuffle-
+    * free on the stored side), their truly-new grams file-append to
+    * the gram set and their doc→grams rows to the companion; cost
+    * ∝ batch, never ∝ index, and redelivered batches no-op at DOC
+    * grain without bookkeeping.
+    *
+    * Write order is load-bearing: `_grams` FIRST. A failure between
+    * the two appends replays with the doc still "fresh" (no companion
+    * row yet) — its re-appended grams anti-join away and the
+    * companion row lands. The reverse order would mark the doc
+    * indexed while its grams never reached the gram set, silently
+    * un-flaggable forever.
     */
   def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
     refresh(spark, name)
     val (n, buckets, canon) = meta(spark, name)
-    gramSet(batch, n, canon)
+    val fresh = batch
+      .join(spark.table(s"${name}_spandocs").select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // localCheckpoint (eager): the frame reads the companion table
+    // the second write inserts into — detach before writing (the
+    // ExactIndex cached-plan-re-materializes-empty lesson)
+    val dg = docGrams(fresh, n, canon).localCheckpoint()
+    dg.select(explode(col("grams")).as("gram_md5")).distinct()
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"), "left_anti")
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "gram_md5").sortBy("gram_md5").format("parquet")
       .saveAsTable(s"${name}_grams")
+    dg.write.mode(SaveMode.Append)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").format("parquet")
+      .saveAsTable(s"${name}_spandocs")
+  }
+
+  /** RETRACT documents from the index — takedowns, opt-outs, licence
+    * retractions must stop flagging future batches, and the gram set
+    * alone cannot know when a gram's LAST contributor left. Removes
+    * exactly the grams every remaining contributor of which is
+    * retracted: the retracted docs' gram union minus the grams any
+    * surviving companion row still holds. Both tables then rewrite
+    * in place (zero-shuffle per-bucket passes, so a delete pass IS a
+    * compaction pass; retries idempotent — deleting absent doc_ids
+    * no-ops).
+    *
+    * Contract ([[Dedup.deleteFromNgramLshIndex]]'s): `docIds` is a
+    * bounded retraction list, broadcast to every task, and the
+    * retracted docs' gram union is broadcast-sized too (∝ retraction
+    * list, not index). A retraction too large to broadcast is a
+    * rebuild ([[writeIndex]] over the surviving corpus), not a
+    * delete. Cost: one companion scan + two bucket rewrites
+    * (∝ index size, zero shuffle) regardless of |docIds| — batch
+    * retractions and run one pass.
+    */
+  def deleteFromIndex(spark: SparkSession, name: String, docIds: DataFrame): Unit = {
+    import graft.sources.Sinks
+    refresh(spark, name)
+    val (_, buckets, _) = meta(spark, name)
+    val ids = broadcast(docIds.select(col("doc_id")).distinct())
+    val spandocs = spark.table(s"${name}_spandocs")
+    val retractedGrams = broadcast(
+      spandocs.join(ids, Seq("doc_id"), "left_semi")
+        .select(explode(col("grams")).as("gram_md5")).distinct())
+    // grams a SURVIVING doc still contributes stay in the index
+    val stillHeld = spandocs.join(ids, Seq("doc_id"), "left_anti")
+      .select(explode(col("grams")).as("gram_md5"))
+      .join(retractedGrams, Seq("gram_md5"), "left_semi").distinct()
+    // checkpoint INSIDE the hint: the truncation materializes the set
+    // once (both rewrites reuse it), and the broadcast marker must
+    // survive it so the per-bucket rewrite's anti-join stays local
+    val removable = broadcast(
+      retractedGrams.join(stillHeld, Seq("gram_md5"), "left_anti").localCheckpoint())
+    Sinks.rewriteBucketed(spark, s"${name}_grams", Seq("gram_md5"), buckets,
+      df => df.join(removable, Seq("gram_md5"), "left_anti"))
+    Sinks.rewriteBucketed(spark, s"${name}_spandocs", Seq("doc_id"), buckets,
+      df => df.join(ids, Seq("doc_id"), "left_anti"))
   }
 
   /** ONE ingest-maintenance step: append the batch, then compact the
@@ -101,8 +187,10 @@ object SpanIndex {
     val (_, buckets, _) = meta(spark, name)
     val files = spark.table(s"${name}_grams").inputFiles.length
     val fires = files > buckets.toLong * maxFilesPerBucket
-    if (fires)
+    if (fires) {
       graft.sources.Sinks.compactBucketed(spark, s"${name}_grams", Seq("gram_md5"), buckets)
+      graft.sources.Sinks.compactBucketed(spark, s"${name}_spandocs", Seq("doc_id"), buckets)
+    }
     fires
   }
 

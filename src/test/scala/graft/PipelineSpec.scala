@@ -550,4 +550,41 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("historyParquet"))
   }
+test("ingest with a span index: changed docs retract grams, accepted docs fold in") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, ExactIndex, SpanIndex}
+    import graft.sources.Sinks
+    // block is long enough for the 8/16 defaults; held ONLY by doc 3
+    val block = (1 to 20).map(i => s"k$i").mkString(" ")
+    val corpus = Seq(
+      (0L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (3L, ((1 to 10).map(i => s"p$i") ++ Seq(block)).mkString(" ")),
+      (4L, (1 to 30).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    Seq("corpus", "exact_digests", "exact_bloom", "lsh_bands", "lsh_grams", "lsh_meta",
+      "span_grams", "span_spandocs", "span_spanmeta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ings_$t"))
+    Sinks.writeBucketed(corpus, "ings_corpus", "doc_id", 4)
+    ExactIndex.write(corpus, "ings_exact", buckets = 4)
+    Dedup.writeNgramLshIndex(corpus, "ings_lsh", buckets = 4)
+    SpanIndex.writeIndex(spark, "ings_span", corpus, n = 8, buckets = 4)
+    def probeDup(): Long =
+      SpanIndex.flagAgainstIndex(spark, "ings_span",
+        Seq((90L, s"z1 z2 $block z3")).toDF("doc_id", "text"))
+        .collect()(0).getAs[Long]("dup_tokens")
+    assert(probeDup() == 20L, "the seeded block flags before the change")
+    // doc 3 is re-crawled WITHOUT the block: applyChanged must retract
+    // its grams from the span store too, or the index keeps flagging
+    // retired text forever; the accepted new content folds in
+    val newBlock = (1 to 20).map(i => s"m$i").mkString(" ")
+    val batch = Seq((3L, ((1 to 10).map(i => s"p$i") ++ Seq(newBlock)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Pipeline.ingest(batch, "ings", applyChanged = true,
+      spanIndex = Some("ings_span"))
+    assert(r.nAccepted == 1L, s"the changed doc re-enters and is accepted, got $r")
+    assert(probeDup() == 0L, "the RETIRED text's grams no longer flag")
+    val newProbe = SpanIndex.flagAgainstIndex(spark, "ings_span",
+      Seq((91L, s"z1 z2 $newBlock z3")).toDF("doc_id", "text"))
+      .collect()(0).getAs[Long]("dup_tokens")
+    assert(newProbe == 20L, "the accepted content's grams DID fold in")
+  }
 }

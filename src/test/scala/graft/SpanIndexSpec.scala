@@ -153,4 +153,60 @@ test("canonical index: variant boilerplate flags cross-corpus; legacy meta decod
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
     assert(legacy.values.forall(_ == 0L), s"legacy meta keys raw, got $legacy")
   }
+test("retraction: grams leave only with their LAST contributor; delete is idempotent") {
+    val blockA = "a1 a2 a3 a4 a5"
+    val blockB = "b1 b2 b3 b4 b5"
+    val seed = Seq(
+      (2L, s"s1 s2 $blockA s3"),
+      (4L, s"t1 $blockA t2"),
+      (6L, s"u1 $blockB u2")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "si_del", seed, n = 3, buckets = 2)
+    val batch = Seq((11L, s"x1 $blockA x2"), (13L, s"y1 $blockB y2")).toDF("doc_id", "text")
+    def dup(): Map[Long, Long] =
+      SpanIndex.flagAgainstIndex(spark, "si_del", batch, minSpanTokens = 4)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(dup() == Map(11L -> 5L, 13L -> 5L), "both blocks flag before any retraction")
+    def del(ids: Long*): Unit =
+      SpanIndex.deleteFromIndex(spark, "si_del", ids.toDF("doc_id"))
+    // retract block B's only contributor: B stops flagging, A unaffected
+    del(6L)
+    assert(dup() == Map(11L -> 5L, 13L -> 0L), s"block B retracted with doc 6, got ${dup()}")
+    // block A still has a second contributor — retracting the first
+    // must NOT remove the shared grams
+    del(2L)
+    assert(dup() == Map(11L -> 5L, 13L -> 0L), s"doc 4 still holds block A, got ${dup()}")
+    // retracting an ABSENT id is a no-op (retries idempotent)
+    del(2L, 99L)
+    assert(dup() == Map(11L -> 5L, 13L -> 0L), "replayed/absent retraction no-ops")
+    // the last contributor leaves: block A goes with it
+    del(4L)
+    assert(dup() == Map(11L -> 0L, 13L -> 0L), s"last contributor gone, got ${dup()}")
+    assert(spark.table("si_del_spandocs").count() == 0L &&
+      spark.table("si_del_grams").count() == 0L,
+      "a fully-retracted index holds no grams and no companion rows")
+  }
+
+  test("append is doc-grain idempotent through the companion; retraction covers appended docs") {
+    val blockC = "c1 c2 c3 c4 c5"
+    SpanIndex.writeIndex(spark, "si_dg",
+      Seq((2L, s"s1 $blockC s2")).toDF("doc_id", "text"), n = 3, buckets = 2)
+    val b = Seq((21L, s"z1 $blockC z2"), (23L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text")
+    SpanIndex.appendToIndex(spark, "si_dg", b)
+    val rows = spark.table("si_dg_spandocs").count()
+    val grams = spark.table("si_dg_grams").count()
+    SpanIndex.appendToIndex(spark, "si_dg", b) // replay
+    assert(spark.table("si_dg_spandocs").count() == rows,
+      "a redelivered batch adds no companion rows (doc-grain idempotence)")
+    assert(spark.table("si_dg_grams").count() == grams,
+      "a redelivered batch adds no grams")
+    // an APPENDED doc retracts exactly like a seeded one: doc 23's
+    // unique grams leave, blockC survives via docs 2 and 21
+    SpanIndex.deleteFromIndex(spark, "si_dg", Seq(23L).toDF("doc_id"))
+    val probe = Seq((31L, "w1 q1 q2 q3 q4 q5 q6 w2"), (33L, s"v1 $blockC v2"))
+      .toDF("doc_id", "text")
+    val flags = SpanIndex.flagAgainstIndex(spark, "si_dg", probe, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(flags == Map(31L -> 0L, 33L -> 5L),
+      s"appended-doc retraction removes its grams, shared block survives, got $flags")
+  }
 }
