@@ -372,6 +372,16 @@ object SparkEntry {
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    // stored vocabulary lifecycle end-to-end: even docs seed the count
+    // table, odd docs sum in, the read must equal the direct full-corpus
+    // vocabulary (counts are exact — no sketch regime)
+    "text_vocab_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      VocabTable.writeVocabTable(s, "g_vocab", docs.filter(col("doc_id") % 2 === 0),
+        buckets = 8)
+      VocabTable.appendToVocabTable(s, "g_vocab", docs.filter(col("doc_id") % 2 === 1))
+      VocabTable.vocabularyFromTable(s, "g_vocab")
+    }),
     "text_entropy" -> ((s, dir) => TextAnalysis.entropyScore(Tables.documents(s, dir))),
     // CCNet-style reference-LM scoring: the even-id half plays the
     // clean reference corpus, every doc scores against its unigram LM
@@ -546,6 +556,9 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
     "text_vocabulary" -> Oracles.textVocabulary,
+    // the stored read is definitionally the same frame as the direct
+    // vocabulary over the reunited halves — one oracle serves both
+    "text_vocab_stored" -> Oracles.textVocabulary,
     "text_lm_score" -> Oracles.textLmScore,
     "text_entropy" -> Oracles.textEntropy,
     "text_chunk" -> Oracles.textChunk,

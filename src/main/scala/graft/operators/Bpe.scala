@@ -112,18 +112,33 @@ object Bpe {
     * paths is spec-pinned.
     */
   def train(docs: DataFrame, numMerges: Int = 10, minWeight: Long = 2L,
-            maxDriverVocabBytes: Long = MaxDriverTrainBytes): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
+            maxDriverVocabBytes: Long = MaxDriverTrainBytes): DataFrame =
     // the corpus-sized step: word frequencies (one explode + count).
     // No Par.spread here: the groupBy's exchange already restores
     // parallelism, and the pre-exchange work is a slim partial agg
     // (A/B-measured: a spread repartition costs more than it saves)
-    val words = docs
+    trainFromCounts(docs
       .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight")),
+      numMerges, minWeight, maxDriverVocabBytes)
+
+  /** [[train]] from an already-aggregated (word, weight) frame — the
+    * stored-vocabulary retrain path: [[VocabTable.vocabularyFromTable]]
+    * holds exactly this shape (token × total_count), so when
+    * [[VocabTable.vocabNeedsRetrain]] fires the tokenizer retrains
+    * from the STORED counts with zero corpus rescan. Same
+    * driver/distributed dispatch and identical merges to [[train]]
+    * over the corpus the counts summarize (weights are the only
+    * corpus signal BPE uses — spec-pinned equivalence).
+    */
+  def trainFromCounts(wordWeights: DataFrame, numMerges: Int = 10, minWeight: Long = 2L,
+                      maxDriverVocabBytes: Long = MaxDriverTrainBytes): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = wordWeights.sparkSession
+    import spark.implicits._
+    val words = wordWeights
+      .select(col("word"), col("weight").cast("long").as("weight"))
       .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chars = words.agg(coalesce(sum(length(col("word"))), lit(0L)))
       .collect()(0).getLong(0)

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Stored corpus vocabulary — [[TextAnalysis.vocabulary]]'s
+  * (token, doc_freq, total_count) frame in the [[CountTable]]
+  * additive posture, so the expensive artifact every tokenizer /
+  * IDF / stopword pipeline derives from accrues INCREMENTALLY
+  * instead of rescanning the corpus per run (the gap the
+  * LSH/IVF/sketch/cohort tiers already closed for their artifacts).
+  *
+  * Additivity contract: batches partition the corpus at WHOLE-DOC
+  * grain — a document appears in exactly one batch, so per-batch
+  * `count(DISTINCT doc_id)` contributions to doc_freq sum exactly
+  * (same whole-grain batch contract as the window-within-grain count
+  * tables). Replay safety is [[CountTable.append]]'s stamp: pass the
+  * foreachBatch id and a redelivered batch no-ops.
+  *
+  * The drift rule: [[oovReport]] measures an incoming batch's
+  * out-of-vocabulary token-occurrence rate against the STORED frame
+  * (one anti-join probing the token-bucketed table — zero raw
+  * corpus touched), and [[vocabNeedsRetrain]] thresholds it — the
+  * signal that a BPE tokenizer trained on the stored vocabulary
+  * ([[Bpe.train]] consumes exactly this word×count shape) has
+  * drifted off the corpus and should retrain. Mirrors
+  * [[Similarity.ivfDriftReport]] / [[Cohort.driftReport]]: cheap
+  * report per batch, expensive rebuild only when the rule fires.
+  */
+object VocabTable {
+
+  /** Create/overwrite `<name>_counts` + meta from a seed corpus. */
+  def writeVocabTable(spark: SparkSession, name: String, docs: DataFrame,
+                      buckets: Int = 16): Unit =
+    CountTable.write(spark, name, TextAnalysis.vocabulary(docs),
+      Seq("token"), Seq("doc_freq", "total_count"), buckets)
+
+  /** Sum one whole-doc batch in ([[CountTable.append]]'s stamped
+    * merge — `batchId >= 0` makes replays no-op).
+    */
+  def appendToVocabTable(spark: SparkSession, name: String, batch: DataFrame,
+                         batchId: Long = -1L): Unit =
+    CountTable.append(spark, name, TextAnalysis.vocabulary(batch), batchId)
+
+  /** The vocabulary from the STORED counts alone — byte-identical to
+    * [[TextAnalysis.vocabulary]] over the union of everything written
+    * and appended (counts are exact, not sketched), zero raw data
+    * touched.
+    */
+  def vocabularyFromTable(spark: SparkSession, name: String): DataFrame =
+    CountTable.read(spark, name).orderBy(col("token"))
+
+  /** One row: the batch's token-occurrence OOV rate vs the stored
+    * vocabulary — `n_tokens` occurrences in the batch, `n_oov` of
+    * them under tokens the store has never seen, and the fixed-point
+    * rate `oov_fs = floor(1e4 · n_oov / n_tokens)` (0 for an empty
+    * batch). One explode + one (partial-agg) token groupBy on the
+    * batch side, anti-joined against the token-bucketed stored side —
+    * cost ∝ batch vocabulary, never corpus.
+    */
+  def oovReport(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
+    val batchCounts = batch
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val oov = batchCounts
+      .join(CountTable.read(spark, name).select(col("token")), Seq("token"), "left_anti")
+    batchCounts.agg(coalesce(sum(col("n")), lit(0L)).as("n_tokens"))
+      .crossJoin(oov.agg(coalesce(sum(col("n")), lit(0L)).as("n_oov")))
+      .select(col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") > 0,
+          floor(lit(10000.0) * col("n_oov") / col("n_tokens")))
+          .otherwise(lit(0L)).as("oov_fs"))
+  }
+
+  /** The documented retrain trigger: fires when a batch's OOV
+    * occurrence rate exceeds `maxOovFs` (fixed-point, default 5% —
+    * the point where a frozen tokenizer's unk/byte-fallback rate
+    * starts distorting training mixtures). The caller's retrain is
+    * [[Bpe.train]] over [[vocabularyFromTable]]'s word counts —
+    * stored frame in, no corpus rescan.
+    */
+  def vocabNeedsRetrain(spark: SparkSession, name: String, batch: DataFrame,
+                        maxOovFs: Long = 500L): Boolean =
+    oovReport(spark, name, batch).collect()(0).getAs[Long]("oov_fs") > maxOovFs
+}
