@@ -252,6 +252,42 @@ object SqlRecipes {
       | CAST(size(t.toks) AS BIGINT) - coalesce(q.dup_tokens, 0L) AS kept_tokens
       |FROM t LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** [[graft.operators.SpanIndex.flagAgainstIndex]] at the engine
+    * defaults (16-token min span, raw-keyed 8-gram index): the
+    * incoming batch — a `documents(doc_id BIGINT, text STRING)`
+    * view — fans out to positioned grams and joins the STORED
+    * `<name>_grams` set (bucketed on gram_md5, so the join reads the
+    * stored side shuffle-free), then the same gap-trick region CTE
+    * and per-doc accounting as [[spanDedup]]. No ≥2-docs HAVING
+    * here: "known" means in ANY indexed document — the crawl-dedup
+    * dashboard's cross-corpus read, zero index rescans beyond the
+    * one bucketed probe.
+    */
+  def spanFlagFromIndex(name: String): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks, explode(sequence(0, size(toks) - 8)) AS pos
+       |       FROM t WHERE size(toks) >= 8),
+       |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        md5(concat_ws(' ', slice(toks, pos + 1, 8))) AS gram_md5
+       |      FROM g0),
+       |p AS (SELECT doc_id, pos FROM g JOIN ${name}_grams USING (gram_md5)),
+       |r AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |             THEN 0L ELSE 1L END AS brk
+       |      FROM p),
+       |i AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS region
+       |      FROM r),
+       |s AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_tokens
+       |      FROM i GROUP BY doc_id, region),
+       |q AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+       |      FROM s WHERE span_tokens >= 16 GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(size(t.toks) AS BIGINT) AS n_tokens,
+       | coalesce(q.n_spans, 0L) AS n_spans,
+       | coalesce(q.dup_tokens, 0L) AS dup_tokens,
+       | CAST(size(t.toks) AS BIGINT) - coalesce(q.dup_tokens, 0L) AS kept_tokens
+       |FROM t LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- stored-reader recipes ---------------------------------------------
   // The stored tier's tables are plain catalog tables (`<name>_counts`
   // for the exact additive CountTable lifecycle, `<name>_sketches` for
@@ -343,8 +379,18 @@ object SqlRecipes {
        |LEFT JOIN days l7 ON l7.d = b.d + 7 * 86400
        |ORDER BY b.d""".stripMargin
 
+  /** [[graft.operators.VocabTable.vocabularyFromTable]]: the stored
+    * vocabulary IS the counts table, ordered; `last_batch` stays
+    * lifecycle bookkeeping.
+    */
+  def vocabularyFromTable(name: String): String =
+    s"""SELECT token, doc_freq, total_count FROM ${name}_counts
+       |ORDER BY token""".stripMargin
+
   /** Every stored-reader recipe keyed by the reader it mirrors. */
   val storedReaders: Map[String, String => String] = Map(
+    "span_flagAgainstIndex" -> spanFlagFromIndex,
+    "vocab_vocabularyFromTable" -> vocabularyFromTable,
     "funnel_dailyFromTable" -> funnelFromTable,
     "path_topkFromTable" -> pathTopkFromTable,
     "path_transitionsFromTable" -> transitionsFromTable,

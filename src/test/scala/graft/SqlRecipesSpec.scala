@@ -106,6 +106,26 @@ class SqlRecipesSpec extends SparkSpec {
     assert(rows(sql).nonEmpty && rows(sql) == rows(df))
   }
 
+  test("stored span-flag recipe ≡ SpanIndex.flagAgainstIndex; vocab recipe ≡ the reader") {
+    import graft.operators.{SpanIndex, VocabTable}
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    SpanIndex.writeIndex(spark, "sqlr_sp", docs.filter(col("doc_id") % 2 === 0),
+      n = 8, buckets = 2)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    batch.createOrReplaceTempView("documents")
+    val sql = spark.sql(SqlRecipes.spanFlagFromIndex("sqlr_sp"))
+    val df = SpanIndex.flagAgainstIndex(spark, "sqlr_sp", batch)
+    assert(sql.columns.toSeq == df.columns.toSeq)
+    assert(rows(sql).nonEmpty && rows(sql) == rows(df),
+      "the crawl-dedup dashboard's SQL read must match the reader row for row")
+    VocabTable.writeVocabTable(spark, "sqlr_vc", docs, buckets = 2)
+    val vsql = spark.sql(SqlRecipes.vocabularyFromTable("sqlr_vc"))
+    val vdf = VocabTable.vocabularyFromTable(spark, "sqlr_vc")
+    assert(vsql.columns.toSeq == vdf.columns.toSeq)
+    assert(rows(vsql).nonEmpty && rows(vsql) == rows(vdf))
+  }
+
   test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
     registered
     val attr = spark.sql(SqlRecipes.attributionCredit)
