@@ -20,6 +20,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
+  *   tools/run.sh graft.PipelineJob maintain-vocab <batchParquet> <vocabName>
   *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName> [apply-changed]
   *   tools/run.sh graft.PipelineJob vacuum <table> <keepGenerations>
   *
@@ -130,6 +131,8 @@ object PipelineJob {
         graft.operators.Dedup.maintainNgramLshIndex(batch, indexName)
       case "maintain-span" =>
         graft.operators.SpanIndex.maintainIndex(spark, indexName, batch)
+      case "maintain-vocab" =>
+        graft.operators.VocabTable.maintainVocabTable(spark, indexName, batch)
       case "maintain-cohort" =>
         graft.operators.Cohort.maintainMatrixTable(spark, indexName, batch,
           readWithTs(spark, historyPath.getOrElse(
@@ -138,6 +141,7 @@ object PipelineJob {
     val pass = mode match {
       case "maintain-ivf" => "recluster"
       case "maintain-cohort" => "rebuild"
+      case "maintain-vocab" => "retrain"
       case _ => "compaction"
     }
     println(s"index maintenance: $indexName (mode=$mode) $pass ${if (fired) "RAN" else "not needed"}")
@@ -240,10 +244,12 @@ object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     val modes = Set("batch", "bucketed", "training", "stream", "maintain-ivf", "maintain-lsh",
-      "maintain-span", "maintain-cohort", "ingest", "vacuum", "sketch-ingest", "vector-ingest")
+      "maintain-span", "maintain-vocab", "maintain-cohort", "ingest", "vacuum",
+      "sketch-ingest", "vector-ingest")
     require(args.length >= 3 && modes(args(0)),
       "usage: PipelineJob batch|bucketed|training|stream|maintain-ivf|maintain-lsh|" +
-        "maintain-span|maintain-cohort|ingest|vacuum|sketch-ingest|vector-ingest " +
+        "maintain-span|maintain-vocab|maintain-cohort|ingest|vacuum|sketch-ingest|" +
+        "vector-ingest " +
         "<docsPath|table> <outDir|tableName|indexName|keepGenerations> " +
         "[minQualityFs|batchId|historyParquet]")
     val (mode, in, out) = (args(0), args(1), args(2))

@@ -84,4 +84,48 @@ object VocabTable {
   def vocabNeedsRetrain(spark: SparkSession, name: String, batch: DataFrame,
                         maxOovFs: Long = 500L): Boolean =
     oovReport(spark, name, batch).collect()(0).getAs[Long]("oov_fs") > maxOovFs
+
+  /** The retrained-tokenizer artifact: `<name>_merges` in
+    * [[Bpe.train]]'s output shape (rank, left, right, merged,
+    * weight) — a bounded frame (merge count × tiny rows), plain
+    * overwrite like the meta tables.
+    */
+  def writeMergesTable(spark: SparkSession, name: String, merges: DataFrame): Unit =
+    merges.write.mode("overwrite").saveAsTable(s"${name}_merges")
+
+  /** The stored merges in learned order — what [[Bpe.encode]]
+    * consumes.
+    */
+  def mergesFromTable(spark: SparkSession, name: String): DataFrame = {
+    spark.catalog.refreshTable(s"${name}_merges")
+    spark.table(s"${name}_merges").orderBy(col("rank"))
+  }
+
+  /** ONE vocab-maintenance step — the append→drift→retrain loop a
+    * corpus pipeline runs per batch ([[Dedup.maintainNgramLshIndex]]'s
+    * shape with retraining as the heavy pass): measure the batch's
+    * OOV rate against the stored vocabulary, fold the batch in
+    * (stamped), and when the rule fired retrain the BPE merges from
+    * the UPDATED stored counts into `<name>_merges` — zero corpus
+    * rescan at any step. Returns true iff the retrain ran.
+    *
+    * Ordering is deliberate: drift measures BEFORE the append (a
+    * batch is OOV relative to what the store knew when it arrived)
+    * and the retrain runs AFTER, so the new merges cover the very
+    * tokens that fired the rule. Replay-safe without bookkeeping
+    * beyond the stamp: a redelivered batch's tokens are already
+    * stored, its OOV recomputes ≈ 0, and the append no-ops.
+    */
+  def maintainVocabTable(spark: SparkSession, name: String, batch: DataFrame,
+                         batchId: Long = -1L, maxOovFs: Long = 500L,
+                         numMerges: Int = 10): Boolean = {
+    val fired = vocabNeedsRetrain(spark, name, batch, maxOovFs)
+    appendToVocabTable(spark, name, batch, batchId)
+    if (fired)
+      writeMergesTable(spark, name, Bpe.trainFromCounts(
+        vocabularyFromTable(spark, name)
+          .select(col("token").as("word"), col("total_count").as("weight")),
+        numMerges))
+    fired
+  }
 }

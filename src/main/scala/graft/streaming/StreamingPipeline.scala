@@ -198,6 +198,21 @@ object StreamingPipeline {
     * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
     * and reconcile via `rebuildMatrixTable` when it fires.
     */
+  /** The stored-vocabulary ingest twin — each micro-batch's token
+    * counts SUM-merge into the count table UNDER THE BATCH STAMP
+    * ([[graft.operators.VocabTable.appendToVocabTable]]), so
+    * redelivery no-ops: exactly-once under at-least-once, the
+    * freq/quantile-table contract. The drift loop stays the caller's:
+    * poll [[graft.operators.VocabTable.vocabNeedsRetrain]] between
+    * batches (or run `maintainVocabTable` in a batch job) and the
+    * tokenizer retrains from the stored counts when it fires.
+    */
+  def vocabIngestStream(docs: DataFrame, name: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.VocabTable.appendToVocabTable(batch.sparkSession, name, batch, batchId)
+    }
+
   def cohortIngestStream(events: DataFrame, name: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

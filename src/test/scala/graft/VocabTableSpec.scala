@@ -54,4 +54,61 @@ class VocabTableSpec extends SparkSpec {
     assert(fromStore.nonEmpty && fromStore == fromCorpus,
       "word weights are the only corpus signal BPE uses — merges must match")
   }
+
+  test("maintainVocabTable: OOV drift fires the retrain into the merges table; quiet batches skip it") {
+    VocabTable.writeVocabTable(spark, "vt_mn",
+      Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text"), buckets = 2)
+    // quiet batch: every token known -> appended, no retrain, no merges table
+    val quiet = Seq((10L, "alpha gamma")).toDF("doc_id", "text")
+    assert(!VocabTable.maintainVocabTable(spark, "vt_mn", quiet, batchId = 1L))
+    assert(!spark.catalog.tableExists("vt_mn_merges"),
+      "a quiet batch must not pay the retrain")
+    // drifted batch: majority-OOV occurrences -> retrain from the
+    // UPDATED stored counts (the new tokens are in the merges' corpus)
+    val drift = Seq((11L, "nova nova nova supernova alpha")).toDF("doc_id", "text")
+    assert(VocabTable.maintainVocabTable(spark, "vt_mn", drift, batchId = 2L, numMerges = 5))
+    val merges = VocabTable.mergesFromTable(spark, "vt_mn").collect().map(_.toSeq).toSeq
+    val direct = Bpe.trainFromCounts(
+      VocabTable.vocabularyFromTable(spark, "vt_mn")
+        .select(col("token").as("word"), col("total_count").as("weight")),
+      numMerges = 5).collect().map(_.toSeq).toSeq
+    assert(merges.nonEmpty && merges == direct,
+      "the stored merges must be the retrain over the post-append counts")
+    // replay of the drifted batch: its tokens are stored now, so OOV
+    // recomputes ~0 and the stamp no-ops the append — no double count,
+    // no spurious second retrain
+    val before = VocabTable.vocabularyFromTable(spark, "vt_mn").collect().map(_.toSeq).toSeq
+    assert(!VocabTable.maintainVocabTable(spark, "vt_mn", drift, batchId = 2L))
+    assert(VocabTable.vocabularyFromTable(spark, "vt_mn").collect().map(_.toSeq).toSeq == before)
+  }
+
+  test("streaming vocab ingest: counts accumulate per micro-batch, a redelivered batch no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    Seq("vt_st_counts", "vt_st_meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    VocabTable.writeVocabTable(spark, "vt_st",
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), buckets = 2)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipeline
+      .vocabIngestStream(ms.toDF().toDF("doc_id", "text"), "vt_st").start()
+    def vocab = VocabTable.vocabularyFromTable(spark, "vt_st").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      ms.addData((2L, "alpha alpha gamma"))
+      q.processAllAvailable()
+      val after0 = vocab
+      assert(after0 == Map("alpha" -> ((2L, 3L)), "beta" -> ((1L, 1L)),
+        "gamma" -> ((1L, 1L))), s"micro-batch 0 must sum into the store, got $after0")
+      // redelivery at the SAME micro-batch id: additive counts would
+      // double without the stamp
+      VocabTable.appendToVocabTable(spark, "vt_st",
+        Seq((2L, "alpha alpha gamma")).toDF("doc_id", "text"), batchId = 0L)
+      assert(vocab == after0, "a redelivered micro-batch must no-op against the stamp")
+      ms.addData((3L, "beta delta"))
+      q.processAllAvailable()
+      assert(vocab == Map("alpha" -> ((2L, 3L)), "beta" -> ((2L, 2L)),
+        "gamma" -> ((1L, 1L)), "delta" -> ((1L, 1L))),
+        "the NEXT micro-batch must still apply after a replay")
+    } finally q.stop()
+  }
 }
