@@ -162,8 +162,9 @@ object Dedup {
     * collide (at this geometry J = 0.5 pairs surface at only ~1.5%).
     */
   def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
-                 shingleN: Int = 1, minJaccardFs: Long = 8400L): DataFrame = {
-    val docs = Par.spread(docs0)
+                 shingleN: Int = 1, minJaccardFs: Long = 8400L,
+                 canonical: Boolean = false): DataFrame = {
+    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
     // persist: this frame feeds BOTH legs of the band self-join and
@@ -282,8 +283,8 @@ object Dedup {
     * has GraftExtensions (bit-identical, ~100× smaller expression
     * tree); falls back to the pure-Column formulation otherwise.
     */
-  def simhashFingerprints(docs0: DataFrame): DataFrame = {
-    val docs = Par.spread(docs0)
+  def simhashFingerprints(docs0: DataFrame, canonical: Boolean = false): DataFrame = {
+    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
     val sh =
       if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
         call_function("graft_simhash64", tokens(col("text")))
@@ -315,10 +316,11 @@ object Dedup {
     * [[graft.functions.HashFunctions.simhashComboCollisionProb]] is
     * the spec-pinned recall curve beyond a plan's guaranteed radius.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   canonical: Boolean = false): DataFrame = {
     import graft.functions.HashFunctions.{simhashBandKeys, simhashBandPlan}
     val (chunks, comboSize) = simhashBandPlan(maxHamming)
-    val fp = simhashFingerprints(docs)
+    val fp = simhashFingerprints(docs, canonical)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim (doc_id, band, bucket) rows — fingerprints don't ride the
     // band explode; they come back in the verify join below
@@ -392,10 +394,12 @@ object Dedup {
       .select(col("doc_id") +: chunkCols: _*)
   }
 
-  def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3,
+                      canonical: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
-    chunkBandedPairs(simhashMd5Fingerprints(Par.spread(docs0)), maxHamming)
+    chunkBandedPairs(
+      simhashMd5Fingerprints(Par.spread(TextAnalysis.maybeCanon(docs0, canonical))), maxHamming)
   }
 
   /** Hamming-banded pairs over ANY 64-bit fingerprint held as four
@@ -435,8 +439,9 @@ object Dedup {
     * (lang × length-bucket) — the classic cheap blocking key; exact
     * Jaccard computed only within blocks. jac_fs = floor(1e4·J).
     */
-  def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame =
-    ngramJaccardPairs(docs, thresholdFs).orderBy(col("id_a"), col("id_b"))
+  def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L,
+                   canonical: Boolean = false): DataFrame =
+    ngramJaccardPairs(docs, thresholdFs, canonical).orderBy(col("id_a"), col("id_b"))
 
   /** [[ngramJaccard]] without the final global sort — the form
     * downstream consumers ([[applyPairs]], [[ccLabels]]) should take:
@@ -444,8 +449,9 @@ object Dedup {
     * so feeding the sorted frame into another shuffle executes the
     * whole blocked verify twice and then throws the order away.
     */
-  def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L): DataFrame = {
-    val d = Par.spread(docs).select(col("doc_id"), col("lang"),
+  def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L,
+                        canonical: Boolean = false): DataFrame = {
+    val d = Par.spread(TextAnalysis.maybeCanon(docs, canonical)).select(col("doc_id"), col("lang"),
       floor(col("n_chars") / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")
@@ -482,8 +488,8 @@ object Dedup {
     * degenerate mega-bucket.
     */
   def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-               thresholdFs: Long = 9000L): DataFrame = {
-    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs)
+               thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
+    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical)
     // persist before the global sort (ORDER BY samples its input)
     val verified = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ScopedCache.releaseAfterAction(
@@ -500,8 +506,8 @@ object Dedup {
     * baseline).
     */
   def ngramLshPairs(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-                    thresholdFs: Long = 9000L): DataFrame = {
-    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs)
+                    thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
+    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical)
     ScopedCache.releaseAfterAction(pairs, Seq(shingled))
   }
 
@@ -510,8 +516,9 @@ object Dedup {
     * each public entry can scope exactly the caches it creates.
     */
   private def ngramLshPairsAndCache(docs0: DataFrame, n: Int, perms: Int, bands: Int,
-                                    thresholdFs: Long): (DataFrame, DataFrame) = {
-    val docs = Par.spread(docs0)
+                                    thresholdFs: Long,
+                                    canonical: Boolean = false): (DataFrame, DataFrame) = {
+    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds both legs of the band self-join and both sides
@@ -779,9 +786,11 @@ object Dedup {
     * `incoming.join(pairs.select("id_in":*), "left_anti")` — one
     * anti-join, no reference text ever moves.
     */
-  def ngramLshAgainst(incoming: DataFrame, reference: DataFrame, n: Int = 2,
+  def ngramLshAgainst(incoming0: DataFrame, reference0: DataFrame, n: Int = 2,
                       perms: Int = 32, bands: Int = 8,
-                      thresholdFs: Long = 9000L): DataFrame = {
+                      thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
+    val incoming = TextAnalysis.maybeCanon(incoming0, canonical)
+    val reference = TextAnalysis.maybeCanon(reference0, canonical)
     val rowsPerBand = perms / bands
     def shingled(df: DataFrame): DataFrame = {
       val grams = array_distinct(wordNgrams(tokens(col("text")), n))
@@ -850,13 +859,15 @@ object Dedup {
     * layout must fix its fanout at write time — layout IS the plan.
     */
   def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
-                         bands: Int = 8, buckets: Int = 32, salt: Int = 8): Unit = {
+                         bands: Int = 8, buckets: Int = 32, salt: Int = 8,
+                         canonical: Boolean = false): Unit = {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds the band explode and the grams projection
-    val shingled = Par.spread(reference).select(col("doc_id"), grams.as("grams"))
+    val shingled = Par.spread(TextAnalysis.maybeCanon(reference, canonical))
+      .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -870,7 +881,8 @@ object Dedup {
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
     shingled.unpersist(false)
     import spark.implicits._
-    Seq((n, perms, bands, buckets, salt)).toDF("n", "perms", "bands", "buckets", "salt")
+    Seq((n, perms, bands, buckets, salt, canonical))
+      .toDF("n", "perms", "bands", "buckets", "salt", "canon")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
   }
@@ -889,6 +901,16 @@ object Dedup {
     val m = rows(0)
     (m.getAs[Int]("n"), m.getAs[Int]("perms"), m.getAs[Int]("bands"),
       m.getAs[Int]("buckets"), m.getAs[Int]("salt"))
+  }
+
+  /** Whether the index grams canonically ([[writeNgramLshIndex]]'s
+    * `canonical`) — an INDEX property like the span index's: append
+    * and against must shingle in the stored key domain or nothing
+    * matches. Pre-canonical metas (no `canon` column) decode raw.
+    */
+  private def indexCanon(spark: org.apache.spark.sql.SparkSession, name: String): Boolean = {
+    val df = spark.table(s"${name}_meta")
+    df.columns.contains("canon") && df.collect()(0).getAs[Boolean]("canon")
   }
 
   /** Rewrite the index's bucketed tables in place, merging the
@@ -967,7 +989,7 @@ object Dedup {
     // rows (duplicated rows inflate every later candidate set). The
     // anti-join probes the doc_id-BUCKETED grams table — stored side
     // shuffle-free by layout, cost ∝ |newDocs|, never index size.
-    val fresh = Par.spread(newDocs)
+    val fresh = Par.spread(TextAnalysis.maybeCanon(newDocs, indexCanon(spark, name)))
       .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val shingled = fresh.select(col("doc_id"), grams.as("grams"))
@@ -1045,7 +1067,8 @@ object Dedup {
     val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val si = Par.spread(incoming).select(col("doc_id"), grams.as("grams"))
+    val si = Par.spread(TextAnalysis.maybeCanon(incoming, indexCanon(spark, name)))
+      .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -22,6 +22,58 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("near-dup families honor the canonical opt-in: case variants pair only canonically") {
+    import spark.implicits._
+    // every token differs by case between docs 1 and 2 -> raw shingle
+    // sets are DISJOINT (J = 0); the canonical streams are identical
+    val words = (1 to 40).map(i => s"tok$i")
+    val lower = words.mkString(" ")
+    val upper = words.map(_.toUpperCase).mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = Seq((1L, lower), (2L, upper), (3L, other)).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhash
+    assert(pairSet(Dedup.minhashLsh(d).select(col("id_a"), col("id_b"))).isEmpty)
+    assert(pairSet(Dedup.minhashLsh(d, canonical = true).select(col("id_a"), col("id_b")))
+      == Set((1L, 2L)))
+    // simhash (identical canonical fingerprints -> hamming 0)
+    assert(pairSet(Dedup.simhashPairs(d).select(col("id_a"), col("id_b"))).isEmpty)
+    assert(pairSet(Dedup.simhashPairs(d, canonical = true).select(col("id_a"), col("id_b")))
+      == Set((1L, 2L)))
+    // blocked n-gram jaccard (same lang + length block by construction)
+    val db = d.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    assert(pairSet(Dedup.ngramJaccardPairs(db).select(col("id_a"), col("id_b"))).isEmpty)
+    assert(pairSet(Dedup.ngramJaccardPairs(db, canonical = true)
+      .select(col("id_a"), col("id_b"))) == Set((1L, 2L)))
+    // banded n-gram LSH
+    assert(pairSet(Dedup.ngramLshPairs(d).select(col("id_a"), col("id_b"))).isEmpty)
+    assert(pairSet(Dedup.ngramLshPairs(d, canonical = true).select(col("id_a"), col("id_b")))
+      == Set((1L, 2L)))
+  }
+
+  test("stored LSH index canonical: the key domain rides the meta like the span index") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"ref$i")
+    val seed = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val variant = Seq((11L, words.map(_.toUpperCase).mkString(" "))).toDF("doc_id", "text")
+    Dedup.writeNgramLshIndex(seed, "lshc_raw", buckets = 4)
+    assert(Dedup.ngramLshAgainstIndex(variant, "lshc_raw").count() == 0L,
+      "a raw index must miss the case variant")
+    Dedup.writeNgramLshIndex(seed, "lshc_can", buckets = 4, canonical = true)
+    val hit = Dedup.ngramLshAgainstIndex(variant, "lshc_can").collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("jac_fs") == 10000L,
+      s"a canonical index shingles the probe in ITS key domain, got ${hit.mkString(";")}")
+    // append honors the stored domain too: fold the variant in, then a
+    // THIRD casing of the same text must match it
+    Dedup.appendToNgramLshIndex(variant, "lshc_can")
+    val third = Seq((21L, words.map(_.capitalize).mkString(" "))).toDF("doc_id", "text")
+    val hits2 = Dedup.ngramLshAgainstIndex(third, "lshc_can").collect()
+      .map(r => r.getAs[Long]("id_ref")).toSet
+    assert(hits2 == Set(1L, 11L),
+      s"appended docs gram canonically under the meta flag, got $hits2")
+  }
+
   test("exact dedup canonical: case/punct variants collapse into one hash group") {
     import spark.implicits._
     val d = Seq(
