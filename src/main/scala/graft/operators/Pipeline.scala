@@ -29,8 +29,10 @@ object Pipeline {
              lshThresholdFs: Long = 9000L,
              maxRepetitionFs: Long = 9000L,
              salt: String = "graft#",
-             spanTrimTokens: Int = 0): DataFrame =
-    curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens)
+             spanTrimTokens: Int = 0,
+             canonicalKeys: Boolean = false): DataFrame =
+    curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens,
+      canonicalKeys)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
@@ -43,12 +45,23 @@ object Pipeline {
     * incremental-crawl reference side ([[Dedup.ngramLshAgainst]])
     * reads.
     */
+  /** `canonicalKeys = true` runs the DEDUP KEYING (stage 1's digest
+    * and stage 2's shingles) over [[graft.functions.TextFunctions
+    * .canonicalText]] while SHIPPING the raw text untouched — both
+    * stages select survivors by doc_id, so case/punctuation variants
+    * of the same document collapse (lowest id wins) without the
+    * output corpus being rewritten. The opt-in span TRIM stage stays
+    * raw-keyed regardless: it rewrites text, and a canonical trim
+    * ships canonical text by construction ([[TextAnalysis
+    * .spanTrimmed]]'s own `canonical` flag is that posture).
+    */
   def curateFull(docs: DataFrame,
                  minQualityFs: Long = 5000L,
                  lshThresholdFs: Long = 9000L,
                  maxRepetitionFs: Long = 9000L,
                  salt: String = "graft#",
-                 spanTrimTokens: Int = 0): DataFrame = {
+                 spanTrimTokens: Int = 0,
+                 canonicalKeys: Boolean = false): DataFrame = {
     // spanTrimTokens is a minimum span LENGTH and the trim stage
     // grams at n = 8, which floors the usable threshold — surface
     // that here by name rather than letting spanRegions throw its
@@ -56,14 +69,15 @@ object Pipeline {
     require(spanTrimTokens <= 0 || spanTrimTokens >= 8,
       s"spanTrimTokens: pass 0 (trim off) or >= 8 (the 8-gram floor); got $spanTrimTokens")
     // 1. exact dedup: survivors are each hash group's keep_id
-    val keep = Dedup.exact(docs)
+    val keep = Dedup.exact(docs, canonical = canonicalKeys)
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
     // 2. near-dup dedup: LSH candidates + exact verify, greedy apply
     // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
     // ngramLsh's global sort would only add a sampling double-run)
-    val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs)
+    val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs,
+      canonical = canonicalKeys)
     val deduped0 = Dedup.applyPairs(exactDeduped, nearPairs)
 
     // 2b. (opt-in, spanTrimTokens > 0) exact-substring trim: spans

@@ -157,4 +157,30 @@ class ExactIndexSpec extends SparkSpec {
       b1.destroy(); b2.destroy()
     } finally BloomSketchCache.maxBytes = prevBudget
   }
+test("canonical index: the digest key domain rides the bloom meta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val seed = Seq((1L, "hello world"), (2L, "another doc entirely")).toDF("doc_id", "text")
+    val probe = Seq((11L, "HELLO, World!"), (12L, "never seen text")).toDF("doc_id", "text")
+    ExactIndex.write(seed, "exc_raw", buckets = 4)
+    val raw = ExactIndex.flagAgainstIndex(probe, "exc_raw")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(raw == Map(11L -> false, 12L -> false), s"raw digests miss the case variant, got $raw")
+    ExactIndex.write(seed, "exc_can", buckets = 4, canonical = true)
+    val can = ExactIndex.flagAgainstIndex(probe, "exc_can")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(can == Map(11L -> true, 12L -> false),
+      s"a canonical index digests the probe in ITS key domain, got $can")
+    // append honors the stored domain: fold a new doc in, then a
+    // punct-varied recrawl of it must flag known
+    ExactIndex.append(Seq((21L, "fresh content here")).toDF("doc_id", "text"), "exc_can")
+    val again = ExactIndex.flagAgainstIndex(
+      Seq((31L, "Fresh... CONTENT (here)")).toDF("doc_id", "text"), "exc_can")
+      .collect()(0).getAs[Boolean]("is_known")
+    assert(again, "appended digests stay canonical-keyed under the meta flag")
+    // one-shot twin takes the same opt-in
+    val oneShot = ExactIndex.flagKnown(probe, seed, canonical = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(oneShot == Map(11L -> true, 12L -> false))
+  }
 }

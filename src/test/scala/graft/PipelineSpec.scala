@@ -587,4 +587,22 @@ test("ingest with a span index: changed docs retract grams, accepted docs fold i
       .collect()(0).getAs[Long]("dup_tokens")
     assert(newProbe == 20L, "the accepted content's grams DID fold in")
   }
+test("curateFull canonicalKeys: case-variant dups collapse while survivor text ships RAW") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "en", "web"),
+      (2L, base.toUpperCase, "en", "web"),
+      (3L, (1 to 40).map(i => s"qqq$i").mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val raw = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(raw == Set(1L, 2L, 3L), "raw keying keeps both case variants")
+    val canon = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      canonicalKeys = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(canon.keySet == Set(1L, 3L),
+      s"canonical keying collapses the variant pair to the lowest id, got ${canon.keySet}")
+    assert(canon(1L) == base, "the survivor's text ships untouched — keying is not rewriting")
+  }
 }
