@@ -71,7 +71,12 @@ private[operators] object StoredTable {
     * group column.
     */
   def writeStamped(rows: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
-    Sinks.writeBucketed(rows.withColumn("last_batch", lit(-1L)), table, bucketCol, buckets)
+    // create-or-replace: a table that has generation-flipped (any
+    // stamped append rewrites) no longer accepts a plain Overwrite at
+    // its base location — the writeThetaTable lesson, applied to the
+    // whole stamped tier
+    Sinks.replaceBucketed(rows.sparkSession, rows.withColumn("last_batch", lit(-1L)),
+      table, Seq(bucketCol), buckets)
 
   /** The additive append skeleton: replay-guard on the stored stamp,
     * then ONE generation-flip rewrite committing the merged rows and

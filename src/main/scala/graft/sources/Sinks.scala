@@ -154,6 +154,21 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[replaceBucketed]]'s type comparison with nullability erased at
+    * every nesting level (Catalyst's sameType is session-private).
+    */
+  private def denull(dt: org.apache.spark.sql.types.DataType)
+  : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(e, _) => ArrayType(denull(e), containsNull = true)
+      case MapType(k, v, _) => MapType(denull(k), denull(v), valueContainsNull = true)
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = denull(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   /** Create-or-replace a bucketed table with a FRESH frame. A plain
     * overwrite `saveAsTable` on a table that has generation-flipped
     * fails with LOCATION_ALREADY_EXISTS (the drop recreates at the
@@ -171,13 +186,17 @@ object Sinks {
       // replacement may only change DATA, not shape — compared by
       // name AND dataType (a dtype drift passing a name-only check
       // would leave files disagreeing with the catalog schema and
-      // read back as nulls). Nullability is deliberately excluded:
-      // aggregate rewrites flip it benignly and parquet reads resolve
-      // it per-file.
-      val live = spark.table(table).schema.map(f => (f.name, f.dataType)).toSet
-      val fresh = df.schema.map(f => (f.name, f.dataType)).toSet
-      require(fresh == live,
-        s"replaceBucketed $table: schema change $fresh vs live $live")
+      // read back as nulls). Nullability is deliberately excluded at
+      // EVERY nesting level (sameType): aggregate rewrites flip
+      // top-level nullability benignly, and array element
+      // containsNull flips on any parquet round-trip (collect_set
+      // writes non-null elements, the reader declares them nullable).
+      val live = spark.table(table).schema
+      val liveByName = live.map(f => f.name -> denull(f.dataType)).toMap
+      require(df.schema.length == live.length && df.schema.forall(f =>
+          liveByName.get(f.name).contains(denull(f.dataType))),
+        s"replaceBucketed $table: schema change ${df.schema.map(f => (f.name, f.dataType))} " +
+          s"vs live ${live.map(f => (f.name, f.dataType))}")
       rewriteBucketed(spark, table, bucketCols, buckets, _ => df)
     } else writeBucketed(df, table, bucketCols, buckets, SaveMode.ErrorIfExists)
 

@@ -209,4 +209,17 @@ test("retraction: grams leave only with their LAST contributor; delete is idempo
     assert(flags == Map(31L -> 0L, 33L -> 5L),
       s"appended-doc retraction removes its grams, shared block survives, got $flags")
   }
+
+  test("writeIndex is rerunnable in one warehouse: the companion's parquet containsNull round-trip") {
+    // first write creates _spandocs with collect_set's containsNull =
+    // false; the live table reads back nullable — a nullability-exact
+    // schema check would refuse the second write (bench-exposed r17)
+    val seed = Seq((2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "si_rerun", seed, n = 3, buckets = 2)
+    SpanIndex.appendToIndex(spark, "si_rerun",
+      Seq((4L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text"))
+    SpanIndex.writeIndex(spark, "si_rerun", seed, n = 3, buckets = 2) // must not throw
+    assert(spark.table("si_rerun_spandocs").count() == 1L,
+      "the rebuild replaces the companion with the fresh corpus")
+  }
 }

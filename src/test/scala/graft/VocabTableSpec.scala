@@ -111,4 +111,19 @@ class VocabTableSpec extends SparkSpec {
         "the NEXT micro-batch must still apply after a replay")
     } finally q.stop()
   }
+
+  test("writeVocabTable is rerunnable after appends flipped the table (bench-exposed r17)") {
+    val a = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val b = Seq((2L, "beta gamma")).toDF("doc_id", "text")
+    VocabTable.writeVocabTable(spark, "vt_rr", a, buckets = 2)
+    VocabTable.appendToVocabTable(spark, "vt_rr", b) // generation flip
+    // the rebuild: a plain Overwrite at the base location would die
+    // with LOCATION_ALREADY_EXISTS; writeStamped now stages a new
+    // generation instead
+    VocabTable.writeVocabTable(spark, "vt_rr", a, buckets = 2)
+    val got = VocabTable.vocabularyFromTable(spark, "vt_rr").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("alpha" -> 1L, "beta" -> 1L),
+      s"the rebuild must reflect ONLY the fresh corpus, got $got")
+  }
 }
