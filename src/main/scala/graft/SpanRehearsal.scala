@@ -166,12 +166,46 @@ object SpanRehearsal {
       spark.table("span_rehearsal_grams").count() == grown
     }
 
-    val allPass = acctOk && applyOk && md5Ok && indexOk && flagOk && appendOk
+    // ---- retraction: last-contributor semantics at scale --------------
+    def slot1Flags(): Map[(Long, Long, Long, Long), Long] =
+      graft.operators.SpanIndex
+        .flagAgainstIndex(spark, "span_rehearsal", docs.filter(col("doc_id") % 4 === 1))
+        .groupBy(col("n_tokens"), col("n_spans"), col("dup_tokens"), col("kept_tokens"))
+        .count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+        .toMap
+    val delPartialOk = timed("index-del-1") {
+      // retract ONE slot-0 doc: every boilerplate gram keeps D/4 − 1
+      // live contributors, so the cross-corpus flag must be UNCHANGED
+      // — the last-contributor rule at D/2 companion rows
+      import spark.implicits._
+      graft.operators.SpanIndex.deleteFromIndex(spark, "span_rehearsal",
+        Seq(0L).toDF("doc_id"))
+      slot1Flags() == Map((48L, 1L, 16L, 32L) -> d / 4)
+    }
+    val delAllOk = timed("index-delete") {
+      // retract the ENTIRE remaining slot-0 quarter (a D/4-doc
+      // takedown — the documented upper end of the bounded-retraction
+      // contract: the retracted gram union is ∝ the retraction list):
+      // every boilerplate gram loses its last contributor, slot-3's
+      // appended grams survive untouched, and the flag zeroes out
+      graft.operators.SpanIndex.deleteFromIndex(spark, "span_rehearsal",
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
+      slot1Flags() == Map((48L, 0L, 0L, 48L) -> d / 4) && {
+        spark.catalog.refreshTable("span_rehearsal_spandocs")
+        spark.table("span_rehearsal_spandocs")
+          .filter(col("doc_id") % 4 === 0).count() == 0L
+      }
+    }
+
+    val allPass = acctOk && applyOk && md5Ok && indexOk && flagOk && appendOk &&
+      delPartialOk && delAllOk
     val phaseJson = phases.map { case (k, s) => s""""$k":${f"$s%.2f"}""" }.mkString("{", ",", "}")
     println(s"""{"rehearsal":"span","docs":$d,"all_checks_pass":$allPass,""" +
       s""""checks":{"accounting_closed_form":$acctOk,"rewrite_invariant":$applyOk,""" +
       s""""sampled_digests":$md5Ok,"index_flag_closed_form":$flagOk,""" +
-      s""""index_append_replay_noop":$appendOk},"phases":$phaseJson,"cpus":"$cpus"}""")
+      s""""index_append_replay_noop":$appendOk,"index_delete_partial":$delPartialOk,""" +
+      s""""index_delete_all":$delAllOk},"phases":$phaseJson,"cpus":"$cpus"}""")
     spark.stop()
     if (!allPass) sys.exit(1)
   }
