@@ -766,6 +766,20 @@ object Oracles {
       | CAST(floor(10000.0 * coalesce(h.n_hit, 0) / tot.n_grams) AS BIGINT) AS contam_fs
       |FROM tot LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** text_contamination_canon: [[textContamination]] with both the
+    * corpus and the benchmark folded through canonicalText's DuckDB
+    * twin — built mechanically by swapping only the tokenizing CTE
+    * (the [[textSpanDedupCanon]] pattern; a require pins the swap).
+    */
+  val textContaminationCanon: String = {
+    val swapped = textContamination.replace(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),",
+      "WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), " +
+        "'[^a-z0-9]+', ' ', 'g')),' ') AS toks FROM documents),")
+    require(swapped != textContamination, "canon CTE swap must apply")
+    swapped
+  }
+
   /** Twin of TextAnalysis.redact. Patterns come from the SAME Scala
     * constants (no drift possible); they are RE2-compatible so Java
     * regex (Spark) and RE2 (DuckDB) agree. DuckDB's regexp_replace

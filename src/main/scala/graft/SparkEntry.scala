@@ -371,6 +371,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
     }),
+    "text_contamination_canon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
+        canonical = true)
+    }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
     // stored vocabulary lifecycle end-to-end: even docs seed the count
     // table, odd docs sum in, the read must equal the direct full-corpus
@@ -555,6 +560,7 @@ object SparkEntry {
     "text_redact" -> Oracles.textRedact,
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
+    "text_contamination_canon" -> Oracles.textContaminationCanon,
     "text_vocabulary" -> Oracles.textVocabulary,
     // the stored read is definitionally the same frame as the direct
     // vocabulary over the reunited halves — one oracle serves both
