@@ -380,6 +380,16 @@ object SparkEntry {
     // stored vocabulary lifecycle end-to-end: even docs seed the count
     // table, odd docs sum in, the read must equal the direct full-corpus
     // vocabulary (counts are exact — no sketch regime)
+    // frozen-IDF scoring from the stored vocabulary: df answered from
+    // the count table (write even + append odd = the full corpus), so
+    // the scores must equal the one-shot tfidf over the same docs
+    "text_tfidf_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      VocabTable.writeVocabTable(s, "g_vocab_idf", docs.filter(col("doc_id") % 2 === 0),
+        buckets = 8)
+      VocabTable.appendToVocabTable(s, "g_vocab_idf", docs.filter(col("doc_id") % 2 === 1))
+      VocabTable.tfidfFromTable(s, "g_vocab_idf", docs)
+    }),
     "text_vocab_stored" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       VocabTable.writeVocabTable(s, "g_vocab", docs.filter(col("doc_id") % 2 === 0),
@@ -565,6 +575,8 @@ object SparkEntry {
     // the stored read is definitionally the same frame as the direct
     // vocabulary over the reunited halves — one oracle serves both
     "text_vocab_stored" -> Oracles.textVocabulary,
+    // definitionally the one-shot tfidf over the reunited halves
+    "text_tfidf_stored" -> Oracles.textTfidf,
     "text_lm_score" -> Oracles.textLmScore,
     "text_entropy" -> Oracles.textEntropy,
     "text_chunk" -> Oracles.textChunk,

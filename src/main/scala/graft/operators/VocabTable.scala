@@ -85,6 +85,36 @@ object VocabTable {
                         maxOovFs: Long = 500L): Boolean =
     oovReport(spark, name, batch).collect()(0).getAs[Long]("oov_fs") > maxOovFs
 
+  /** [[TextAnalysis.tfidfTopK]] with the document-frequency side
+    * answered from the STORED vocabulary — score a batch against a
+    * FROZEN IDF with zero corpus rescan (the production shape: the
+    * corpus-wide df is the expensive artifact, per-batch term
+    * frequencies are cheap). Identical output to the one-shot over
+    * the corpus the store summarizes, and a BETTER plan: the one-shot
+    * derives df from its own tf frame (a diamond it must persist),
+    * while here df is one join against the token-BUCKETED counts
+    * table — stored side shuffle-free, no cache. Tokens the store has
+    * never seen score with df = 1, the rarest-possible ceiling (an
+    * unseen token is by definition maximally informative);
+    * [[oovReport]] is the companion signal that too much of a batch
+    * is scoring at that ceiling and the store needs the batch folded
+    * in.
+    */
+  def tfidfFromTable(spark: SparkSession, name: String, docs: DataFrame,
+                     k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = CountTable.read(spark, name).select(col("token"), col("doc_freq").as("df"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"), "left")
+      .withColumn("score", expr("tf * 1000000 div coalesce(df, 1L)"))
+      .withColumn("rnk", row_number().over(byDoc).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** The retrained-tokenizer artifact: `<name>_merges` in
     * [[Bpe.train]]'s output shape (rank, left, right, merged,
     * weight) — a bounded frame (merge count × tiny rows), plain

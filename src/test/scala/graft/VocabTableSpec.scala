@@ -126,4 +126,23 @@ class VocabTableSpec extends SparkSpec {
     assert(got == Map("alpha" -> 1L, "beta" -> 1L),
       s"the rebuild must reflect ONLY the fresh corpus, got $got")
   }
+test("frozen-IDF tfidf from the stored table equals the one-shot; OOV scores at the df=1 ceiling") {
+    val docs = Tables.documents(spark, sfDir)
+    VocabTable.writeVocabTable(spark, "vt_idf", docs.filter(col("doc_id") % 2 === 0),
+      buckets = 4)
+    VocabTable.appendToVocabTable(spark, "vt_idf", docs.filter(col("doc_id") % 2 === 1))
+    val stored = VocabTable.tfidfFromTable(spark, "vt_idf", docs).collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.tfidfTopK(docs).collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty && stored == direct,
+      "df from the stored counts must reproduce the one-shot scores exactly")
+    // a batch with an unseen token: it scores at tf * 1e6 / 1 — the
+    // rarest-possible ceiling — and outranks every stored-vocab token
+    val batch = Seq((99L, "unseenword unseenword alpha")).toDF("doc_id", "text")
+    VocabTable.writeVocabTable(spark, "vt_idf2",
+      Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text"), buckets = 2)
+    val top = VocabTable.tfidfFromTable(spark, "vt_idf2", batch, k = 2).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(top.toSeq == Seq((1L, "unseenword", 2000000L), (2L, "alpha", 500000L)),
+      s"OOV df=1 ceiling and stored df=2 for alpha, got ${top.mkString(";")}")
+  }
 }
