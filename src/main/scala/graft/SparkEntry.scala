@@ -429,6 +429,15 @@ object SparkEntry {
     "text_pack" -> ((s, dir) => TextAnalysis.pack(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopK(Tables.documents(s, dir))),
     "text_encode" -> ((s, dir) => TextAnalysis.encodeTokens(Tables.documents(s, dir))),
+    // stored-vocabulary token ids: write even + append odd = the full
+    // corpus ranking, so ids equal the one-shot encode
+    "text_encode_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      VocabTable.writeVocabTable(s, "g_vocab_enc", docs.filter(col("doc_id") % 2 === 0),
+        buckets = 8)
+      VocabTable.appendToVocabTable(s, "g_vocab_enc", docs.filter(col("doc_id") % 2 === 1))
+      VocabTable.encodeFromTable(s, "g_vocab_enc", docs)
+    }),
     // distributed BPE over the word-frequency table (rows-only — the
     // merge loop's greedy fixed point isn't single-query SQL; the
     // trainer is pinned merge-for-merge to a reference implementation
@@ -590,6 +599,8 @@ object SparkEntry {
     "text_pack" -> Oracles.textPack,
     "text_tfidf" -> Oracles.textTfidf,
     "text_encode" -> Oracles.textEncode,
+    // definitionally the one-shot encode over the reunited halves
+    "text_encode_stored" -> Oracles.textEncode,
     "sample_split" -> Oracles.sampleSplit,
     "sample_stratified" -> Oracles.sampleStratified,
     "snapshot_diff" -> Oracles.snapshotDiff,

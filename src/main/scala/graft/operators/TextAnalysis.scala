@@ -284,10 +284,21 @@ object TextAnalysis {
     * broadcast-hash-join, no shuffle of the corpus until the output
     * sort. Vocabulary ranking reuses [[vocabulary]]'s partial-agg.
     */
-  def encodeTokens(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
+    encodeWithVocab(docs, vocabulary(docs), vocabSize)
+
+  /** The shared encode tail: rank the given vocabulary frame
+    * (token, …, total_count) by frequency, broadcast the bounded id
+    * map, and explode-encode the docs — [[encodeTokens]] passes the
+    * one-shot vocabulary, [[VocabTable.encodeFromTable]] the stored
+    * counts (the tokenizer's id table then comes from the accrued
+    * corpus with zero rescan, frozen across batches like the IDF).
+    */
+  private[operators] def encodeWithVocab(docs: DataFrame, vocab: DataFrame,
+                                         vocabSize: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val top = vocabulary(docs)
+    val top = vocab
       .orderBy(col("total_count").desc, col("token"))
       .limit(vocabSize)
       .select(col("token")).as[String].collect()

@@ -115,6 +115,18 @@ object VocabTable {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** [[TextAnalysis.encodeTokens]] with the id table ranked from the
+    * STORED vocabulary — the tokenizer's (token → id) map frozen over
+    * the accrued corpus instead of recomputed per run, the id twin of
+    * [[tfidfFromTable]]'s frozen IDF: new batches encode under STABLE
+    * ids across ingests (ids only shift when the store's frequency
+    * ranking does), with OOV → −1 as in the one-shot and
+    * [[oovReport]] as the saturation signal.
+    */
+  def encodeFromTable(spark: SparkSession, name: String, docs: DataFrame,
+                      vocabSize: Int = 1000): DataFrame =
+    TextAnalysis.encodeWithVocab(docs, CountTable.read(spark, name), vocabSize)
+
   /** The retrained-tokenizer artifact: `<name>_merges` in
     * [[Bpe.train]]'s output shape (rank, left, right, merged,
     * weight) — a bounded frame (merge count × tiny rows), plain

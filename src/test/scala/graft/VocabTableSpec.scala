@@ -145,4 +145,27 @@ test("frozen-IDF tfidf from the stored table equals the one-shot; OOV scores at 
     assert(top.toSeq == Seq((1L, "unseenword", 2000000L), (2L, "alpha", 500000L)),
       s"OOV df=1 ceiling and stored df=2 for alpha, got ${top.mkString(";")}")
   }
+test("stored-vocab token ids equal the one-shot encode; ids stay STABLE across an append") {
+    val docs = Tables.documents(spark, sfDir)
+    VocabTable.writeVocabTable(spark, "vt_enc", docs.filter(col("doc_id") % 2 === 0),
+      buckets = 4)
+    VocabTable.appendToVocabTable(spark, "vt_enc", docs.filter(col("doc_id") % 2 === 1))
+    val stored = VocabTable.encodeFromTable(spark, "vt_enc", docs).collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.encodeTokens(docs).collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty && stored == direct,
+      "ids ranked from the stored counts must equal the one-shot encode")
+    // id stability: an append that does NOT reorder the frequency
+    // ranking leaves every existing id unchanged (the point of a
+    // frozen id table), and an OOV token encodes -1
+    VocabTable.writeVocabTable(spark, "vt_enc2",
+      Seq((1L, "alpha alpha alpha beta beta gamma")).toDF("doc_id", "text"), buckets = 2)
+    val probe = Seq((9L, "beta gamma alpha novel")).toDF("doc_id", "text")
+    def ids() = VocabTable.encodeFromTable(spark, "vt_enc2", probe).collect()
+      .map(r => r.getLong(2)).toSeq
+    val before = ids()
+    assert(before == Seq(2L, 3L, 1L, -1L), s"got $before")
+    VocabTable.appendToVocabTable(spark, "vt_enc2",
+      Seq((2L, "alpha beta")).toDF("doc_id", "text")) // ranking preserved
+    assert(ids() == before, "a ranking-preserving append must not move any id")
+  }
 }
