@@ -188,16 +188,6 @@ object StreamingPipeline {
       graft.operators.SpanIndex.appendToIndex(batch.sparkSession, name, batch)
     }
 
-  /** The cohort-matrix ingest twin — raw events fold into the
-    * first-seen companion (min-merge, idempotent) and the theta cells
-    * (insertion-idempotent), so day-ordered ingest reproduces the
-    * batch triangle exactly and a redelivered micro-batch no-ops end
-    * to end — no batch-id bookkeeping, like the theta/HLL twins.
-    * Out-of-order EARLIER first appearances accumulate in the drift
-    * counter instead of silently skewing cells; poll
-    * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
-    * and reconcile via `rebuildMatrixTable` when it fires.
-    */
   /** The stored-vocabulary ingest twin — each micro-batch's token
     * counts SUM-merge into the count table UNDER THE BATCH STAMP
     * ([[graft.operators.VocabTable.appendToVocabTable]]), so
@@ -213,6 +203,16 @@ object StreamingPipeline {
       graft.operators.VocabTable.appendToVocabTable(batch.sparkSession, name, batch, batchId)
     }
 
+  /** The cohort-matrix ingest twin — raw events fold into the
+    * first-seen companion (min-merge, idempotent) and the theta cells
+    * (insertion-idempotent), so day-ordered ingest reproduces the
+    * batch triangle exactly and a redelivered micro-batch no-ops end
+    * to end — no batch-id bookkeeping, like the theta/HLL twins.
+    * Out-of-order EARLIER first appearances accumulate in the drift
+    * counter instead of silently skewing cells; poll
+    * [[graft.operators.Cohort.cohortNeedsRebuild]] between batches
+    * and reconcile via `rebuildMatrixTable` when it fires.
+    */
   def cohortIngestStream(events: DataFrame, name: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
