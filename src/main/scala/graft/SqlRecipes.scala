@@ -387,10 +387,56 @@ object SqlRecipes {
     s"""SELECT token, doc_freq, total_count FROM ${name}_counts
        |ORDER BY token""".stripMargin
 
+  /** [[graft.operators.VocabTable.tfidfFromTable]] at the engine
+    * default (top-3 terms): the batch — a `documents(doc_id BIGINT,
+    * text STRING)` view — computes its own term frequencies, the
+    * document-frequency side is ONE left join against the stored
+    * token-bucketed counts table (unseen tokens score at the df = 1
+    * ceiling), same integer `div` scoring and (score desc, token)
+    * tie-break as the reader.
+    */
+  def tfidfFromTable(name: String): String =
+    s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf
+       |            FROM (SELECT doc_id, explode(split(text, ' ')) AS token
+       |                  FROM documents)
+       |            GROUP BY doc_id, token),
+       |s AS (SELECT tf.doc_id, tf.token,
+       |        tf.tf * 1000000 div coalesce(c.doc_freq, 1L) AS score
+       |      FROM tf LEFT JOIN ${name}_counts c USING (token)),
+       |r AS (SELECT doc_id, token, score,
+       |        CAST(row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY score DESC, token) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT doc_id, rnk, token, score FROM r WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** [[graft.operators.VocabTable.encodeFromTable]] at the engine
+    * default (vocabSize = 1000): ids 1..1000 ranked
+    * (total_count desc, token) from the stored counts — the LIMIT
+    * keeps the global sort a take-ordered and the id window bounded,
+    * mirroring the reader's collect-then-broadcast — then the batch
+    * explode-encodes against the id map, OOV → −1.
+    */
+  def encodeFromTable(name: String): String =
+    s"""WITH top AS (SELECT token, total_count FROM ${name}_counts
+       |             ORDER BY total_count DESC, token LIMIT 1000),
+       |ids AS (SELECT token,
+       |          CAST(row_number() OVER (ORDER BY total_count DESC, token)
+       |            AS BIGINT) AS token_id
+       |        FROM top),
+       |p AS (SELECT doc_id, posexplode(split(text, ' ')) AS (pos0, token)
+       |      FROM documents)
+       |SELECT p.doc_id, CAST(p.pos0 + 1 AS BIGINT) AS pos,
+       |  coalesce(i.token_id, -1L) AS token_id
+       |FROM p LEFT JOIN ids i USING (token)
+       |ORDER BY doc_id, pos""".stripMargin
+
   /** Every stored-reader recipe keyed by the reader it mirrors. */
   val storedReaders: Map[String, String => String] = Map(
     "span_flagAgainstIndex" -> spanFlagFromIndex,
     "vocab_vocabularyFromTable" -> vocabularyFromTable,
+    "vocab_tfidfFromTable" -> tfidfFromTable,
+    "vocab_encodeFromTable" -> encodeFromTable,
     "funnel_dailyFromTable" -> funnelFromTable,
     "path_topkFromTable" -> pathTopkFromTable,
     "path_transitionsFromTable" -> transitionsFromTable,

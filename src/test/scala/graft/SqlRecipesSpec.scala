@@ -124,6 +124,18 @@ class SqlRecipesSpec extends SparkSpec {
     val vdf = VocabTable.vocabularyFromTable(spark, "sqlr_vc")
     assert(vsql.columns.toSeq == vdf.columns.toSeq)
     assert(rows(vsql).nonEmpty && rows(vsql) == rows(vdf))
+    // the frozen-IDF and frozen-id readers over the same store, the
+    // `documents` view still bound to the odd-doc batch being scored
+    val tsql = spark.sql(SqlRecipes.tfidfFromTable("sqlr_vc"))
+    val tdf = VocabTable.tfidfFromTable(spark, "sqlr_vc", batch)
+    assert(tsql.columns.toSeq == tdf.columns.toSeq)
+    assert(rows(tsql).nonEmpty && rows(tsql) == rows(tdf),
+      "the stored-tfidf SQL read must match the reader row for row")
+    val esql = spark.sql(SqlRecipes.encodeFromTable("sqlr_vc"))
+    val edf = VocabTable.encodeFromTable(spark, "sqlr_vc", batch)
+    assert(esql.columns.toSeq == edf.columns.toSeq)
+    assert(rows(esql).nonEmpty && rows(esql) == rows(edf),
+      "the stored-encode SQL read must match the reader row for row")
   }
 
   test("recipes keep the operators' scale plans: banded join, WindowGroupLimit") {
