@@ -23,6 +23,10 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // fresh warehouse per run — see Verify.scala: stored-lifecycle
+      // keys write managed tables, stale locations fail saveAsTable
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_profile_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
