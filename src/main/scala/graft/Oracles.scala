@@ -395,14 +395,19 @@ object Oracles {
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
   /** dedup_exact_canon: the normalize-then-hash form — digest over
-    * [[graft.functions.TextFunctions.canonicalText]]'s DuckDB twin
-    * (lower + ASCII-class collapse + trim), so case/punctuation
-    * variants of a document land in one hash group. The expression is
-    * the documented cross-engine contract; the gate hash proves the
-    * two engines canonicalize byte-identically over the corpus.
+    * [[graft.functions.TextFunctions.canonicalKey]]'s DuckDB twin
+    * (lower + ASCII-class collapse + trim, with the r18
+    * empty-collapse guard: an empty canonical form falls back to the
+    * raw text via `coalesce(nullif(canon, ''), text)`, so fully
+    * non-ASCII documents dedup only on byte-identity instead of all
+    * hashing md5('')), so case/punctuation variants of a document
+    * land in one hash group. The expression is the documented
+    * cross-engine contract; the gate hash proves the two engines
+    * canonicalize byte-identically over the corpus.
     */
   val dedupExactCanon: String =
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+    """SELECT md5(coalesce(nullif(
+      |   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''), text)) AS h,
       | count(*) AS n_dups, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 

@@ -41,6 +41,25 @@ object TextFunctions {
   def canonicalText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** The canonical DIGEST key — [[canonicalText]] with the
+    * empty-collapse guard the hash families need: a fully non-ASCII
+    * document (Chinese, Cyrillic, emoji-only) canonicalizes to the
+    * EMPTY string, and digesting that would silently collapse every
+    * such document into one md5("") dedup group — a multilingual
+    * corpus would "dedup" all its non-Latin documents into a single
+    * survivor. Empty canonical forms therefore fall back to the RAW
+    * text: non-ASCII documents dedup only on byte-identity (the
+    * never-lossy posture), ASCII documents keep the full
+    * normalize-then-hash semantics. The gram families don't need
+    * this guard — an empty canonical text yields no grams and
+    * degrades to "never matches" on its own.
+    *
+    * Cross-engine contract (rides [[canonicalText]]'s):
+    * `coalesce(nullif(<canon twin>, ''), text)`.
+    */
+  def canonicalKey(text: Column): Column =
+    coalesce(nullif(canonicalText(text), lit("")), text)
+
   /** Distinct token set (order preserved by first occurrence). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

@@ -123,14 +123,19 @@ object Dedup {
     * cheapest possible shuffle (key = 32-byte digest, payload = count
     * + min id). `keep_id` = lowest doc_id is the canonical survivor.
     * `canonical = true` digests [[graft.functions.TextFunctions
-    * .canonicalText]] instead of the raw text, so case/punctuation
+    * .canonicalKey]] instead of the raw text, so case/punctuation
     * variants of the same document collapse into one hash group (the
     * production normalize-then-hash posture — same scan-speed plan,
-    * the fold rides the projection feeding the groupBy).
+    * the fold rides the projection feeding the groupBy). The key is
+    * [[graft.functions.TextFunctions.canonicalKey]], not bare
+    * canonicalText: a fully non-ASCII document canonicalizes to ""
+    * and a bare-canonical digest would collapse every such document
+    * into one md5("") group — the guard falls those rows back to the
+    * raw digest, so non-ASCII documents dedup only on byte-identity.
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             canonical: Boolean = false): DataFrame = {
-    val key = if (canonical) graft.functions.TextFunctions.canonicalText(col(textCol))
+    val key = if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
               else col(textCol)
     docs.groupBy(md5(key).as("h"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
@@ -451,8 +456,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L,
                         canonical: Boolean = false): DataFrame = {
+    // canonical blocking must measure the CANONICAL text: the raw
+    // n_chars of two punctuation-heavy variants of the same canonical
+    // document can straddle a length-bucket boundary, and the pair —
+    // the exact pair canonical keying exists to catch — would
+    // silently never be compared (r18, ADVICE)
+    val lenCol = if (canonical) length(col("text")) else col("n_chars")
     val d = Par.spread(TextAnalysis.maybeCanon(docs, canonical)).select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / lit(100.0)).as("lb"),
+      floor(lenCol / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")
     val b = d.as("b")

@@ -45,12 +45,15 @@ object ExactIndex {
     * lifecycle twin).
     */
   /** The digest key: md5 of the raw text, or of its canonical form
-    * ([[graft.functions.TextFunctions.canonicalText]]) when the
-    * caller/index opted in — the normalize-then-hash posture shared
-    * with [[Dedup.exact]].
+    * ([[graft.functions.TextFunctions.canonicalKey]] — canonicalText
+    * with the empty-collapse guard: a fully non-ASCII doc's canonical
+    * form is "" and digesting it would flag every such doc as a dup
+    * of the first one indexed, so empty canonical keys fall back to
+    * the raw digest) when the caller/index opted in — the
+    * normalize-then-hash posture shared with [[Dedup.exact]].
     */
   private def digest(textCol: String, canonical: Boolean) =
-    md5(if (canonical) graft.functions.TextFunctions.canonicalText(col(textCol))
+    md5(if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
         else col(textCol))
 
   def flagKnown(batch: DataFrame, reference: DataFrame,

@@ -88,6 +88,46 @@ class DedupSpec extends SparkSpec {
     assert(grp.getAs[Long]("keep_id") == 1L, "lowest id survives the collapsed group")
   }
 
+  test("canonical-empty guard: distinct non-ASCII docs never collapse under canonical keying") {
+    import spark.implicits._
+    // fully non-ASCII texts canonicalize to "" — without the
+    // canonicalKey raw-fallback every one of them would digest
+    // md5("") and a multilingual corpus would "dedup" all its
+    // non-Latin docs into one survivor (the r17 verdict's hazard)
+    val d = Seq(
+      (1L, "你好，世界。"), (2L, "мир труд май"), (3L, "你好，世界。"),
+      (4L, "hello world")).toDF("doc_id", "text")
+    val canon = Dedup.exact(d, canonical = true).collect()
+    assert(canon.length == 3,
+      s"byte-identical pair collapses, the REST stay distinct — got ${canon.length} groups")
+    val grp = canon.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(grp.getAs[Long]("keep_id") == 1L,
+      "only the byte-identical non-ASCII pair shares a group")
+    // ASCII semantics unchanged: case/punct variants still collapse
+    val ascii = Seq((1L, "Hello, World!"), (2L, "hello world")).toDF("doc_id", "text")
+    assert(Dedup.exact(ascii, canonical = true).count() == 1L)
+  }
+
+  test("canonical blocking measures canonical length: punct padding across raw buckets still pairs") {
+    import spark.implicits._
+    // identical canonical text; doc 2 carries enough trailing
+    // punctuation to cross the raw 100-char length-bucket boundary —
+    // blocking on raw n_chars would silently never compare the pair
+    val base = (1 to 12).map(i => s"token$i").mkString(" ") // 80 chars
+    val padded = base + " " + ("!" * 30)                    // 111 chars raw
+    val d = Seq((1L, base), (2L, padded))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val canonPairs = Dedup.ngramJaccardPairs(d, canonical = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jac_fs"))).toSet
+    assert(canonPairs == Set((1L, 2L, 10000L)),
+      s"canonical keying must block on the CANONICAL length, got $canonPairs")
+    // raw keying keeps the raw blocking: the pair is (correctly) in
+    // different raw buckets and never compared
+    assert(Dedup.ngramJaccardPairs(d).count() == 0L)
+  }
+
   test("minhash-LSH finds the exact and near dup pairs, not the unrelated doc") {
     // 8 bands × 4 rows: high collision probability for the J=0.667 toy pair
     val pairs = Dedup.minhashLsh(docs, bands = 8, minJaccardFs = 5000L).collect()

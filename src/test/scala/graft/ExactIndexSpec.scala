@@ -183,4 +183,21 @@ test("canonical index: the digest key domain rides the bloom meta") {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
     assert(oneShot == Map(11L -> true, 12L -> false))
   }
+
+  test("canonical-empty guard: a non-ASCII doc is not 'known' to a canonical index holding a different one") {
+    import spark.implicits._
+    // both docs canonicalize to "" — without the canonicalKey
+    // raw-fallback the index would flag EVERY fully non-ASCII doc as
+    // a dup of the first one indexed (silent mass data loss)
+    val seed = Seq((1L, "你好，世界。")).toDF("doc_id", "text")
+    ExactIndex.write(seed, "exc_nonascii", buckets = 4, canonical = true)
+    val probe = Seq((11L, "мир труд май"), (12L, "你好，世界。")).toDF("doc_id", "text")
+    val flags = ExactIndex.flagAgainstIndex(probe, "exc_nonascii")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(flags == Map(11L -> false, 12L -> true),
+      s"non-ASCII docs dedup only on byte-identity, got $flags")
+    val oneShot = ExactIndex.flagKnown(probe, seed, canonical = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(oneShot == Map(11L -> false, 12L -> true))
+  }
 }

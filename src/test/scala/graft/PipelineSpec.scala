@@ -605,4 +605,22 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
       s"canonical keying collapses the variant pair to the lowest id, got ${canon.keySet}")
     assert(canon(1L) == base, "the survivor's text ships untouched — keying is not rewriting")
   }
+
+  test("curateFull canonicalKeys: distinct non-ASCII docs all survive (no md5('') collapse)") {
+    import spark.implicits._
+    // both non-ASCII docs canonicalize to "" — stage 1's digest must
+    // fall back to the raw text (canonicalKey) or one of them would
+    // silently vanish; stage 2's shingles degrade safely on their own
+    // (an empty canonical text has no 2-gram shingles)
+    val d = Seq(
+      (1L, "你好，世界。这是一个文档。", "zh", "web"),
+      (2L, "мир труд май отличный документ", "ru", "web"),
+      (3L, "你好，世界。这是一个文档。", "zh", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ids = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      canonicalKeys = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L),
+      s"byte-identical pair dedups, the distinct non-ASCII doc SURVIVES — got $ids")
+  }
 }
