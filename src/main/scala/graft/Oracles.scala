@@ -491,13 +491,14 @@ object Oracles {
     * exact unigram Jaccard ≥ the threshold.
     */
   private def md5LshPairCtes(perms: Int = 32, bands: Int = 4,
-                             minJaccardFs: Long = 9000L): String = {
+                             minJaccardFs: Long = 9000L,
+                             source: String = "documents"): String = {
     val rows = perms / bands
     val cwRows = graft.functions.HashFunctions.md5CwParams(perms).zipWithIndex
       .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
     val prime = graft.functions.HashFunctions.Prime
     s"""tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
-       |       FROM documents),
+       |       FROM $source),
        |hx AS (SELECT doc_id,
        |         CAST(('0x' || substr(md5(tok),1,14)) AS BIGINT) AS h
        |       FROM tk),
@@ -512,7 +513,7 @@ object Oracles {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bd a JOIN bd b
        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+       |tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM $source),
        |p AS (SELECT id_a, id_b,
        |        CAST(floor(10000.0 * (CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
        |          / len(list_distinct(ta.toks || tb.toks)))) AS BIGINT) AS jac_fs
@@ -526,6 +527,23 @@ object Oracles {
   val dedupMinhashMd5: String =
     s"""WITH ${md5LshPairCtes()}
        |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** dedup_minhash_md5_canon: the same banded generator + exact
+    * verify over the CANONICAL token stream (Dedup.minhashMd5Pairs
+    * with canonical = true) — the one mechanical change is the doc
+    * source CTE: text folds through canonicalText's DuckDB twin, and
+    * docs whose canonical form is EMPTY (fully non-ASCII) drop — no
+    * token signal → never a near-dup, the set-similarity counterpart
+    * of canonicalKey's digest guard (a {""} token "set" would
+    * otherwise pair every non-Latin doc at J = 1).
+    */
+  val dedupMinhashMd5Canon: String = {
+    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"""WITH cdocs AS (SELECT doc_id, $canonExpr AS text FROM documents
+       |               WHERE length($canonExpr) > 0),
+       |${md5LshPairCtes(source = "cdocs")}
+       |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** dedup_simhash_md5 (the DuckDB twin of Dedup.simhashMd5Pairs):
     * per-token bits off the first 16 hex chars of md5(token), per-doc

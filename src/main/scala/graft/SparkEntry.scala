@@ -318,6 +318,12 @@ object SparkEntry {
     // ngramJaccardPairs here, the gate's only weak components, because
     // the xxhash banding wasn't SQL-expressible)
     "dedup_minhash_md5" -> ((s, dir) => Dedup.minhashMd5Pairs(Tables.documents(s, dir))),
+    // the banded family's canonical twin (r18): the same generator +
+    // verify over the canonical token stream, hash-verified like
+    // dedup_exact_canon — proving the canon threading through the
+    // banding/verify machinery cross-engine, not just per-expression
+    "dedup_minhash_md5_canon" -> ((s, dir) =>
+      Dedup.minhashMd5Pairs(Tables.documents(s, dir), canonical = true)),
     // the simhash family's oracle bridge (r11): md5-derived bits make
     // the fingerprints, the banded candidates, and the hamming verify
     // SQL-expressible — production path stays dedup_simhash
@@ -573,6 +579,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
+    "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,

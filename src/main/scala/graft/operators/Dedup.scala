@@ -133,6 +133,23 @@ object Dedup {
     * into one md5("") group — the guard falls those rows back to the
     * raw digest, so non-ASCII documents dedup only on byte-identity.
     */
+  /** The canonical-keyed doc stream for the SET-SIMILARITY families:
+    * [[TextAnalysis.maybeCanon]] plus the empty-canonical drop. A
+    * fully non-ASCII doc canonicalizes to "", whose token "set" is
+    * the singleton {""} — identical across every such doc, so the
+    * canon variants of minhash/simhash/blocked-Jaccard would
+    * mass-pair a multilingual corpus's non-Latin docs at J = 1
+    * exactly the way bare-canonical digests mass-collapse them
+    * ([[graft.functions.TextFunctions.canonicalKey]]'s hazard).
+    * Canonical keying DROPS them instead: no token signal → never a
+    * near-dup (the n ≥ 2 gram families get this degradation for free
+    * — one token yields no shingles).
+    */
+  private def canonDocs(docs0: DataFrame, canonical: Boolean): DataFrame = {
+    val c = TextAnalysis.maybeCanon(docs0, canonical)
+    if (canonical) c.filter(length(col("text")) > 0) else c
+  }
+
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             canonical: Boolean = false): DataFrame = {
     val key = if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
@@ -169,7 +186,7 @@ object Dedup {
   def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                  shingleN: Int = 1, minJaccardFs: Long = 8400L,
                  canonical: Boolean = false): DataFrame = {
-    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
+    val docs = Par.spread(canonDocs(docs0, canonical))
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
     // persist: this frame feeds BOTH legs of the band self-join and
@@ -234,9 +251,10 @@ object Dedup {
     * (J ≥ 0.9, collision ≈ 89% at the 4×8 default).
     */
   def minhashMd5Pairs(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
-                      minJaccardFs: Long = 9000L): DataFrame = {
+                      minJaccardFs: Long = 9000L,
+                      canonical: Boolean = false): DataFrame = {
     require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
-    val docs = Par.spread(docs0)
+    val docs = Par.spread(canonDocs(docs0, canonical))
     val rowsPerBand = perms / bands
     val toksCol = array_distinct(tokens(col("text")))
     // ONE md5 per token, materialized as a 56-bit long in its own
@@ -289,7 +307,7 @@ object Dedup {
     * tree); falls back to the pure-Column formulation otherwise.
     */
   def simhashFingerprints(docs0: DataFrame, canonical: Boolean = false): DataFrame = {
-    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
+    val docs = Par.spread(canonDocs(docs0, canonical))
     val sh =
       if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
         call_function("graft_simhash64", tokens(col("text")))
@@ -462,7 +480,7 @@ object Dedup {
     // the exact pair canonical keying exists to catch — would
     // silently never be compared (r18, ADVICE)
     val lenCol = if (canonical) length(col("text")) else col("n_chars")
-    val d = Par.spread(TextAnalysis.maybeCanon(docs, canonical)).select(col("doc_id"), col("lang"),
+    val d = Par.spread(canonDocs(docs, canonical)).select(col("doc_id"), col("lang"),
       floor(lenCol / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")

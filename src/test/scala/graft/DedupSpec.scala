@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(ascii, canonical = true).count() == 1L)
   }
 
+  test("canonical set-similarity drops empty-canonical docs: non-ASCII docs never mass-pair") {
+    import spark.implicits._
+    // docs 3-5 canonicalize to "" — their token "set" would be the
+    // shared singleton {""} (J = 1 across all of them); canonical
+    // keying must DROP them, pairing only the genuine case variants
+    val words = (1 to 40).map(i => s"tok$i")
+    val d = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.map(_.toUpperCase).mkString(" ")),
+      (3L, "你好，世界。"), (4L, "мир труд май"), (5L, "東京都"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashMd5Pairs(d, canonical = true)) == Set((1L, 2L)),
+      "md5-minhash canon: only the case variants pair")
+    assert(pairSet(Dedup.minhashLsh(d, canonical = true)) == Set((1L, 2L)))
+    assert(pairSet(Dedup.simhashPairs(d, canonical = true)) == Set((1L, 2L)))
+    val db = d.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    assert(pairSet(Dedup.ngramJaccardPairs(db, canonical = true)) == Set((1L, 2L)))
+  }
+
   test("canonical blocking measures canonical length: punct padding across raw buckets still pairs") {
     import spark.implicits._
     // identical canonical text; doc 2 carries enough trailing
