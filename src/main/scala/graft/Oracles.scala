@@ -457,6 +457,24 @@ object Oracles {
       | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS uniq_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** text_tokens_ws: the whitespace-robustness differential
+    * (TextAnalysis.tokensWsReport). The messy input is synthesized
+    * from the corpus inside the query (tab-join + trailing double
+    * space — the gate tables are single-space, so the contract
+    * violation the key verifies must be planted), then tokenized both
+    * naively and robustly. The whitespace class is the EXPLICIT
+    * [ \t\n\r\f] — not \s, whose membership differs between Java
+    * regex (includes U+000B) and RE2; in this triple-quoted literal
+    * the \t etc. reach DuckDB as RE2 escapes.
+    */
+  val textTokensWs: String =
+    """WITH m AS (SELECT doc_id, text || chr(9) || text || '  ' AS messy FROM documents)
+      |SELECT doc_id,
+      | CAST(len(string_split(messy,' ')) AS BIGINT) AS naive_tokens,
+      | CAST(len(list_filter(regexp_split_to_array(messy,'[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      | CAST(length(trim(regexp_replace(messy,'[ \t\n\r\f]+',' ','g'))) AS BIGINT) AS norm_chars
+      |FROM m ORDER BY doc_id""".stripMargin
+
   private def sqlWordList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 

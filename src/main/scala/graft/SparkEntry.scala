@@ -277,6 +277,9 @@ object SparkEntry {
     "sim_ivfpq_recall" -> ((s, dir) => IvfPq.recallGate(Tables.embeddings(s, dir))),
     "sim_recall" -> ((s, dir) => Similarity.annRecall(Tables.embeddings(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // whitespace-robust tokenization (r18): messy input planted from
+    // the corpus inside the query, naive-vs-robust counts hash-pinned
+    "text_tokens_ws" -> ((s, dir) => TextAnalysis.tokensWsReport(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
@@ -576,6 +579,7 @@ object SparkEntry {
     "dedup_semantic" -> Oracles.dedupSemantic,
     "sim_topk_cosine" -> Oracles.simTopkCosine,
     "text_tokens" -> Oracles.textTokens,
+    "text_tokens_ws" -> Oracles.textTokensWs,
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,

@@ -14,8 +14,46 @@ import org.apache.spark.sql.functions.{filter => array_filter, _}
   */
 object TextFunctions {
 
-  /** Whitespace tokens (single-space corpus; split keeps it exact). */
+  /** Whitespace tokens (single-space corpus; split keeps it exact).
+    * ASSUMES single-space separation: tabs, newlines, and runs of
+    * spaces produce fused or empty-string tokens that flow into
+    * shingles, vocabularies, and token counts. A corpus that can't
+    * guarantee that contract should either pre-pass through
+    * [[graft.operators.TextAnalysis.wsNormalized]] (rewrites the text
+    * column once — every downstream operator then keys correctly) or
+    * tokenize with [[tokensWs]]; [[graft.operators.TextAnalysis
+    * .whitespaceReport]] is the ingest-time signal that the contract
+    * is violated.
+    */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** The exact cross-engine whitespace class. NOT `\\s`: Java's \s
+    * includes U+000B (vertical tab) while RE2's (DuckDB's) does not —
+    * the explicit class makes Spark and the oracle split identically
+    * on every input.
+    */
+  val WsClass = "[ \\t\\n\\r\\f]+"
+
+  /** Whitespace-ROBUST tokens: split on runs of [ \t\n\r\f], empty
+    * tokens (leading/trailing/doubled whitespace artifacts) filtered.
+    * The opt-in for corpora that violate [[tokens]]' single-space
+    * contract; DuckDB twin
+    * `list_filter(regexp_split_to_array(text,'[ \t\n\r\f]+'), x -> x <> '')`.
+    */
+  def tokensWs(text: Column): Column =
+    array_filter(split(text, WsClass), t => t =!= "")
+
+  /** Whitespace normalization: every [ \t\n\r\f] run collapses to ONE
+    * space, trimmed — after it, [[tokens]]' single-space contract
+    * holds and `tokens(normalizeWs(text)) == tokensWs(text)` exactly
+    * (spec-pinned). The cheap fix-up a messy corpus applies ONCE at
+    * ingest ([[graft.operators.TextAnalysis.wsNormalized]] is the
+    * docs-frame form) instead of threading a tokenizer flag through
+    * every operator. DuckDB twin:
+    * `trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))`.
+    */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(text, WsClass, " "))
 
   /** Canonical text for dedup KEYING — the normalization production
     * corpus dedup applies before hashing/gramming (Lee et al. 2022,

@@ -15,6 +15,64 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Docs with the text column whitespace-NORMALIZED ([[graft
+    * .functions.TextFunctions.normalizeWs]]): every [ \t\n\r\f] run
+    * collapses to one space, trimmed. The one-pass pre-fix for a
+    * corpus that violates the single-space tokenizer contract — after
+    * it EVERY downstream operator (tokens, shingles, vocabulary,
+    * span grams, quality ratios) keys correctly, which beats
+    * threading a tokenizer flag through each one. A narrow projection
+    * rewrite: rides the scan, no shuffle. Run [[whitespaceReport]]
+    * first — a corpus that already honors the contract doesn't need
+    * the rewrite (and the gate corpora don't get it, keeping raw
+    * text the oracle default).
+    */
+  def wsNormalized(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.functions.TextFunctions.normalizeWs(col("text")))
+
+  /** One row: how much of the corpus violates [[graft.functions
+    * .TextFunctions.tokens]]' single-space contract — `n_docs`,
+    * `n_messy` (docs whose text ≠ its whitespace-normalized form:
+    * tabs, newlines, doubled/leading/trailing whitespace), and the
+    * fixed-point rate `messy_fs = floor(1e4 · n_messy / n_docs)`.
+    * The ingest-time validation signal ([[VocabTable.oovReport]]'s
+    * posture): a nonzero report means naive-tokenized counts,
+    * shingles, and vocabularies are quietly wrong — pre-pass the
+    * corpus through [[wsNormalized]] or tokenize with [[graft
+    * .functions.TextFunctions.tokensWs]].
+    */
+  def whitespaceReport(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text") =!=
+        graft.functions.TextFunctions.normalizeWs(col("text")), 1L).otherwise(0L))
+        .as("n_messy"))
+      .select(col("n_docs"), col("n_messy"),
+        when(col("n_docs") > 0, floor(lit(10000.0) * col("n_messy") / col("n_docs")))
+          .otherwise(lit(0L)).as("messy_fs"))
+
+  /** The whitespace-robustness differential, oracle-verified over
+    * text PLANTED messy from the corpus itself (`text ⊕ tab ⊕ text ⊕
+    * two trailing spaces` — the gate tables honor the single-space
+    * contract, so the messiness the key must demonstrate is
+    * synthesized inside the query, cross-engine): per doc, the naive
+    * single-space token count (counts the tab-fused token and the
+    * trailing empties), the [[graft.functions.TextFunctions
+    * .tokensWs]] robust count, and the normalized length. Pins the
+    * robust tokenizer and [[graft.functions.TextFunctions
+    * .normalizeWs]] byte-identical against DuckDB on input no real
+    * key exercises.
+    */
+  def tokensWsReport(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeWs, tokensWs}
+    val messy = concat(col("text"), lit("\t"), col("text"), lit("  "))
+    docs.select(col("doc_id"),
+        size(tokens(messy)).cast("long").as("naive_tokens"),
+        size(tokensWs(messy)).cast("long").as("ws_tokens"),
+        length(normalizeWs(messy)).cast("long").as("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Whitespace / regex / distinct token counts per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

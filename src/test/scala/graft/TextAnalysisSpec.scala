@@ -13,6 +13,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("uniq_tokens") == 5L)
   }
 
+  test("whitespace robustness: tokensWs/normalizeWs fix what the naive tokenizer fuses") {
+    import graft.functions.TextFunctions.{normalizeWs, tokens, tokensWs}
+    import org.apache.spark.sql.functions._
+    // tab, doubled space, newline, trailing space — each a violation
+    // of the naive tokenizer's single-space contract
+    val d = Seq(
+      (1L, "alpha\tbeta  gamma\ndelta "),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val rows = d.select(col("doc_id"),
+        tokens(col("text")).as("naive"),
+        tokensWs(col("text")).as("robust"),
+        (tokens(normalizeWs(col("text"))) === tokensWs(col("text"))).as("roundtrip"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getAs[Boolean]("roundtrip")))).toMap
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    // naive on the messy doc fuses across tab/newline and emits
+    // empties: ["alpha\tbeta", "", "gamma\ndelta", ""] — same COUNT as
+    // the clean doc, silently wrong tokens (the footgun)
+    assert(rows(1L)._1 == Seq("alpha\tbeta", "", "gamma\ndelta", ""),
+      s"fixture pins the naive fusion, got ${rows(1L)._1}")
+    assert(rows(1L)._2 == words && rows(2L)._2 == words,
+      "robust tokenizer recovers the 4 true words in both docs")
+    assert(rows(1L)._3 && rows(2L)._3,
+      "tokens(normalizeWs(x)) == tokensWs(x) — the documented round-trip")
+    // wsNormalized makes the messy doc byte-equal to its clean twin:
+    // one hash group downstream instead of two
+    assert(graft.operators.Dedup.exact(d).count() == 2L, "raw digests differ")
+    assert(graft.operators.Dedup.exact(TextAnalysis.wsNormalized(d)).count() == 1L,
+      "the wsNormalized pre-pass lets every downstream operator key correctly")
+    // the ingest validation signal
+    val rep = TextAnalysis.whitespaceReport(d).collect()(0)
+    assert(rep.getAs[Long]("n_docs") == 2L && rep.getAs[Long]("n_messy") == 1L
+      && rep.getAs[Long]("messy_fs") == 5000L, s"got $rep")
+    // empty corpus: rate 0, no division blow-up
+    val emptyRep = TextAnalysis.whitespaceReport(d.limit(0)).collect()(0)
+    assert(emptyRep.getAs[Long]("messy_fs") == 0L)
+  }
+
+  test("tokensWsReport: closed-form counts on a planted-messy doc") {
+    import org.apache.spark.sql.functions.col
+    // messy("a b") = "a b\ta b  ": naive single-space split yields
+    // ["a", "b\ta", "b", "", ""] = 5 (one fused token, two trailing
+    // empties); robust yields ["a","b","a","b"] = 4; normalized text
+    // "a b a b" has 7 chars
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokensWsReport(d).collect()(0)
+    assert(r.getAs[Long]("naive_tokens") == 5L, s"got $r")
+    assert(r.getAs[Long]("ws_tokens") == 4L, s"got $r")
+    assert(r.getAs[Long]("norm_chars") == 7L, s"got $r")
+  }
+
   test("quality score matches the hand-computed formula") {
     val d = Seq((1L, "the cat, sat on the mat!")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(d).collect()(0)
