@@ -20,7 +20,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
-  *   tools/run.sh graft.PipelineJob maintain-vocab <batchParquet> <vocabName>
+  *   tools/run.sh graft.PipelineJob maintain-vocab <batchParquet> <vocabName> <batchId>
   *   tools/run.sh graft.PipelineJob ingest <batchParquet> <corpusName> [apply-changed]
   *   tools/run.sh graft.PipelineJob vacuum <table> <keepGenerations>
   *
@@ -123,6 +123,13 @@ object PipelineJob {
     // first batch whose drift fires a rebuild
     require(mode != "maintain-cohort" || historyPath.nonEmpty,
       "maintain-cohort needs <historyParquet> as the 4th argument")
+    // eager too: the stamp is what makes a re-run of this CLI no-op
+    // instead of double-counting the stored vocabulary — an unstamped
+    // maintain-vocab is not offered (ADVICE r17)
+    require(mode != "maintain-vocab" ||
+      historyPath.exists(s => s.forall(_.isDigit) && s.nonEmpty),
+      "maintain-vocab needs a non-negative <batchId> as the 4th argument " +
+        "(the replay stamp: re-running the job with the same id no-ops)")
     val batch = readWithTs(spark, batchPath)
     val fired = mode match {
       case "maintain-ivf" =>
@@ -132,7 +139,8 @@ object PipelineJob {
       case "maintain-span" =>
         graft.operators.SpanIndex.maintainIndex(spark, indexName, batch)
       case "maintain-vocab" =>
-        graft.operators.VocabTable.maintainVocabTable(spark, indexName, batch)
+        graft.operators.VocabTable.maintainVocabTable(spark, indexName, batch,
+          batchId = historyPath.get.toLong)
       case "maintain-cohort" =>
         graft.operators.Cohort.maintainMatrixTable(spark, indexName, batch,
           readWithTs(spark, historyPath.getOrElse(

@@ -143,6 +143,21 @@ object VocabTable {
     spark.table(s"${name}_merges").orderBy(col("rank"))
   }
 
+  /** The production merge budget when the caller doesn't name one:
+    * each BPE merge mints exactly one new subword symbol, so the
+    * budget scales with the stored vocabulary's word-type count —
+    * types/4 covers the frequent-word core as whole-word merges while
+    * the long tail stays compositional (the same
+    * proportional-to-observed-types sizing SentencePiece/GPT-2-class
+    * tokenizers use), floored at 256 (below that a retrain isn't a
+    * usable tokenizer) and capped at 32768 (the GPT-2-scale ceiling —
+    * past it the merge table grows without coverage gains and
+    * [[Bpe.trainFromCounts]]'s driver pass outgrows its byte budget).
+    * Exposed for callers sizing their own retrain.
+    */
+  def derivedNumMerges(nWordTypes: Long): Int =
+    math.max(256L, math.min(32768L, nWordTypes / 4)).toInt
+
   /** ONE vocab-maintenance step — the append→drift→retrain loop a
     * corpus pipeline runs per batch ([[Dedup.maintainNgramLshIndex]]'s
     * shape with retraining as the heavy pass): measure the batch's
@@ -154,20 +169,38 @@ object VocabTable {
     * Ordering is deliberate: drift measures BEFORE the append (a
     * batch is OOV relative to what the store knew when it arrived)
     * and the retrain runs AFTER, so the new merges cover the very
-    * tokens that fired the rule. Replay-safe without bookkeeping
-    * beyond the stamp: a redelivered batch's tokens are already
-    * stored, its OOV recomputes ≈ 0, and the append no-ops.
+    * tokens that fired the rule.
+    *
+    * `batchId` is REQUIRED non-negative: replay safety is
+    * [[CountTable.append]]'s stamp, and an unstamped append would
+    * re-SUM a redelivered batch — silently double-counting
+    * doc_freq/total_count and corrupting every stored-IDF score and
+    * encode id derived from the table (the r17 ADVICE finding; the
+    * stamp is what makes "a redelivered batch no-ops" true). With the
+    * stamp, a replayed batch's OOV recomputes ≈ 0 and the append
+    * no-ops — no bookkeeping beyond the id.
+    *
+    * `numMerges < 0` (the default) derives the retrain's merge budget
+    * from the stored vocabulary via [[derivedNumMerges]] — the
+    * production default; pass an explicit count to pin it (specs, or
+    * a deployment with a fixed tokenizer size contract).
     */
   def maintainVocabTable(spark: SparkSession, name: String, batch: DataFrame,
-                         batchId: Long = -1L, maxOovFs: Long = 500L,
-                         numMerges: Int = 10): Boolean = {
+                         batchId: Long, maxOovFs: Long = 500L,
+                         numMerges: Int = -1): Boolean = {
+    require(batchId >= 0L,
+      s"maintainVocabTable needs a non-negative batchId (got $batchId): " +
+        "the stamp is what makes a redelivered batch no-op instead of " +
+        "double-counting the stored vocabulary")
     val fired = vocabNeedsRetrain(spark, name, batch, maxOovFs)
     appendToVocabTable(spark, name, batch, batchId)
-    if (fired)
+    if (fired) {
+      val vocab = vocabularyFromTable(spark, name)
+      val merges = if (numMerges >= 0) numMerges else derivedNumMerges(vocab.count())
       writeMergesTable(spark, name, Bpe.trainFromCounts(
-        vocabularyFromTable(spark, name)
-          .select(col("token").as("word"), col("total_count").as("weight")),
-        numMerges))
+        vocab.select(col("token").as("word"), col("total_count").as("weight")),
+        merges))
+    }
     fired
   }
 }

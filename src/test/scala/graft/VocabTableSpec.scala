@@ -82,6 +82,40 @@ class VocabTableSpec extends SparkSpec {
     assert(VocabTable.vocabularyFromTable(spark, "vt_mn").collect().map(_.toSeq).toSeq == before)
   }
 
+  test("maintainVocabTable requires the replay stamp; derivedNumMerges follows the types/4 rule") {
+    val e = intercept[IllegalArgumentException] {
+      VocabTable.maintainVocabTable(spark, "vt_nostamp",
+        Seq((1L, "x")).toDF("doc_id", "text"), batchId = -1L)
+    }
+    assert(e.getMessage.contains("batchId"),
+      s"the unstamped path must be refused by name, got: ${e.getMessage}")
+    // floor, proportional middle, ceiling
+    assert(VocabTable.derivedNumMerges(0L) == 256)
+    assert(VocabTable.derivedNumMerges(4096L) == 1024)
+    assert(VocabTable.derivedNumMerges(10000000L) == 32768)
+  }
+
+  test("maintain-vocab CLI path: stamped via the 4th arg, replay no-ops, unstamped refused") {
+    VocabTable.writeVocabTable(spark, "vtm_cli",
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), buckets = 2)
+    val dir = java.nio.file.Files.createTempDirectory("vtmcli").toString + "/b1"
+    Seq((10L, "nova nova nova")).toDF("doc_id", "text").write.parquet(dir)
+    // 100%-OOV batch: fires the retrain at the DERIVED merge budget
+    assert(PipelineJob.runMaintain(spark, "maintain-vocab", dir, "vtm_cli", Some("1")))
+    assert(VocabTable.mergesFromTable(spark, "vtm_cli").count() > 0L,
+      "the derived-budget retrain must land merges")
+    val before = VocabTable.vocabularyFromTable(spark, "vtm_cli").collect().map(_.toSeq).toSeq
+    assert(!PipelineJob.runMaintain(spark, "maintain-vocab", dir, "vtm_cli", Some("1")),
+      "a re-run of the CLI job with the same id must not re-fire")
+    assert(VocabTable.vocabularyFromTable(spark, "vtm_cli").collect().map(_.toSeq).toSeq == before,
+      "a re-run of the CLI job must not double-count the stored vocabulary")
+    // the unstamped CLI invocation dies at dispatch (ADVICE r17)
+    val e = intercept[IllegalArgumentException] {
+      PipelineJob.runMaintain(spark, "maintain-vocab", dir, "vtm_cli", None)
+    }
+    assert(e.getMessage.contains("batchId"))
+  }
+
   test("streaming vocab ingest: counts accumulate per micro-batch, a redelivered batch no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
