@@ -112,10 +112,22 @@ object SpanIndex {
     * companion row lands. The reverse order would mark the doc
     * indexed while its grams never reached the gram set, silently
     * un-flaggable forever.
+    *
+    * LEGACY indexes (written before the companion existed) upgrade in
+    * place on first append: a missing `_spandocs` is created empty,
+    * so already-indexed legacy docs keep their gram-grain idempotence
+    * (their re-appended grams anti-join away; they simply have no
+    * companion row, so they can't be retracted) while every doc
+    * appended from here on gets the full doc-grain treatment — the
+    * same tolerate-the-past posture as the meta `canon` decode and
+    * [[refresh]].
     */
   def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
     refresh(spark, name)
     val (n, buckets, canon) = meta(spark, name)
+    if (!spark.catalog.tableExists(s"${name}_spandocs"))
+      graft.sources.Sinks.replaceBucketed(spark, docGrams(batch.limit(0), n, canon),
+        s"${name}_spandocs", Seq("doc_id"), buckets)
     val fresh = batch
       .join(spark.table(s"${name}_spandocs").select(col("doc_id")), Seq("doc_id"), "left_anti")
     // localCheckpoint (eager): the frame reads the companion table
@@ -154,6 +166,11 @@ object SpanIndex {
   def deleteFromIndex(spark: SparkSession, name: String, docIds: DataFrame): Unit = {
     import graft.sources.Sinks
     refresh(spark, name)
+    // no companion, no last-contributor accounting: a legacy index
+    // can only retract by rebuilding over the surviving corpus
+    require(spark.catalog.tableExists(s"${name}_spandocs"),
+      s"span index $name has no doc→grams companion (pre-retraction index): " +
+        "rebuild via writeIndex to enable retraction")
     val (_, buckets, _) = meta(spark, name)
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
     val spandocs = spark.table(s"${name}_spandocs")

@@ -210,6 +210,42 @@ test("retraction: grams leave only with their LAST contributor; delete is idempo
       s"appended-doc retraction removes its grams, shared block survives, got $flags")
   }
 
+  test("legacy index (no companion): first append upgrades in place, retraction refuses with the rebuild rule") {
+    val seed = Seq((1L, s"a1 a2 $blockX")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "si_legacy", seed, n = 3, buckets = 2)
+    // simulate a pre-r17 index: the companion never existed
+    spark.sql("DROP TABLE si_legacy_spandocs")
+    // retraction has no last-contributor accounting to work from —
+    // the refusal must name the writeIndex rebuild path (ADVICE r17)
+    val e = intercept[IllegalArgumentException] {
+      SpanIndex.deleteFromIndex(spark, "si_legacy", Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("writeIndex"), s"got: ${e.getMessage}")
+    // first append must NOT throw TABLE_OR_VIEW_NOT_FOUND: the
+    // companion bootstraps empty and the new doc gets a row
+    val batch = Seq((11L, s"z1 $blockE z2 z3")).toDF("doc_id", "text")
+    SpanIndex.appendToIndex(spark, "si_legacy", batch)
+    assert(spark.table("si_legacy_spandocs").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(11L),
+      "appended docs get companion rows; legacy docs have none")
+    // legacy content still flags (its grams never left the gram set)
+    val probe = Seq((21L, s"p1 $blockX p2")).toDF("doc_id", "text")
+    assert(acct(SpanIndex.flagAgainstIndex(spark, "si_legacy", probe, minSpanTokens = 4))
+      .apply(21L)._2 == 6L, "legacy grams still flag after the upgrade")
+    // a redelivered legacy doc stays idempotent at GRAM grain: its
+    // grams anti-join away, and it now (harmlessly) gains a companion
+    // row, making it retractable from here on
+    val gramsBefore = spark.table("si_legacy_grams").count()
+    SpanIndex.appendToIndex(spark, "si_legacy", seed)
+    assert(spark.table("si_legacy_grams").count() == gramsBefore,
+      "re-appended legacy grams anti-join away")
+    // retraction works once the companion exists
+    SpanIndex.deleteFromIndex(spark, "si_legacy", Seq(11L).toDF("doc_id"))
+    val probeE = Seq((22L, s"q1 $blockE q2")).toDF("doc_id", "text")
+    assert(acct(SpanIndex.flagAgainstIndex(spark, "si_legacy", probeE, minSpanTokens = 4))
+      .apply(22L)._2 == 0L, "retracted doc 11's grams stop flagging")
+  }
+
   test("writeIndex is rerunnable in one warehouse: the companion's parquet containsNull round-trip") {
     // first write creates _spandocs with collect_set's containsNull =
     // false; the live table reads back nullable — a nullability-exact
