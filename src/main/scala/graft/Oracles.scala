@@ -595,6 +595,26 @@ object Oracles {
        |       GROUP BY cand.id_a, cand.id_b)
        |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  /** dedup_simhash_md5_canon: [[dedupSimhashMd5]] over the canonical
+    * token stream (Dedup.simhashMd5Pairs with canonical = true) —
+    * mechanical CTE swap to a canonical doc source with the
+    * empty-canonical drop (the [[dedupMinhashMd5Canon]] guard: a
+    * fully non-ASCII doc's all-zero fingerprint would otherwise
+    * hamming-0-pair every such doc); a require pins the swap.
+    */
+  val dedupSimhashMd5Canon: String = {
+    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val swapped = dedupSimhashMd5.replace(
+      "WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok\n" +
+        "            FROM documents),",
+      s"WITH cdocs AS (SELECT doc_id, $canonExpr AS text FROM documents\n" +
+        s"               WHERE length($canonExpr) > 0),\n" +
+        "tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok\n" +
+        "       FROM cdocs),")
+    require(swapped != dedupSimhashMd5, "canon CTE swap must apply")
+    swapped
+  }
+
   /** Greedy dedup application: survivors after dropping the higher id
     * of every verified near-dup pair (mirrors Dedup.applyPairs) —
     * since r10 over the BANDED md5-minhash generator

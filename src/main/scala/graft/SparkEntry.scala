@@ -331,6 +331,8 @@ object SparkEntry {
     // the fingerprints, the banded candidates, and the hamming verify
     // SQL-expressible — production path stays dedup_simhash
     "dedup_simhash_md5" -> ((s, dir) => Dedup.simhashMd5Pairs(Tables.documents(s, dir))),
+    "dedup_simhash_md5_canon" -> ((s, dir) =>
+      Dedup.simhashMd5Pairs(Tables.documents(s, dir), canonical = true)),
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))
@@ -585,6 +587,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
+    "dedup_simhash_md5_canon" -> Oracles.dedupSimhashMd5Canon,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_redact" -> Oracles.textRedact,

@@ -422,7 +422,7 @@ object Dedup {
     require(maxHamming <= 3,
       s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
     chunkBandedPairs(
-      simhashMd5Fingerprints(Par.spread(TextAnalysis.maybeCanon(docs0, canonical))), maxHamming)
+      simhashMd5Fingerprints(Par.spread(canonDocs(docs0, canonical))), maxHamming)
   }
 
   /** Hamming-banded pairs over ANY 64-bit fingerprint held as four

@@ -125,6 +125,8 @@ class DedupSpec extends SparkSpec {
       "md5-minhash canon: only the case variants pair")
     assert(pairSet(Dedup.minhashLsh(d, canonical = true)) == Set((1L, 2L)))
     assert(pairSet(Dedup.simhashPairs(d, canonical = true)) == Set((1L, 2L)))
+    assert(pairSet(Dedup.simhashMd5Pairs(d, canonical = true)) == Set((1L, 2L)),
+      "md5-simhash canon: only the case variants pair")
     val db = d.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
     assert(pairSet(Dedup.ngramJaccardPairs(db, canonical = true)) == Set((1L, 2L)))
   }
