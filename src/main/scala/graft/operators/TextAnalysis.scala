@@ -537,7 +537,14 @@ object TextAnalysis {
   def passageDedup(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
                    minDocs: Int = 2, canonical: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"boilerplate needs at least 2 docs, got $minDocs")
-    val chunks = chunkPieces(maybeCanon(docs, canonical), chunkTokens, strideTokens)
+    // canonical keying drops empty-canonical docs (fully non-ASCII):
+    // their single token [""] would chunk to the SHARED md5("") key,
+    // flagging every non-Latin doc's only chunk as "boilerplate" —
+    // the digest families' empty-collapse hazard in passage form (the
+    // n >= 2 gram families are immune: one token yields no grams)
+    val base = maybeCanon(docs, canonical)
+    val cdocs = if (canonical) base.filter(length(col("text")) > 0) else base
+    val chunks = chunkPieces(cdocs, chunkTokens, strideTokens)
       .select(col("doc_id"), col("n_chunk_tokens"), col("chunk_md5")).persist()
     val boiler = chunks.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

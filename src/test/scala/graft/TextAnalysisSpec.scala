@@ -51,6 +51,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(emptyRep.getAs[Long]("messy_fs") == 0L)
   }
 
+  test("passageDedup canonical drops empty-canonical docs instead of md5('')-boilerplating them") {
+    import org.apache.spark.sql.functions.col
+    // docs 3-4 canonicalize to "": their only chunk would be the
+    // SHARED md5("") key, flagging every non-Latin doc as boilerplate
+    val block = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, block), (2L, block.toUpperCase),
+      (3L, "你好，世界。"), (4L, "мир труд май")).toDF("doc_id", "text")
+    val out = TextAnalysis.passageDedup(d, chunkTokens = 8, strideTokens = 8,
+        canonical = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate")))).toMap
+    assert(out.keySet == Set(1L, 2L),
+      s"empty-canonical docs drop from canonical passage keying, got ${out.keySet}")
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 1L)),
+      "the genuine case-variant pair still flags as boilerplate")
+    // raw keying keeps the non-ASCII docs (distinct raw chunks)
+    val raw = TextAnalysis.passageDedup(d, chunkTokens = 8, strideTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boilerplate")).toMap
+    assert(raw.keySet == Set(1L, 2L, 3L, 4L) && raw(3L) == 0L && raw(4L) == 0L)
+  }
+
   test("tokensWsReport: closed-form counts on a planted-messy doc") {
     import org.apache.spark.sql.functions.col
     // messy("a b") = "a b\ta b  ": naive single-space split yields
