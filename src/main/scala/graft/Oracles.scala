@@ -827,6 +827,29 @@ object Oracles {
       | CAST(floor(10000.0 * coalesce(h.n_hit, 0) / tot.n_grams) AS BIGINT) AS contam_fs
       |FROM tot LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** pipeline_decontaminate: [[textContamination]]'s CTEs turned into
+    * the FILTER (Pipeline.decontaminate at the default 2000 = 20%
+    * threshold, bench = the same %50 sample): survivors are documents
+    * whose contam_fs is ≤ 2000 or who carry no grams at all (absent
+    * from `tot` — sub-gram docs have no overlap evidence and are
+    * kept, hence the LEFT join + coalesce).
+    */
+  val pipelineDecontaminate: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |gi AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+      |       FROM t WHERE len(toks) >= 3),
+      |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram FROM gi),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |h AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN b USING (gram) GROUP BY g.doc_id),
+      |c AS (SELECT tot.doc_id,
+      |        CAST(floor(10000.0 * coalesce(h.n_hit, 0) / tot.n_grams) AS BIGINT) AS contam_fs
+      |      FROM tot LEFT JOIN h USING (doc_id))
+      |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d LEFT JOIN c USING (doc_id)
+      |WHERE coalesce(c.contam_fs, 0) <= 2000
+      |ORDER BY d.doc_id""".stripMargin
+
   /** text_contamination_canon: [[textContamination]] with both the
     * corpus and the benchmark folded through canonicalText's DuckDB
     * twin — built mechanically by swapping only the tokenizing CTE

@@ -498,6 +498,16 @@ object SparkEntry {
             concat(col("text"), lit(" v2"))).otherwise(col("text"))))
     }),
     "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
+    // benchmark decontamination as a FILTER (r18): bench = the same
+    // %50 sample text_contamination accounts against; survivors are
+    // the docs whose trigram overlap stays <= 20% (verbatim bench
+    // members and their near-copies drop)
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Pipeline.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // the composed end-to-end training layout: curate → chunk → pack
     // (rows-only — the curation stage is LSH-based, not SQL-expressible;
     // the UNSORTED writer form: a rows-only check gains nothing from
@@ -593,6 +603,7 @@ object SparkEntry {
     "text_redact" -> Oracles.textRedact,
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
+    "pipeline_decontaminate" -> Oracles.pipelineDecontaminate,
     "text_contamination_canon" -> Oracles.textContaminationCanon,
     "text_vocabulary" -> Oracles.textVocabulary,
     // the stored read is definitionally the same frame as the direct

@@ -111,6 +111,33 @@ object Pipeline {
       .withColumn("split", Sampling.splitColumn(col("doc_id"), salt))
   }
 
+  /** Benchmark DECONTAMINATION as a filter — the GPT-3/Pile posture
+    * [[TextAnalysis.contamination]] only accounts for: drop every
+    * document whose word-n-gram overlap with the benchmark/eval set
+    * exceeds `maxContamFs` (fixed-point; the default 2000 = 20%
+    * trigram overlap flags verbatim members and close paraphrases
+    * while ordinary topical overlap passes). Documents too short to
+    * carry an n-gram have no overlap evidence and are KEPT. Survivors
+    * ship with every input column untouched, so the step composes
+    * anywhere in the curate chain ([[curate]] → decontaminate →
+    * [[prepareTraining]] is the standard order: dedup first so the
+    * gram pass runs once per surviving doc).
+    *
+    * Scale shape: the benchmark side is BROADCAST (eval sets are
+    * bounded by construction); the corpus pays one gram fan-out +
+    * one partial-agg groupBy (the contamination plan), and the
+    * flagged-id list — contaminated docs are the small minority —
+    * comes back as a broadcast-able anti-join. At 100 TB: one scan,
+    * one slim shuffle, no corpus-sized join.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, maxContamFs: Long = 2000L,
+                    n: Int = 3, canonical: Boolean = false): DataFrame = {
+    val flagged = TextAnalysis.contaminationAcct(docs, bench, n, canonical)
+      .filter(col("contam_fs") > maxContamFs)
+      .select(col("doc_id"))
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** The full training-data preprocessing chain, composed end to end:
     * [[curateFull]] (exact dedup → LSH near-dup dedup → quality +
     * repetition gates → split tag) → [[TextAnalysis.chunk]]

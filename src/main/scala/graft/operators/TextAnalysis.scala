@@ -141,7 +141,19 @@ object TextAnalysis {
     * cost is linear in corpus grams at any scale.
     */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
-                    canonical: Boolean = false): DataFrame = {
+                    canonical: Boolean = false): DataFrame =
+    contaminationAcct(docs, bench, n, canonical).orderBy(col("doc_id"))
+
+  /** [[contamination]] without the final global sort — the form
+    * downstream consumers ([[Pipeline.decontaminate]]'s filter) take:
+    * a range-partitioned ORDER BY samples its input, so feeding the
+    * sorted frame into another join would run the whole gram pass
+    * twice and throw the order away (the ngramLshPairs convention).
+    * Docs with fewer than n tokens carry no grams and are ABSENT —
+    * callers treat absence as "no overlap evidence".
+    */
+  private[graft] def contaminationAcct(docs: DataFrame, bench: DataFrame, n: Int,
+                                       canonical: Boolean): DataFrame = {
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val exploded = Par.spread(maybeCanon(docs, canonical))
       .select(col("doc_id"), explode(grams).as("gram"))
@@ -153,7 +165,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         floor(lit(10000.0) * col("n_hit") / col("n_grams")).as("contam_fs"))
-      .orderBy(col("doc_id"))
   }
 
   /** PII redaction: emails, phone-shaped numbers, and IPv4 addresses

@@ -606,6 +606,28 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
     assert(canon(1L) == base, "the survivor's text ships untouched — keying is not rewriting")
   }
 
+  test("decontaminate drops bench members and high-overlap docs, keeps clean and sub-gram docs") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f"),    // verbatim bench member: contam 10000
+      (2L, "a b c d x y z"),  // 2 of 5 trigrams shared: contam 4000
+      (3L, "p q r s t u"),    // disjoint: contam 0
+      (4L, "p q"))            // sub-gram: no overlap evidence
+      .toDF("doc_id", "text")
+    def ids(maxFs: Long) = Pipeline.decontaminate(docs, bench, maxContamFs = maxFs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(2000L) == Set(3L, 4L),
+      s"default 20% threshold drops the member AND the near-copy, got ${ids(2000L)}")
+    // threshold is inclusive: exactly-4000 passes at maxContamFs=4000
+    assert(ids(4000L) == Set(2L, 3L, 4L))
+    // survivors ship every input column untouched
+    val cols = Pipeline.decontaminate(docs, bench).columns.toSeq
+    assert(cols == Seq("doc_id", "text"), s"got $cols")
+    // empty benchmark: nothing drops
+    assert(Pipeline.decontaminate(docs, bench.limit(0)).count() == 4L)
+  }
+
   test("curateFull canonicalKeys: distinct non-ASCII docs all survive (no md5('') collapse)") {
     import spark.implicits._
     // both non-ASCII docs canonicalize to "" — stage 1's digest must
