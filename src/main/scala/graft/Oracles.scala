@@ -1214,6 +1214,35 @@ object Oracles {
       |FROM r JOIN cap ON cap.source = r.source
       |WHERE r.rnk <= cap.cap ORDER BY r.doc_id""".stripMargin
 
+  /** sample_mixture_tokens (the DuckDB twin of
+    * Sampling.mixtureByTokens at the same 5/3/2 recipe): the integer
+    * TOKEN budget rule verbatim — B = min((T·10) // w) over
+    * per-stratum token totals, cap = (B·w) // 10 — then the greedy
+    * hash-order keep: a doc survives while its cumulative-BEFORE
+    * token count is under the cap (the pack convention: overshoot ≤
+    * one straddling doc). Stated as ONE window per stratum; the Spark
+    * side's two-level bucket-offset cumsum must be result-identical
+    * (the hash's 2-hex prefix orders buckets — the prefix-closure
+    * claim, spec-pinned).
+    */
+  val sampleMixtureTokens: String =
+    """WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+      |d AS (SELECT doc_id, source,
+      |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+      |        md5('graft#' || CAST(doc_id AS VARCHAR)) AS h
+      |      FROM documents JOIN w USING (source)),
+      |c AS (SELECT w.source, w.w, coalesce(sum(d.n_tok), 0) AS t
+      |      FROM w LEFT JOIN d ON d.source = w.source GROUP BY 1, 2),
+      |b AS (SELECT min((t * 10) // w) AS budget FROM c),
+      |cap AS (SELECT source, ((SELECT budget FROM b) * w) // 10 AS cap FROM c),
+      |r AS (SELECT doc_id, source, n_tok,
+      |        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |      FROM d)
+      |SELECT r.doc_id, r.source, r.n_tok
+      |FROM r JOIN cap ON cap.source = r.source
+      |WHERE r.cb < cap.cap ORDER BY r.doc_id""".stripMargin
+
   /** sample_weighted (the DuckDB twin of Sampling.weightedSample at
     * the gate's length-bucket weight, k = 100): the integer-exact
     * A-ES key verbatim — max of w salted md5 strings per doc, top-k

@@ -477,6 +477,10 @@ object SparkEntry {
     // stratum sets the budget, the rest downsample to their share
     "sample_mixture" -> ((s, dir) => Sampling.mixtureSample(Tables.documents(s, dir),
       weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L))),
+    // the same recipe in TOKEN share (r18) — the unit production data
+    // recipes are written in; doc counts misweight unequal-length strata
+    "sample_mixture_tokens" -> ((s, dir) => Sampling.mixtureByTokens(Tables.documents(s, dir),
+      weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L))),
     // quality-weighted k-sample (integer A-ES): weight = the 100-char
     // length bucket capped at 5, so longer docs are up to 5× likelier
     "sample_weighted" -> ((s, dir) => Sampling.weightedSample(Tables.documents(s, dir),
@@ -630,6 +634,7 @@ object SparkEntry {
     "sample_stratified" -> Oracles.sampleStratified,
     "snapshot_diff" -> Oracles.snapshotDiff,
     "sample_mixture" -> Oracles.sampleMixture,
+    "sample_mixture_tokens" -> Oracles.sampleMixtureTokens,
     "sample_weighted" -> Oracles.sampleWeighted,
     "sample_epochs" -> Oracles.sampleEpochs,
     "dedup_cross_exact" -> Oracles.dedupCrossExact,

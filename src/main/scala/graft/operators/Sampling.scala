@@ -157,6 +157,73 @@ object Sampling {
       capExpr, stratumCol, idCol, salt)
   }
 
+  /** [[mixtureSample]] with the recipe in TOKEN share — the unit
+    * production data recipes are actually written in (a "30% code /
+    * 70% web" mixture means token share, not document share: doc
+    * counts misweight whenever strata have different length
+    * distributions, which they always do). Per-stratum TOKEN budgets
+    * follow the same integer rule — B = min_s(T_s · W / w_s),
+    * cap_s = B · w_s / W over per-stratum token totals T_s — and docs
+    * survive in salted-hash order while their FIRST token falls
+    * inside the stratum's cap (cumulative-before < cap, the
+    * [[TextAnalysis.pack]] convention): realized share deviates from
+    * w_s/W by at most ONE straddling document per stratum, and an
+    * absent weighted stratum zeroes the budget rather than silently
+    * renormalizing ([[mixtureSample]]'s contract).
+    *
+    * Scale shape: the totals are a bounded driver decision (strata
+    * are dims-sized); the cumulative token sum runs TWO-LEVEL like
+    * [[mixtureSample]]'s rank — within-(stratum, 2-hex-bucket)
+    * running sums plus per-bucket offsets (a 256-row running sum per
+    * stratum, broadcast back) — so no stratum serializes through one
+    * window task. Exactness of the composition: ordering by the full
+    * hash sorts first by its 2-hex prefix, so bucket-order-then-
+    * within-bucket-order IS the global hash order (the same
+    * prefix-closure argument behind mixtureSample's two-level rank;
+    * two-level ≡ single-window spec-pinned). The DuckDB twin states
+    * the SEMANTICS as one window — oracles match results, not plans.
+    */
+  def mixtureByTokens(df: DataFrame, weights: Map[String, Long],
+                      stratumCol: String = "source", idCol: String = "doc_id",
+                      textCol: String = "text", salt: String = "graft#"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty, "mixtureByTokens needs at least one weighted stratum")
+    require(weights.values.forall(_ > 0), s"weights must be positive, got $weights")
+    val bigW = weights.values.sum
+    val nTok = size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long")
+    val base = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .select(col(idCol), col(stratumCol), nTok.as("n_tok"))
+      .withColumn("h", md5(concat(lit(salt), col(idCol).cast("string"))))
+    val totals = base.groupBy(col(stratumCol)).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = weights.map { case (s, w) => totals.getOrElse(s, 0L) * bigW / w }.min
+    val caps = weights.map { case (s, w) => s -> budget * w / bigW }
+    val capExpr = caps.foldLeft(lit(-1L)) { case (acc, (s, c)) =>
+      when(col(stratumCol) === s, lit(c)).otherwise(acc)
+    }
+    // level 1: within-(stratum, bucket) cumulative-before
+    val bucket = substring(col("h"), 1, 2)
+    val w1 = Window.partitionBy(col(stratumCol), col("bkt"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // level 2: per-bucket token totals -> running offsets (≤256 rows
+    // per stratum — the window here runs over a bounded frame)
+    val wOff = Window.partitionBy(col(stratumCol)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBkt = base.withColumn("bkt", bucket)
+    val offsets = withBkt.groupBy(col(stratumCol), col("bkt"))
+      .agg(sum(col("n_tok")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col(stratumCol), col("bkt"), col("off"))
+    withBkt
+      .withColumn("cum_in", coalesce(sum(col("n_tok")).over(w1), lit(0L)))
+      .join(broadcast(offsets), Seq(stratumCol, "bkt"))
+      .withColumn("cum_before", col("off") + col("cum_in"))
+      .filter(col("cum_before") < capExpr)
+      .select(col(idCol), col(stratumCol), col("n_tok"))
+      .orderBy(col(idCol))
+  }
+
   /** Weighted sampling WITHOUT replacement — pick `k` documents with
     * inclusion probability proportional to an integer per-row weight
     * (quality-weighted downsampling: a weight-5 doc is 5× as likely

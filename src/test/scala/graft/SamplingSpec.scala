@@ -106,6 +106,61 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureSample(d, weights + ("src_missing" -> 1L)).count() == 0)
   }
 
+  test("mixtureByTokens: integer token budgets, one-doc overshoot bound, absent stratum zeroes") {
+    // A: two 4-token docs (T=8); B: two 2-token docs (T=4); 1:1 →
+    // budget = min(8·2/1, 4·2/1) = 8, caps A=4 B=4: A admits exactly
+    // ONE 4-token doc (the second's cum_before = 4 is not < 4), B both
+    val d = Seq(
+      (1L, "a1 a2 a3 a4", "A"), (2L, "b1 b2 b3 b4", "A"),
+      (3L, "c1 c2", "B"), (4L, "d1 d2", "B")).toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureByTokens(d, Map("A" -> 1L, "B" -> 1L)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_tok")))
+    val byStr = out.groupBy(_._2)
+    assert(byStr("A").length == 1 && byStr("A").map(_._3).sum == 4L,
+      s"token cap 4 admits exactly one 4-token A doc, got ${byStr.get("A")}")
+    assert(byStr("B").length == 2 && byStr("B").map(_._3).sum == 4L)
+    // overshoot bound: C holds two 3-token docs (T=6); A:1 C:1 →
+    // budget = min(16, 12) = 12, caps 6/6 — C's second doc STARTS at
+    // cum 3 < 6 so both survive: 6 tokens ≤ cap, while A overshoots
+    // nothing (4 + 4 = 8 > 6? second A doc starts at 4 < 6 → 8 tokens,
+    // overshoot 2 = less than one doc's 4)
+    val dc = d.union(Seq((5L, "e1 e2 e3", "C"), (6L, "f1 f2 f3", "C")).toDF("doc_id", "text", "source"))
+    val ac = Sampling.mixtureByTokens(dc, Map("A" -> 1L, "C" -> 1L)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok")))
+    val sums = ac.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(sums("C") == 6L, s"C fills its cap exactly, got $sums")
+    assert(sums("A") == 8L && 8L - 6L < 4L,
+      s"A overshoots its 6-token cap by less than one doc, got $sums")
+    // absent weighted stratum → budget 0 → empty (no silent renormalize)
+    assert(Sampling.mixtureByTokens(d, Map("A" -> 1L, "Z" -> 1L)).count() == 0L)
+  }
+
+  test("mixtureByTokens: two-level bucket-offset cumsum equals the single-window semantics") {
+    // independent reference: same salt hash + caps computed in Scala
+    // with ONE global per-stratum cumulative sum
+    val docs = (1 to 90).map { i =>
+      (i.toLong, (1 to (i % 7 + 1)).map(j => s"t$j").mkString(" "), s"s${i % 3}")
+    }
+    val weights = Map("s0" -> 3L, "s1" -> 2L, "s2" -> 1L)
+    val got = Sampling.mixtureByTokens(docs.toDF("doc_id", "text", "source"), weights)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.map { case (id, text, src) =>
+      (id, src, text.split(" ").length.toLong, md5hex(s"graft#$id")) }
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val bigW = weights.values.sum
+    val budget = weights.map { case (s, w) => totals.getOrElse(s, 0L) * bigW / w }.min
+    val expect = weights.keys.flatMap { s =>
+      val cap = budget * weights(s) / bigW
+      var cum = 0L
+      rows.filter(_._2 == s).sortBy(r => (r._4, r._1)).takeWhile { r =>
+        val ok = cum < cap; cum += r._3; ok
+      }.map(_._1)
+    }.toSet
+    assert(got == expect, s"two-level ≡ reference; only-in-got=${got -- expect} only-in-ref=${expect -- got}")
+  }
+
   test("weightedSample: exact k, partitioning-stable, weight-monotone, distribution tracks weights") {
     import org.apache.spark.sql.functions._
     val weighted = docs.withColumn("w", when(col("source") === "src0", 9).otherwise(1))
