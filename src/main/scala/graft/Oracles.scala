@@ -475,6 +475,30 @@ object Oracles {
       | CAST(length(trim(regexp_replace(messy,'[ \t\n\r\f]+',' ','g'))) AS BIGINT) AS norm_chars
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** text_script (TextAnalysis.scriptProfile over the planted
+    * multilingual text): Unicode-SCRIPT counts — RE2 spells the
+    * classes `\p{Han}` / `\p{Cyrillic}` / `\p{Latin}` where Java
+    * (Spark) spells `\p{IsHan}` etc.; different syntax, same
+    * classification, result-identical (CJK punctuation and digits are
+    * script Common — in neither). The dominant-non-Latin CASE and the
+    * canonical-loss rate use DuckDB's lateral alias references.
+    */
+  val textScript: String =
+    """WITH m AS (SELECT doc_id,
+      |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
+      |  repeat(' мир7', CAST(doc_id % 3 AS INT)) AS text FROM documents)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+      | CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+      | CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      | CASE WHEN n_han > n_cyrillic THEN 'han'
+      |      WHEN n_cyrillic > 0 THEN 'cyrillic' ELSE 'none' END AS nonlatin_script,
+      | CASE WHEN length(text) > 0
+      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic) / length(text)) AS BIGINT)
+      |      ELSE 0 END AS canon_loss_fs
+      |FROM m ORDER BY doc_id""".stripMargin
+
   private def sqlWordList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 

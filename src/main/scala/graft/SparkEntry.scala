@@ -280,6 +280,15 @@ object SparkEntry {
     // whitespace-robust tokenization (r18): messy input planted from
     // the corpus inside the query, naive-vs-robust counts hash-pinned
     "text_tokens_ws" -> ((s, dir) => TextAnalysis.tokensWsReport(Tables.documents(s, dir))),
+    // script detection / multilingual routing (r18): the gate corpus
+    // is ASCII, so doc-varying Han/Cyrillic content is planted from
+    // doc_id inside the query (the text_tokens_ws convention) — the
+    // counts, the dominant-script CASE, and the canonical-loss rate
+    // then hash-pin Java's \p{IsHan} against RE2's \p{Han} classes
+    "text_script" -> ((s, dir) => TextAnalysis.scriptProfile(
+      Tables.documents(s, dir).withColumn("text",
+        concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
+          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"))))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
@@ -596,6 +605,7 @@ object SparkEntry {
     "sim_topk_cosine" -> Oracles.simTopkCosine,
     "text_tokens" -> Oracles.textTokens,
     "text_tokens_ws" -> Oracles.textTokensWs,
+    "text_script" -> Oracles.textScript,
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,

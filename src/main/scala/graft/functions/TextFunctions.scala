@@ -130,6 +130,23 @@ object TextFunctions {
   /** Count of regex-token matches (BPE-ish alnum runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 
+  /** Per-script character counts — the multilingual ROUTING signal
+    * ([[canonicalText]] strips everything outside [a-z0-9], so a
+    * pipeline must know how much non-Latin signal a document carries
+    * BEFORE opting into canonical keying; [[canonicalKey]]'s raw
+    * fallback is the safety net, this is the steering wheel).
+    * Unicode-script properties, not code-point ranges: Java regex
+    * spells them `\p{IsHan}` where RE2 (DuckDB) spells `\p{Han}` —
+    * different SYNTAX, same script classification, so the oracle
+    * matches result-for-result (CJK punctuation is script Common and
+    * counts in neither; digits are Common too, counted separately).
+    */
+  def scriptCounts(text: Column): Column = struct(
+    regexp_count(text, lit("\\p{IsLatin}")).cast("long").as("n_latin"),
+    regexp_count(text, lit("\\p{IsHan}")).cast("long").as("n_han"),
+    regexp_count(text, lit("\\p{IsCyrillic}")).cast("long").as("n_cyrillic"),
+    regexp_count(text, lit("[0-9]")).cast("long").as("n_digit"))
+
   /** Count of punctuation/non-alnum characters (excluding spaces). */
   def punctCount(text: Column): Column = regexp_count(text, lit("[^a-z0-9 ]"))
 

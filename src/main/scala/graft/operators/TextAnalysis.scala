@@ -73,6 +73,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc script profile — the multilingual router: Unicode-script
+    * character counts ([[graft.functions.TextFunctions.scriptCounts]]),
+    * the dominant NON-Latin script (`'han'` / `'cyrillic'` / `'none'`,
+    * ties to cyrillic — the deterministic CASE both engines evaluate
+    * identically), and `canon_loss_fs` = floor(1e4 · (han + cyrillic)
+    * / n_chars) — the fraction of characters canonical keying
+    * ([[graft.functions.TextFunctions.canonicalText]]) would strip as
+    * SIGNAL. The routing rule a multilingual pipeline composes:
+    * `canon_loss_fs == 0` docs take `canonical = true` losslessly;
+    * high-loss docs stay raw-keyed (where [[graft.functions
+    * .TextFunctions.canonicalKey]]'s byte-identity fallback and the
+    * set-similarity empty-drops are the safety net, not the plan).
+    * A narrow codegen'd projection — scan speed, zero shuffle.
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
+    docs.select(col("doc_id"), sc.as("sc"), length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"),
+        col("sc.n_latin").as("n_latin"), col("sc.n_han").as("n_han"),
+        col("sc.n_cyrillic").as("n_cyrillic"), col("sc.n_digit").as("n_digit"),
+        when(col("sc.n_han") > col("sc.n_cyrillic"), lit("han"))
+          .when(col("sc.n_cyrillic") > 0, lit("cyrillic"))
+          .otherwise(lit("none")).as("nonlatin_script"),
+        when(col("len") > 0,
+          floor(lit(10000.0) * (col("sc.n_han") + col("sc.n_cyrillic")) / col("len")))
+          .otherwise(lit(0L)).as("canon_loss_fs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Whitespace / regex / distinct token counts per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
