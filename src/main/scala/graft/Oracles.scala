@@ -486,16 +486,19 @@ object Oracles {
   val textScript: String =
     """WITH m AS (SELECT doc_id,
       |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
-      |  repeat(' мир7', CAST(doc_id % 3 AS INT)) AS text FROM documents)
+      |  repeat(' мир7', CAST(doc_id % 3 AS INT)) ||
+      |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) AS text FROM documents)
       |SELECT doc_id,
       | CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
       | CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
       | CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+      | CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
       | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-      | CASE WHEN n_han > n_cyrillic THEN 'han'
-      |      WHEN n_cyrillic > 0 THEN 'cyrillic' ELSE 'none' END AS nonlatin_script,
+      | CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_han AND n_arabic > 0 THEN 'arabic'
+      |      WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'cyrillic'
+      |      WHEN n_han > 0 THEN 'han' ELSE 'none' END AS nonlatin_script,
       | CASE WHEN length(text) > 0
-      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic) / length(text)) AS BIGINT)
+      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic + n_arabic) / length(text)) AS BIGINT)
       |      ELSE 0 END AS canon_loss_fs
       |FROM m ORDER BY doc_id""".stripMargin
 

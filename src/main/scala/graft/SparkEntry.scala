@@ -288,7 +288,8 @@ object SparkEntry {
     "text_script" -> ((s, dir) => TextAnalysis.scriptProfile(
       Tables.documents(s, dir).withColumn("text",
         concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
-          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"))))),
+          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
+          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"))))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),

@@ -145,6 +145,7 @@ object TextFunctions {
     regexp_count(text, lit("\\p{IsLatin}")).cast("long").as("n_latin"),
     regexp_count(text, lit("\\p{IsHan}")).cast("long").as("n_han"),
     regexp_count(text, lit("\\p{IsCyrillic}")).cast("long").as("n_cyrillic"),
+    regexp_count(text, lit("\\p{IsArabic}")).cast("long").as("n_arabic"),
     regexp_count(text, lit("[0-9]")).cast("long").as("n_digit"))
 
   /** Count of punctuation/non-alnum characters (excluding spaces). */

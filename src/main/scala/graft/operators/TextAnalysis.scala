@@ -89,15 +89,23 @@ object TextAnalysis {
     */
   def scriptProfile(docs: DataFrame): DataFrame = {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
+    val (han, cyr, ar) = (col("sc.n_han"), col("sc.n_cyrillic"), col("sc.n_arabic"))
+    // argmax with alphabetical first-wins tie-break (arabic <
+    // cyrillic < han) — the deterministic CASE both engines evaluate
+    // identically
+    val dominant =
+      when(ar >= cyr && ar >= han && ar > 0, lit("arabic"))
+        .when(cyr >= han && cyr > 0, lit("cyrillic"))
+        .when(han > 0, lit("han"))
+        .otherwise(lit("none"))
     docs.select(col("doc_id"), sc.as("sc"), length(col("text")).cast("long").as("len"))
       .select(col("doc_id"),
         col("sc.n_latin").as("n_latin"), col("sc.n_han").as("n_han"),
-        col("sc.n_cyrillic").as("n_cyrillic"), col("sc.n_digit").as("n_digit"),
-        when(col("sc.n_han") > col("sc.n_cyrillic"), lit("han"))
-          .when(col("sc.n_cyrillic") > 0, lit("cyrillic"))
-          .otherwise(lit("none")).as("nonlatin_script"),
+        col("sc.n_cyrillic").as("n_cyrillic"), col("sc.n_arabic").as("n_arabic"),
+        col("sc.n_digit").as("n_digit"),
+        dominant.as("nonlatin_script"),
         when(col("len") > 0,
-          floor(lit(10000.0) * (col("sc.n_han") + col("sc.n_cyrillic")) / col("len")))
+          floor(lit(10000.0) * (han + cyr + ar) / col("len")))
           .otherwise(lit(0L)).as("canon_loss_fs"))
       .orderBy(col("doc_id"))
   }

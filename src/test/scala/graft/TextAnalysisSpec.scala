@@ -54,21 +54,23 @@ class TextAnalysisSpec extends SparkSpec {
   test("scriptProfile: closed-form script counts, dominant-script ties, the canonical-loss router") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
-      (1L, "hello world 42"),     // 10 latin, 0 han, 0 cyr, 2 digit, loss 0
-      (2L, "你好，世界。"),         // 0/4/0/0 over 6 chars -> loss 6666, han
-      (3L, "мир труд"),           // 0/0/7/0 over 8 chars -> loss 8750, cyrillic
-      (4L, "你好 мир x7"),         // 1/2/3/1 over 9 chars -> loss 5555, cyr wins the 2<3
-      (5L, ""))                   // empty: all 0, loss 0 (no division)
+      (1L, "hello world 42"),     // 10 latin, 2 digit, loss 0
+      (2L, "你好，世界。"),         // 4 han over 6 chars -> loss 6666
+      (3L, "мир труд"),           // 7 cyr over 8 chars -> loss 8750
+      (4L, "你好 мир x7"),         // 1/2/3/0/1 over 9 chars -> loss 5555, cyr wins 3>2
+      (5L, ""),                   // empty: all 0, loss 0 (no division)
+      (6L, "سلام دنیا"))          // 8 arabic over 9 chars -> loss 8888
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(d).collect().map(r =>
       r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_han"),
-        r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_digit"),
+        r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_arabic"), r.getAs[Long]("n_digit"),
         r.getAs[String]("nonlatin_script"), r.getAs[Long]("canon_loss_fs")))).toMap
-    assert(got(1L) == ((10L, 0L, 0L, 2L, "none", 0L)), s"got ${got(1L)}")
-    assert(got(2L) == ((0L, 4L, 0L, 0L, "han", 6666L)), s"got ${got(2L)}")
-    assert(got(3L) == ((0L, 0L, 7L, 0L, "cyrillic", 8750L)), s"got ${got(3L)}")
-    assert(got(4L) == ((1L, 2L, 3L, 1L, "cyrillic", 5555L)), s"got ${got(4L)}")
-    assert(got(5L) == ((0L, 0L, 0L, 0L, "none", 0L)), s"got ${got(5L)}")
+    assert(got(1L) == ((10L, 0L, 0L, 0L, 2L, "none", 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 4L, 0L, 0L, 0L, "han", 6666L)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 7L, 0L, 0L, "cyrillic", 8750L)), s"got ${got(3L)}")
+    assert(got(4L) == ((1L, 2L, 3L, 0L, 1L, "cyrillic", 5555L)), s"got ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, "none", 0L)), s"got ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 0L, 8L, 0L, "arabic", 8888L)), s"got ${got(6L)}")
     // the router composition: only loss-free docs opt into canonical
     // keying; the rest stay raw — no doc ever reaches the md5("") path
     val safeIds = TextAnalysis.scriptProfile(d).filter(col("canon_loss_fs") === 0L)
