@@ -411,6 +411,29 @@ object Oracles {
       | count(*) AS n_dups, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
+  /** dedup_exact_routed: the script-ROUTED digest — documents with
+    * any Han/Cyrillic/Arabic character keep their raw text as the
+    * key (RE2 spells the class `[\p{Han}...]` where Java spells
+    * `[\p{IsHan}...]` — same classification, see textScript), pure
+    * Latin documents take the canonicalKey twin. Planted corpus =
+    * base ∪ upper-case twins (collapse, n_dups = 2) ∪ two distinct
+    * Han-suffixed variants per 5th doc (stay singletons — plain
+    * canonical keying would strip both suffixes and merge all four).
+    */
+  val dedupExactRouted: String =
+    """WITH m AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents
+      |  UNION ALL SELECT doc_id + 200000, text || ' 你好' FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 300000, text || ' 再見' FROM documents WHERE doc_id % 5 = 0),
+      |k AS (SELECT doc_id,
+      |        CASE WHEN regexp_matches(text, '[\p{Han}\p{Cyrillic}\p{Arabic}]') THEN text
+      |             ELSE coalesce(nullif(
+      |               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''), text)
+      |        END AS key FROM m)
+      |SELECT md5(key) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM k GROUP BY 1 ORDER BY h""".stripMargin
+
   val dedupNgramJaccard: String =
     """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
       |             list_distinct(string_split(text,' ')) AS toks FROM documents)
@@ -736,6 +759,51 @@ object Oracles {
        |   ELSE 'unk' END AS pred_lang,
        | lang AS actual_lang
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** text_langid_script (TextAnalysis.langIdScriptPredictions over
+    * the planted multilingual corpus): script-majority docs tag by
+    * dominant script (the scriptProfile argmax/tie rules, mapped
+    * han → zh / cyrillic → ru / arabic → ar); Latin-majority docs
+    * fall through to the textLangid stopword CASE unchanged. The
+    * planted stripes: %7 ∈ {0,1,2} replace the text with pure
+    * Han/Cyrillic/Arabic repeats (script branch), %11 = 3 appends a
+    * 3-char Cyrillic token (minority — must STAY on the stopword
+    * path), everything else is the raw corpus.
+    */
+  val textLangidScript: String = {
+    val langs = TextFunctions.stopwords
+    val scoreCols = langs.map { case (l, words) =>
+      s"len(list_filter(toks, x -> x IN ${sqlWordList(words)})) AS s_$l"
+    }.mkString(",\n        ")
+    val cases = langs.map { case (l, _) =>
+      val ge = langs.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH m AS (SELECT doc_id, lang,
+       |  CASE WHEN doc_id % 7 = 0 THEN repeat('你好', 40)
+       |       WHEN doc_id % 7 = 1 THEN repeat('привет ', 30)
+       |       WHEN doc_id % 7 = 2 THEN repeat('سلام ', 30)
+       |       WHEN doc_id % 11 = 3 THEN text || ' мир'
+       |       ELSE text END AS text FROM documents),
+       |s AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
+       |        CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin,
+       |        CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
+       |        CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+       |        CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS BIGINT) AS n_arabic
+       |      FROM m),
+       |t AS (SELECT doc_id, lang, n_latin, n_han, n_cyrillic, n_arabic,
+       |        $scoreCols
+       |      FROM s)
+       |SELECT doc_id,
+       | CASE WHEN n_han + n_cyrillic + n_arabic > n_latin THEN
+       |        CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_han AND n_arabic > 0 THEN 'ar'
+       |             WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'ru'
+       |             ELSE 'zh' END
+       |      $cases
+       |      ELSE 'unk' END AS pred_lang,
+       | lang AS actual_lang
+       |FROM t ORDER BY doc_id""".stripMargin
   }
 
   /** q17: as-of join — correlated max-before subquery, an independent

@@ -239,6 +239,26 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_exact_canon" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), canonical = true)),
+    // script-routed exact dedup (r18): the gate corpus is ASCII, so
+    // the routing cases are planted inside the query (text_script
+    // convention) — an upper-case twin of every doc (must STILL
+    // collapse: pure-Latin docs keep canonical keying) and two
+    // distinct Han-suffixed variants of every 5th doc (must NOT
+    // collapse: plain canonical keying would strip both suffixes and
+    // falsely merge them with the base, routed keying keeps them raw)
+    "dedup_exact_routed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" 你好")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" 再見")).as("text")))
+      Dedup.exact(planted, routed = true)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
@@ -292,6 +312,17 @@ object SparkEntry {
           expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"))))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
+    // script-aware language ID (r18): script-majority docs planted
+    // from doc_id (text_script convention) tag by dominant script
+    // (zh/ru/ar); a minority-cyrillic suffix on the %11 stripe must
+    // NOT flip its doc off the stopword path
+    "text_langid_script" -> ((s, dir) => TextAnalysis.langIdScriptPredictions(
+      Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0, expr("repeat('你好', 40)"))
+          .when(col("doc_id") % 7 === 1, expr("repeat('привет ', 30)"))
+          .when(col("doc_id") % 7 === 2, expr("repeat('سلام ', 30)"))
+          .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" мир")))
+          .otherwise(col("text"))))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.asMultimodal(Tables.documents(s, dir)))),
@@ -600,6 +631,7 @@ object SparkEntry {
     "embed_outliers" -> Oracles.embedOutliers,
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_canon" -> Oracles.dedupExactCanon,
+    "dedup_exact_routed" -> Oracles.dedupExactRouted,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_embed_cosine" -> Oracles.dedupEmbedCosine,
     "dedup_semantic" -> Oracles.dedupSemantic,
@@ -609,6 +641,7 @@ object SparkEntry {
     "text_script" -> Oracles.textScript,
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
+    "text_langid_script" -> Oracles.textLangidScript,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,

@@ -98,6 +98,43 @@ object TextFunctions {
   def canonicalKey(text: Column): Column =
     coalesce(nullif(canonicalText(text), lit("")), text)
 
+  /** Does the text carry ANY Han/Cyrillic/Arabic character — the
+    * canonical-LOSS gate. [[canonicalKey]]'s empty-fallback only
+    * protects fully non-ASCII documents; a MIXED document (half
+    * Latin, half Han) canonicalizes to just its Latin half, so two
+    * documents differing only in their non-Latin content would
+    * falsely share a canonical digest. This predicate is the routing
+    * signal: any non-Latin-script signal at all → canonical keying
+    * is lossy for this document.
+    *
+    * Cross-engine contract: Java regex spells the class
+    * `[\p{IsHan}\p{IsCyrillic}\p{IsArabic}]` where RE2 (DuckDB)
+    * spells `[\p{Han}\p{Cyrillic}\p{Arabic}]` — different syntax,
+    * same script classification (see [[scriptCounts]]).
+    */
+  def hasNonLatinScript(text: Column): Column =
+    text.rlike("[\\p{IsHan}\\p{IsCyrillic}\\p{IsArabic}]")
+
+  /** The script-ROUTED digest key — the multilingual production
+    * posture [[scriptCounts]]'s scaladoc describes, packaged as one
+    * expression: documents carrying any Han/Cyrillic/Arabic signal
+    * keep their RAW text as the key (canonical keying would strip
+    * that signal — [[hasNonLatinScript]]), pure-Latin documents take
+    * the full normalize-then-hash [[canonicalKey]] (whose
+    * empty-fallback still covers the residual non-routed cases:
+    * emoji-only and punctuation-only documents are script Common,
+    * canonicalize to "", and fall back raw). Routed keying therefore
+    * degrades monotonically: it never collapses two documents that
+    * differ in any non-Latin content, and never loses the
+    * case/punctuation collapse on pure-ASCII text.
+    *
+    * Cross-engine contract:
+    * `CASE WHEN regexp_matches(text, '[\p{Han}\p{Cyrillic}\p{Arabic}]')
+    *  THEN text ELSE <canonicalKey twin> END`.
+    */
+  def routedKey(text: Column): Column =
+    when(hasNonLatinScript(text), text).otherwise(canonicalKey(text))
+
   /** Distinct token set (order preserved by first occurrence). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

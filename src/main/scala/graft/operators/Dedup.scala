@@ -151,8 +151,14 @@ object Dedup {
   }
 
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-            canonical: Boolean = false): DataFrame = {
-    val key = if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
+            canonical: Boolean = false, routed: Boolean = false): DataFrame = {
+    // routed (r18) supersedes canonical: the script router applies
+    // canonicalKey ONLY to documents with zero Han/Cyrillic/Arabic
+    // signal (TextFunctions.routedKey) — the multilingual-safe form
+    // of normalize-then-hash. canonical alone keeps the r17 contract
+    // (canonicalKey everywhere, empty-fallback as the only guard).
+    val key = if (routed) graft.functions.TextFunctions.routedKey(col(textCol))
+              else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
               else col(textCol)
     docs.groupBy(md5(key).as("h"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))

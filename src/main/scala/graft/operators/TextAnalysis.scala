@@ -258,6 +258,36 @@ object TextAnalysis {
         col("lang").as("actual_lang"))
       .orderBy(col("doc_id"))
 
+  /** Script-AWARE language ID — the multilingual upgrade of
+    * [[langIdPredictions]]: the stopword heuristic only knows Latin
+    * function words, so a Chinese/Russian/Arabic document reads
+    * 'unk' (or worse, whatever Latin noise it carries). Here script
+    * evidence routes first: when the document is script-MAJORITY
+    * non-Latin (n_han + n_cyrillic + n_arabic > n_latin), the
+    * dominant script tags the language family directly (han → 'zh',
+    * cyrillic → 'ru', arabic → 'ar'; argmax with the
+    * alphabetical-first tie rule [[scriptProfile]] pins) — script is
+    * a far stronger signal than stopwords for these families.
+    * Latin-majority documents (including mixed docs with minority
+    * non-Latin content) fall through to the stopword argmax
+    * unchanged. Same narrow codegen'd projection as
+    * [[langIdPredictions]] — scan speed, zero shuffle.
+    */
+  def langIdScriptPredictions(docs: DataFrame): DataFrame = {
+    val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
+    docs.select(col("doc_id"), col("lang"), col("text"), sc.as("sc"))
+      .select(col("doc_id"),
+        when(col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic") > col("sc.n_latin"),
+          when(col("sc.n_arabic") >= col("sc.n_cyrillic")
+            && col("sc.n_arabic") >= col("sc.n_han") && col("sc.n_arabic") > 0, lit("ar"))
+            .when(col("sc.n_cyrillic") >= col("sc.n_han")
+              && col("sc.n_cyrillic") > 0, lit("ru"))
+            .otherwise(lit("zh")))
+          .otherwise(langId(tokens(col("text")))).as("pred_lang"),
+        col("lang").as("actual_lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary statistics: per-token document frequency and
     * total occurrence count — the inputs to IDF weighting, stopword
     * discovery, and tokenizer-vocab construction.

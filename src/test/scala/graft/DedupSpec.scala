@@ -108,6 +108,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(ascii, canonical = true).count() == 1L)
   }
 
+  test("routed keying: mixed-script docs stay raw-keyed, pure-ASCII docs stay canonical") {
+    import spark.implicits._
+    // the router's target hazard: MIXED docs differing only in their
+    // Han halves — canonicalKey strips both suffixes (the canonical
+    // forms are identical and NON-empty, so the empty-fallback never
+    // fires) and plain canonical keying falsely merges all three
+    val d = Seq(
+      (1L, "same latin half 你好"), (2L, "same latin half 再見"),
+      (3L, "same latin half"),
+      (4L, "Hello, World!"), (5L, "hello world"),
+      (6L, "same latin half 你好")).toDF("doc_id", "text")
+    val plain = Dedup.exact(d, canonical = true).collect()
+    assert(plain.exists(_.getAs[Long]("n_dups") == 4L),
+      "plain canonical keying merges the mixed docs with the base (the hazard)")
+    val routed = Dedup.exact(d, routed = true).collect()
+    assert(routed.length == 4, s"routed must leave 4 groups, got ${routed.length}")
+    // byte-identical mixed docs still collapse (1,6); distinct Han
+    // suffixes (1 vs 2) and the suffix-free base (3) stay separate
+    assert(routed.exists(r => r.getAs[Long]("n_dups") == 2L && r.getAs[Long]("keep_id") == 1L),
+      "byte-identical mixed docs share one raw-keyed group")
+    // pure-ASCII case/punct variants keep the canonical collapse (4,5)
+    assert(routed.count(_.getAs[Long]("n_dups") == 2L) == 2,
+      "exactly two pairs: the raw-identical mixed pair and the canonical ASCII pair")
+  }
+
   test("canonical set-similarity drops empty-canonical docs: non-ASCII docs never mass-pair") {
     import spark.implicits._
     // docs 3-5 canonicalize to "" — their token "set" would be the

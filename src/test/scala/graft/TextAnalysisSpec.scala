@@ -78,6 +78,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(safeIds == Set(1L, 5L), s"got $safeIds")
   }
 
+  test("langIdScriptPredictions: script-majority routes to zh/ru/ar, Latin-majority keeps stopwords") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "the cat and the dog of the town", "en"), // stopword path: en
+      (2L, "你好世界你好世界", "zh"),                   // 8 han > 0 latin -> zh
+      (3L, "привет мир", "ru"),                      // 9 cyr > 0 latin -> ru
+      (4L, "سلام دنیا سلام", "ar"),                  // 12 arabic -> ar
+      (5L, "the train 你好", "en"),  // 8 latin > 2 han: minority Han stays stopword (en)
+      (6L, "你好 мир", "zh"),        // 2 han vs 3 cyr, 0 latin: cyr wins the argmax -> ru
+      (7L, "x 你好你好", "zh"))       // 4 han > 1 latin, no stopwords anywhere -> zh
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langIdScriptPredictions(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "ru", 4L -> "ar",
+      5L -> "en", 6L -> "ru", 7L -> "zh"), s"got $got")
+    // the plain heuristic reads every script-majority doc 'unk' —
+    // the differential the script route exists to close
+    val plain = TextAnalysis.langIdPredictions(d.select(col("doc_id"), col("text"), col("lang")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(Seq(2L, 3L, 4L, 6L, 7L).forall(plain(_) == "unk"), s"got $plain")
+  }
+
   test("passageDedup canonical drops empty-canonical docs instead of md5('')-boilerplating them") {
     import org.apache.spark.sql.functions.col
     // docs 3-4 canonicalize to "": their only chunk would be the
