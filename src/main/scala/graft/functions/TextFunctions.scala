@@ -135,6 +135,22 @@ object TextFunctions {
   def routedKey(text: Column): Column =
     when(hasNonLatinScript(text), text).otherwise(canonicalKey(text))
 
+  /** The script-ROUTED text stream for the GRAM families — the
+    * [[routedKey]] rule without the digest guard: documents carrying
+    * Han/Cyrillic/Arabic signal keep their raw text (their shingles
+    * carry the non-Latin content canonical keying would strip),
+    * pure-Latin documents canonicalize. No empty-fallback here —
+    * a punctuation-only document canonicalizes to "", yields no
+    * grams, and degrades to "never matches" exactly like the
+    * canonical gram stream (the set-similarity-safe posture; the
+    * fallback is only needed where "" becomes ONE SHARED digest).
+    *
+    * Cross-engine contract: the CASE over [[hasNonLatinScript]]'s
+    * twin with [[canonicalText]]'s twin in the ELSE branch.
+    */
+  def routedText(text: Column): Column =
+    when(hasNonLatinScript(text), text).otherwise(canonicalText(text))
+
   /** Distinct token set (order preserved by first occurrence). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

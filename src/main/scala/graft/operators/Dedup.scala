@@ -523,8 +523,10 @@ object Dedup {
     * degenerate mega-bucket.
     */
   def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-               thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
-    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical)
+               thresholdFs: Long = 9000L, canonical: Boolean = false,
+               routed: Boolean = false): DataFrame = {
+    val (pairs, shingled) =
+      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed)
     // persist before the global sort (ORDER BY samples its input)
     val verified = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ScopedCache.releaseAfterAction(
@@ -541,19 +543,29 @@ object Dedup {
     * baseline).
     */
   def ngramLshPairs(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
-                    thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
-    val (pairs, shingled) = ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical)
+                    thresholdFs: Long = 9000L, canonical: Boolean = false,
+                    routed: Boolean = false): DataFrame = {
+    val (pairs, shingled) =
+      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed)
     ScopedCache.releaseAfterAction(pairs, Seq(shingled))
   }
 
   /** Shared body of [[ngramLsh]]/[[ngramLshPairs]], returning the
     * operator-owned shingle persist alongside the verified pairs so
     * each public entry can scope exactly the caches it creates.
+    * `routed` (r18) shingles through [[TextAnalysis.maybeKeyed]]'s
+    * script router: non-Latin docs gram raw (their shingles KEEP the
+    * content canonical keying would strip — two mixed docs sharing a
+    * Latin half but differing in Han content no longer reach J = 1),
+    * pure-Latin docs gram canonically. Empty-canonical docs yield no
+    * grams either way (the `size > 0` filter), so no empty-drop
+    * special case is needed here.
     */
   private def ngramLshPairsAndCache(docs0: DataFrame, n: Int, perms: Int, bands: Int,
                                     thresholdFs: Long,
-                                    canonical: Boolean = false): (DataFrame, DataFrame) = {
-    val docs = Par.spread(TextAnalysis.maybeCanon(docs0, canonical))
+                                    canonical: Boolean = false,
+                                    routed: Boolean = false): (DataFrame, DataFrame) = {
+    val docs = Par.spread(TextAnalysis.maybeKeyed(docs0, canonical, routed))
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds both legs of the band self-join and both sides

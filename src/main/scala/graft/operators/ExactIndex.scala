@@ -52,15 +52,16 @@ object ExactIndex {
     * the raw digest) when the caller/index opted in — the
     * normalize-then-hash posture shared with [[Dedup.exact]].
     */
-  private def digest(textCol: String, canonical: Boolean) =
-    md5(if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
+  private def digest(textCol: String, canonical: Boolean, routed: Boolean = false) =
+    md5(if (routed) graft.functions.TextFunctions.routedKey(col(textCol))
+        else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
         else col(textCol))
 
   def flagKnown(batch: DataFrame, reference: DataFrame,
                 expectedItems: Long = 0L, fpp: Double = 0.03,
                 textCol: String = "text", idCol: String = "doc_id",
-                canonical: Boolean = false): DataFrame = {
-    val refDigests = reference.select(digest(textCol, canonical).as("h")).distinct()
+                canonical: Boolean = false, routed: Boolean = false): DataFrame = {
+    val refDigests = reference.select(digest(textCol, canonical, routed).as("h")).distinct()
     val n = if (expectedItems > 0) expectedItems
       else math.max(1000L, refDigests.count())
     // one-shot form: an unmanaged per-call broadcast is fine (the
@@ -69,7 +70,7 @@ object ExactIndex {
     // [[BloomBroadcastCache]]
     val bloom = batch.sparkSession.sparkContext.broadcast(buildBloom(refDigests, n, fpp))
     classify(batch.sparkSession,
-      batch.select(col(idCol).as("doc_id"), digest(textCol, canonical).as("h")),
+      batch.select(col(idCol).as("doc_id"), digest(textCol, canonical, routed).as("h")),
       refDigests, bloom)
   }
 
@@ -118,41 +119,45 @@ object ExactIndex {
   /** Build the stored index: bucketed digests + bloom + meta. */
   def write(docs: DataFrame, name: String, buckets: Int = 64,
             expectedItems: Long = 0L, fpp: Double = 0.03,
-            textCol: String = "text", canonical: Boolean = false): Unit = {
+            textCol: String = "text", canonical: Boolean = false,
+            routed: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import graft.sources.Sinks
-    val digests = docs.select(digest(textCol, canonical).as("h")).distinct()
+    val digests = docs.select(digest(textCol, canonical, routed).as("h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = digests.count()
     val n = if (expectedItems > 0) expectedItems else math.max(1000L, nItems * 4)
     Sinks.writeBucketed(digests, s"${name}_digests", "h", buckets)
     writeBloomAndMeta(spark, name, buildBloom(digests, n, fpp), n, fpp, nItems, buckets,
-      canonical)
+      canonical, routed)
     digests.unpersist()
   }
 
   private def writeBloomAndMeta(spark: SparkSession, name: String, bloom: Array[Byte],
                                 expectedItems: Long, fpp: Double, nItems: Long,
-                                buckets: Int, canonical: Boolean): Unit = {
+                                buckets: Int, canonical: Boolean,
+                                routed: Boolean): Unit = {
     import spark.implicits._
-    Seq((bloom, expectedItems, fpp, nItems, buckets, canonical))
-      .toDF("bloom", "expected_items", "fpp", "n_items", "buckets", "canon")
+    Seq((bloom, expectedItems, fpp, nItems, buckets, canonical, routed))
+      .toDF("bloom", "expected_items", "fpp", "n_items", "buckets", "canon", "routed")
       .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_bloom")
   }
 
-  // the canon flag is an INDEX property (the span/LSH-index rule:
-  // probes and appends must digest in the stored key domain or
-  // nothing matches); pre-canonical metas decode raw
+  // the canon/routed flags are INDEX properties (the span/LSH-index
+  // rule: probes and appends must digest in the stored key domain or
+  // nothing matches); pre-canonical metas decode raw, pre-routed
+  // metas decode to their canon flag
   private def readBloomMeta(spark: SparkSession, name: String)
-  : (Array[Byte], Long, Double, Long, Int, Boolean) = {
+  : (Array[Byte], Long, Double, Long, Int, Boolean, Boolean) = {
     val df = spark.table(s"${name}_bloom")
     val rows = df.collect()
     require(rows.length == 1, s"${name}_bloom must hold exactly one row, got ${rows.length}")
     val r = rows(0)
     (r.getAs[Array[Byte]]("bloom"), r.getAs[Long]("expected_items"),
       r.getAs[Double]("fpp"), r.getAs[Long]("n_items"), r.getAs[Int]("buckets"),
-      df.columns.contains("canon") && r.getAs[Boolean]("canon"))
+      df.columns.contains("canon") && r.getAs[Boolean]("canon"),
+      df.columns.contains("routed") && r.getAs[Boolean]("routed"))
   }
 
   /** Classify a batch against the STORED index: same exact semantics
@@ -171,8 +176,9 @@ object ExactIndex {
     // flagKnownStream spec, where foreachBatch clones the session.
     spark.catalog.refreshTable(s"${name}_bloom")
     spark.catalog.refreshTable(s"${name}_digests")
-    val (_, _, _, _, _, canon) = readBloomMeta(spark, name)
-    classify(spark, batch.select(col(idCol).as("doc_id"), digest(textCol, canon).as("h")),
+    val (_, _, _, _, _, canon, routed) = readBloomMeta(spark, name)
+    classify(spark,
+      batch.select(col(idCol).as("doc_id"), digest(textCol, canon, routed).as("h")),
       spark.table(s"${name}_digests"), BloomBroadcastCache.bloomFor(spark, name))
   }
 
@@ -185,8 +191,9 @@ object ExactIndex {
     */
   def append(docs: DataFrame, name: String, textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val (bloomBytes, expectedItems, fpp, nItems, buckets, canon) = readBloomMeta(spark, name)
-    val fresh = docs.select(digest(textCol, canon).as("h")).distinct()
+    val (bloomBytes, expectedItems, fpp, nItems, buckets, canon, routed) =
+      readBloomMeta(spark, name)
+    val fresh = docs.select(digest(textCol, canon, routed).as("h")).distinct()
       .join(spark.table(s"${name}_digests"), Seq("h"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = fresh.count()
@@ -207,7 +214,7 @@ object ExactIndex {
       val bos = new java.io.ByteArrayOutputStream()
       stored.writeTo(bos)
       writeBloomAndMeta(spark, name, bos.toByteArray, expectedItems, fpp,
-        nItems + nNew, buckets, canon)
+        nItems + nNew, buckets, canon, routed)
     }
     fresh.unpersist()
   }

@@ -30,9 +30,10 @@ object Pipeline {
              maxRepetitionFs: Long = 9000L,
              salt: String = "graft#",
              spanTrimTokens: Int = 0,
-             canonicalKeys: Boolean = false): DataFrame =
+             canonicalKeys: Boolean = false,
+             routedKeys: Boolean = false): DataFrame =
     curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens,
-      canonicalKeys)
+      canonicalKeys, routedKeys)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
@@ -54,6 +55,15 @@ object Pipeline {
     * raw-keyed regardless: it rewrites text, and a canonical trim
     * ships canonical text by construction ([[TextAnalysis
     * .spanTrimmed]]'s own `canonical` flag is that posture).
+    *
+    * `routedKeys = true` (r18) is the MULTILINGUAL-safe form of
+    * `canonicalKeys`: both dedup stages key through the script
+    * router ([[graft.functions.TextFunctions.routedKey]] /
+    * [[graft.functions.TextFunctions.routedText]]) — documents
+    * carrying Han/Cyrillic/Arabic signal key raw (canonical keying
+    * would strip exactly the content that distinguishes them),
+    * pure-Latin documents keep the full normalize-then-key
+    * semantics. Supersedes canonicalKeys when both are set.
     */
   def curateFull(docs: DataFrame,
                  minQualityFs: Long = 5000L,
@@ -61,7 +71,8 @@ object Pipeline {
                  maxRepetitionFs: Long = 9000L,
                  salt: String = "graft#",
                  spanTrimTokens: Int = 0,
-                 canonicalKeys: Boolean = false): DataFrame = {
+                 canonicalKeys: Boolean = false,
+                 routedKeys: Boolean = false): DataFrame = {
     // spanTrimTokens is a minimum span LENGTH and the trim stage
     // grams at n = 8, which floors the usable threshold — surface
     // that here by name rather than letting spanRegions throw its
@@ -69,7 +80,7 @@ object Pipeline {
     require(spanTrimTokens <= 0 || spanTrimTokens >= 8,
       s"spanTrimTokens: pass 0 (trim off) or >= 8 (the 8-gram floor); got $spanTrimTokens")
     // 1. exact dedup: survivors are each hash group's keep_id
-    val keep = Dedup.exact(docs, canonical = canonicalKeys)
+    val keep = Dedup.exact(docs, canonical = canonicalKeys, routed = routedKeys)
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
@@ -77,7 +88,7 @@ object Pipeline {
     // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
     // ngramLsh's global sort would only add a sampling double-run)
     val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs,
-      canonical = canonicalKeys)
+      canonical = canonicalKeys, routed = routedKeys)
     val deduped0 = Dedup.applyPairs(exactDeduped, nearPairs)
 
     // 2b. (opt-in, spanTrimTokens > 0) exact-substring trim: spans

@@ -687,6 +687,18 @@ object TextAnalysis {
     if (canonical) docs.withColumn("text", graft.functions.TextFunctions.canonicalText(col("text")))
     else docs
 
+  /** [[maybeCanon]] generalized to the three keying modes: `routed`
+    * (r18) rewrites through [[graft.functions.TextFunctions
+    * .routedText]] — non-Latin-script docs keep their raw text so
+    * their shingles carry the signal canonical keying would strip,
+    * pure-Latin docs canonicalize. routed supersedes canonical (it IS
+    * canonical keying, gated per-doc by script evidence).
+    */
+  private[operators] def maybeKeyed(docs: DataFrame, canonical: Boolean,
+                                    routed: Boolean): DataFrame =
+    if (routed) docs.withColumn("text", graft.functions.TextFunctions.routedText(col("text")))
+    else maybeCanon(docs, canonical)
+
   /** The qualifying repeated-span coverage regions both span keys
     * derive from: (doc_id, span_start, span_end) token intervals,
     * DISJOINT and maximal per the [[spanDedup]] merge rule. The gram

@@ -133,6 +133,30 @@ class DedupSpec extends SparkSpec {
       "exactly two pairs: the raw-identical mixed pair and the canonical ASCII pair")
   }
 
+  test("routed gram keying: mixed docs shingle raw, pure-Latin docs shingle canonically") {
+    import spark.implicits._
+    // docs 1-2: shared Latin half, disjoint Han halves — canonical
+    // shingles strip the Han tokens entirely (J = 1, false pair);
+    // routed shingles keep them (raw J ≈ 9/29, never a candidate).
+    // docs 3-4: pure-ASCII punct variants — identical canonical
+    // grams; routed must PRESERVE that pairing (they route canonical)
+    val latin = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$latin ${(1 to 10).map(i => s"你好$i").mkString(" ")}"),
+      (2L, s"$latin ${(1 to 10).map(i => s"再見$i").mkString(" ")}"),
+      (3L, (1 to 10).map(i => s"zzz$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"ZZZ$i,").mkString(" "))).toDF("doc_id", "text")
+    def pairs(canonical: Boolean, routed: Boolean) =
+      Dedup.ngramLshPairs(d, canonical = canonical, routed = routed)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs(canonical = true, routed = false).contains((1L, 2L)),
+      "canonical shingling false-pairs the mixed docs (the hazard)")
+    val routed = pairs(canonical = false, routed = true)
+    assert(!routed.contains((1L, 2L)), s"routed keeps the Han shingles apart, got $routed")
+    assert(routed.contains((3L, 4L)), s"routed preserves the pure-ASCII canonical pairing, got $routed")
+  }
+
   test("canonical set-similarity drops empty-canonical docs: non-ASCII docs never mass-pair") {
     import spark.implicits._
     // docs 3-5 canonicalize to "" — their token "set" would be the

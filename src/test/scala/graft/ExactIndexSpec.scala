@@ -200,4 +200,34 @@ test("canonical index: the digest key domain rides the bloom meta") {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
     assert(oneShot == Map(11L -> false, 12L -> true))
   }
+
+  test("routed index: mixed-script docs flag only on byte-identity, ASCII keeps canonical") {
+    import spark.implicits._
+    // the routed hazard a CANONICAL index has: seed doc 1 is mixed
+    // (Latin half + Han half); a probe differing ONLY in its Han half
+    // shares the canonical digest and would falsely flag known
+    val seed = Seq((1L, "shared latin half 你好"), (2L, "plain ascii doc")).toDF("doc_id", "text")
+    ExactIndex.write(seed, "exc_routed", buckets = 4, routed = true)
+    val probe = Seq(
+      (11L, "shared latin half 再見"),   // differs in Han content -> NOT known
+      (12L, "shared latin half 你好"),   // byte-identical -> known
+      (13L, "PLAIN ascii (doc)"),        // ASCII case/punct variant -> known
+      (14L, "never seen")).toDF("doc_id", "text")
+    val flags = ExactIndex.flagAgainstIndex(probe, "exc_routed")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(flags == Map(11L -> false, 12L -> true, 13L -> true, 14L -> false),
+      s"routed index: raw keys for non-Latin docs, canonical for ASCII, got $flags")
+    // the meta flag survives append: fold a mixed doc in, then its
+    // Han-varied sibling must NOT flag while its byte-twin does
+    ExactIndex.append(Seq((21L, "fresh text 你好")).toDF("doc_id", "text"), "exc_routed")
+    val again = ExactIndex.flagAgainstIndex(
+      Seq((31L, "fresh text 再見"), (32L, "fresh text 你好")).toDF("doc_id", "text"), "exc_routed")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(again == Map(31L -> false, 32L -> true),
+      s"appended digests stay routed-keyed under the meta flag, got $again")
+    // one-shot twin takes the same opt-in
+    val oneShot = ExactIndex.flagKnown(probe, seed, routed = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(oneShot == Map(11L -> false, 12L -> true, 13L -> true, 14L -> false))
+  }
 }

@@ -645,4 +645,35 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
     assert(ids == Set(1L, 2L),
       s"byte-identical pair dedups, the distinct non-ASCII doc SURVIVES — got $ids")
   }
+
+  test("curateFull routedKeys: mixed-script docs key raw through BOTH dedup stages") {
+    import spark.implicits._
+    // docs 1-2 share a Latin half and differ in their (equally long)
+    // Han halves: canonicalKeys strips the Han content, so stage 1's
+    // digests coincide and doc 2 silently vanishes; routedKeys keys
+    // both docs raw (they carry Han) — digests differ, and the raw
+    // shingle Jaccard (~9/29) sits far below the near-dup threshold,
+    // so both survive. The pure-ASCII case-variant pair (3,4) still
+    // collapses canonically.
+    val latin = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val hanA = (1 to 10).map(i => s"你好$i").mkString(" ")
+    val hanB = (1 to 10).map(i => s"再見$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$latin $hanA", "zh", "web"),
+      (2L, s"$latin $hanB", "zh", "web"),
+      (3L, (1 to 40).map(i => s"qqq$i").mkString(" "), "en", "web"),
+      (4L, (1 to 40).map(i => s"qqq$i").mkString(" ").toUpperCase, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val canon = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      canonicalKeys = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!canon.contains(2L),
+      s"canonical keying merges the mixed pair (the hazard routedKeys closes) — got $canon")
+    val routed = Pipeline.curateFull(d, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      routedKeys = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(routed.keySet == Set(1L, 2L, 3L),
+      s"routed keying keeps both mixed docs and still collapses the ASCII pair, got ${routed.keySet}")
+    assert(routed(1L).contains("你好1"), "survivor text ships RAW — keying is not rewriting")
+  }
 }
