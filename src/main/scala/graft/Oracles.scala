@@ -613,6 +613,27 @@ object Oracles {
        |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** dedup_minhash_md5_routed: the banded generator + exact verify
+    * over the script-ROUTED text stream (Dedup.minhashMd5Pairs with
+    * routed = true) — the doc source CTE applies routedText's twin
+    * (raw text for docs carrying Han/Cyrillic/Arabic, canonicalText
+    * otherwise) over the planted corpus: base docs ∪ two distinct
+    * Han-suffixed variants per 10th doc, which shingle RAW where
+    * plain canonical keying would strip their suffixes.
+    */
+  val dedupMinhashMd5Routed: String = {
+    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val routedExpr = "CASE WHEN regexp_matches(text, '[\\p{Han}\\p{Cyrillic}\\p{Arabic}]') " +
+      s"THEN text ELSE $canonExpr END"
+    s"""WITH pl AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' 你好' FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 200000, text || ' 再見' FROM documents WHERE doc_id % 10 = 0),
+       |rdocs AS (SELECT doc_id, $routedExpr AS text FROM pl
+       |          WHERE length($routedExpr) > 0),
+       |${md5LshPairCtes(source = "rdocs")}
+       |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** dedup_simhash_md5 (the DuckDB twin of Dedup.simhashMd5Pairs):
     * per-token bits off the first 16 hex chars of md5(token), per-doc
     * bit sums over distinct tokens (ties → 0), the 64-bit fingerprint

@@ -368,6 +368,22 @@ object SparkEntry {
     // banding/verify machinery cross-engine, not just per-expression
     "dedup_minhash_md5_canon" -> ((s, dir) =>
       Dedup.minhashMd5Pairs(Tables.documents(s, dir), canonical = true)),
+    // the banded family's ROUTED twin (r18): Han-suffixed variants
+    // planted on the %10 stripe shingle RAW (the router keeps their
+    // non-Latin token) while the ASCII corpus shingles canonically —
+    // the whole routed banding/verify pipeline hash-verified
+    // cross-engine, the dedup_exact_routed pattern at gram grain
+    "dedup_minhash_md5_routed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" 你好")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" 再見")).as("text")))
+      Dedup.minhashMd5Pairs(planted, routed = true)
+    }),
     // the simhash family's oracle bridge (r11): md5-derived bits make
     // the fingerprints, the banded candidates, and the hamming verify
     // SQL-expressible — production path stays dedup_simhash
@@ -644,6 +660,7 @@ object SparkEntry {
     "text_langid_script" -> Oracles.textLangidScript,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
+    "dedup_minhash_md5_routed" -> Oracles.dedupMinhashMd5Routed,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
     "dedup_simhash_md5_canon" -> Oracles.dedupSimhashMd5Canon,
     "dedup_apply" -> Oracles.dedupApply,

@@ -145,9 +145,14 @@ object Dedup {
     * near-dup (the n ≥ 2 gram families get this degradation for free
     * — one token yields no shingles).
     */
-  private def canonDocs(docs0: DataFrame, canonical: Boolean): DataFrame = {
-    val c = TextAnalysis.maybeCanon(docs0, canonical)
-    if (canonical) c.filter(length(col("text")) > 0) else c
+  private def canonDocs(docs0: DataFrame, canonical: Boolean,
+                        routed: Boolean = false): DataFrame = {
+    // routed (r18): the script router's gram form — non-Latin docs
+    // keep raw text, pure-Latin docs canonicalize; the empty-drop
+    // applies the same way (a pure-Latin doc whose canonical form is
+    // empty has no token signal either)
+    val c = TextAnalysis.maybeKeyed(docs0, canonical, routed)
+    if (canonical || routed) c.filter(length(col("text")) > 0) else c
   }
 
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -258,9 +263,10 @@ object Dedup {
     */
   def minhashMd5Pairs(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                       minJaccardFs: Long = 9000L,
-                      canonical: Boolean = false): DataFrame = {
+                      canonical: Boolean = false,
+                      routed: Boolean = false): DataFrame = {
     require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
-    val docs = Par.spread(canonDocs(docs0, canonical))
+    val docs = Par.spread(canonDocs(docs0, canonical, routed))
     val rowsPerBand = perms / bands
     val toksCol = array_distinct(tokens(col("text")))
     // ONE md5 per token, materialized as a 56-bit long in its own

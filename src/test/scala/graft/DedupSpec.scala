@@ -157,6 +157,27 @@ class DedupSpec extends SparkSpec {
     assert(routed.contains((3L, 4L)), s"routed preserves the pure-ASCII canonical pairing, got $routed")
   }
 
+  test("md5-minhash routed: the oracle-bridge family takes the same script routing") {
+    import spark.implicits._
+    // same shape as the gram-keying differential, at unigram grain:
+    // docs 1-2 share 10 Latin tokens and differ in 10 Han tokens
+    // whose canonical forms coincide (Han strips, digit tail stays) —
+    // canonical keying reads them J = 1, routed reads J = 10/30
+    val latin = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$latin ${(1 to 10).map(i => s"你好$i").mkString(" ")}"),
+      (2L, s"$latin ${(1 to 10).map(i => s"再見$i").mkString(" ")}"),
+      (3L, (1 to 10).map(i => s"zzz$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"ZZZ$i,").mkString(" "))).toDF("doc_id", "text")
+    def pairs(canonical: Boolean, routed: Boolean) =
+      Dedup.minhashMd5Pairs(d, canonical = canonical, routed = routed)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs(canonical = true, routed = false) == Set((1L, 2L), (3L, 4L)),
+      "canonical keying false-pairs the Han-differing docs")
+    assert(pairs(canonical = false, routed = true) == Set((3L, 4L)),
+      "routed keying keeps the mixed docs apart and the ASCII canonical pair intact")
+  }
+
   test("canonical set-similarity drops empty-canonical docs: non-ASCII docs never mass-pair") {
     import spark.implicits._
     // docs 3-5 canonicalize to "" — their token "set" would be the
