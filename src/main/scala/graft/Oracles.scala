@@ -427,7 +427,8 @@ object Oracles {
       |  UNION ALL SELECT doc_id + 200000, text || ' 你好' FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL SELECT doc_id + 300000, text || ' 再見' FROM documents WHERE doc_id % 5 = 0),
       |k AS (SELECT doc_id,
-      |        CASE WHEN regexp_matches(text, '[\p{Han}\p{Cyrillic}\p{Arabic}]') THEN text
+      |        CASE WHEN regexp_matches(text,
+      |               '[\p{Han}\p{Cyrillic}\p{Arabic}\p{Devanagari}\p{Hangul}]') THEN text
       |             ELSE coalesce(nullif(
       |               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''), text)
       |        END AS key FROM m)
@@ -510,18 +511,31 @@ object Oracles {
     """WITH m AS (SELECT doc_id,
       |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
       |  repeat(' мир7', CAST(doc_id % 3 AS INT)) ||
-      |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) AS text FROM documents)
+      |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) ||
+      |  repeat(' नमस्ते8', CAST(doc_id % 5 AS INT)) ||
+      |  repeat(' 안녕6', CAST(doc_id % 6 AS INT)) AS text FROM documents)
       |SELECT doc_id,
       | CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
       | CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
       | CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
       | CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+      | CAST(len(regexp_extract_all(text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
+      | CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT) AS n_hangul,
       | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-      | CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_han AND n_arabic > 0 THEN 'arabic'
-      |      WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'cyrillic'
-      |      WHEN n_han > 0 THEN 'han' ELSE 'none' END AS nonlatin_script,
+      | CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
+      |           AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'arabic'
+      |      WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
+      |           AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'cyrillic'
+      |      WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
+      |           AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'devanagari'
+      |      WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
+      |           AND n_han >= n_hangul AND n_han > 0 THEN 'han'
+      |      WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
+      |           AND n_hangul >= n_han AND n_hangul > 0 THEN 'hangul'
+      |      ELSE 'none' END AS nonlatin_script,
       | CASE WHEN length(text) > 0
-      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic + n_arabic) / length(text)) AS BIGINT)
+      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul)
+      |             / length(text)) AS BIGINT)
       |      ELSE 0 END AS canon_loss_fs
       |FROM m ORDER BY doc_id""".stripMargin
 
@@ -623,7 +637,8 @@ object Oracles {
     */
   val dedupMinhashMd5Routed: String = {
     val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-    val routedExpr = "CASE WHEN regexp_matches(text, '[\\p{Han}\\p{Cyrillic}\\p{Arabic}]') " +
+    val routedExpr = "CASE WHEN regexp_matches(text, " +
+      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
       s"THEN text ELSE $canonExpr END"
     s"""WITH pl AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000, text || ' 你好' FROM documents WHERE doc_id % 10 = 0
@@ -805,21 +820,33 @@ object Oracles {
        |  CASE WHEN doc_id % 7 = 0 THEN repeat('你好', 40)
        |       WHEN doc_id % 7 = 1 THEN repeat('привет ', 30)
        |       WHEN doc_id % 7 = 2 THEN repeat('سلام ', 30)
+       |       WHEN doc_id % 7 = 3 THEN repeat('नमस्ते ', 30)
+       |       WHEN doc_id % 7 = 4 THEN repeat('안녕 ', 30)
        |       WHEN doc_id % 11 = 3 THEN text || ' мир'
        |       ELSE text END AS text FROM documents),
        |s AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
        |        CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin,
        |        CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
        |        CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-       |        CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS BIGINT) AS n_arabic
+       |        CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
+       |        CAST(len(regexp_extract_all(text, '\\p{Devanagari}')) AS BIGINT) AS n_devanagari,
+       |        CAST(len(regexp_extract_all(text, '\\p{Hangul}')) AS BIGINT) AS n_hangul
        |      FROM m),
-       |t AS (SELECT doc_id, lang, n_latin, n_han, n_cyrillic, n_arabic,
+       |t AS (SELECT doc_id, lang, n_latin, n_han, n_cyrillic, n_arabic, n_devanagari, n_hangul,
        |        $scoreCols
        |      FROM s)
        |SELECT doc_id,
-       | CASE WHEN n_han + n_cyrillic + n_arabic > n_latin THEN
-       |        CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_han AND n_arabic > 0 THEN 'ar'
-       |             WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'ru'
+       | CASE WHEN n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul > n_latin THEN
+       |        CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
+       |                  AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'ar'
+       |             WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
+       |                  AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'ru'
+       |             WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
+       |                  AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'hi'
+       |             WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
+       |                  AND n_han >= n_hangul AND n_han > 0 THEN 'zh'
+       |             WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
+       |                  AND n_hangul >= n_han AND n_hangul > 0 THEN 'ko'
        |             ELSE 'zh' END
        |      $cases
        |      ELSE 'unk' END AS pred_lang,

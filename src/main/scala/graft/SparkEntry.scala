@@ -309,7 +309,9 @@ object SparkEntry {
       Tables.documents(s, dir).withColumn("text",
         concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
           expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
-          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"))))),
+          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
+          expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
+          expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"))))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     // script-aware language ID (r18): script-majority docs planted
@@ -321,6 +323,8 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, expr("repeat('你好', 40)"))
           .when(col("doc_id") % 7 === 1, expr("repeat('привет ', 30)"))
           .when(col("doc_id") % 7 === 2, expr("repeat('سلام ', 30)"))
+          .when(col("doc_id") % 7 === 3, expr("repeat('नमस्ते ', 30)"))
+          .when(col("doc_id") % 7 === 4, expr("repeat('안녕 ', 30)"))
           .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" мир")))
           .otherwise(col("text"))))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),

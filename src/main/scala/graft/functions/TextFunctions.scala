@@ -98,8 +98,9 @@ object TextFunctions {
   def canonicalKey(text: Column): Column =
     coalesce(nullif(canonicalText(text), lit("")), text)
 
-  /** Does the text carry ANY Han/Cyrillic/Arabic character — the
-    * canonical-LOSS gate. [[canonicalKey]]'s empty-fallback only
+  /** Does the text carry ANY Han/Cyrillic/Arabic/Devanagari/Hangul
+    * character — the canonical-LOSS gate.
+    * [[canonicalKey]]'s empty-fallback only
     * protects fully non-ASCII documents; a MIXED document (half
     * Latin, half Han) canonicalizes to just its Latin half, so two
     * documents differing only in their non-Latin content would
@@ -108,12 +109,14 @@ object TextFunctions {
     * is lossy for this document.
     *
     * Cross-engine contract: Java regex spells the class
-    * `[\p{IsHan}\p{IsCyrillic}\p{IsArabic}]` where RE2 (DuckDB)
-    * spells `[\p{Han}\p{Cyrillic}\p{Arabic}]` — different syntax,
-    * same script classification (see [[scriptCounts]]).
+    * `[\p{IsHan}\p{IsCyrillic}\p{IsArabic}\p{IsDevanagari}\p{IsHangul}]`
+    * where RE2 (DuckDB) spells
+    * `[\p{Han}\p{Cyrillic}\p{Arabic}\p{Devanagari}\p{Hangul}]` —
+    * different syntax, same script classification
+    * (see [[scriptCounts]]).
     */
   def hasNonLatinScript(text: Column): Column =
-    text.rlike("[\\p{IsHan}\\p{IsCyrillic}\\p{IsArabic}]")
+    text.rlike("[\\p{IsHan}\\p{IsCyrillic}\\p{IsArabic}\\p{IsDevanagari}\\p{IsHangul}]")
 
   /** The script-ROUTED digest key — the multilingual production
     * posture [[scriptCounts]]'s scaladoc describes, packaged as one
@@ -129,8 +132,9 @@ object TextFunctions {
     * case/punctuation collapse on pure-ASCII text.
     *
     * Cross-engine contract:
-    * `CASE WHEN regexp_matches(text, '[\p{Han}\p{Cyrillic}\p{Arabic}]')
-    *  THEN text ELSE <canonicalKey twin> END`.
+    * `CASE WHEN regexp_matches(text, '[<the five RE2 script classes>]')
+    *  THEN text ELSE <canonicalKey twin> END` — see
+    * [[hasNonLatinScript]] for the class spelling on each engine.
     */
   def routedKey(text: Column): Column =
     when(hasNonLatinScript(text), text).otherwise(canonicalKey(text))
@@ -199,6 +203,8 @@ object TextFunctions {
     regexp_count(text, lit("\\p{IsHan}")).cast("long").as("n_han"),
     regexp_count(text, lit("\\p{IsCyrillic}")).cast("long").as("n_cyrillic"),
     regexp_count(text, lit("\\p{IsArabic}")).cast("long").as("n_arabic"),
+    regexp_count(text, lit("\\p{IsDevanagari}")).cast("long").as("n_devanagari"),
+    regexp_count(text, lit("\\p{IsHangul}")).cast("long").as("n_hangul"),
     regexp_count(text, lit("[0-9]")).cast("long").as("n_digit"))
 
   /** Count of punctuation/non-alnum characters (excluding spaces). */

@@ -90,22 +90,26 @@ object TextAnalysis {
   def scriptProfile(docs: DataFrame): DataFrame = {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
     val (han, cyr, ar) = (col("sc.n_han"), col("sc.n_cyrillic"), col("sc.n_arabic"))
+    val (dev, hang) = (col("sc.n_devanagari"), col("sc.n_hangul"))
     // argmax with alphabetical first-wins tie-break (arabic <
-    // cyrillic < han) — the deterministic CASE both engines evaluate
-    // identically
-    val dominant =
-      when(ar >= cyr && ar >= han && ar > 0, lit("arabic"))
-        .when(cyr >= han && cyr > 0, lit("cyrillic"))
-        .when(han > 0, lit("han"))
-        .otherwise(lit("none"))
+    // cyrillic < devanagari < han < hangul) — the deterministic CASE
+    // both engines evaluate identically
+    val all = Seq("arabic" -> ar, "cyrillic" -> cyr, "devanagari" -> dev,
+      "han" -> han, "hangul" -> hang)
+    val dominant = all.foldLeft(when(lit(false), lit("none"))) {
+      case (acc, (name, c)) =>
+        acc.when(all.filter(_._1 != name).map(o => c >= o._2).reduce(_ && _) && c > 0,
+          lit(name))
+    }.otherwise(lit("none"))
     docs.select(col("doc_id"), sc.as("sc"), length(col("text")).cast("long").as("len"))
       .select(col("doc_id"),
         col("sc.n_latin").as("n_latin"), col("sc.n_han").as("n_han"),
         col("sc.n_cyrillic").as("n_cyrillic"), col("sc.n_arabic").as("n_arabic"),
+        col("sc.n_devanagari").as("n_devanagari"), col("sc.n_hangul").as("n_hangul"),
         col("sc.n_digit").as("n_digit"),
         dominant.as("nonlatin_script"),
         when(col("len") > 0,
-          floor(lit(10000.0) * (han + cyr + ar) / col("len")))
+          floor(lit(10000.0) * (han + cyr + ar + dev + hang) / col("len")))
           .otherwise(lit(0L)).as("canon_loss_fs"))
       .orderBy(col("doc_id"))
   }
@@ -263,9 +267,10 @@ object TextAnalysis {
     * function words, so a Chinese/Russian/Arabic document reads
     * 'unk' (or worse, whatever Latin noise it carries). Here script
     * evidence routes first: when the document is script-MAJORITY
-    * non-Latin (n_han + n_cyrillic + n_arabic > n_latin), the
-    * dominant script tags the language family directly (han → 'zh',
-    * cyrillic → 'ru', arabic → 'ar'; argmax with the
+    * non-Latin (the summed Han/Cyrillic/Arabic/Devanagari/Hangul
+    * counts exceed n_latin), the dominant script tags the language
+    * family directly (han → 'zh', cyrillic → 'ru', arabic → 'ar',
+    * devanagari → 'hi', hangul → 'ko'; argmax with the
     * alphabetical-first tie rule [[scriptProfile]] pins) — script is
     * a far stronger signal than stopwords for these families.
     * Latin-majority documents (including mixed docs with minority
@@ -277,12 +282,18 @@ object TextAnalysis {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
     docs.select(col("doc_id"), col("lang"), col("text"), sc.as("sc"))
       .select(col("doc_id"),
-        when(col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic") > col("sc.n_latin"),
-          when(col("sc.n_arabic") >= col("sc.n_cyrillic")
-            && col("sc.n_arabic") >= col("sc.n_han") && col("sc.n_arabic") > 0, lit("ar"))
-            .when(col("sc.n_cyrillic") >= col("sc.n_han")
-              && col("sc.n_cyrillic") > 0, lit("ru"))
-            .otherwise(lit("zh")))
+        when(col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic")
+          + col("sc.n_devanagari") + col("sc.n_hangul") > col("sc.n_latin"), {
+          // same alphabetical-first argmax as scriptProfile, mapped
+          // to the family tag
+          val all = Seq("ar" -> col("sc.n_arabic"), "ru" -> col("sc.n_cyrillic"),
+            "hi" -> col("sc.n_devanagari"), "zh" -> col("sc.n_han"),
+            "ko" -> col("sc.n_hangul"))
+          all.foldLeft(when(lit(false), lit("none"))) { case (acc, (tag, c)) =>
+            acc.when(all.filter(_._1 != tag).map(o => c >= o._2).reduce(_ && _) && c > 0,
+              lit(tag))
+          }.otherwise(lit("zh"))
+        })
           .otherwise(langId(tokens(col("text")))).as("pred_lang"),
         col("lang").as("actual_lang"))
       .orderBy(col("doc_id"))

@@ -131,6 +131,12 @@ class DedupSpec extends SparkSpec {
     // pure-ASCII case/punct variants keep the canonical collapse (4,5)
     assert(routed.count(_.getAs[Long]("n_dups") == 2L) == 2,
       "exactly two pairs: the raw-identical mixed pair and the canonical ASCII pair")
+    // the route covers all five scripts: Devanagari- and
+    // Hangul-differing variants stay apart too (r18 extension)
+    val d5 = Seq((1L, "same half नमस्ते"), (2L, "same half दुनिया"),
+      (3L, "same half 안녕"), (4L, "same half 세계")).toDF("doc_id", "text")
+    assert(Dedup.exact(d5, routed = true).count() == 4L,
+      "Devanagari/Hangul variants route raw — no canonical collapse")
   }
 
   test("routed gram keying: mixed docs shingle raw, pure-Latin docs shingle canonically") {

@@ -57,20 +57,25 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "hello world 42"),     // 10 latin, 2 digit, loss 0
       (2L, "你好，世界。"),         // 4 han over 6 chars -> loss 6666
       (3L, "мир труд"),           // 7 cyr over 8 chars -> loss 8750
-      (4L, "你好 мир x7"),         // 1/2/3/0/1 over 9 chars -> loss 5555, cyr wins 3>2
+      (4L, "你好 мир x7"),         // 1/2/3/0/0/0/1 over 9 chars -> loss 5555, cyr wins 3>2
       (5L, ""),                   // empty: all 0, loss 0 (no division)
-      (6L, "سلام دنیا"))          // 8 arabic over 9 chars -> loss 8888
+      (6L, "سلام دنیا"),          // 8 arabic over 9 chars -> loss 8888
+      (7L, "नमस्ते x"),            // 6 devanagari over 8 chars -> loss 7500
+      (8L, "안녕 세계"))            // 4 hangul over 5 chars -> loss 8000
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(d).collect().map(r =>
       r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_han"),
-        r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_arabic"), r.getAs[Long]("n_digit"),
+        r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_arabic"),
+        r.getAs[Long]("n_devanagari"), r.getAs[Long]("n_hangul"), r.getAs[Long]("n_digit"),
         r.getAs[String]("nonlatin_script"), r.getAs[Long]("canon_loss_fs")))).toMap
-    assert(got(1L) == ((10L, 0L, 0L, 0L, 2L, "none", 0L)), s"got ${got(1L)}")
-    assert(got(2L) == ((0L, 4L, 0L, 0L, 0L, "han", 6666L)), s"got ${got(2L)}")
-    assert(got(3L) == ((0L, 0L, 7L, 0L, 0L, "cyrillic", 8750L)), s"got ${got(3L)}")
-    assert(got(4L) == ((1L, 2L, 3L, 0L, 1L, "cyrillic", 5555L)), s"got ${got(4L)}")
-    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, "none", 0L)), s"got ${got(5L)}")
-    assert(got(6L) == ((0L, 0L, 0L, 8L, 0L, "arabic", 8888L)), s"got ${got(6L)}")
+    assert(got(1L) == ((10L, 0L, 0L, 0L, 0L, 0L, 2L, "none", 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((0L, 4L, 0L, 0L, 0L, 0L, 0L, "han", 6666L)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 7L, 0L, 0L, 0L, 0L, "cyrillic", 8750L)), s"got ${got(3L)}")
+    assert(got(4L) == ((1L, 2L, 3L, 0L, 0L, 0L, 1L, "cyrillic", 5555L)), s"got ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "none", 0L)), s"got ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 0L, 8L, 0L, 0L, 0L, "arabic", 8888L)), s"got ${got(6L)}")
+    assert(got(7L) == ((1L, 0L, 0L, 0L, 6L, 0L, 0L, "devanagari", 7500L)), s"got ${got(7L)}")
+    assert(got(8L) == ((0L, 0L, 0L, 0L, 0L, 4L, 0L, "hangul", 8000L)), s"got ${got(8L)}")
     // the router composition: only loss-free docs opt into canonical
     // keying; the rest stay raw — no doc ever reaches the md5("") path
     val safeIds = TextAnalysis.scriptProfile(d).filter(col("canon_loss_fs") === 0L)
@@ -87,17 +92,19 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "سلام دنیا سلام", "ar"),                  // 12 arabic -> ar
       (5L, "the train 你好", "en"),  // 8 latin > 2 han: minority Han stays stopword (en)
       (6L, "你好 мир", "zh"),        // 2 han vs 3 cyr, 0 latin: cyr wins the argmax -> ru
-      (7L, "x 你好你好", "zh"))       // 4 han > 1 latin, no stopwords anywhere -> zh
+      (7L, "x 你好你好", "zh"),       // 4 han > 1 latin, no stopwords anywhere -> zh
+      (8L, "नमस्ते दुनिया", "hi"),    // 12 devanagari -> hi
+      (9L, "안녕하세요 세계", "ko"))    // 7 hangul -> ko
       .toDF("doc_id", "text", "lang")
     val got = TextAnalysis.langIdScriptPredictions(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "ru", 4L -> "ar",
-      5L -> "en", 6L -> "ru", 7L -> "zh"), s"got $got")
+      5L -> "en", 6L -> "ru", 7L -> "zh", 8L -> "hi", 9L -> "ko"), s"got $got")
     // the plain heuristic reads every script-majority doc 'unk' —
     // the differential the script route exists to close
     val plain = TextAnalysis.langIdPredictions(d.select(col("doc_id"), col("text"), col("lang")))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
-    assert(Seq(2L, 3L, 4L, 6L, 7L).forall(plain(_) == "unk"), s"got $plain")
+    assert(Seq(2L, 3L, 4L, 6L, 7L, 8L, 9L).forall(plain(_) == "unk"), s"got $plain")
   }
 
   test("passageDedup canonical drops empty-canonical docs instead of md5('')-boilerplating them") {
