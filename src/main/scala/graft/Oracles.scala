@@ -701,6 +701,32 @@ object Oracles {
     swapped
   }
 
+  /** dedup_simhash_md5_routed: [[dedupSimhashMd5]] over the
+    * script-ROUTED stream of the planted corpus (base docs ∪ two
+    * distinct Han-suffixed variants per 10th doc) — the
+    * [[dedupMinhashMd5Routed]] pattern at fingerprint grain; the
+    * routed CASE keeps the variants' Han token in their bit sums
+    * where the canon twin would strip it. A require pins the swap.
+    */
+  val dedupSimhashMd5Routed: String = {
+    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val routedExpr = "CASE WHEN regexp_matches(text, " +
+      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
+      s"THEN text ELSE $canonExpr END"
+    val swapped = dedupSimhashMd5.replace(
+      "WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok\n" +
+        "            FROM documents),",
+      "WITH pl AS (SELECT doc_id, text FROM documents\n" +
+        "  UNION ALL SELECT doc_id + 100000, text || ' \u4f60\u597d' FROM documents WHERE doc_id % 10 = 0\n" +
+        "  UNION ALL SELECT doc_id + 200000, text || ' \u518d\u898b' FROM documents WHERE doc_id % 10 = 0),\n" +
+        s"rdocs AS (SELECT doc_id, $routedExpr AS text FROM pl\n" +
+        s"          WHERE length($routedExpr) > 0),\n" +
+        "tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok\n" +
+        "       FROM rdocs),")
+    require(swapped != dedupSimhashMd5, "routed CTE swap must apply")
+    swapped
+  }
+
   /** Greedy dedup application: survivors after dropping the higher id
     * of every verified near-dup pair (mirrors Dedup.applyPairs) —
     * since r10 over the BANDED md5-minhash generator

@@ -394,6 +394,19 @@ object SparkEntry {
     "dedup_simhash_md5" -> ((s, dir) => Dedup.simhashMd5Pairs(Tables.documents(s, dir))),
     "dedup_simhash_md5_canon" -> ((s, dir) =>
       Dedup.simhashMd5Pairs(Tables.documents(s, dir), canonical = true)),
+    // the simhash family's ROUTED twin (r18): same planted stripes as
+    // dedup_minhash_md5_routed, fingerprints over the routed stream
+    "dedup_simhash_md5_routed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" 你好")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" 再見")).as("text")))
+      Dedup.simhashMd5Pairs(planted, routed = true)
+    }),
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))
@@ -667,6 +680,7 @@ object SparkEntry {
     "dedup_minhash_md5_routed" -> Oracles.dedupMinhashMd5Routed,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
     "dedup_simhash_md5_canon" -> Oracles.dedupSimhashMd5Canon,
+    "dedup_simhash_md5_routed" -> Oracles.dedupSimhashMd5Routed,
     "dedup_apply" -> Oracles.dedupApply,
     "dedup_apply_cc" -> Oracles.dedupApplyCc,
     "text_redact" -> Oracles.textRedact,

@@ -430,11 +430,12 @@ object Dedup {
   }
 
   def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3,
-                      canonical: Boolean = false): DataFrame = {
+                      canonical: Boolean = false,
+                      routed: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
     chunkBandedPairs(
-      simhashMd5Fingerprints(Par.spread(canonDocs(docs0, canonical))), maxHamming)
+      simhashMd5Fingerprints(Par.spread(canonDocs(docs0, canonical, routed))), maxHamming)
   }
 
   /** Hamming-banded pairs over ANY 64-bit fingerprint held as four

@@ -182,6 +182,13 @@ class DedupSpec extends SparkSpec {
       "canonical keying false-pairs the Han-differing docs")
     assert(pairs(canonical = false, routed = true) == Set((3L, 4L)),
       "routed keying keeps the mixed docs apart and the ASCII canonical pair intact")
+    // the simhash oracle bridge routes the same way (hamming-0 via
+    // identical canonical fingerprints vs far-apart raw fingerprints)
+    def shPairs(canonical: Boolean, routed: Boolean) =
+      Dedup.simhashMd5Pairs(d, canonical = canonical, routed = routed)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(shPairs(canonical = true, routed = false) == Set((1L, 2L), (3L, 4L)))
+    assert(shPairs(canonical = false, routed = true) == Set((3L, 4L)))
   }
 
   test("canonical set-similarity drops empty-canonical docs: non-ASCII docs never mass-pair") {
