@@ -1146,6 +1146,29 @@ object Oracles {
     swapped
   }
 
+  /** text_span_dedup_routed: [[textSpanDedup]] over the script-ROUTED
+    * stream of the planted corpus (base \u222a two Han-suffixed variants
+    * per 10th doc — each variant shares its base's full token block,
+    * so the planted spans are real repeated regions); the routed CASE
+    * keeps the variants' Han token in their gram streams and token
+    * counts where the canon twin would strip it. A require pins the
+    * swap.
+    */
+  val textSpanDedupRouted: String = {
+    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val routedExpr = "CASE WHEN regexp_matches(text, " +
+      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
+      s"THEN text ELSE $canonExpr END"
+    val swapped = textSpanDedup.replace(
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),",
+      "WITH pl AS (SELECT doc_id, text FROM documents\n" +
+        "  UNION ALL SELECT doc_id + 100000, text || ' \u4f60\u597d' FROM documents WHERE doc_id % 10 = 0\n" +
+        "  UNION ALL SELECT doc_id + 200000, text || ' \u518d\u898b' FROM documents WHERE doc_id % 10 = 0),\n" +
+        s"t AS (SELECT doc_id, string_split($routedExpr,' ') AS toks FROM pl),")
+    require(swapped != textSpanDedup, "routed CTE swap must apply")
+    swapped
+  }
+
   /** text_span_dedup_apply: the span rewrite — same gram/region CTE
     * chain as [[textSpanDedup]], then covered positions exploded from
     * the qualifying regions, anti-joined against the positioned token

@@ -494,6 +494,21 @@ object SparkEntry {
     "text_span_dedup" -> ((s, dir) => TextAnalysis.spanDedup(Tables.documents(s, dir))),
     "text_span_dedup_canon" -> ((s, dir) =>
       TextAnalysis.spanDedup(Tables.documents(s, dir), canonical = true)),
+    // the span family's ROUTED twin (r18): Han-suffixed variants
+    // planted on the %10 stripe gram RAW (coordinates and token
+    // counts live in the routed stream); each variant shares its
+    // base's full token block, so the planted spans are real
+    "text_span_dedup_routed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" \u4f60\u597d")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" \u518d\u898b")).as("text")))
+      TextAnalysis.spanDedup(planted, routed = true)
+    }),
     "text_span_dedup_apply" -> ((s, dir) =>
       TextAnalysis.spanDedupApply(Tables.documents(s, dir))),
     "text_span_top" -> ((s, dir) => TextAnalysis.spanTop(Tables.documents(s, dir))),
@@ -700,6 +715,7 @@ object SparkEntry {
     "text_passage_dedup" -> Oracles.textPassageDedup,
     "text_span_dedup" -> Oracles.textSpanDedup,
     "text_span_dedup_canon" -> Oracles.textSpanDedupCanon,
+    "text_span_dedup_routed" -> Oracles.textSpanDedupRouted,
     "text_span_dedup_apply" -> Oracles.textSpanDedupApply,
     "text_span_flag" -> Oracles.textSpanFlag,
     "text_span_top" -> Oracles.textSpanTop,

@@ -50,8 +50,9 @@ object SpanIndex {
     * over the positioned gram fan-out (canonical-keyed when the index
     * was written that way).
     */
-  private def gramSet(docs: DataFrame, n: Int, canonical: Boolean): DataFrame =
-    TextAnalysis.gramFrame(TextAnalysis.maybeCanon(docs, canonical), n)
+  private def gramSet(docs: DataFrame, n: Int, canonical: Boolean,
+                      routed: Boolean = false): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed), n)
       .select(col("gram_md5")).distinct()
 
   /** Per-doc distinct gram arrays — the `<name>_spandocs` companion
@@ -59,8 +60,9 @@ object SpanIndex {
     * were already indexed: retraction of a gram's FIRST contributor
     * must not remove what a later contributor still holds.
     */
-  private def docGrams(docs: DataFrame, n: Int, canonical: Boolean): DataFrame =
-    TextAnalysis.gramFrame(TextAnalysis.maybeCanon(docs, canonical), n)
+  private def docGrams(docs: DataFrame, n: Int, canonical: Boolean,
+                       routed: Boolean = false): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed), n)
       .groupBy(col("doc_id")).agg(collect_set(col("gram_md5")).as("grams"))
 
   /** Create/replace the index from a seed corpus (possibly empty — a
@@ -73,24 +75,27 @@ object SpanIndex {
     * silently never match.
     */
   def writeIndex(spark: SparkSession, name: String, docs: DataFrame,
-                 n: Int = 8, buckets: Int = 16, canonical: Boolean = false): Unit = {
+                 n: Int = 8, buckets: Int = 16, canonical: Boolean = false,
+                 routed: Boolean = false): Unit = {
     require(n >= 2, s"need gram size ≥ 2, got $n")
-    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical),
+    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical, routed),
       s"${name}_grams", Seq("gram_md5"), buckets)
-    graft.sources.Sinks.replaceBucketed(spark, docGrams(docs, n, canonical),
+    graft.sources.Sinks.replaceBucketed(spark, docGrams(docs, n, canonical, routed),
       s"${name}_spandocs", Seq("doc_id"), buckets)
     import spark.implicits._
-    Seq((n, buckets, canonical)).toDF("gram_n", "buckets", "canon")
+    Seq((n, buckets, canonical, routed)).toDF("gram_n", "buckets", "canon", "routed")
       .write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
   }
 
-  private def meta(spark: SparkSession, name: String): (Int, Int, Boolean) = {
+  private def meta(spark: SparkSession, name: String): (Int, Int, Boolean, Boolean) = {
     val df = spark.table(s"${name}_spanmeta")
     val rows = df.collect()
     require(rows.length == 1, s"span index $name: corrupt meta (${rows.length} rows)")
-    // legacy metas (pre-canonical) decode as raw-keyed
+    // legacy metas decode to what they stored: pre-canonical as
+    // raw-keyed, pre-routed to their canon flag
     val canon = df.columns.contains("canon") && rows(0).getAs[Boolean]("canon")
-    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon)
+    val routed = df.columns.contains("routed") && rows(0).getAs[Boolean]("routed")
+    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon, routed)
   }
 
   private def refresh(spark: SparkSession, name: String): Unit = {
@@ -124,16 +129,16 @@ object SpanIndex {
     */
   def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
     refresh(spark, name)
-    val (n, buckets, canon) = meta(spark, name)
+    val (n, buckets, canon, routed) = meta(spark, name)
     if (!spark.catalog.tableExists(s"${name}_spandocs"))
-      graft.sources.Sinks.replaceBucketed(spark, docGrams(batch.limit(0), n, canon),
+      graft.sources.Sinks.replaceBucketed(spark, docGrams(batch.limit(0), n, canon, routed),
         s"${name}_spandocs", Seq("doc_id"), buckets)
     val fresh = batch
       .join(spark.table(s"${name}_spandocs").select(col("doc_id")), Seq("doc_id"), "left_anti")
     // localCheckpoint (eager): the frame reads the companion table
     // the second write inserts into — detach before writing (the
     // ExactIndex cached-plan-re-materializes-empty lesson)
-    val dg = docGrams(fresh, n, canon).localCheckpoint()
+    val dg = docGrams(fresh, n, canon, routed).localCheckpoint()
     dg.select(explode(col("grams")).as("gram_md5")).distinct()
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"), "left_anti")
       .write.mode(SaveMode.Append)
@@ -171,7 +176,7 @@ object SpanIndex {
     require(spark.catalog.tableExists(s"${name}_spandocs"),
       s"span index $name has no doc→grams companion (pre-retraction index): " +
         "rebuild via writeIndex to enable retraction")
-    val (_, buckets, _) = meta(spark, name)
+    val (_, buckets, _, _) = meta(spark, name)
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
     val spandocs = spark.table(s"${name}_spandocs")
     val retractedGrams = broadcast(
@@ -201,7 +206,7 @@ object SpanIndex {
   def maintainIndex(spark: SparkSession, name: String, batch: DataFrame,
                     maxFilesPerBucket: Int = 16): Boolean = {
     appendToIndex(spark, name, batch)
-    val (_, buckets, _) = meta(spark, name)
+    val (_, buckets, _, _) = meta(spark, name)
     val files = spark.table(s"${name}_grams").inputFiles.length
     val fires = files > buckets.toLong * maxFilesPerBucket
     if (fires) {
@@ -250,9 +255,9 @@ object SpanIndex {
   private def batchRegions(spark: SparkSession, name: String, batch: DataFrame,
                            minSpanTokens: Int): (DataFrame, DataFrame) = {
     refresh(spark, name)
-    val (n, _, canon) = meta(spark, name)
+    val (n, _, canon, routed) = meta(spark, name)
     require(minSpanTokens >= n, s"minSpanTokens ≥ n required, got $minSpanTokens < $n")
-    val b = TextAnalysis.maybeCanon(batch, canon)
+    val b = TextAnalysis.maybeKeyed(batch, canon, routed)
     val hits = TextAnalysis.gramFrame(b, n)
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"))
     (b, TextAnalysis.coalesceRegions(hits, n, minSpanTokens))

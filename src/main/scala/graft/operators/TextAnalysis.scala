@@ -75,9 +75,10 @@ object TextAnalysis {
 
   /** Per-doc script profile — the multilingual router: Unicode-script
     * character counts ([[graft.functions.TextFunctions.scriptCounts]]),
-    * the dominant NON-Latin script (`'han'` / `'cyrillic'` / `'none'`,
-    * ties to cyrillic — the deterministic CASE both engines evaluate
-    * identically), and `canon_loss_fs` = floor(1e4 · (han + cyrillic)
+    * the dominant NON-Latin script (arabic/cyrillic/devanagari/han/
+    * hangul/none — argmax with the alphabetical-first tie rule, the
+    * deterministic CASE both engines evaluate identically), and
+    * `canon_loss_fs` = floor(1e4 · (sum of the five script counts)
     * / n_chars) — the fraction of characters canonical keying
     * ([[graft.functions.TextFunctions.canonicalText]]) would strip as
     * SIGNAL. The routing rule a multilingual pipeline composes:
@@ -681,8 +682,13 @@ object TextAnalysis {
     * persisted slim and scope-released like [[passageDedup]]'s.
     */
   def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
-    val d = maybeCanon(docs, canonical)
+                minSpanTokens: Int = 16, canonical: Boolean = false,
+                routed: Boolean = false): DataFrame = {
+    // routed (r18): spans, token counts, and coordinates live in the
+    // ROUTED stream — mixed-script docs keep raw positions (their
+    // Han/Cyrillic/... tokens count and gram), pure-Latin docs get
+    // the canonical C4/RefinedWeb posture
+    val d = maybeKeyed(docs, canonical, routed)
     spanAccounting(d, spanRegions(d, n, minDocs, minSpanTokens))
   }
 

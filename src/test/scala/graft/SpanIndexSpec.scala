@@ -153,6 +153,41 @@ test("canonical index: variant boilerplate flags cross-corpus; legacy meta decod
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
     assert(legacy.values.forall(_ == 0L), s"legacy meta keys raw, got $legacy")
   }
+test("routed index: Han-differing blocks never hallucinate a span; ASCII keeps canonical") {
+    // the canonical-index hazard routing closes: seed and probe share
+    // k1 k2 _ k3 k4 with DIFFERENT Han middles — canonical keying
+    // strips both middles and stitches a contiguous k1..k4 "span"
+    // that never existed in either raw text
+    val seed = Seq(
+      (2L, "s1 k1 k2 \u4f60\u597d k3 k4 s2"),
+      (4L, "t1 this program is free software t2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "b1 k1 k2 \u518d\u898b k3 k4 b2"),
+      (13L, "c1 THIS Program IS free (software) c2")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "sir_canon", seed, n = 3, buckets = 2, canonical = true)
+    val canon = SpanIndex.flagAgainstIndex(spark, "sir_canon", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(canon(11L) == 4L,
+      s"canonical keying hallucinates the k1..k4 span across differing Han middles, got $canon")
+    SpanIndex.writeIndex(spark, "sir_routed", seed, n = 3, buckets = 2, routed = true)
+    val routed = SpanIndex.flagAgainstIndex(spark, "sir_routed", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(routed(11L) == 0L,
+      s"routed keying grams the mixed docs raw — no hallucinated span, got $routed")
+    assert(routed(13L) == 5L,
+      s"pure-Latin probes still flag canonically under a routed index, got $routed")
+    // append stays in the routed domain: fold the probe batch in,
+    // then a THIRD Han variant must still not flag while a new ASCII
+    // case variant of the Latin block does
+    SpanIndex.appendToIndex(spark, "sir_routed", batch)
+    val again = SpanIndex.flagAgainstIndex(spark, "sir_routed",
+      Seq((21L, "d1 k1 k2 \u597d\u7684 k3 k4 d2"),
+        (23L, "e1 this PROGRAM is FREE software e2")).toDF("doc_id", "text"),
+      minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(again == Map(21L -> 0L, 23L -> 5L),
+      s"appended grams stay routed-keyed under the meta flag, got $again")
+  }
 test("retraction: grams leave only with their LAST contributor; delete is idempotent") {
     val blockA = "a1 a2 a3 a4 a5"
     val blockB = "b1 b2 b3 b4 b5"

@@ -399,6 +399,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L) == ((8L, 0L, 0L, 8L)), s"doc 9: gapped short regions filtered, got ${out(9L)}")
   }
 
+  test("spanDedup routed: Han-differing middles never stitch a canonical span") {
+    // docs 1-2 share k1 k2 _ k3 k4 with DIFFERENT Han middles:
+    // canonical keying strips both middles, the stripped streams
+    // coincide, and a contiguous k1..k4 "span" appears that exists in
+    // NEITHER raw text; routed keying grams the mixed docs raw (no
+    // shared 3-gram at all). The pure-ASCII variant pair (3,4) keeps
+    // the canonical span under both keyings.
+    val d = Seq(
+      (1L, "s1 k1 k2 你好 k3 k4 s2"),
+      (2L, "b1 k1 k2 再見 k3 k4 b2"),
+      (3L, "t1 this program is free software t2"),
+      (4L, "c1 THIS Program IS free (software) c2")).toDF("doc_id", "text")
+    def dups(canonical: Boolean, routed: Boolean) =
+      TextAnalysis.spanDedup(d, n = 3, minDocs = 2, minSpanTokens = 4,
+        canonical = canonical, routed = routed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    val canon = dups(canonical = true, routed = false)
+    assert(canon(1L) == 4L && canon(2L) == 4L,
+      s"canonical keying hallucinates the k1..k4 span (the hazard), got $canon")
+    val routed = dups(canonical = false, routed = true)
+    assert(routed(1L) == 0L && routed(2L) == 0L,
+      s"routed keying grams mixed docs raw — no span, got $routed")
+    assert(routed(3L) == 5L && routed(4L) == 5L,
+      s"ASCII variants keep the canonical span under routing, got $routed")
+  }
+
   test("span dedup apply: covered tokens drop, survivors re-join in order") {
     def md5Hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
