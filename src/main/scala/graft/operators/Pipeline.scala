@@ -142,8 +142,9 @@ object Pipeline {
     * one slim shuffle, no corpus-sized join.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, maxContamFs: Long = 2000L,
-                    n: Int = 3, canonical: Boolean = false): DataFrame = {
-    val flagged = TextAnalysis.contaminationAcct(docs, bench, n, canonical)
+                    n: Int = 3, canonical: Boolean = false,
+                    routed: Boolean = false): DataFrame = {
+    val flagged = TextAnalysis.contaminationAcct(docs, bench, n, canonical, routed)
       .filter(col("contam_fs") > maxContamFs)
       .select(col("doc_id"))
     docs.join(flagged, Seq("doc_id"), "left_anti")

@@ -183,8 +183,9 @@ object TextAnalysis {
     * cost is linear in corpus grams at any scale.
     */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
-                    canonical: Boolean = false): DataFrame =
-    contaminationAcct(docs, bench, n, canonical).orderBy(col("doc_id"))
+                    canonical: Boolean = false,
+                    routed: Boolean = false): DataFrame =
+    contaminationAcct(docs, bench, n, canonical, routed).orderBy(col("doc_id"))
 
   /** [[contamination]] without the final global sort — the form
     * downstream consumers ([[Pipeline.decontaminate]]'s filter) take:
@@ -195,12 +196,18 @@ object TextAnalysis {
     * callers treat absence as "no overlap evidence".
     */
   private[graft] def contaminationAcct(docs: DataFrame, bench: DataFrame, n: Int,
-                                       canonical: Boolean): DataFrame = {
+                                       canonical: Boolean,
+                                       routed: Boolean = false): DataFrame = {
+    // routed (r18): corpus AND bench gram through the script router —
+    // a mixed-script doc's overlap is judged on its raw grams (its
+    // non-Latin content distinguishes it from a Latin bench member
+    // canonical keying would falsely match), Latin docs keep the
+    // canonical robustness to case/punct paraphrase
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val exploded = Par.spread(maybeCanon(docs, canonical))
+    val exploded = Par.spread(maybeKeyed(docs, canonical, routed))
       .select(col("doc_id"), explode(grams).as("gram"))
     val benchGrams = broadcast(
-      maybeCanon(bench, canonical)
+      maybeKeyed(bench, canonical, routed)
         .select(explode(grams).as("gram")).distinct().withColumn("hit", lit(1)))
     exploded.join(benchGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"))

@@ -646,6 +646,29 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
       s"byte-identical pair dedups, the distinct non-ASCII doc SURVIVES — got $ids")
   }
 
+  test("decontaminate routed: mixed docs judged on raw grams, not their stripped Latin half") {
+    import spark.implicits._
+    // doc 2 carries a bench member's text PLUS 16 Han tokens:
+    // canonical keying strips the Han half, reads 100% overlap, and
+    // falsely drops a doc that is 73% non-benchmark content; routed
+    // keying judges the raw gram stream (4 of 20 trigrams = exactly
+    // the inclusive 20% default) and keeps it
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val hanTail = "你 好 再 見 天 地 人 和 山 水 火 木 金 土 日 月"
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, s"a b c d e f $hanTail"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val canonIds = Pipeline.decontaminate(docs, bench, canonical = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(canonIds == Set(3L),
+      s"canonical keying strips the Han half and falsely drops doc 2, got $canonIds")
+    val routedIds = Pipeline.decontaminate(docs, bench, routed = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(routedIds == Set(2L, 3L),
+      s"routed keying judges doc 2 on its raw grams (20% overlap, kept), got $routedIds")
+  }
+
   test("curateFull routedKeys: mixed-script docs key raw through BOTH dedup stages") {
     import spark.implicits._
     // docs 1-2 share a Latin half and differ in their (equally long)
