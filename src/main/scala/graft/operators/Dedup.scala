@@ -842,9 +842,10 @@ object Dedup {
     */
   def ngramLshAgainst(incoming0: DataFrame, reference0: DataFrame, n: Int = 2,
                       perms: Int = 32, bands: Int = 8,
-                      thresholdFs: Long = 9000L, canonical: Boolean = false): DataFrame = {
-    val incoming = TextAnalysis.maybeCanon(incoming0, canonical)
-    val reference = TextAnalysis.maybeCanon(reference0, canonical)
+                      thresholdFs: Long = 9000L, canonical: Boolean = false,
+                      routed: Boolean = false): DataFrame = {
+    val incoming = TextAnalysis.maybeKeyed(incoming0, canonical, routed)
+    val reference = TextAnalysis.maybeKeyed(reference0, canonical, routed)
     val rowsPerBand = perms / bands
     def shingled(df: DataFrame): DataFrame = {
       val grams = array_distinct(wordNgrams(tokens(col("text")), n))
@@ -914,13 +915,13 @@ object Dedup {
     */
   def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
                          bands: Int = 8, buckets: Int = 32, salt: Int = 8,
-                         canonical: Boolean = false): Unit = {
+                         canonical: Boolean = false, routed: Boolean = false): Unit = {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds the band explode and the grams projection
-    val shingled = Par.spread(TextAnalysis.maybeCanon(reference, canonical))
+    val shingled = Par.spread(TextAnalysis.maybeKeyed(reference, canonical, routed))
       .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
@@ -935,8 +936,8 @@ object Dedup {
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
     shingled.unpersist(false)
     import spark.implicits._
-    Seq((n, perms, bands, buckets, salt, canonical))
-      .toDF("n", "perms", "bands", "buckets", "salt", "canon")
+    Seq((n, perms, bands, buckets, salt, canonical, routed))
+      .toDF("n", "perms", "bands", "buckets", "salt", "canon", "routed")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
   }
@@ -962,9 +963,12 @@ object Dedup {
     * and against must shingle in the stored key domain or nothing
     * matches. Pre-canonical metas (no `canon` column) decode raw.
     */
-  private def indexCanon(spark: org.apache.spark.sql.SparkSession, name: String): Boolean = {
+  private def indexKeying(spark: org.apache.spark.sql.SparkSession,
+                          name: String): (Boolean, Boolean) = {
     val df = spark.table(s"${name}_meta")
-    df.columns.contains("canon") && df.collect()(0).getAs[Boolean]("canon")
+    val row = df.collect()(0)
+    (df.columns.contains("canon") && row.getAs[Boolean]("canon"),
+      df.columns.contains("routed") && row.getAs[Boolean]("routed"))
   }
 
   /** Rewrite the index's bucketed tables in place, merging the
@@ -1043,7 +1047,8 @@ object Dedup {
     // rows (duplicated rows inflate every later candidate set). The
     // anti-join probes the doc_id-BUCKETED grams table — stored side
     // shuffle-free by layout, cost ∝ |newDocs|, never index size.
-    val fresh = Par.spread(TextAnalysis.maybeCanon(newDocs, indexCanon(spark, name)))
+    val (kc, kr) = indexKeying(spark, name)
+    val fresh = Par.spread(TextAnalysis.maybeKeyed(newDocs, kc, kr))
       .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val shingled = fresh.select(col("doc_id"), grams.as("grams"))
@@ -1121,7 +1126,8 @@ object Dedup {
     val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val si = Par.spread(TextAnalysis.maybeCanon(incoming, indexCanon(spark, name)))
+    val (kc, kr) = indexKeying(spark, name)
+    val si = Par.spread(TextAnalysis.maybeKeyed(incoming, kc, kr))
       .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))

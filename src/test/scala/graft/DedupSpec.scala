@@ -74,6 +74,36 @@ class DedupSpec extends SparkSpec {
       s"appended docs gram canonically under the meta flag, got $hits2")
   }
 
+  test("stored LSH index routed: mixed-script probes shingle raw under the meta flag") {
+    import spark.implicits._
+    // reference doc is MIXED (10 Latin + 10 Han tokens): a canonical
+    // index strips its Han half, so a probe differing only there
+    // reads J = 1; a routed index grams it raw and the probe's true
+    // Jaccard (10/30) stays far below threshold — while a pure-ASCII
+    // reference/probe pair still matches canonically
+    val latin = (1 to 10).map(i => s"ref$i").mkString(" ")
+    val seed = Seq(
+      (1L, s"$latin ${(1 to 10).map(i => s"你好$i").mkString(" ")}"),
+      (2L, (1 to 40).map(i => s"asc$i").mkString(" "))).toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, s"$latin ${(1 to 10).map(i => s"再見$i").mkString(" ")}"),
+      (12L, (1 to 40).map(i => s"ASC$i").mkString(" "))).toDF("doc_id", "text")
+    Dedup.writeNgramLshIndex(seed, "lshr_can", buckets = 4, canonical = true)
+    val canonHits = Dedup.ngramLshAgainstIndex(probe, "lshr_can").collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(canonHits == Set((11L, 1L), (12L, 2L)),
+      s"canonical index false-pairs the Han-differing probe, got $canonHits")
+    Dedup.writeNgramLshIndex(seed, "lshr_routed", buckets = 4, routed = true)
+    val routedHits = Dedup.ngramLshAgainstIndex(probe, "lshr_routed").collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(routedHits == Set((12L, 2L)),
+      s"routed index keeps the mixed docs apart, ASCII still matches, got $routedHits")
+    // the in-memory cross-corpus form takes the same opt-in
+    val direct = Dedup.ngramLshAgainst(probe, seed, routed = true).collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(direct == Set((12L, 2L)), s"got $direct")
+  }
+
   test("exact dedup canonical: case/punct variants collapse into one hash group") {
     import spark.implicits._
     val d = Seq(
