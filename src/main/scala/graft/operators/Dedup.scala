@@ -196,8 +196,9 @@ object Dedup {
     */
   def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                  shingleN: Int = 1, minJaccardFs: Long = 8400L,
-                 canonical: Boolean = false): DataFrame = {
-    val docs = Par.spread(canonDocs(docs0, canonical))
+                 canonical: Boolean = false,
+                 routed: Boolean = false): DataFrame = {
+    val docs = Par.spread(canonDocs(docs0, canonical, routed))
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
     // persist: this frame feeds BOTH legs of the band self-join and
@@ -318,8 +319,9 @@ object Dedup {
     * has GraftExtensions (bit-identical, ~100× smaller expression
     * tree); falls back to the pure-Column formulation otherwise.
     */
-  def simhashFingerprints(docs0: DataFrame, canonical: Boolean = false): DataFrame = {
-    val docs = Par.spread(canonDocs(docs0, canonical))
+  def simhashFingerprints(docs0: DataFrame, canonical: Boolean = false,
+                          routed: Boolean = false): DataFrame = {
+    val docs = Par.spread(canonDocs(docs0, canonical, routed))
     val sh =
       if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
         call_function("graft_simhash64", tokens(col("text")))
@@ -352,10 +354,11 @@ object Dedup {
     * the spec-pinned recall curve beyond a plan's guaranteed radius.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   canonical: Boolean = false): DataFrame = {
+                   canonical: Boolean = false,
+                   routed: Boolean = false): DataFrame = {
     import graft.functions.HashFunctions.{simhashBandKeys, simhashBandPlan}
     val (chunks, comboSize) = simhashBandPlan(maxHamming)
-    val fp = simhashFingerprints(docs, canonical)
+    val fp = simhashFingerprints(docs, canonical, routed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim (doc_id, band, bucket) rows — fingerprints don't ride the
     // band explode; they come back in the verify join below
@@ -476,8 +479,10 @@ object Dedup {
     * Jaccard computed only within blocks. jac_fs = floor(1e4·J).
     */
   def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L,
-                   canonical: Boolean = false): DataFrame =
-    ngramJaccardPairs(docs, thresholdFs, canonical).orderBy(col("id_a"), col("id_b"))
+                   canonical: Boolean = false,
+                   routed: Boolean = false): DataFrame =
+    ngramJaccardPairs(docs, thresholdFs, canonical, routed)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** [[ngramJaccard]] without the final global sort — the form
     * downstream consumers ([[applyPairs]], [[ccLabels]]) should take:
@@ -486,14 +491,15 @@ object Dedup {
     * whole blocked verify twice and then throws the order away.
     */
   def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L,
-                        canonical: Boolean = false): DataFrame = {
+                        canonical: Boolean = false,
+                        routed: Boolean = false): DataFrame = {
     // canonical blocking must measure the CANONICAL text: the raw
     // n_chars of two punctuation-heavy variants of the same canonical
     // document can straddle a length-bucket boundary, and the pair —
     // the exact pair canonical keying exists to catch — would
     // silently never be compared (r18, ADVICE)
-    val lenCol = if (canonical) length(col("text")) else col("n_chars")
-    val d = Par.spread(canonDocs(docs, canonical)).select(col("doc_id"), col("lang"),
+    val lenCol = if (canonical || routed) length(col("text")) else col("n_chars")
+    val d = Par.spread(canonDocs(docs, canonical, routed)).select(col("doc_id"), col("lang"),
       floor(lenCol / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")

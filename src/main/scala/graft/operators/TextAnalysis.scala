@@ -632,15 +632,18 @@ object TextAnalysis {
     * as [[packByWindow]]'s and is persisted the same scoped way.
     */
   def passageDedup(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
-                   minDocs: Int = 2, canonical: Boolean = false): DataFrame = {
+                   minDocs: Int = 2, canonical: Boolean = false,
+                   routed: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"boilerplate needs at least 2 docs, got $minDocs")
     // canonical keying drops empty-canonical docs (fully non-ASCII):
     // their single token [""] would chunk to the SHARED md5("") key,
     // flagging every non-Latin doc's only chunk as "boilerplate" —
     // the digest families' empty-collapse hazard in passage form (the
     // n >= 2 gram families are immune: one token yields no grams)
-    val base = maybeCanon(docs, canonical)
-    val cdocs = if (canonical) base.filter(length(col("text")) > 0) else base
+    val base = maybeKeyed(docs, canonical, routed)
+    // the empty-drop applies to ANY keyed stream: under routing a
+    // pure-Latin punctuation-only doc still canonicalizes to ""
+    val cdocs = if (canonical || routed) base.filter(length(col("text")) > 0) else base
     val chunks = chunkPieces(cdocs, chunkTokens, strideTokens)
       .select(col("doc_id"), col("n_chunk_tokens"), col("chunk_md5")).persist()
     val boiler = chunks.groupBy(col("chunk_md5"))
@@ -812,8 +815,9 @@ object TextAnalysis {
     * text stages, and the only wide work is [[spanRegions]]' own.
     */
   def spanDedupApply(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                     minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
-    val d = maybeCanon(docs, canonical)
+                     minSpanTokens: Int = 16, canonical: Boolean = false,
+                     routed: Boolean = false): DataFrame = {
+    val d = maybeKeyed(docs, canonical, routed)
     spanRewrite(d, spanRegions(d, n, minDocs, minSpanTokens))
   }
 
@@ -835,8 +839,8 @@ object TextAnalysis {
     */
   def spanTop(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
               minSpanTokens: Int = 16, k: Int = 20,
-              canonical: Boolean = false): DataFrame = {
-    val docs = maybeCanon(docs0, canonical)
+              canonical: Boolean = false, routed: Boolean = false): DataFrame = {
+    val docs = maybeKeyed(docs0, canonical, routed)
     val regions = spanRegions(docs, n, minDocs, minSpanTokens)
     regions
       .join(docs.select(col("doc_id"), tokens(col("text")).as("toks")), Seq("doc_id"))
@@ -870,8 +874,9 @@ object TextAnalysis {
     * opt-in trim stage runs through here.
     */
   def spanTrimmed(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
-                  minSpanTokens: Int = 16, canonical: Boolean = false): DataFrame = {
-    val docs = maybeCanon(docs0, canonical)
+                  minSpanTokens: Int = 16, canonical: Boolean = false,
+                  routed: Boolean = false): DataFrame = {
+    val docs = maybeKeyed(docs0, canonical, routed)
     trimByRegions(docs, spanRegions(docs, n, minDocs, minSpanTokens))
       .withColumn("span_dup_tokens",
         (size(tokens(col("text"))) - size(col("_kept"))).cast("long"))

@@ -52,6 +52,40 @@ class DedupSpec extends SparkSpec {
       == Set((1L, 2L)))
   }
 
+  test("near-dup families honor the routed opt-in: mixed docs raw, ASCII variants canonical") {
+    import spark.implicits._
+    // docs 1-2: shared Latin half, disjoint Han halves whose
+    // canonical residues coincide — canonical keying reads J = 1 /
+    // hamming 0, routed reads the true dissimilar raw streams;
+    // docs 3-4: pure-ASCII case variants — must pair under routing
+    val latin = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$latin ${(1 to 10).map(i => s"你好$i").mkString(" ")}"),
+      (2L, s"$latin ${(1 to 10).map(i => s"再見$i").mkString(" ")}"),
+      (3L, (1 to 10).map(i => s"zzz$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"ZZZ$i").mkString(" "))).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashLsh(d, canonical = true).select(col("id_a"), col("id_b")))
+      .contains((1L, 2L)), "canonical minhash false-pairs the mixed docs")
+    assert(pairSet(Dedup.minhashLsh(d, routed = true).select(col("id_a"), col("id_b")))
+      == Set((3L, 4L)))
+    assert(pairSet(Dedup.simhashPairs(d, routed = true).select(col("id_a"), col("id_b")))
+      == Set((3L, 4L)))
+    val db = d.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    assert(pairSet(Dedup.ngramJaccardPairs(db, routed = true)
+      .select(col("id_a"), col("id_b"))) == Set((3L, 4L)))
+    // passage dedup: single-chunk docs — canonical flags the mixed
+    // pair's shared chunk as boilerplate, routed only the ASCII pair
+    def boiler(canonical: Boolean, routed: Boolean) =
+      graft.operators.TextAnalysis.passageDedup(d, canonical = canonical, routed = routed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boilerplate")).toMap
+    assert(boiler(canonical = true, routed = false).values.sum == 4L,
+      "canonical chunking flags all four docs' chunks")
+    assert(boiler(canonical = false, routed = true) ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("stored LSH index canonical: the key domain rides the meta like the span index") {
     import spark.implicits._
     val words = (1 to 40).map(i => s"ref$i")
