@@ -539,6 +539,48 @@ object Oracles {
       |      ELSE 0 END AS canon_loss_fs
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** text_script_mix (TextAnalysis.scriptMix over the same planted
+    * multilingual corpus as textScript): the corpus composition
+    * report — per dominant script (the textScript argmax), doc count,
+    * fixed-point corpus share (window-summed denominator), total
+    * characters, and the characters canonical keying would strip.
+    */
+  val textScriptMix: String =
+    """WITH m AS (SELECT doc_id,
+      |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
+      |  repeat(' мир7', CAST(doc_id % 3 AS INT)) ||
+      |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) ||
+      |  repeat(' नमस्ते8', CAST(doc_id % 5 AS INT)) ||
+      |  repeat(' 안녕6', CAST(doc_id % 6 AS INT)) AS text FROM documents),
+      |s AS (SELECT doc_id, length(text) AS len,
+      |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+      |  CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+      |  CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+      |  CAST(len(regexp_extract_all(text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
+      |  CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT) AS n_hangul
+      |  FROM m),
+      |t AS (SELECT
+      |  CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
+      |            AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'arabic'
+      |       WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
+      |            AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'cyrillic'
+      |       WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
+      |            AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'devanagari'
+      |       WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
+      |            AND n_han >= n_hangul AND n_han > 0 THEN 'han'
+      |       WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
+      |            AND n_hangul >= n_han AND n_hangul > 0 THEN 'hangul'
+      |       ELSE 'none' END AS script,
+      |  CAST(len AS BIGINT) AS len,
+      |  n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul AS nl
+      |  FROM s),
+      |g AS (SELECT script, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
+      |        CAST(sum(nl) AS BIGINT) AS nonlatin_chars
+      |      FROM t GROUP BY script)
+      |SELECT script, n_docs, n_chars, nonlatin_chars,
+      | CAST(floor(10000.0 * n_docs / sum(n_docs) OVER ()) AS BIGINT) AS docs_share_fs
+      |FROM g ORDER BY script""".stripMargin
+
   private def sqlWordList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 

@@ -312,6 +312,15 @@ object SparkEntry {
           expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
           expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
           expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"))))),
+    // corpus script-mix report (r18): the text_script plant gives
+    // non-trivial dominant-script groups to aggregate
+    "text_script_mix" -> ((s, dir) => TextAnalysis.scriptMix(
+      Tables.documents(s, dir).withColumn("text",
+        concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
+          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
+          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
+          expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
+          expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"))))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
     // script-aware language ID (r18): script-majority docs planted
@@ -690,6 +699,7 @@ object SparkEntry {
     "text_quality" -> Oracles.textQuality,
     "text_langid" -> Oracles.textLangid,
     "text_langid_script" -> Oracles.textLangidScript,
+    "text_script_mix" -> Oracles.textScriptMix,
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
     "dedup_minhash_md5_routed" -> Oracles.dedupMinhashMd5Routed,

@@ -88,20 +88,30 @@ object TextAnalysis {
     * set-similarity empty-drops are the safety net, not the plan).
     * A narrow codegen'd projection — scan speed, zero shuffle.
     */
+  /** The dominant-non-Latin-script argmax over a [[graft.functions
+    * .TextFunctions.scriptCounts]] struct column — alphabetical
+    * first-wins tie-break (arabic < cyrillic < devanagari < han <
+    * hangul), 'none' when no non-Latin signal. The deterministic CASE
+    * both engines evaluate identically; shared by [[scriptProfile]]
+    * and [[scriptMix]].
+    */
+  private def dominantScript(tags: Seq[(String, Column)]): Column =
+    tags.foldLeft(when(lit(false), lit("none"))) {
+      case (acc, (name, c)) =>
+        acc.when(tags.filter(_._1 != name).map(o => c >= o._2).reduce(_ && _) && c > 0,
+          lit(name))
+    }.otherwise(lit("none"))
+
+  private def scriptTags: Seq[(String, Column)] = Seq(
+    "arabic" -> col("sc.n_arabic"), "cyrillic" -> col("sc.n_cyrillic"),
+    "devanagari" -> col("sc.n_devanagari"), "han" -> col("sc.n_han"),
+    "hangul" -> col("sc.n_hangul"))
+
   def scriptProfile(docs: DataFrame): DataFrame = {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
     val (han, cyr, ar) = (col("sc.n_han"), col("sc.n_cyrillic"), col("sc.n_arabic"))
     val (dev, hang) = (col("sc.n_devanagari"), col("sc.n_hangul"))
-    // argmax with alphabetical first-wins tie-break (arabic <
-    // cyrillic < devanagari < han < hangul) — the deterministic CASE
-    // both engines evaluate identically
-    val all = Seq("arabic" -> ar, "cyrillic" -> cyr, "devanagari" -> dev,
-      "han" -> han, "hangul" -> hang)
-    val dominant = all.foldLeft(when(lit(false), lit("none"))) {
-      case (acc, (name, c)) =>
-        acc.when(all.filter(_._1 != name).map(o => c >= o._2).reduce(_ && _) && c > 0,
-          lit(name))
-    }.otherwise(lit("none"))
+    val dominant = dominantScript(scriptTags)
     docs.select(col("doc_id"), sc.as("sc"), length(col("text")).cast("long").as("len"))
       .select(col("doc_id"),
         col("sc.n_latin").as("n_latin"), col("sc.n_han").as("n_han"),
@@ -113,6 +123,37 @@ object TextAnalysis {
           floor(lit(10000.0) * (han + cyr + ar + dev + hang) / col("len")))
           .otherwise(lit(0L)).as("canon_loss_fs"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level SCRIPT MIX — the composition report a pipeline
+    * operator reads BEFORE choosing a keying mode: per dominant
+    * script, the document count, its fixed-point share of the corpus,
+    * total characters, and the characters canonical keying would
+    * strip (the aggregate form of [[scriptProfile]]'s per-doc
+    * canon-loss signal). A corpus whose non-'none' rows carry real
+    * share wants `routed` keying; an all-'none' corpus can take
+    * plain `canonical` losslessly.
+    *
+    * Scale shape: one narrow scan projection → a ≤6-group partial-agg
+    * groupBy (the group domain is the fixed script tag set) → the
+    * share denominator via a single-partition window over ≤6 rows.
+    * Shuffle carries ≤ 6 rows × partitions; at 100 TB this is a scan.
+    */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
+    val nonlatin = col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic") +
+      col("sc.n_devanagari") + col("sc.n_hangul")
+    val grouped = docs.select(sc.as("sc"), length(col("text")).cast("long").as("len"))
+      .select(dominantScript(scriptTags).as("script"), col("len"),
+        nonlatin.cast("long").as("nl"))
+      .groupBy(col("script"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
+        sum(col("nl")).as("nonlatin_chars"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    grouped
+      .withColumn("docs_share_fs",
+        floor(lit(10000.0) * col("n_docs") / sum(col("n_docs")).over(w)))
+      .orderBy(col("script"))
   }
 
   /** Whitespace / regex / distinct token counts per doc. */

@@ -83,6 +83,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(safeIds == Set(1L, 5L), s"got $safeIds")
   }
 
+  test("scriptMix: corpus composition per dominant script, closed-form") {
+    val d = Seq(
+      (1L, "hello world"),      // none, len 11
+      (2L, "hi there"),         // none, len 8
+      (3L, "你好，世界。"),        // han, len 6, nl 4
+      (4L, "мир"),              // cyrillic, len 3, nl 3
+      (5L, "안녕 세계"))           // hangul, len 5, nl 4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(d).collect().map(r =>
+      r.getAs[String]("script") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("nonlatin_chars"), r.getAs[Long]("docs_share_fs")))).toMap
+    assert(got == Map(
+      "none" -> ((2L, 19L, 0L, 4000L)),
+      "han" -> ((1L, 6L, 4L, 2000L)),
+      "cyrillic" -> ((1L, 3L, 3L, 2000L)),
+      "hangul" -> ((1L, 5L, 4L, 2000L))), s"got $got")
+  }
+
   test("langIdScriptPredictions: script-majority routes to zh/ru/ar, Latin-majority keeps stopwords") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
