@@ -158,6 +158,34 @@ class StreamingSpec extends SparkSpec {
     Seq("sflag_digests", "sflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming flag against a ROUTED index digests micro-batches in the stored key domain") {
+    import graft.operators.ExactIndex
+    import graft.streaming.StreamingPipeline
+    implicit val ctx = spark.sqlContext
+    Seq("srflag_digests", "srflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // mixed seed doc + ASCII seed doc under routed keying (the meta
+    // carries the flag; the stream wrapper must pick it up per batch)
+    val ref = Seq((1L, "shared latin half 你好"), (2L, "plain ascii doc")).toDF("doc_id", "text")
+    ExactIndex.write(ref, "srflag", buckets = 4, routed = true)
+    val ms = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val q = StreamingPipeline.flagKnownStream(ms.toDF().toDF("doc_id", "text"), "srflag") {
+      (verdicts, _) =>
+        verdicts.collect().foreach(r =>
+          got(r.getAs[Long]("doc_id")) = r.getAs[Boolean]("is_known"))
+    }.start()
+    try {
+      ms.addData(
+        (1000L, "shared latin half 再見"), // Han-differing: raw-keyed, NOT known
+        (1001L, "shared latin half 你好"), // byte-identical: known
+        (1002L, "PLAIN ascii (doc)"))      // ASCII variant: canonical, known
+      q.processAllAvailable()
+      assert(got.toMap == Map(1000L -> false, 1001L -> true, 1002L -> true),
+        s"the stream must digest in the routed domain, got $got")
+    } finally q.stop()
+    Seq("srflag_digests", "srflag_bloom").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming sketch ingest folds micro-batches into the stored table; replay leaves estimates unchanged") {
     import graft.operators.Sketches
     import graft.streaming.StreamingPipeline
