@@ -18,6 +18,28 @@ import graft.functions.TextFunctions
   */
 object Oracles {
 
+  /** The RE2 spelling of [[graft.functions.TextFunctions
+    * .hasNonLatinScript]]'s routing class (Java spells it
+    * `[^\p{IsLatin}\p{IsCommon}\p{IsInherited}]`) — any character
+    * whose Unicode script is neither Latin, Common, nor Inherited.
+    * The single source of truth for every routed-keying twin.
+    */
+  private val NonLatinRe2 = "[^\\p{Latin}\\p{Common}\\p{Inherited}]"
+
+  /** routedKey's DuckDB twin over column `text`. */
+  private val canonKeyExpr =
+    "coalesce(nullif(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''), text)"
+  private def routedKeyExpr: String =
+    s"CASE WHEN regexp_matches(text, '$NonLatinRe2') THEN text ELSE $canonKeyExpr END"
+
+  /** routedText's DuckDB twin (the gram-family stream — no digest
+    * fallback).
+    */
+  private def routedTextExpr: String = {
+    val canon = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    s"CASE WHEN regexp_matches(text, '$NonLatinRe2') THEN text ELSE $canon END"
+  }
+
   val q1: String =
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity),2) AS sum_qty,
@@ -412,28 +434,29 @@ object Oracles {
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
   /** dedup_exact_routed: the script-ROUTED digest — documents with
-    * any Han/Cyrillic/Arabic character keep their raw text as the
-    * key (RE2 spells the class `[\p{Han}...]` where Java spells
-    * `[\p{IsHan}...]` — same classification, see textScript), pure
+    * any non-Latin-script character ([[NonLatinRe2]] — the r19
+    * inverted class; Java spells it with Is-prefixed script names,
+    * same classification, see textScript) keep their raw text as the
+    * key, pure
     * Latin documents take the canonicalKey twin. Planted corpus =
     * base ∪ upper-case twins (collapse, n_dups = 2) ∪ two distinct
-    * Han-suffixed variants per 5th doc (stay singletons — plain
-    * canonical keying would strip both suffixes and merge all four).
+    * Han-suffixed variants per 5th doc ∪ two distinct KANA-suffixed
+    * variants per 7th doc (r19 — all four stay singletons: plain
+    * canonical keying would strip the suffixes and merge each pair,
+    * and through r18 the kana pair DID merge — the router coverage
+    * gap this oracle now pins closed).
     */
   val dedupExactRouted: String =
-    """WITH m AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents
-      |  UNION ALL SELECT doc_id + 200000, text || ' 你好' FROM documents WHERE doc_id % 5 = 0
-      |  UNION ALL SELECT doc_id + 300000, text || ' 再見' FROM documents WHERE doc_id % 5 = 0),
-      |k AS (SELECT doc_id,
-      |        CASE WHEN regexp_matches(text,
-      |               '[\p{Han}\p{Cyrillic}\p{Arabic}\p{Devanagari}\p{Hangul}]') THEN text
-      |             ELSE coalesce(nullif(
-      |               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''), text)
-      |        END AS key FROM m)
-      |SELECT md5(key) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
-      |FROM k GROUP BY 1 ORDER BY h""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents
+       |  UNION ALL SELECT doc_id + 200000, text || ' 你好' FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' 再見' FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 400000, text || ' ぁ' FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 500000, text || ' ゑ' FROM documents WHERE doc_id % 7 = 0),
+       |k AS (SELECT doc_id, $routedKeyExpr AS key FROM m)
+       |SELECT md5(key) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+       |FROM k GROUP BY 1 ORDER BY h""".stripMargin
 
   val dedupNgramJaccard: String =
     """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
@@ -499,87 +522,108 @@ object Oracles {
       | CAST(length(trim(regexp_replace(messy,'[ \t\n\r\f]+',' ','g'))) AS BIGINT) AS norm_chars
       |FROM m ORDER BY doc_id""".stripMargin
 
-  /** text_script (TextAnalysis.scriptProfile over the planted
-    * multilingual text): Unicode-SCRIPT counts — RE2 spells the
-    * classes `\p{Han}` / `\p{Cyrillic}` / `\p{Latin}` where Java
-    * (Spark) spells `\p{IsHan}` etc.; different syntax, same
-    * classification, result-identical (CJK punctuation and digits are
-    * script Common — in neither). The dominant-non-Latin CASE and the
-    * canonical-loss rate use DuckDB's lateral alias references.
+  // ---- the script-detection twins (generated from NamedScripts so
+  // the Spark and oracle sides cannot drift) ----------------------------
+
+  /** The planted multilingual text shared by text_script /
+    * text_script_mix — one stripe per named script keyed off doc_id
+    * moduli (the gate corpus is ASCII, so every routing case must be
+    * planted), r19 adding kana/Greek/Thai/Hebrew stripes plus a
+    * GEORGIAN stripe that exercises the `n_other` remainder bucket
+    * (Georgian is outside the named ten but inside the routing
+    * class). SparkEntry plants the same expression Spark-side.
     */
-  val textScript: String =
-    """WITH m AS (SELECT doc_id,
-      |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
+  private[graft] val scriptPlantSql: String =
+    """repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
       |  repeat(' мир7', CAST(doc_id % 3 AS INT)) ||
       |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) ||
       |  repeat(' नमस्ते8', CAST(doc_id % 5 AS INT)) ||
-      |  repeat(' 안녕6', CAST(doc_id % 6 AS INT)) AS text FROM documents)
-      |SELECT doc_id,
-      | CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
-      | CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
-      | CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-      | CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
-      | CAST(len(regexp_extract_all(text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
-      | CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT) AS n_hangul,
-      | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-      | CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
-      |           AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'arabic'
-      |      WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
-      |           AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'cyrillic'
-      |      WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
-      |           AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'devanagari'
-      |      WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
-      |           AND n_han >= n_hangul AND n_han > 0 THEN 'han'
-      |      WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
-      |           AND n_hangul >= n_han AND n_hangul > 0 THEN 'hangul'
-      |      ELSE 'none' END AS nonlatin_script,
-      | CASE WHEN length(text) > 0
-      |      THEN CAST(floor(10000.0 * (n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul)
-      |             / length(text)) AS BIGINT)
-      |      ELSE 0 END AS canon_loss_fs
-      |FROM m ORDER BY doc_id""".stripMargin
+      |  repeat(' 안녕6', CAST(doc_id % 6 AS INT)) ||
+      |  repeat(' あい5', CAST(doc_id % 7 AS INT)) ||
+      |  repeat(' アイ4', CAST(doc_id % 8 AS INT)) ||
+      |  repeat(' γεια2', CAST(doc_id % 9 AS INT)) ||
+      |  repeat(' สวัสดี', CAST(doc_id % 10 AS INT)) ||
+      |  repeat(' שלום1', CAST(doc_id % 11 AS INT)) ||
+      |  repeat(' ჯა', CAST(doc_id % 12 AS INT))""".stripMargin
+
+  private def re2ScriptClass(s: String): String = s"\\p{${s.capitalize}}"
+
+  /** The per-script count columns (RE2 spells `\p{Han}` where Java
+    * spells `\p{IsHan}` — same classification): n_latin, one column
+    * per named script, `n_other` = the inverted routing-class count
+    * minus the named sum (lateral alias references — RE2 has no class
+    * subtraction), n_digit, len.
+    */
+  private def scriptCountColsSql: String = {
+    val named = TextFunctions.NamedScripts.map(s =>
+      s"CAST(len(regexp_extract_all(text, '${re2ScriptClass(s)}')) AS BIGINT) AS n_$s")
+    val namedSum = TextFunctions.NamedScripts.map(s => s"n_$s").mkString(" + ")
+    (Seq("CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin") ++
+      named ++ Seq(
+      s"CAST(len(regexp_extract_all(text, '$NonLatinRe2')) AS BIGINT) - ($namedSum) AS n_other",
+      "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit",
+      "CAST(length(text) AS BIGINT) AS len")).mkString(",\n        ")
+  }
+
+  /** The dominant-script argmax CASE over columns `n_<tag>` — the ten
+    * named scripts plus 'other', alphabetical-first tie rule (exactly
+    * TextAnalysis.dominantScript's fold order).
+    */
+  private def dominantScriptCaseSql: String = {
+    val tags = (TextFunctions.NamedScripts :+ "other").sorted
+    val whens = tags.map { t =>
+      val ge = tags.filter(_ != t).map(o => s"n_$t >= n_$o").mkString(" AND ")
+      s"WHEN $ge AND n_$t > 0 THEN '$t'"
+    }.mkString("\n      ")
+    s"CASE $whens\n      ELSE 'none' END"
+  }
+
+  private def nonLatinSumSql: String =
+    ((TextFunctions.NamedScripts :+ "other").sorted.map(s => s"n_$s")).mkString(" + ")
+
+  /** text_script (TextAnalysis.scriptProfile over the planted
+    * multilingual text): Unicode-SCRIPT counts, the dominant
+    * non-Latin argmax, and the canonical-loss rate whose numerator is
+    * the full routing-class count (named sum + other).
+    */
+  val textScript: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  $scriptPlantSql AS text FROM documents),
+       |s AS (SELECT doc_id,
+       |        $scriptCountColsSql
+       |      FROM m)
+       |SELECT doc_id, n_latin, ${TextFunctions.NamedScripts.map(s => s"n_$s").mkString(", ")},
+       | n_other, n_digit,
+       | $dominantScriptCaseSql AS nonlatin_script,
+       | CASE WHEN len > 0
+       |      THEN CAST(floor(10000.0 * ($nonLatinSumSql) / len) AS BIGINT)
+       |      ELSE 0 END AS canon_loss_fs
+       |FROM s ORDER BY doc_id""".stripMargin
 
   /** text_script_mix (TextAnalysis.scriptMix over the same planted
     * multilingual corpus as textScript): the corpus composition
     * report — per dominant script (the textScript argmax), doc count,
-    * fixed-point corpus share (window-summed denominator), total
+    * fixed-point corpus share (window-summed denominator; each share
+    * floors independently, so shares can sum below 10000), total
     * characters, and the characters canonical keying would strip.
     */
   val textScriptMix: String =
-    """WITH m AS (SELECT doc_id,
-      |  repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
-      |  repeat(' мир7', CAST(doc_id % 3 AS INT)) ||
-      |  repeat(' سلام9', CAST(doc_id % 2 AS INT)) ||
-      |  repeat(' नमस्ते8', CAST(doc_id % 5 AS INT)) ||
-      |  repeat(' 안녕6', CAST(doc_id % 6 AS INT)) AS text FROM documents),
-      |s AS (SELECT doc_id, length(text) AS len,
-      |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
-      |  CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-      |  CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
-      |  CAST(len(regexp_extract_all(text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
-      |  CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT) AS n_hangul
-      |  FROM m),
-      |t AS (SELECT
-      |  CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
-      |            AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'arabic'
-      |       WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
-      |            AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'cyrillic'
-      |       WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
-      |            AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'devanagari'
-      |       WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
-      |            AND n_han >= n_hangul AND n_han > 0 THEN 'han'
-      |       WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
-      |            AND n_hangul >= n_han AND n_hangul > 0 THEN 'hangul'
-      |       ELSE 'none' END AS script,
-      |  CAST(len AS BIGINT) AS len,
-      |  n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul AS nl
-      |  FROM s),
-      |g AS (SELECT script, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
-      |        CAST(sum(nl) AS BIGINT) AS nonlatin_chars
-      |      FROM t GROUP BY script)
-      |SELECT script, n_docs, n_chars, nonlatin_chars,
-      | CAST(floor(10000.0 * n_docs / sum(n_docs) OVER ()) AS BIGINT) AS docs_share_fs
-      |FROM g ORDER BY script""".stripMargin
+    s"""WITH m AS (SELECT doc_id,
+       |  $scriptPlantSql AS text FROM documents),
+       |s AS (SELECT doc_id,
+       |        $scriptCountColsSql
+       |      FROM m),
+       |t AS (SELECT
+       |  $dominantScriptCaseSql AS script,
+       |  len,
+       |  $nonLatinSumSql AS nl
+       |  FROM s),
+       |g AS (SELECT script, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
+       |        CAST(sum(nl) AS BIGINT) AS nonlatin_chars
+       |      FROM t GROUP BY script)
+       |SELECT script, n_docs, n_chars, nonlatin_chars,
+       | CAST(floor(10000.0 * n_docs / sum(n_docs) OVER ()) AS BIGINT) AS docs_share_fs
+       |FROM g ORDER BY script""".stripMargin
 
   private def sqlWordList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
@@ -672,16 +716,13 @@ object Oracles {
   /** dedup_minhash_md5_routed: the banded generator + exact verify
     * over the script-ROUTED text stream (Dedup.minhashMd5Pairs with
     * routed = true) — the doc source CTE applies routedText's twin
-    * (raw text for docs carrying Han/Cyrillic/Arabic, canonicalText
+    * (raw text for docs carrying non-Latin-script signal, canonicalText
     * otherwise) over the planted corpus: base docs ∪ two distinct
     * Han-suffixed variants per 10th doc, which shingle RAW where
     * plain canonical keying would strip their suffixes.
     */
   val dedupMinhashMd5Routed: String = {
-    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-    val routedExpr = "CASE WHEN regexp_matches(text, " +
-      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
-      s"THEN text ELSE $canonExpr END"
+    val routedExpr = routedTextExpr
     s"""WITH pl AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 100000, text || ' 你好' FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL SELECT doc_id + 200000, text || ' 再見' FROM documents WHERE doc_id % 10 = 0),
@@ -751,10 +792,7 @@ object Oracles {
     * where the canon twin would strip it. A require pins the swap.
     */
   val dedupSimhashMd5Routed: String = {
-    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-    val routedExpr = "CASE WHEN regexp_matches(text, " +
-      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
-      s"THEN text ELSE $canonExpr END"
+    val routedExpr = routedTextExpr
     val swapped = dedupSimhashMd5.replace(
       "WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok\n" +
         "            FROM documents),",
@@ -866,14 +904,18 @@ object Oracles {
   }
 
   /** text_langid_script (TextAnalysis.langIdScriptPredictions over
-    * the planted multilingual corpus): script-majority docs tag by
-    * dominant script (the scriptProfile argmax/tie rules, mapped
-    * han → zh / cyrillic → ru / arabic → ar); Latin-majority docs
+    * the planted multilingual corpus): script-majority docs tag KANA
+    * FIRST → 'ja' (r19 — kanji-majority Japanese must not read 'zh'),
+    * then by the dominant-script argmax (scriptProfile's tie rules,
+    * mapped arabic → ar / cyrillic → ru / devanagari → hi / greek →
+    * el / han → zh / hangul → ko / hebrew → he / thai → th; an
+    * all-'other' majority reads 'unk'); Latin-majority docs
     * fall through to the textLangid stopword CASE unchanged. The
-    * planted stripes: %7 ∈ {0,1,2} replace the text with pure
-    * Han/Cyrillic/Arabic repeats (script branch), %11 = 3 appends a
-    * 3-char Cyrillic token (minority — must STAY on the stopword
-    * path), everything else is the raw corpus.
+    * planted stripes: %12 ∈ {0..10} replace the text with pure
+    * per-script repeats — including kanji+kana Japanese (%12 = 7, the
+    * r18 'zh' mislabel showpiece) — %11 = 3 appends a 3-char Cyrillic
+    * token (minority — must STAY on the stopword path), everything
+    * else is the raw corpus.
     */
   val textLangidScript: String = {
     val langs = TextFunctions.stopwords
@@ -884,38 +926,41 @@ object Oracles {
       val ge = langs.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $ge AND s_$l > 0 THEN '$l'"
     }.mkString("\n      ")
+    // the script→family argmax, in script-name alphabetical order
+    // (arabic, cyrillic, devanagari, greek, han, hangul, hebrew,
+    // thai) — kana is handled by its own presence rule above the fold
+    val fam = Seq("arabic" -> "ar", "cyrillic" -> "ru", "devanagari" -> "hi",
+      "greek" -> "el", "han" -> "zh", "hangul" -> "ko", "hebrew" -> "he",
+      "thai" -> "th")
+    val famCases = fam.map { case (s, tag) =>
+      val ge = fam.map(_._1).filter(_ != s).map(o => s"n_$s >= n_$o").mkString(" AND ")
+      s"WHEN $ge AND n_$s > 0 THEN '$tag'"
+    }.mkString("\n             ")
     s"""WITH m AS (SELECT doc_id, lang,
-       |  CASE WHEN doc_id % 7 = 0 THEN repeat('你好', 40)
-       |       WHEN doc_id % 7 = 1 THEN repeat('привет ', 30)
-       |       WHEN doc_id % 7 = 2 THEN repeat('سلام ', 30)
-       |       WHEN doc_id % 7 = 3 THEN repeat('नमस्ते ', 30)
-       |       WHEN doc_id % 7 = 4 THEN repeat('안녕 ', 30)
+       |  CASE WHEN doc_id % 12 = 0 THEN repeat('你好', 40)
+       |       WHEN doc_id % 12 = 1 THEN repeat('привет ', 30)
+       |       WHEN doc_id % 12 = 2 THEN repeat('سلام ', 30)
+       |       WHEN doc_id % 12 = 3 THEN repeat('नमस्ते ', 30)
+       |       WHEN doc_id % 12 = 4 THEN repeat('안녕 ', 30)
+       |       WHEN doc_id % 12 = 5 THEN repeat('こんにちは ', 20)
+       |       WHEN doc_id % 12 = 6 THEN repeat('カタカナ ', 20)
+       |       WHEN doc_id % 12 = 7 THEN repeat('日本語の文 ', 20)
+       |       WHEN doc_id % 12 = 8 THEN repeat('γεια σου ', 20)
+       |       WHEN doc_id % 12 = 9 THEN repeat('สวัสดี ', 20)
+       |       WHEN doc_id % 12 = 10 THEN repeat('שלום ', 20)
        |       WHEN doc_id % 11 = 3 THEN text || ' мир'
        |       ELSE text END AS text FROM documents),
        |s AS (SELECT doc_id, lang, string_split(text,' ') AS toks,
-       |        CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin,
-       |        CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_han,
-       |        CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-       |        CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
-       |        CAST(len(regexp_extract_all(text, '\\p{Devanagari}')) AS BIGINT) AS n_devanagari,
-       |        CAST(len(regexp_extract_all(text, '\\p{Hangul}')) AS BIGINT) AS n_hangul
+       |        $scriptCountColsSql
        |      FROM m),
-       |t AS (SELECT doc_id, lang, n_latin, n_han, n_cyrillic, n_arabic, n_devanagari, n_hangul,
+       |t AS (SELECT *,
        |        $scoreCols
        |      FROM s)
        |SELECT doc_id,
-       | CASE WHEN n_han + n_cyrillic + n_arabic + n_devanagari + n_hangul > n_latin THEN
-       |        CASE WHEN n_arabic >= n_cyrillic AND n_arabic >= n_devanagari AND n_arabic >= n_han
-       |                  AND n_arabic >= n_hangul AND n_arabic > 0 THEN 'ar'
-       |             WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_han
-       |                  AND n_cyrillic >= n_hangul AND n_cyrillic > 0 THEN 'ru'
-       |             WHEN n_devanagari >= n_arabic AND n_devanagari >= n_cyrillic AND n_devanagari >= n_han
-       |                  AND n_devanagari >= n_hangul AND n_devanagari > 0 THEN 'hi'
-       |             WHEN n_han >= n_arabic AND n_han >= n_cyrillic AND n_han >= n_devanagari
-       |                  AND n_han >= n_hangul AND n_han > 0 THEN 'zh'
-       |             WHEN n_hangul >= n_arabic AND n_hangul >= n_cyrillic AND n_hangul >= n_devanagari
-       |                  AND n_hangul >= n_han AND n_hangul > 0 THEN 'ko'
-       |             ELSE 'zh' END
+       | CASE WHEN $nonLatinSumSql > n_latin THEN
+       |        CASE WHEN n_hiragana + n_katakana > 0 THEN 'ja'
+       |             $famCases
+       |             ELSE 'unk' END
        |      $cases
        |      ELSE 'unk' END AS pred_lang,
        | lang AS actual_lang
@@ -1197,10 +1242,7 @@ object Oracles {
     * swap.
     */
   val textSpanDedupRouted: String = {
-    val canonExpr = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-    val routedExpr = "CASE WHEN regexp_matches(text, " +
-      "'[\\p{Han}\\p{Cyrillic}\\p{Arabic}\\p{Devanagari}\\p{Hangul}]') " +
-      s"THEN text ELSE $canonExpr END"
+    val routedExpr = routedTextExpr
     val swapped = textSpanDedup.replace(
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),",
       "WITH pl AS (SELECT doc_id, text FROM documents\n" +

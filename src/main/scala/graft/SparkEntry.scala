@@ -31,6 +31,24 @@ object SparkEntry {
       col("vec_id").cast("long").as("id"),
       toDoubleArray(col("embedding")).as("v"))
 
+  /** The planted multilingual text for the text_script/_mix keys —
+    * one stripe per named script keyed off doc_id moduli, plus the
+    * Georgian `n_other` stripe; MUST stay expression-identical to
+    * Oracles.scriptPlantSql (same stripes, same moduli, same order).
+    */
+  private def scriptPlant: org.apache.spark.sql.Column =
+    concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
+      expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
+      expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
+      expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
+      expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"),
+      expr("repeat(' あい5', CAST(doc_id % 7 AS INT))"),
+      expr("repeat(' アイ4', CAST(doc_id % 8 AS INT))"),
+      expr("repeat(' γεια2', CAST(doc_id % 9 AS INT))"),
+      expr("repeat(' สวัสดี', CAST(doc_id % 10 AS INT))"),
+      expr("repeat(' שלום1', CAST(doc_id % 11 AS INT))"),
+      expr("repeat(' ჯა', CAST(doc_id % 12 AS INT))"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B-suite: relational core ----
     "q1_agg" -> (Relational.q1Agg _),
@@ -242,10 +260,13 @@ object SparkEntry {
     // script-routed exact dedup (r18): the gate corpus is ASCII, so
     // the routing cases are planted inside the query (text_script
     // convention) — an upper-case twin of every doc (must STILL
-    // collapse: pure-Latin docs keep canonical keying) and two
-    // distinct Han-suffixed variants of every 5th doc (must NOT
-    // collapse: plain canonical keying would strip both suffixes and
-    // falsely merge them with the base, routed keying keeps them raw)
+    // collapse: pure-Latin docs keep canonical keying), two
+    // distinct Han-suffixed variants of every 5th doc, and two
+    // distinct KANA-suffixed variants of every 7th doc (r19; none may
+    // collapse: plain canonical keying would strip the suffixes and
+    // falsely merge each pair with its base — and through r18 the
+    // five-script router missed the kana pair, the coverage gap the
+    // inverted class closes)
     "dedup_exact_routed" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = d
@@ -257,6 +278,12 @@ object SparkEntry {
         .unionByName(d.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 300000L).as("doc_id"),
             concat(col("text"), lit(" 再見")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" ぁ")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat(col("text"), lit(" ゑ")).as("text")))
       Dedup.exact(planted, routed = true)
     }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
@@ -300,40 +327,40 @@ object SparkEntry {
     // whitespace-robust tokenization (r18): messy input planted from
     // the corpus inside the query, naive-vs-robust counts hash-pinned
     "text_tokens_ws" -> ((s, dir) => TextAnalysis.tokensWsReport(Tables.documents(s, dir))),
-    // script detection / multilingual routing (r18): the gate corpus
-    // is ASCII, so doc-varying Han/Cyrillic content is planted from
-    // doc_id inside the query (the text_tokens_ws convention) — the
-    // counts, the dominant-script CASE, and the canonical-loss rate
-    // then hash-pin Java's \p{IsHan} against RE2's \p{Han} classes
+    // script detection / multilingual routing (r18, extended r19 to
+    // kana/Greek/Thai/Hebrew + a Georgian stripe for the n_other
+    // remainder): the gate corpus is ASCII, so doc-varying script
+    // content is planted from doc_id inside the query (the
+    // text_tokens_ws convention) — the counts, the dominant-script
+    // CASE, and the canonical-loss rate then hash-pin Java's
+    // \p{IsHan}/inverted classes against RE2's
     "text_script" -> ((s, dir) => TextAnalysis.scriptProfile(
-      Tables.documents(s, dir).withColumn("text",
-        concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
-          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
-          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
-          expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
-          expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"))))),
+      Tables.documents(s, dir).withColumn("text", scriptPlant))),
     // corpus script-mix report (r18): the text_script plant gives
     // non-trivial dominant-script groups to aggregate
     "text_script_mix" -> ((s, dir) => TextAnalysis.scriptMix(
-      Tables.documents(s, dir).withColumn("text",
-        concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
-          expr("repeat(' мир7', CAST(doc_id % 3 AS INT))"),
-          expr("repeat(' سلام9', CAST(doc_id % 2 AS INT))"),
-          expr("repeat(' नमस्ते8', CAST(doc_id % 5 AS INT))"),
-          expr("repeat(' 안녕6', CAST(doc_id % 6 AS INT))"))))),
+      Tables.documents(s, dir).withColumn("text", scriptPlant))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
-    // script-aware language ID (r18): script-majority docs planted
-    // from doc_id (text_script convention) tag by dominant script
-    // (zh/ru/ar); a minority-cyrillic suffix on the %11 stripe must
-    // NOT flip its doc off the stopword path
+    // script-aware language ID (r18, extended r19): script-majority
+    // docs planted from doc_id (text_script convention) tag kana
+    // FIRST → ja (the %12=7 kanji+kana stripe is the r18 'zh'
+    // mislabel showpiece), then by dominant script
+    // (zh/ru/ar/hi/ko/el/th/he); a minority-cyrillic suffix on the
+    // %11 stripe must NOT flip its doc off the stopword path
     "text_langid_script" -> ((s, dir) => TextAnalysis.langIdScriptPredictions(
       Tables.documents(s, dir).withColumn("text",
-        when(col("doc_id") % 7 === 0, expr("repeat('你好', 40)"))
-          .when(col("doc_id") % 7 === 1, expr("repeat('привет ', 30)"))
-          .when(col("doc_id") % 7 === 2, expr("repeat('سلام ', 30)"))
-          .when(col("doc_id") % 7 === 3, expr("repeat('नमस्ते ', 30)"))
-          .when(col("doc_id") % 7 === 4, expr("repeat('안녕 ', 30)"))
+        when(col("doc_id") % 12 === 0, expr("repeat('你好', 40)"))
+          .when(col("doc_id") % 12 === 1, expr("repeat('привет ', 30)"))
+          .when(col("doc_id") % 12 === 2, expr("repeat('سلام ', 30)"))
+          .when(col("doc_id") % 12 === 3, expr("repeat('नमस्ते ', 30)"))
+          .when(col("doc_id") % 12 === 4, expr("repeat('안녕 ', 30)"))
+          .when(col("doc_id") % 12 === 5, expr("repeat('こんにちは ', 20)"))
+          .when(col("doc_id") % 12 === 6, expr("repeat('カタカナ ', 20)"))
+          .when(col("doc_id") % 12 === 7, expr("repeat('日本語の文 ', 20)"))
+          .when(col("doc_id") % 12 === 8, expr("repeat('γεια σου ', 20)"))
+          .when(col("doc_id") % 12 === 9, expr("repeat('สวัสดี ', 20)"))
+          .when(col("doc_id") % 12 === 10, expr("repeat('שלום ', 20)"))
           .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" мир")))
           .otherwise(col("text"))))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),

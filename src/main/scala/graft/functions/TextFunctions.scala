@@ -98,8 +98,8 @@ object TextFunctions {
   def canonicalKey(text: Column): Column =
     coalesce(nullif(canonicalText(text), lit("")), text)
 
-  /** Does the text carry ANY Han/Cyrillic/Arabic/Devanagari/Hangul
-    * character — the canonical-LOSS gate.
+  /** Does the text carry ANY character whose Unicode SCRIPT is
+    * neither Latin, Common, nor Inherited — the canonical-LOSS gate.
     * [[canonicalKey]]'s empty-fallback only
     * protects fully non-ASCII documents; a MIXED document (half
     * Latin, half Han) canonicalizes to just its Latin half, so two
@@ -108,41 +108,91 @@ object TextFunctions {
     * signal: any non-Latin-script signal at all → canonical keying
     * is lossy for this document.
     *
+    * The class is INVERTED rather than an allowlist of scripts
+    * (r19 — through r18 it named five scripts and a kana/Greek/Thai/
+    * Hebrew document slipped through to canonical keying, falsely
+    * merging pairs that differ only in that content): any script with
+    * actual content signal — the ten [[scriptCounts]] names and every
+    * script beyond them (Armenian, Georgian, Tamil, …) — routes raw.
+    * What deliberately does NOT route: accented Latin (é is script
+    * Latin — case/accent collapse is the POINT of canonical keying),
+    * digits/punctuation/emoji (script Common) and combining marks on
+    * Latin (script Inherited) — those canonicalize away as noise, and
+    * the fully-non-ASCII residue (e.g. emoji-only docs) still lands
+    * on [[canonicalKey]]'s raw fallback.
+    *
     * Cross-engine contract: Java regex spells the class
-    * `[\p{IsHan}\p{IsCyrillic}\p{IsArabic}\p{IsDevanagari}\p{IsHangul}]`
+    * `[^\p{IsLatin}\p{IsCommon}\p{IsInherited}]`
     * where RE2 (DuckDB) spells
-    * `[\p{Han}\p{Cyrillic}\p{Arabic}\p{Devanagari}\p{Hangul}]` —
+    * `[^\p{Latin}\p{Common}\p{Inherited}]` —
     * different syntax, same script classification
-    * (see [[scriptCounts]]).
+    * (see [[scriptCounts]]; probe-pinned in ExpressionsSpec).
     */
   def hasNonLatinScript(text: Column): Column =
-    text.rlike("[\\p{IsHan}\\p{IsCyrillic}\\p{IsArabic}\\p{IsDevanagari}\\p{IsHangul}]")
+    text.rlike(NonLatinClassJava)
+
+  /** The Java spelling of the routing class — the single source of
+    * truth [[hasNonLatinScript]]/[[routedKey]]/[[routedText]] and the
+    * per-doc loss meter share; the RE2 (DuckDB) twin is
+    * `[^\p{Latin}\p{Common}\p{Inherited}]`.
+    */
+  val NonLatinClassJava = "[^\\p{IsLatin}\\p{IsCommon}\\p{IsInherited}]"
 
   /** The script-ROUTED digest key — the multilingual production
     * posture [[scriptCounts]]'s scaladoc describes, packaged as one
-    * expression: documents carrying any Han/Cyrillic/Arabic signal
-    * keep their RAW text as the key (canonical keying would strip
-    * that signal — [[hasNonLatinScript]]), pure-Latin documents take
+    * expression: documents carrying any non-Latin-script signal
+    * ([[hasNonLatinScript]] — canonical keying would strip it) keep
+    * their RAW text as the key, pure-Latin documents take
     * the full normalize-then-hash [[canonicalKey]] (whose
     * empty-fallback still covers the residual non-routed cases:
     * emoji-only and punctuation-only documents are script Common,
     * canonicalize to "", and fall back raw). Routed keying therefore
     * degrades monotonically: it never collapses two documents that
-    * differ in any non-Latin content, and never loses the
+    * differ in any non-Latin-SCRIPT content (the inverted class makes
+    * this airtight across every script, r19), and never loses the
     * case/punctuation collapse on pure-ASCII text.
     *
     * Cross-engine contract:
-    * `CASE WHEN regexp_matches(text, '[<the five RE2 script classes>]')
+    * `CASE WHEN regexp_matches(text, '[^<the three RE2 classes>]')
     *  THEN text ELSE <canonicalKey twin> END` — see
     * [[hasNonLatinScript]] for the class spelling on each engine.
     */
   def routedKey(text: Column): Column =
     when(hasNonLatinScript(text), text).otherwise(canonicalKey(text))
 
+  /** [[routedKey]] with a LOSS FLOOR (r19) — the thresholded variant
+    * for corpora where a single stray non-Latin glyph (one Cyrillic
+    * look-alike in a 10k-char English doc) should NOT forfeit the
+    * case/punct collapse for the whole document: the doc routes raw
+    * only when canonical keying would strip MORE than
+    * `minLossFs` / 10⁴ of its characters (the [[graft.operators
+    * .TextAnalysis.scriptProfile]] `canon_loss_fs` measure, inlined).
+    * `minLossFs = 0` is EXACTLY [[routedKey]] — any non-Latin signal
+    * routes (the monotonically-safe default); a positive floor trades
+    * bounded false-merge exposure (docs differing only inside their
+    * sub-floor non-Latin tail DO collapse) for canonical robustness
+    * on noise glyphs — the documented knob, not the default.
+    *
+    * Cross-engine contract: the loss meter is
+    * `floor(1e4 · regexp_count(text, <inverted class>) / length)`
+    * on both engines (RE2 twin:
+    * `len(regexp_extract_all(text, '[^\p{Latin}\p{Common}\p{Inherited}]'))`).
+    */
+  def routedKey(text: Column, minLossFs: Long): Column = {
+    require(minLossFs >= 0L, s"minLossFs must be >= 0, got $minLossFs")
+    if (minLossFs == 0L) routedKey(text)
+    else {
+      val loss = floor(lit(10000.0) *
+        regexp_count(text, lit(NonLatinClassJava)) /
+        greatest(length(text), lit(1)))
+      when(loss > minLossFs, text).otherwise(canonicalKey(text))
+    }
+  }
+
   /** The script-ROUTED text stream for the GRAM families — the
     * [[routedKey]] rule without the digest guard: documents carrying
-    * Han/Cyrillic/Arabic signal keep their raw text (their shingles
-    * carry the non-Latin content canonical keying would strip),
+    * non-Latin-script signal keep their raw text (their shingles
+    * carry the content canonical keying would strip),
     * pure-Latin documents canonicalize. No empty-fallback here —
     * a punctuation-only document canonicalizes to "", yields no
     * grams, and degrades to "never matches" exactly like the
@@ -187,6 +237,23 @@ object TextFunctions {
   /** Count of regex-token matches (BPE-ish alnum runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 
+  /** The ten NAMED scripts the per-script counters track, in the
+    * alphabetical order every dominant-script argmax ties break in —
+    * the single source of truth [[scriptCounts]], [[graft.operators
+    * .TextAnalysis.scriptProfile]]/[[graft.operators.TextAnalysis
+    * .scriptMix]]'s argmax, and the oracle generators all derive
+    * from. The ROUTING class is broader ([[hasNonLatinScript]]'s
+    * inverted class — every script routes); these are the
+    * high-volume ones worth a dedicated counter, and everything
+    * beyond them lands in `n_other`.
+    */
+  val NamedScripts: Seq[String] = Seq(
+    "arabic", "cyrillic", "devanagari", "greek", "han",
+    "hangul", "hebrew", "hiragana", "katakana", "thai")
+
+  private def javaScriptClass(script: String) =
+    s"\\p{Is${script.capitalize}}"
+
   /** Per-script character counts — the multilingual ROUTING signal
     * ([[canonicalText]] strips everything outside [a-z0-9], so a
     * pipeline must know how much non-Latin signal a document carries
@@ -197,15 +264,25 @@ object TextFunctions {
     * different SYNTAX, same script classification, so the oracle
     * matches result-for-result (CJK punctuation is script Common and
     * counts in neither; digits are Common too, counted separately).
+    *
+    * Fields: `n_latin`, one `n_<script>` per [[NamedScripts]] entry
+    * (r19 adds greek/hebrew/hiragana/katakana/thai), `n_other` =
+    * characters [[hasNonLatinScript]]'s inverted class matches MINUS
+    * the named-script sum (Armenian, Georgian, Tamil, … — counted so
+    * the canonical-loss meter sees EVERY script the router protects,
+    * not just the named ten; pure arithmetic, because RE2 has no
+    * class-subtraction syntax to express it directly), and `n_digit`.
     */
-  def scriptCounts(text: Column): Column = struct(
-    regexp_count(text, lit("\\p{IsLatin}")).cast("long").as("n_latin"),
-    regexp_count(text, lit("\\p{IsHan}")).cast("long").as("n_han"),
-    regexp_count(text, lit("\\p{IsCyrillic}")).cast("long").as("n_cyrillic"),
-    regexp_count(text, lit("\\p{IsArabic}")).cast("long").as("n_arabic"),
-    regexp_count(text, lit("\\p{IsDevanagari}")).cast("long").as("n_devanagari"),
-    regexp_count(text, lit("\\p{IsHangul}")).cast("long").as("n_hangul"),
-    regexp_count(text, lit("[0-9]")).cast("long").as("n_digit"))
+  def scriptCounts(text: Column): Column = {
+    val named = NamedScripts.map(s =>
+      s -> regexp_count(text, lit(javaScriptClass(s))).cast("long"))
+    val nonLatinTotal = regexp_count(text, lit(NonLatinClassJava)).cast("long")
+    struct(
+      (regexp_count(text, lit("\\p{IsLatin}")).cast("long").as("n_latin") +:
+        named.map { case (s, c) => c.as(s"n_$s") }) ++ Seq(
+        (nonLatinTotal - named.map(_._2).reduce(_ + _)).as("n_other"),
+        regexp_count(text, lit("[0-9]")).cast("long").as("n_digit")): _*)
+  }
 
   /** Count of punctuation/non-alnum characters (excluding spaces). */
   def punctCount(text: Column): Column = regexp_count(text, lit("[^a-z0-9 ]"))

@@ -158,10 +158,13 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
             canonical: Boolean = false, routed: Boolean = false): DataFrame = {
     // routed (r18) supersedes canonical: the script router applies
-    // canonicalKey ONLY to documents with zero Han/Cyrillic/Arabic
-    // signal (TextFunctions.routedKey) — the multilingual-safe form
-    // of normalize-then-hash. canonical alone keeps the r17 contract
-    // (canonicalKey everywhere, empty-fallback as the only guard).
+    // canonicalKey ONLY to documents with zero non-Latin-script
+    // signal (TextFunctions.hasNonLatinScript — the single source of
+    // truth for which characters route; r19 inverted the class, so
+    // EVERY script routes, not a named five) — the multilingual-safe
+    // form of normalize-then-hash. canonical alone keeps the r17
+    // contract (canonicalKey everywhere, empty-fallback as the only
+    // guard).
     val key = if (routed) graft.functions.TextFunctions.routedKey(col(textCol))
               else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
               else col(textCol)

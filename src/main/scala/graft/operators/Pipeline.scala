@@ -60,7 +60,10 @@ object Pipeline {
     * `canonicalKeys`: both dedup stages key through the script
     * router ([[graft.functions.TextFunctions.routedKey]] /
     * [[graft.functions.TextFunctions.routedText]]) — documents
-    * carrying Han/Cyrillic/Arabic signal key raw (canonical keying
+    * carrying any non-Latin-SCRIPT signal ([[graft.functions
+    * .TextFunctions.hasNonLatinScript]], the single source of truth;
+    * r19 inverted the class so every script routes) key raw
+    * (canonical keying
     * would strip exactly the content that distinguishes them),
     * pure-Latin documents keep the full normalize-then-key
     * semantics. Supersedes canonicalKeys when both are set.

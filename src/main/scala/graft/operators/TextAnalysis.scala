@@ -75,13 +75,17 @@ object TextAnalysis {
 
   /** Per-doc script profile — the multilingual router: Unicode-script
     * character counts ([[graft.functions.TextFunctions.scriptCounts]]),
-    * the dominant NON-Latin script (arabic/cyrillic/devanagari/han/
-    * hangul/none — argmax with the alphabetical-first tie rule, the
+    * the dominant NON-Latin script ([[graft.functions.TextFunctions
+    * .NamedScripts]] ∪ other ∪ none — argmax with the
+    * alphabetical-first tie rule, the
     * deterministic CASE both engines evaluate identically), and
-    * `canon_loss_fs` = floor(1e4 · (sum of the five script counts)
+    * `canon_loss_fs` = floor(1e4 · (named-script sum + n_other)
     * / n_chars) — the fraction of characters canonical keying
     * ([[graft.functions.TextFunctions.canonicalText]]) would strip as
-    * SIGNAL. The routing rule a multilingual pipeline composes:
+    * SIGNAL (the numerator equals [[graft.functions.TextFunctions
+    * .hasNonLatinScript]]'s inverted-class count, so the meter and
+    * the router agree on EVERY script, named or not — r19).
+    * The routing rule a multilingual pipeline composes:
     * `canon_loss_fs == 0` docs take `canonical = true` losslessly;
     * high-loss docs stay raw-keyed (where [[graft.functions
     * .TextFunctions.canonicalKey]]'s byte-identity fallback and the
@@ -90,8 +94,10 @@ object TextAnalysis {
     */
   /** The dominant-non-Latin-script argmax over a [[graft.functions
     * .TextFunctions.scriptCounts]] struct column — alphabetical
-    * first-wins tie-break (arabic < cyrillic < devanagari < han <
-    * hangul), 'none' when no non-Latin signal. The deterministic CASE
+    * first-wins tie-break over [[graft.functions.TextFunctions
+    * .NamedScripts]] ∪ 'other' (arabic < cyrillic < devanagari <
+    * greek < han < hangul < hebrew < hiragana < katakana < other <
+    * thai), 'none' when no non-Latin signal. The deterministic CASE
     * both engines evaluate identically; shared by [[scriptProfile]]
     * and [[scriptMix]].
     */
@@ -102,26 +108,33 @@ object TextAnalysis {
           lit(name))
     }.otherwise(lit("none"))
 
-  private def scriptTags: Seq[(String, Column)] = Seq(
-    "arabic" -> col("sc.n_arabic"), "cyrillic" -> col("sc.n_cyrillic"),
-    "devanagari" -> col("sc.n_devanagari"), "han" -> col("sc.n_han"),
-    "hangul" -> col("sc.n_hangul"))
+  /** The argmax domain, in tie-break (alphabetical) order: the ten
+    * named scripts plus the 'other' remainder bucket — 'other' sorts
+    * between katakana and thai.
+    */
+  private def scriptTags: Seq[(String, Column)] =
+    (graft.functions.TextFunctions.NamedScripts :+ "other")
+      .sorted.map(s => s -> col(s"sc.n_$s"))
+
+  /** The canonical-loss numerator: every character the router
+    * protects — the ten named scripts plus the 'other' remainder
+    * (together = [[graft.functions.TextFunctions.hasNonLatinScript]]'s
+    * inverted-class count).
+    */
+  private def nonLatinSum: Column =
+    scriptTags.map(_._2).reduce(_ + _)
 
   def scriptProfile(docs: DataFrame): DataFrame = {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
-    val (han, cyr, ar) = (col("sc.n_han"), col("sc.n_cyrillic"), col("sc.n_arabic"))
-    val (dev, hang) = (col("sc.n_devanagari"), col("sc.n_hangul"))
-    val dominant = dominantScript(scriptTags)
+    val countCols =
+      ("latin" +: graft.functions.TextFunctions.NamedScripts) ++ Seq("other", "digit")
     docs.select(col("doc_id"), sc.as("sc"), length(col("text")).cast("long").as("len"))
-      .select(col("doc_id"),
-        col("sc.n_latin").as("n_latin"), col("sc.n_han").as("n_han"),
-        col("sc.n_cyrillic").as("n_cyrillic"), col("sc.n_arabic").as("n_arabic"),
-        col("sc.n_devanagari").as("n_devanagari"), col("sc.n_hangul").as("n_hangul"),
-        col("sc.n_digit").as("n_digit"),
-        dominant.as("nonlatin_script"),
+      .select(col("doc_id") +:
+        countCols.map(s => col(s"sc.n_$s").as(s"n_$s")) :+
+        dominantScript(scriptTags).as("nonlatin_script") :+
         when(col("len") > 0,
-          floor(lit(10000.0) * (han + cyr + ar + dev + hang) / col("len")))
-          .otherwise(lit(0L)).as("canon_loss_fs"))
+          floor(lit(10000.0) * nonLatinSum / col("len")))
+          .otherwise(lit(0L)).as("canon_loss_fs"): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -134,18 +147,22 @@ object TextAnalysis {
     * share wants `routed` keying; an all-'none' corpus can take
     * plain `canonical` losslessly.
     *
-    * Scale shape: one narrow scan projection → a ≤6-group partial-agg
+    * Scale shape: one narrow scan projection → a ≤12-group partial-agg
     * groupBy (the group domain is the fixed script tag set) → the
-    * share denominator via a single-partition window over ≤6 rows.
-    * Shuffle carries ≤ 6 rows × partitions; at 100 TB this is a scan.
+    * share denominator via a single-partition window over ≤12 rows.
+    * Shuffle carries ≤ 12 rows × partitions; at 100 TB this is a scan.
+    *
+    * Share semantics: `docs_share_fs` floors each group's share
+    * INDEPENDENTLY (floor(1e4·n/total)), so the shares of a report
+    * can sum below 10000 (three equal groups read 3333 each) — the
+    * deterministic cross-engine form; consumers wanting shares that
+    * total exactly 100% must assign the remainder themselves.
     */
   def scriptMix(docs: DataFrame): DataFrame = {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
-    val nonlatin = col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic") +
-      col("sc.n_devanagari") + col("sc.n_hangul")
     val grouped = docs.select(sc.as("sc"), length(col("text")).cast("long").as("len"))
       .select(dominantScript(scriptTags).as("script"), col("len"),
-        nonlatin.cast("long").as("nl"))
+        nonLatinSum.cast("long").as("nl"))
       .groupBy(col("script"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
         sum(col("nl")).as("nonlatin_chars"))
@@ -316,12 +333,25 @@ object TextAnalysis {
     * function words, so a Chinese/Russian/Arabic document reads
     * 'unk' (or worse, whatever Latin noise it carries). Here script
     * evidence routes first: when the document is script-MAJORITY
-    * non-Latin (the summed Han/Cyrillic/Arabic/Devanagari/Hangul
-    * counts exceed n_latin), the dominant script tags the language
-    * family directly (han → 'zh', cyrillic → 'ru', arabic → 'ar',
-    * devanagari → 'hi', hangul → 'ko'; argmax with the
-    * alphabetical-first tie rule [[scriptProfile]] pins) — script is
-    * a far stronger signal than stopwords for these families.
+    * non-Latin (the summed non-Latin counts — the ten named scripts
+    * plus 'other' — exceed n_latin), the script evidence tags the
+    * language family directly, in two tiers:
+    *
+    *  1. KANA PRESENCE → 'ja', BEFORE any argmax (r19): Japanese text
+    *     is typically kanji-majority with kana function characters, so
+    *     a Han-count argmax reads it 'zh' — but kana occurs in NO
+    *     other living orthography, making any hiragana/katakana at
+    *     all the decisive signal (the r18 tagger mislabeled every
+    *     kanji-majority Japanese doc 'zh' and kana-only docs fell to
+    *     the stopword path → 'unk').
+    *  2. Otherwise the dominant-script argmax, alphabetical-first tie
+    *     rule as [[scriptProfile]] pins: arabic → 'ar', cyrillic →
+    *     'ru', devanagari → 'hi', greek → 'el', han → 'zh', hangul →
+    *     'ko', hebrew → 'he', thai → 'th'. A doc whose non-Latin
+    *     majority is all 'other' scripts (Armenian, Georgian, …)
+    *     matches no branch and reads 'unk' — honest, the named tiers
+    *     are the coverage.
+    *
     * Latin-majority documents (including mixed docs with minority
     * non-Latin content) fall through to the stopword argmax
     * unchanged. Same narrow codegen'd projection as
@@ -331,17 +361,21 @@ object TextAnalysis {
     val sc = graft.functions.TextFunctions.scriptCounts(col("text"))
     docs.select(col("doc_id"), col("lang"), col("text"), sc.as("sc"))
       .select(col("doc_id"),
-        when(col("sc.n_han") + col("sc.n_cyrillic") + col("sc.n_arabic")
-          + col("sc.n_devanagari") + col("sc.n_hangul") > col("sc.n_latin"), {
-          // same alphabetical-first argmax as scriptProfile, mapped
-          // to the family tag
+        when(nonLatinSum > col("sc.n_latin"), {
+          // kana first, then the alphabetical-first argmax mapped to
+          // the family tag (script-name order = arabic, cyrillic,
+          // devanagari, greek, han, hangul, hebrew, thai)
           val all = Seq("ar" -> col("sc.n_arabic"), "ru" -> col("sc.n_cyrillic"),
-            "hi" -> col("sc.n_devanagari"), "zh" -> col("sc.n_han"),
-            "ko" -> col("sc.n_hangul"))
-          all.foldLeft(when(lit(false), lit("none"))) { case (acc, (tag, c)) =>
-            acc.when(all.filter(_._1 != tag).map(o => c >= o._2).reduce(_ && _) && c > 0,
-              lit(tag))
-          }.otherwise(lit("zh"))
+            "hi" -> col("sc.n_devanagari"), "el" -> col("sc.n_greek"),
+            "zh" -> col("sc.n_han"), "ko" -> col("sc.n_hangul"),
+            "he" -> col("sc.n_hebrew"), "th" -> col("sc.n_thai"))
+          val argmax = all.foldLeft(when(lit(false), lit("none"))) {
+            case (acc, (tag, c)) =>
+              acc.when(all.filter(_._1 != tag).map(o => c >= o._2).reduce(_ && _) && c > 0,
+                lit(tag))
+          }.otherwise(lit("unk"))
+          when(col("sc.n_hiragana") + col("sc.n_katakana") > 0, lit("ja"))
+            .otherwise(argmax)
         })
           .otherwise(langId(tokens(col("text")))).as("pred_lang"),
         col("lang").as("actual_lang"))

@@ -61,7 +61,12 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, ""),                   // empty: all 0, loss 0 (no division)
       (6L, "سلام دنیا"),          // 8 arabic over 9 chars -> loss 8888
       (7L, "नमस्ते x"),            // 6 devanagari over 8 chars -> loss 7500
-      (8L, "안녕 세계"))            // 4 hangul over 5 chars -> loss 8000
+      (8L, "안녕 세계"),            // 4 hangul over 5 chars -> loss 8000
+      (9L, "あいう カナ"),          // 3 hiragana + 2 katakana over 6 -> loss 8333, hiragana wins
+      (10L, "γεια x"),            // 4 greek over 6 chars -> loss 6666
+      (11L, "สวัสดี"),             // 6 thai over 6 chars -> loss 10000
+      (12L, "שלום y2"),           // 4 hebrew over 7 chars -> loss 5714
+      (13L, "ქართული x"))         // 7 GEORGIAN -> n_other (outside the named ten)
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(d).collect().map(r =>
       r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_han"),
@@ -76,6 +81,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(6L) == ((0L, 0L, 0L, 8L, 0L, 0L, 0L, "arabic", 8888L)), s"got ${got(6L)}")
     assert(got(7L) == ((1L, 0L, 0L, 0L, 6L, 0L, 0L, "devanagari", 7500L)), s"got ${got(7L)}")
     assert(got(8L) == ((0L, 0L, 0L, 0L, 0L, 4L, 0L, "hangul", 8000L)), s"got ${got(8L)}")
+    // the r19 scripts, via their named columns + the remainder bucket
+    val wide = TextAnalysis.scriptProfile(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_hiragana"), r.getAs[Long]("n_katakana"),
+        r.getAs[Long]("n_greek"), r.getAs[Long]("n_thai"), r.getAs[Long]("n_hebrew"),
+        r.getAs[Long]("n_other"), r.getAs[String]("nonlatin_script"),
+        r.getAs[Long]("canon_loss_fs")))).toMap
+    assert(wide(9L) == ((3L, 2L, 0L, 0L, 0L, 0L, "hiragana", 8333L)), s"got ${wide(9L)}")
+    assert(wide(10L) == ((0L, 0L, 4L, 0L, 0L, 0L, "greek", 6666L)), s"got ${wide(10L)}")
+    assert(wide(11L) == ((0L, 0L, 0L, 6L, 0L, 0L, "thai", 10000L)), s"got ${wide(11L)}")
+    assert(wide(12L) == ((0L, 0L, 0L, 0L, 4L, 0L, "hebrew", 5714L)), s"got ${wide(12L)}")
+    // Georgian: every named counter 0, the remainder bucket carries
+    // it and the loss meter still sees it — the router
+    // (hasNonLatinScript's inverted class) and the meter agree on
+    // EVERY script, named or not
+    assert(wide(13L) == ((0L, 0L, 0L, 0L, 0L, 7L, "other", 7777L)), s"got ${wide(13L)}")
     // the router composition: only loss-free docs opt into canonical
     // keying; the rest stay raw — no doc ever reaches the md5("") path
     val safeIds = TextAnalysis.scriptProfile(d).filter(col("canon_loss_fs") === 0L)
@@ -112,12 +132,26 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, "你好 мир", "zh"),        // 2 han vs 3 cyr, 0 latin: cyr wins the argmax -> ru
       (7L, "x 你好你好", "zh"),       // 4 han > 1 latin, no stopwords anywhere -> zh
       (8L, "नमस्ते दुनिया", "hi"),    // 12 devanagari -> hi
-      (9L, "안녕하세요 세계", "ko"))    // 7 hangul -> ko
+      (9L, "안녕하세요 세계", "ko"),    // 7 hangul -> ko
+      (10L, "こんにちは 世界", "ja"),  // kana presence -> ja (hiragana majority)
+      // the r18 mislabel showpiece: kanji-MAJORITY Japanese (4 han vs
+      // 1 hiragana) — the han argmax would read 'zh'; kana presence
+      // must win FIRST
+      (11L, "日本語の文", "ja"),
+      (12L, "カタカナ テスト", "ja"),  // katakana-only -> ja
+      (13L, "γεια σου κόσμε", "el"), // greek-majority -> el
+      (14L, "สวัสดี ชาวโลก", "th"),   // thai-majority -> th
+      (15L, "שלום עולם", "he"),      // hebrew-majority -> he
+      // non-Latin majority entirely OUTSIDE the named ten (Georgian):
+      // no family tag fires -> honest 'unk', not a false 'zh'
+      (16L, "ქართული ენა", "ka"))
       .toDF("doc_id", "text", "lang")
     val got = TextAnalysis.langIdScriptPredictions(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "ru", 4L -> "ar",
-      5L -> "en", 6L -> "ru", 7L -> "zh", 8L -> "hi", 9L -> "ko"), s"got $got")
+      5L -> "en", 6L -> "ru", 7L -> "zh", 8L -> "hi", 9L -> "ko",
+      10L -> "ja", 11L -> "ja", 12L -> "ja", 13L -> "el", 14L -> "th",
+      15L -> "he", 16L -> "unk"), s"got $got")
     // the plain heuristic reads every script-majority doc 'unk' —
     // the differential the script route exists to close
     val plain = TextAnalysis.langIdPredictions(d.select(col("doc_id"), col("text"), col("lang")))
