@@ -367,9 +367,15 @@ object Oracles {
        |FROM m3 GROUP BY cid ORDER BY cluster""".stripMargin
   }
 
-  /** dedup_semantic: the same 3 unrolled Lloyd rounds as
-    * kmeansLloydEmbed (trained centroids c3), a 4th assignment m4,
-    * then exact cosine on WITHIN-CLUSTER pairs only and the greedy
+  /** dedup_semantic (INTEGER-LATTICE, r19 — Dedup.semanticDedupGate's
+    * twin): 3 unrolled Lloyd rounds + a 4th assignment, all on the
+    * quantized non-negative grid q = round(v·10⁶) + 2²⁰ — distances
+    * are exact integer sums (no float-sum reordering can flip an
+    * argmin, which is what limited the r13–r18 float twin to
+    * gate-scale geometry), centroid updates are truncating integer
+    * division (non-negative, so DuckDB `//` ≡ Java `/` ≡ floor) —
+    * then fixed-point cosine on the UNSHIFTED grid over
+    * WITHIN-CLUSTER pairs only and the greedy
     * keep-lowest-id rule — kept = 1 iff no lower-id same-cluster
     * partner clears the threshold; drop_for = that lowest partner,
     * −1 sentinel when kept (BIGINT 0/1 and −1 instead of booleans/
@@ -377,22 +383,38 @@ object Oracles {
     * null/bool representation to disagree on).
     */
   val dedupSemantic: String = {
+    def assignQ(dName: String, mName: String, centCte: String): String =
+      s"""$dName AS (SELECT f.vec_id, c.cid, CAST(sum((f.q-c.cq)*(f.q-c.cq)) AS BIGINT) AS d
+         |  FROM f JOIN $centCte c ON f.i=c.i GROUP BY f.vec_id, c.cid),
+         |$mName AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM $dName) WHERE rn=1)""".stripMargin
+    def updateQ(cName: String, mName: String): String =
+      s"""$cName AS (SELECT m.cid, f.i, CAST(sum(f.q) // count(*) AS BIGINT) AS cq
+         |  FROM $mName m JOIN f ON f.vec_id=m.vec_id GROUP BY m.cid, f.i)""".stripMargin
     val iters = (1 to 3).map { i =>
       val prev = if (i == 1) "init" else s"c${i - 1}"
-      assignEmb(s"d$i", s"m$i", prev) + ",\n" + updateEmb(s"c$i", s"m$i")
+      assignQ(s"d$i", s"m$i", prev) + ",\n" + updateQ(s"c$i", s"m$i")
     }.mkString(",\n")
-    s"""WITH $embFlat,
+    s"""WITH f AS (SELECT vec_id, CAST(generate_subscripts(embedding,1) AS BIGINT) AS i,
+       |        CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000.0) AS BIGINT) + 1048576 AS q
+       |      FROM embeddings),
+       |ids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+       |        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+       |init AS (SELECT ids.cid, f.i, f.q AS cq FROM ids JOIN f ON f.vec_id=ids.vec_id),
        |$iters,
-       |${assignEmb("d4", "m4", "c3")},
-       |nr AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM f GROUP BY vec_id),
-       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v*b.v) AS dp
+       |${assignQ("d4", "m4", "c3")},
+       |nr AS (SELECT vec_id, CAST(sum((q-1048576)*(q-1048576)) AS BIGINT) AS n2
+       |       FROM f GROUP BY vec_id),
+       |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |        CAST(sum((a.q-1048576)*(b.q-1048576)) AS BIGINT) AS dp
        |      FROM f a JOIN f b ON a.i=b.i AND a.vec_id < b.vec_id
        |      JOIN m4 ma ON ma.vec_id = a.vec_id
        |      JOIN m4 mb ON mb.vec_id = b.vec_id AND mb.cid = ma.cid
        |      GROUP BY a.vec_id, b.vec_id),
        |v AS (SELECT ia, ib FROM p
        |      JOIN nr na ON na.vec_id = p.ia JOIN nr nb ON nb.vec_id = p.ib
-       |      WHERE CAST(floor(10000.0*(dp/(na.nrm*nb.nrm))) AS BIGINT) >= 3000),
+       |      WHERE CAST(floor(10000.0 * dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) >= 3000),
        |drp AS (SELECT ib AS vec_id, min(ia) AS drop_for FROM v GROUP BY ib)
        |SELECT m4.vec_id AS vec_id, m4.cid AS cluster,
        |  CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
@@ -844,6 +866,24 @@ object Oracles {
     """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
       | count(*) AS total_count
       |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY token""".stripMargin
+
+  /** text_vocabulary_ws (TextAnalysis.vocabulary with ws = true over
+    * planted messy text — the text_tokens_ws plant): the
+    * whitespace-ROBUST vocabulary. The naive tokenizer would mint
+    * fused "wordN\twordM" and empty-string tokens out of this corpus
+    * and quietly wrong every IDF/encode derived from it; the robust
+    * class splits on [ \t\n\r\f] runs and drops empties, so the
+    * vocabulary is exactly the single-space corpus's DOUBLED counts
+    * (every doc's text appears twice in the plant).
+    */
+  val textVocabularyWs: String =
+    """WITH m AS (SELECT doc_id, text || chr(9) || text || '  ' AS text FROM documents)
+      |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      | count(*) AS total_count
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(regexp_split_to_array(text,'[ \t\n\r\f]+'), x -> x <> '')) AS token
+      |      FROM m) t
       |GROUP BY token ORDER BY token""".stripMargin
 
   /** text_lm_score (the DuckDB twin of TextAnalysis.lmScore with the
@@ -1588,17 +1628,21 @@ object Oracles {
       |WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5
       |ORDER BY doc_id""".stripMargin
 
-  /** sketch_distinct twin: EXACT count-distinct — value-comparable to
-    * the HLL estimate because every gate-scale group sits inside the
-    * sketch's coupon regime, where DataSketches stores value hashes
-    * and the rounded estimate is the exact count (SketchesSpec pins
-    * the regime; `sketch_distinct_gate` is the any-scale 3σ check).
+  /** sketch_distinct twin (scale-adaptive, r19): EXACT count-distinct
+    * per group — hash-comparable at ANY scale — plus the constant
+    * `in3s = 1`, which asserts the Spark side's per-group HLL
+    * estimate sits inside its pinned 3σ envelope of that exact count
+    * (Sketches.distinctUsersDailyChecked computes the flag; an
+    * estimate outside its own bound breaks the hash instead of being
+    * un-checkable, which is what the r13–r18 raw-estimate form became
+    * the moment a group left the coupon regime).
     * Day key = epoch seconds of the UTC day boundary (q12's ts
     * pattern).
     */
   val sketchDistinct: String =
     """SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
-      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST(1 AS BIGINT) AS in3s
       |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin
 
   /** sketch_heavy_hitters twin: exact per-source token frequencies,

@@ -84,7 +84,12 @@ object SparkEntry {
     // mergeable HLL distinct: oracle-exact at gate scale (coupon
     // regime — SketchesSpec pins the regime boundary); the _gate twin
     // is the any-scale 3σ honesty check + mergeability assertion
-    "sketch_distinct" -> (Sketches.distinctUsersDaily(_, _)),
+    // scale-adaptive form (r19): exact counts hash-check cross-engine
+    // at ANY scale and in3s pins the HLL estimate inside its own 3σ
+    // envelope per group — the r13-r18 raw-estimate form was
+    // oracle-checkable only inside the coupon regime (the documented
+    // sf0.1 526-vs-527 divergence, now gone)
+    "sketch_distinct" -> (Sketches.distinctUsersDailyChecked(_, _)),
     "sketch_distinct_gate" -> (Sketches.distinctGate(_, _)),
     // custom Catalyst TypedImperativeAggregate (freq_sketch_agg) —
     // heavy hitters as skew discovery; oracle-exact below the purge
@@ -291,9 +296,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_ngram_lsh" -> ((s, dir) => Dedup.ngramLsh(Tables.documents(s, dir))),
     "dedup_embed_cosine" -> ((s, dir) => Dedup.embedCosine(Tables.embeddings(s, dir))),
-    // k = 10 pinned: the DuckDB twin unrolls Lloyd from a 10-id init;
-    // the operator default derives k ≈ 4√n per corpus
-    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir), k = 10)),
+    // k = 10 pinned: the DuckDB twin unrolls Lloyd from a 10-id init.
+    // The gate runs the INTEGER-LATTICE form (r19) so the twin
+    // reproduces cluster geometry at ANY scale — the float
+    // production operator (semanticDedup, k derived ≈ 4√n) is
+    // spec-pinned on its planted fixture and rehearsed at 100k
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedupGate(Tables.embeddings(s, dir))),
     // the benchmark pins the fixed coupled geometry (7×8×4) so its
     // operating point stays comparable round over round; the operator
     // DEFAULT now derives per corpus via suggestSrpGeometry (r10)
@@ -498,6 +506,14 @@ object SparkEntry {
         canonical = true)
     }),
     "text_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    // whitespace-robust vocabulary (r19): messy input planted from the
+    // corpus (the text_tokens_ws convention) — the naive tokenizer
+    // would mint fused/empty tokens; the robust one must read exactly
+    // the doubled single-space counts
+    "text_vocabulary_ws" -> ((s, dir) => TextAnalysis.vocabulary(
+      Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit("\t"), col("text"), lit("  "))),
+      ws = true)),
     // stored vocabulary lifecycle end-to-end: even docs seed the count
     // table, odd docs sum in, the read must equal the direct full-corpus
     // vocabulary (counts are exact — no sketch regime)
@@ -741,6 +757,7 @@ object SparkEntry {
     "pipeline_decontaminate" -> Oracles.pipelineDecontaminate,
     "text_contamination_canon" -> Oracles.textContaminationCanon,
     "text_vocabulary" -> Oracles.textVocabulary,
+    "text_vocabulary_ws" -> Oracles.textVocabularyWs,
     // the stored read is definitionally the same frame as the direct
     // vocabulary over the reunited halves — one oracle serves both
     "text_vocab_stored" -> Oracles.textVocabulary,

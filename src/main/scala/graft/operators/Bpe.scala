@@ -111,14 +111,20 @@ object Bpe {
     * ([[trainDistributed]]); merge-for-merge parity between the two
     * paths is spec-pinned.
     */
+  /** `ws` (r19) tokenizes the corpus with the whitespace-robust
+    * tokenizer before counting word frequencies — see
+    * [[TextAnalysis.vocabTokens]]; pass the SAME flag to [[encode]]
+    * or the learned merges won't see the words they were trained on.
+    */
   def train(docs: DataFrame, numMerges: Int = 10, minWeight: Long = 2L,
-            maxDriverVocabBytes: Long = MaxDriverTrainBytes): DataFrame =
+            maxDriverVocabBytes: Long = MaxDriverTrainBytes,
+            ws: Boolean = false): DataFrame =
     // the corpus-sized step: word frequencies (one explode + count).
     // No Par.spread here: the groupBy's exchange already restores
     // parallelism, and the pre-exchange work is a slim partial agg
     // (A/B-measured: a spread repartition costs more than it saves)
     trainFromCounts(docs
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(TextAnalysis.vocabTokens(col("text"), ws)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("weight")),
       numMerges, minWeight, maxDriverVocabBytes)
 
@@ -363,7 +369,8 @@ object Bpe {
     */
   def encode(docs: DataFrame, merges: DataFrame,
              maxBroadcastVocab: Long = MaxBroadcastVocab,
-             maxBroadcastVocabBytes: Long = MaxBroadcastVocabBytes): DataFrame = {
+             maxBroadcastVocabBytes: Long = MaxBroadcastVocabBytes,
+             ws: Boolean = false): DataFrame = {
     val ms = merges.select(col("rank"), col("left"), col("right"))
       .collect().sortBy(_.getAs[Long]("rank"))
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
@@ -376,7 +383,8 @@ object Bpe {
     // whole join + piece fan-out would run in one task (measured
     // 14.7 s single-threaded at sf0.1 vs 0.7 s spread)
     val toks = Par.spread(docs)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("word_pos", "word")))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.vocabTokens(col("text"), ws)).as(Seq("word_pos", "word")))
     val vocab = toks.select(col("word")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = vocab

@@ -800,6 +800,102 @@ object Dedup {
     ScopedCache.releaseAfterAction(out, Seq(assigned))
   }
 
+  /** The INTEGER-LATTICE gate form of [[semanticDedup]] (r19) — the
+    * same SemDeDup shape (deterministic k-lowest-id init, `trainIters`
+    * Lloyd rounds, final assign, within-cluster pairs, fixed-point
+    * cosine verify, greedy keep-lowest-id), with every
+    * order-sensitive float replaced by exact integer arithmetic so
+    * the DuckDB twin reproduces the cluster geometry at ANY corpus
+    * scale:
+    *
+    *  - components quantize ONCE: q = round(v·10⁶) + 2²⁰ (the offset
+    *    makes every value non-negative, so truncating and floor
+    *    division coincide on both engines — DuckDB `//` truncates);
+    *  - distances are BIGINT sums of squared integer differences
+    *    (≤ ~7·10¹³ at 64 dims — order-independent, no float-sum
+    *    reordering can flip an argmin, which is exactly what broke
+    *    the float twin at sf0.1: the r13-documented "float tie-order
+    *    shifts across 10× data");
+    *  - centroid updates are integer floor-division means, computed
+    *    on the DRIVER over the collected (cluster, dim) sums — k·dim
+    *    rows, the bounded literal-centroid pattern [[KMeans]] uses;
+    *  - the verify cosine runs on the UNSHIFTED integer grid:
+    *    dp/norms from BIGINT sums (≤ ~1.8·10¹⁶), one double division
+    *    + sqrt at the end — identical integer inputs make the IEEE
+    *    ops deterministic cross-engine (the lmScore discipline).
+    *
+    * The production operator stays [[semanticDedup]] (float Lloyd via
+    * [[KMeans.trainCentroids]] with sampled training — the cluster
+    * path); this form prices the GATE: quantization at 10⁻⁶ on
+    * unit-scale embeddings moves no semantic boundary, and the oracle
+    * becomes scale-independent instead of "replicates geometry only
+    * at gate scale" (the r13–r18 documented sf0.1 divergence, now
+    * gone).
+    */
+  def semanticDedupGate(embeddings: DataFrame, k: Int = 10, trainIters: Int = 3,
+                        thresholdFs: Long = 3000L): DataFrame = {
+    val offset = 1048576L
+    val pts = Par.spread(embeddings)
+      .select(col("vec_id").cast("long").as("id"),
+        transform(toDoubleArray(col("embedding")),
+          x => round(x * lit(1000000.0)).cast("long") + lit(offset)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: cid 0..k-1 over the k lowest ids (the oracle's `ids` CTE)
+    val initRows = pts.orderBy(col("id")).limit(k).collect()
+    var cents: Seq[(Long, Array[Long])] = initRows.sortBy(_.getAs[Long]("id"))
+      .zipWithIndex.map { case (r, i) =>
+        i.toLong -> r.getAs[scala.collection.Seq[Long]]("q").toArray }.toSeq
+    // the argmin over the current centroid set: distances in cid
+    // order, first-min position = lowest cid (the oracle's
+    // ORDER BY d, cid tie rule)
+    def clusterCol(cs: Seq[(Long, Array[Long])]): Column = {
+      val ds = cs.map { case (_, c) =>
+        aggregate(zip_with(col("q"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) }
+      val dArr = array(ds: _*)
+      val cidArr = typedlit(cs.map(_._1))
+      element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+    }
+    (1 to trainIters).foreach { _ =>
+      val sums = pts.select(clusterCol(cents).as("cluster"),
+          posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // non-negative integers: Java / == floor == DuckDB // — the
+      // update is exact on both engines; empty clusters simply drop
+      // out of the map (the oracle's update CTE has no row either)
+      cents = sums.groupBy(_.getAs[Long]("cluster")).toSeq.map { case (cid, rows) =>
+        val byDim = rows.sortBy(_.getAs[Int]("i"))
+        cid -> byDim.map(r => r.getAs[Long]("s") / r.getAs[Long]("n")).toArray
+      }.sortBy(_._1)
+    }
+    val assigned = pts
+      .select(col("id"), col("q"), clusterCol(cents).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(assigned.select(col("id").as("doc_id"),
+      lit(0).as("band"), col("cluster").as("bucket")))
+    // fixed-point cosine on the unshifted grid: integer dp/norm sums
+    def fs(c: Column): Column = transform(c, x => x - lit(offset))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val ea = assigned.select(col("id").as("id_a"), fs(col("q")).as("va"))
+    val eb = assigned.select(col("id").as("id_b"), fs(col("q")).as("vb"))
+    val dropped = pairs.join(ea, "id_a").join(eb, "id_b")
+      .filter(floor(lit(10000.0) * idot(col("va"), col("vb")).cast("double") /
+        (sqrt(idot(col("va"), col("va")).cast("double")) *
+          sqrt(idot(col("vb"), col("vb")).cast("double")))) >= thresholdFs)
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("drop_for"))
+      .select(col("id_b").as("id"), col("drop_for"))
+    val out = assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        when(col("drop_for").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("drop_for"), lit(-1L)).as("drop_for"))
+      .orderBy(col("vec_id"))
+    ScopedCache.releaseAfterAction(out, Seq(pts, assigned))
+  }
+
   /** Cross-corpus candidate pairs from two banded frames: the
     * incoming×reference equi-join on (band, bucket) — the two-corpus
     * analogue of [[candidatePairs]] (no id ordering filter: the

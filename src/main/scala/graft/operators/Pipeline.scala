@@ -31,12 +31,35 @@ object Pipeline {
              salt: String = "graft#",
              spanTrimTokens: Int = 0,
              canonicalKeys: Boolean = false,
-             routedKeys: Boolean = false): DataFrame =
+             routedKeys: Boolean = false,
+             keying: String = ""): DataFrame =
     curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens,
-      canonicalKeys, routedKeys)
+      canonicalKeys, routedKeys, keying)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** The documented AUTO-KEYING rule (r19) — the steering wheel
+    * [[TextAnalysis.scriptMix]]'s scaladoc promises: read the corpus
+    * composition ONCE (a scan + a ≤12-row aggregate), and pick
+    * `routed` when the non-'none' dominant-script groups carry a
+    * document share above `minRoutedShareFs` (fixed-point; the
+    * default 0 routes on ANY non-Latin presence — the monotonically
+    * safe posture, since routed keying never costs a pure-Latin
+    * corpus anything), `canonical` otherwise (an all-'none' corpus
+    * takes the full normalize-then-key collapse losslessly). `raw`
+    * is never auto-picked — it is the explicit opt-out for corpora
+    * where even case folding is unwanted.
+    */
+  def chooseKeying(docs: DataFrame, minRoutedShareFs: Long = 0L): String = {
+    val mix = TextAnalysis.scriptMix(docs).collect()
+    val total = mix.map(_.getAs[Long]("n_docs")).sum
+    val nonNone = mix.filter(_.getAs[String]("script") != "none")
+      .map(_.getAs[Long]("n_docs")).sum
+    if (total == 0L) "canonical"
+    else if (math.floor(10000.0 * nonNone / total).toLong > minRoutedShareFs) "routed"
+    else "canonical"
+  }
 
   /** [[curate]] keeping EVERY input column (text included) plus the
     * provenance columns, unordered — the form that lands in a sink
@@ -67,6 +90,13 @@ object Pipeline {
     * would strip exactly the content that distinguishes them),
     * pure-Latin documents keep the full normalize-then-key
     * semantics. Supersedes canonicalKeys when both are set.
+    *
+    * `keying` (r19) is the STRING form and the auto mode: "raw" /
+    * "canonical" / "routed" name the postures directly, "auto" reads
+    * the corpus [[TextAnalysis.scriptMix]] once and applies
+    * [[chooseKeying]]'s rule, and "" (the default) defers to the
+    * boolean flags above (back-compat). Non-empty `keying` supersedes
+    * the booleans.
     */
   def curateFull(docs: DataFrame,
                  minQualityFs: Long = 5000L,
@@ -75,15 +105,24 @@ object Pipeline {
                  salt: String = "graft#",
                  spanTrimTokens: Int = 0,
                  canonicalKeys: Boolean = false,
-                 routedKeys: Boolean = false): DataFrame = {
+                 routedKeys: Boolean = false,
+                 keying: String = ""): DataFrame = {
     // spanTrimTokens is a minimum span LENGTH and the trim stage
     // grams at n = 8, which floors the usable threshold — surface
     // that here by name rather than letting spanRegions throw its
     // internal "minSpanTokens >= n" from three frames down
     require(spanTrimTokens <= 0 || spanTrimTokens >= 8,
       s"spanTrimTokens: pass 0 (trim off) or >= 8 (the 8-gram floor); got $spanTrimTokens")
+    val mode = keying match {
+      case ""     => if (routedKeys) "routed" else if (canonicalKeys) "canonical" else "raw"
+      case "auto" => chooseKeying(docs)
+      case m @ ("raw" | "canonical" | "routed") => m
+      case other => throw new IllegalArgumentException(
+        s"keying must be one of raw/canonical/routed/auto (or empty for the flags), got '$other'")
+    }
+    val (canonKeys, routeKeys) = (mode == "canonical", mode == "routed")
     // 1. exact dedup: survivors are each hash group's keep_id
-    val keep = Dedup.exact(docs, canonical = canonicalKeys, routed = routedKeys)
+    val keep = Dedup.exact(docs, canonical = canonKeys, routed = routeKeys)
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
@@ -91,7 +130,7 @@ object Pipeline {
     // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
     // ngramLsh's global sort would only add a sampling double-run)
     val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs,
-      canonical = canonicalKeys, routed = routedKeys)
+      canonical = canonKeys, routed = routeKeys)
     val deduped0 = Dedup.applyPairs(exactDeduped, nearPairs)
 
     // 2b. (opt-in, spanTrimTokens > 0) exact-substring trim: spans

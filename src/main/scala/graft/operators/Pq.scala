@@ -310,18 +310,34 @@ object Pq {
     * is geometry-bound (~0.3–0.6 on a dense-spectrum corpus at 6-bit
     * codes — measured); the shortlist+re-rank stage is what buys the
     * gated 0.9, which is why it IS the production path.
+    *
+    * `shortlist` left at the 0-sentinel DERIVES per corpus (r19):
+    * max(100, min(10000, n/5)). The 6-bit-code ADC stage's
+    * precision@depth is geometry-bound, so a FIXED depth covers a
+    * shrinking corpus fraction as the gate corpus grows and recall@k
+    * decays below the gate — the r10–r18 fixed 100 measured 0.78 on
+    * sf0.1's 2000 vectors vs 0.96 at depth 200 and 1.0 at 400
+    * ([[graft.PqOperatingPoint]] is the sweep that documents this;
+    * re-run it when re-tuning). The n/5 fraction holds the gate's
+    * operating point stable across gate scales; the 10000 cap keeps
+    * the broadcast candidate set bounded, and at PRODUCTION scale the
+    * shortlist depth is per-IVF-probe, not per-corpus
+    * ([[IvfPq.ivfPqTopK]]) — deriving from n here prices the gate,
+    * not the cluster plan.
     */
   def pqRecall(embeddings: DataFrame, dim: Int = 64, m: Int = 8, ks: Int = 64,
-               nQueries: Int = 10, k: Int = 5, shortlist: Int = 100,
+               nQueries: Int = 10, k: Int = 5, shortlist: Int = 0,
                minRecallFs: Long = 9000L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val sl = if (shortlist > 0) shortlist
+             else math.max(100L, math.min(10000L, embeddings.count() / 5)).toInt
     val cb = train(embeddings, dim, m, ks)
     // persisted: each frame feeds the hit join AND its own count —
     // without the persists the brute and ADC pipelines execute twice
     val brute = Similarity.bruteTopK(embeddings, nQueries, k).select(col("q_id"), col("c_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val approx = adcTopKReranked(embeddings, cb, nQueries, k, shortlist)
+    val approx = adcTopKReranked(embeddings, cb, nQueries, k, sl)
       .select(col("q_id"), col("c_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nHit = approx.join(brute, Seq("q_id", "c_id"), "left_semi").count()

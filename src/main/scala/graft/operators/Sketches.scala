@@ -302,6 +302,43 @@ object Sketches {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** The SCALE-ADAPTIVE gate form of [[distinctUsersDaily]] (r19):
+    * per (event_type, day), the EXACT distinct count plus `in3s` —
+    * 1 iff the HLL estimate sits within its pinned 3σ relative
+    * envelope of that exact count (3·1.04/√2^lgK, the DataSketches
+    * bound [[distinctGate]] also pins, floored at an absolute 1 so
+    * exact-regime groups can't fail on integer rounding). The r13–r18
+    * gate key emitted the raw estimate, which hash-matches an exact
+    * COUNT(DISTINCT) oracle ONLY inside the coupon regime — the key
+    * stopped being oracle-checkable the moment a group grew past it
+    * (the documented sf0.1 divergence: 526 vs 527 on one group).
+    * This form is regime-free: the exact counts hash-check
+    * cross-engine at ANY scale, and the DuckDB twin asserts the
+    * envelope by emitting the constant 1 — a sketch estimate outside
+    * its own error bound now breaks the gate instead of being
+    * un-checkable. PER-GROUP calibration, strictly stronger than the
+    * corpus-max [[distinctGate]].
+    *
+    * Scale shape: one groupBy carrying (sketch, partial exact-distinct
+    * state) — the exact leg is the same shuffle any COUNT(DISTINCT)
+    * pays and exists FOR the gate comparison; production consumers
+    * wanting estimates alone take [[distinctUsersDaily]].
+    */
+  def distinctUsersDailyChecked(spark: SparkSession, dir: String,
+                                lgK: Int = DefaultLgK): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("d", unix_timestamp(date_trunc("day", col("ts"))))
+    val bound = 3.0 * 1.04 / math.sqrt(math.pow(2.0, lgK))
+    ev.groupBy(col("event_type"), col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("d"), col("n_users"),
+        (abs(hll_sketch_estimate(col("sketch")) - col("n_users")) <=
+          greatest(lit(bound) * col("n_users"), lit(1.0)))
+          .cast("long").as("in3s"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   // ---- theta sketches (distinct set algebra) ---------------------------
 
   /** 4096 nominal entries → ≤64 KB compact sketches, ~1.6 % RSE on

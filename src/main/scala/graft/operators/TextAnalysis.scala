@@ -382,16 +382,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The vocab-tier tokenizer switch (r19): `ws = false` is the
+    * single-space [[graft.functions.TextFunctions.tokens]] contract,
+    * `ws = true` the whitespace-ROBUST [[graft.functions.TextFunctions
+    * .tokensWs]] (runs of [ \t\n\r\f] split, empties dropped) — the
+    * opt-in for corpora that violate the single-space contract, where
+    * the naive tokenizer would quietly build a wrong vocabulary / IDF
+    * / id table out of fused and empty "tokens". Same codegen'd
+    * projection either way.
+    */
+  private[operators] def vocabTokens(text: Column, ws: Boolean): Column =
+    if (ws) graft.functions.TextFunctions.tokensWs(text) else tokens(text)
+
   /** Corpus vocabulary statistics: per-token document frequency and
     * total occurrence count — the inputs to IDF weighting, stopword
-    * discovery, and tokenizer-vocab construction.
+    * discovery, and tokenizer-vocab construction. `ws` opts into the
+    * whitespace-robust tokenizer ([[vocabTokens]], r19).
     *
     * One explode + one groupBy: the shuffle carries (token, partial
     * counts) — partial aggregation bounds it at |vocab| × partitions
     * rows regardless of corpus size.
     */
-  def vocabulary(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  def vocabulary(docs: DataFrame, ws: Boolean = false): DataFrame =
+    docs.select(col("doc_id"), explode(vocabTokens(col("text"), ws)).as("token"))
       .groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_count"))
       .orderBy(col("token"))
@@ -486,9 +499,9 @@ object TextAnalysis {
     * scoped to release after the caller's first terminal action
     * ([[ScopedCache]]).
     */
-  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTopK(docs: DataFrame, k: Int = 3, ws: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = docs.select(col("doc_id"), explode(vocabTokens(col("text"), ws)).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -514,8 +527,9 @@ object TextAnalysis {
     * broadcast-hash-join, no shuffle of the corpus until the output
     * sort. Vocabulary ranking reuses [[vocabulary]]'s partial-agg.
     */
-  def encodeTokens(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
-    encodeWithVocab(docs, vocabulary(docs), vocabSize)
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 1000,
+                   ws: Boolean = false): DataFrame =
+    encodeWithVocab(docs, vocabulary(docs, ws), vocabSize, ws)
 
   /** The shared encode tail: rank the given vocabulary frame
     * (token, …, total_count) by frequency, broadcast the bounded id
@@ -525,7 +539,8 @@ object TextAnalysis {
     * corpus with zero rescan, frozen across batches like the IDF).
     */
   private[operators] def encodeWithVocab(docs: DataFrame, vocab: DataFrame,
-                                         vocabSize: Int): DataFrame = {
+                                         vocabSize: Int,
+                                         ws: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val top = vocab
@@ -534,7 +549,8 @@ object TextAnalysis {
       .select(col("token")).as[String].collect()
     val vdf = broadcast(top.zipWithIndex.toSeq
       .map { case (t, i) => (t, (i + 1).toLong) }.toDF("token", "token_id"))
-    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
+    docs.select(col("doc_id"),
+        posexplode(vocabTokens(col("text"), ws)).as(Seq("pos0", "token")))
       .join(vdf, Seq("token"), "left")
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         coalesce(col("token_id"), lit(-1L)).as("token_id"))

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
-
 /** Stored corpus vocabulary — [[TextAnalysis.vocabulary]]'s
   * (token, doc_freq, total_count) frame in the [[CountTable]]
   * additive posture, so the expensive artifact every tokenizer /
@@ -31,18 +29,52 @@ import graft.functions.TextFunctions.tokens
   */
 object VocabTable {
 
-  /** Create/overwrite `<name>_counts` + meta from a seed corpus. */
+  /** Create/overwrite `<name>_counts` + meta from a seed corpus.
+    * `ws = true` (r19) builds the vocabulary with the
+    * whitespace-ROBUST tokenizer ([[TextAnalysis.vocabTokens]]) — and
+    * the mode is RECORDED in `<name>_vocabmeta`, so every later
+    * append / OOV probe / stored-IDF score / encode tokenizes the
+    * SAME way automatically: a stored vocabulary can never silently
+    * mix tokenizations across ingests (the span/LSH/exact indexes'
+    * meta-flag discipline, vocabulary edition).
+    */
   def writeVocabTable(spark: SparkSession, name: String, docs: DataFrame,
-                      buckets: Int = 16): Unit =
-    CountTable.write(spark, name, TextAnalysis.vocabulary(docs),
+                      buckets: Int = 16, ws: Boolean = false): Unit = {
+    CountTable.write(spark, name, TextAnalysis.vocabulary(docs, ws),
       Seq("token"), Seq("doc_freq", "total_count"), buckets)
+    writeTokenizerMeta(spark, name, ws)
+  }
+
+  private def writeTokenizerMeta(spark: SparkSession, name: String, ws: Boolean): Unit = {
+    import spark.implicits._
+    Seq(ws).toDF("ws_tokens")
+      .write.mode("overwrite").saveAsTable(s"${name}_vocabmeta")
+  }
+
+  /** The table's RECORDED tokenizer mode. LEGACY tables (written
+    * before the mode meta existed) carry no `<name>_vocabmeta` and
+    * decode as the naive single-space tokenizer they were built with.
+    */
+  def tokenizerMode(spark: SparkSession, name: String): Boolean =
+    if (!spark.catalog.tableExists(s"${name}_vocabmeta")) false
+    else {
+      spark.catalog.refreshTable(s"${name}_vocabmeta")
+      spark.table(s"${name}_vocabmeta").collect()(0).getAs[Boolean]("ws_tokens")
+    }
 
   /** Sum one whole-doc batch in ([[CountTable.append]]'s stamped
-    * merge — `batchId >= 0` makes replays no-op).
+    * merge — `batchId >= 0` makes replays no-op). The batch tokenizes
+    * with the STORED mode ([[tokenizerMode]] — no flag to get wrong);
+    * a legacy table upgrades in place by materializing its implicit
+    * naive mode on first append.
     */
   def appendToVocabTable(spark: SparkSession, name: String, batch: DataFrame,
-                         batchId: Long = -1L): Unit =
-    CountTable.append(spark, name, TextAnalysis.vocabulary(batch), batchId)
+                         batchId: Long = -1L): Unit = {
+    val ws = tokenizerMode(spark, name)
+    if (!spark.catalog.tableExists(s"${name}_vocabmeta"))
+      writeTokenizerMeta(spark, name, ws)
+    CountTable.append(spark, name, TextAnalysis.vocabulary(batch, ws), batchId)
+  }
 
   /** The vocabulary from the STORED counts alone — byte-identical to
     * [[TextAnalysis.vocabulary]] over the union of everything written
@@ -62,7 +94,8 @@ object VocabTable {
     */
   def oovReport(spark: SparkSession, name: String, batch: DataFrame): DataFrame = {
     val batchCounts = batch
-      .select(explode(tokens(col("text"))).as("token"))
+      .select(explode(
+        TextAnalysis.vocabTokens(col("text"), tokenizerMode(spark, name))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val oov = batchCounts
       .join(CountTable.read(spark, name).select(col("token")), Seq("token"), "left_anti")
@@ -103,7 +136,8 @@ object VocabTable {
   def tfidfFromTable(spark: SparkSession, name: String, docs: DataFrame,
                      k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = docs.select(col("doc_id"), explode(
+        TextAnalysis.vocabTokens(col("text"), tokenizerMode(spark, name))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = CountTable.read(spark, name).select(col("token"), col("doc_freq").as("df"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
@@ -125,7 +159,8 @@ object VocabTable {
     */
   def encodeFromTable(spark: SparkSession, name: String, docs: DataFrame,
                       vocabSize: Int = 1000): DataFrame =
-    TextAnalysis.encodeWithVocab(docs, CountTable.read(spark, name), vocabSize)
+    TextAnalysis.encodeWithVocab(docs, CountTable.read(spark, name), vocabSize,
+      tokenizerMode(spark, name))
 
   /** The retrained-tokenizer artifact: `<name>_merges` in
     * [[Bpe.train]]'s output shape (rank, left, right, merged,

@@ -139,4 +139,28 @@ class BpeSpec extends SparkSpec {
     assert(pieceCount < charCount,
       s"merges must compress the piece stream ($pieceCount vs $charCount)")
   }
+
+  test("ws mode: training on a messy corpus equals naive training on its normalized form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.concat
+    import org.apache.spark.sql.functions.lit
+    // the r19 vocab-tier opt-in: tabs/doubled spaces violate tokens'
+    // single-space contract — the naive trainer would count fused
+    // "a\tb" pseudo-words; ws = true must see exactly the words the
+    // normalized corpus yields
+    val messy = docs.withColumn("text",
+      concat(col("text"), lit("\t"), col("text"), lit("  ")))
+    val normalized = messy.withColumn("text",
+      graft.functions.TextFunctions.normalizeWs(col("text")))
+    val wsMerges = Bpe.train(messy, numMerges = 8, ws = true)
+      .collect().map(_.toSeq).toSeq
+    val naiveMerges = Bpe.train(normalized, numMerges = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(wsMerges.nonEmpty && wsMerges == naiveMerges,
+      "tokensWs over messy text ≡ tokens over normalizeWs'd text (the pinned round-trip)")
+    // encode under the same flag sees the trained words
+    val enc = Bpe.encode(messy, Bpe.train(messy, numMerges = 8, ws = true), ws = true)
+    assert(enc.filter(col("piece").contains("\t")).count() == 0L,
+      "no whitespace artifact reaches the piece stream under ws = true")
+  }
 }

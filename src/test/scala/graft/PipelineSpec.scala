@@ -699,4 +699,40 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
       s"routed keying keeps both mixed docs and still collapses the ASCII pair, got ${routed.keySet}")
     assert(routed(1L).contains("你好1"), "survivor text ships RAW — keying is not rewriting")
   }
+
+  test("curateFull keying=auto: scriptMix picks routed on a mixed corpus, canonical on ASCII") {
+    import spark.implicits._
+    // the r19 steering wheel wired end-to-end: auto reads the corpus
+    // script mix once and must produce EXACTLY the hand-picked
+    // routed run on a corpus with non-Latin presence
+    val latin = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val mixed = Seq(
+      (1L, s"$latin ${(1 to 10).map(i => s"你好$i").mkString(" ")}", "zh", "web"),
+      (2L, s"$latin ${(1 to 10).map(i => s"再見$i").mkString(" ")}", "zh", "web"),
+      (3L, s"$latin ${(1 to 10).map(i => s"かな$i").mkString(" ")}", "ja", "web"),
+      (4L, (1 to 40).map(i => s"qqq$i").mkString(" "), "en", "web"),
+      (5L, (1 to 40).map(i => s"qqq$i").mkString(" ").toUpperCase, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Pipeline.chooseKeying(mixed) == "routed")
+    val auto = Pipeline.curateFull(mixed, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      keying = "auto").collect().map(_.toSeq).toSet
+    val hand = Pipeline.curateFull(mixed, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      routedKeys = true).collect().map(_.toSeq).toSet
+    assert(auto.nonEmpty && auto == hand, "auto ≡ the hand-picked routed run")
+    // an all-ASCII corpus auto-picks canonical (lossless there) — the
+    // case-variant pair collapses
+    val ascii = mixed.filter(org.apache.spark.sql.functions.col("doc_id") >= 4L)
+    assert(Pipeline.chooseKeying(ascii) == "canonical")
+    val autoAscii = Pipeline.curateFull(ascii, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      keying = "auto").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(autoAscii == Set(4L), s"canonical collapse under auto on ASCII, got $autoAscii")
+    // the share floor: 3 of 5 docs carry non-Latin signal (6000 fs);
+    // a floor above that reads canonical, below stays routed
+    assert(Pipeline.chooseKeying(mixed, minRoutedShareFs = 6000L) == "canonical")
+    assert(Pipeline.chooseKeying(mixed, minRoutedShareFs = 5999L) == "routed")
+    // explicit modes pass through; junk is refused eagerly
+    intercept[IllegalArgumentException] {
+      Pipeline.curateFull(mixed, keying = "blended")
+    }
+  }
 }

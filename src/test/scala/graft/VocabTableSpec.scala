@@ -24,6 +24,51 @@ class VocabTableSpec extends SparkSpec {
       == direct, "replayed append must no-op under the batch stamp")
   }
 
+  test("ws tokenizer mode: recorded in meta, stored equals direct, appends can't mix") {
+    // messy corpus: tabs + doubled spaces violate the single-space
+    // contract; every doc's text appears twice
+    val docs = Tables.documents(spark, sfDir).limit(100)
+      .withColumn("text", concat(col("text"), lit("\t"), col("text"), lit("  ")))
+    VocabTable.writeVocabTable(spark, "vt_ws", docs.filter(col("doc_id") % 2 === 0),
+      buckets = 4, ws = true)
+    assert(VocabTable.tokenizerMode(spark, "vt_ws"), "the mode must be RECORDED")
+    // the append carries NO flag — it tokenizes with the stored mode,
+    // so a caller cannot silently mix tokenizations across ingests
+    VocabTable.appendToVocabTable(spark, "vt_ws", docs.filter(col("doc_id") % 2 === 1),
+      batchId = 1L)
+    val stored = VocabTable.vocabularyFromTable(spark, "vt_ws").collect().map(_.toSeq).toSeq
+    val direct = TextAnalysis.vocabulary(docs, ws = true).collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty && stored == direct,
+      "stored ≡ direct under the ws flag (write even + append odd = full corpus)")
+    // no fused/empty tokens survive the robust tokenizer
+    assert(!stored.exists(r => r.head.asInstanceOf[String].contains("\t") ||
+      r.head.asInstanceOf[String].isEmpty), "robust tokens carry no whitespace artifacts")
+    // the derived surfaces follow the stored mode with no flag passed:
+    // stored-IDF scores equal the one-shot ws tfidf, stored-id encode
+    // equals the one-shot ws encode
+    val tfidf = VocabTable.tfidfFromTable(spark, "vt_ws", docs).collect().map(_.toSeq).toSeq
+    val tfidfDirect = TextAnalysis.tfidfTopK(docs, ws = true).collect().map(_.toSeq).toSeq
+    assert(tfidf.nonEmpty && tfidf == tfidfDirect, "stored-IDF scoring follows the mode")
+    val enc = VocabTable.encodeFromTable(spark, "vt_ws", docs).collect().map(_.toSeq).toSeq
+    val encDirect = TextAnalysis.encodeTokens(docs, ws = true).collect().map(_.toSeq).toSeq
+    assert(enc.nonEmpty && enc == encDirect, "stored-id encoding follows the mode")
+    // LEGACY decode: a table written through the generic CountTable
+    // path (no vocabmeta) reads as the naive tokenizer it was built
+    // with, and the first append materializes that mode in place
+    graft.operators.CountTable.write(spark, "vt_legacy",
+      TextAnalysis.vocabulary(docs.filter(col("doc_id") % 2 === 0)),
+      Seq("token"), Seq("doc_freq", "total_count"), 4)
+    assert(!VocabTable.tokenizerMode(spark, "vt_legacy"), "legacy tables decode naive")
+    VocabTable.appendToVocabTable(spark, "vt_legacy", docs.filter(col("doc_id") % 2 === 1),
+      batchId = 1L)
+    assert(spark.catalog.tableExists("vt_legacy_vocabmeta") &&
+      !VocabTable.tokenizerMode(spark, "vt_legacy"),
+      "first append upgrades the legacy table in place, preserving naive mode")
+    assert(VocabTable.vocabularyFromTable(spark, "vt_legacy").collect().map(_.toSeq).toSeq
+      == TextAnalysis.vocabulary(docs).collect().map(_.toSeq).toSeq,
+      "legacy stored ≡ direct naive vocabulary")
+  }
+
   test("oov report counts occurrences under unseen tokens; retrain rule thresholds it") {
     VocabTable.writeVocabTable(spark, "vt_oov",
       Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text"), buckets = 2)
