@@ -126,7 +126,10 @@ object TextFunctions {
     * where RE2 (DuckDB) spells
     * `[^\p{Latin}\p{Common}\p{Inherited}]` —
     * different syntax, same script classification
-    * (see [[scriptCounts]]; probe-pinned in ExpressionsSpec).
+    * (see [[scriptCounts]]; the routing behavior across all ten named
+    * scripts + Georgian + the deliberate non-routes is differential
+    * spec'd in DedupSpec, and the Java ≡ RE2 classification is
+    * hash-proven by the text_script / routed-key oracle gates).
     */
   def hasNonLatinScript(text: Column): Column =
     text.rlike(NonLatinClassJava)
