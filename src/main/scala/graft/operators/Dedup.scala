@@ -875,16 +875,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = candidatePairs(assigned.select(col("id").as("doc_id"),
       lit(0).as("band"), col("cluster").as("bucket")))
-    // fixed-point cosine on the unshifted grid: integer dp/norm sums
+    // fixed-point cosine on the unshifted grid: integer dp/norm sums;
+    // the norm-square is computed ONCE PER VECTOR (an exact BIGINT —
+    // joining it in costs nothing and saves two 64-element folds per
+    // candidate pair)
     def fs(c: Column): Column = transform(c, x => x - lit(offset))
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-    val ea = assigned.select(col("id").as("id_a"), fs(col("q")).as("va"))
-    val eb = assigned.select(col("id").as("id_b"), fs(col("q")).as("vb"))
+    val withFs = assigned.select(col("id"), fs(col("q")).as("v"))
+      .select(col("id"), col("v"), idot(col("v"), col("v")).as("n2"))
+    val ea = withFs.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+    val eb = withFs.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
     val dropped = pairs.join(ea, "id_a").join(eb, "id_b")
       .filter(floor(lit(10000.0) * idot(col("va"), col("vb")).cast("double") /
-        (sqrt(idot(col("va"), col("va")).cast("double")) *
-          sqrt(idot(col("vb"), col("vb")).cast("double")))) >= thresholdFs)
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))) >= thresholdFs)
       .groupBy(col("id_b")).agg(min(col("id_a")).as("drop_for"))
       .select(col("id_b").as("id"), col("drop_for"))
     val out = assigned.select(col("id"), col("cluster"))
