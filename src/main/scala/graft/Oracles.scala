@@ -480,6 +480,30 @@ object Oracles {
        |SELECT md5(key) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
        |FROM k GROUP BY 1 ORDER BY h""".stripMargin
 
+  /** dedup_exact_routed_floor: the THRESHOLDED router's twin
+    * (TextFunctions.routedKey(minLossFs = 100) via Dedup.exact) —
+    * the loss meter floor(1e4 · inverted-class count / length)
+    * gates routing: a one-glyph Cyrillic suffix on a gate-corpus doc
+    * sits UNDER the 1% floor, keeps canonical keying, and collapses
+    * with its base + upper twin (exactly the pair the 0-floor router
+    * keeps separate — the documented trade); the 20-char Han suffix
+    * sits far above it and routes raw. Same fixed-point meter on
+    * both engines, so short docs crossing the floor agree too.
+    */
+  val dedupExactRoutedFloor: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents
+       |  UNION ALL SELECT doc_id + 200000, text || ' д' FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 300000, text || ' 你好你好你好你好你好再見再見再見再見再見'
+       |    FROM documents WHERE doc_id % 5 = 0),
+       |k AS (SELECT doc_id,
+       |        CASE WHEN CAST(floor(10000.0 * len(regexp_extract_all(text, '$NonLatinRe2'))
+       |               / greatest(length(text), 1)) AS BIGINT) > 100
+       |             THEN text ELSE $canonKeyExpr END AS key FROM m)
+       |SELECT md5(key) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+       |FROM k GROUP BY 1 ORDER BY h""".stripMargin
+
   val dedupNgramJaccard: String =
     """WITH d AS (SELECT doc_id, lang, floor(n_chars/100.0) AS lb,
       |             list_distinct(string_split(text,' ')) AS toks FROM documents)

@@ -291,6 +291,27 @@ object SparkEntry {
             concat(col("text"), lit(" ゑ")).as("text")))
       Dedup.exact(planted, routed = true)
     }),
+    // THRESHOLDED routing (r19): minLossFs = 100 (1%) — a single
+    // stray Cyrillic glyph on a gate-corpus doc sits under the floor,
+    // so the glyph variant keeps canonical keying and COLLAPSES with
+    // its base + upper twin (the exact pair the 0-floor router keeps
+    // separate); a 21-char Han suffix sits far above the floor and
+    // routes raw (singleton). Both sides evaluate the same
+    // fixed-point loss meter, so short docs crossing the floor agree
+    // engine-for-engine.
+    "dedup_exact_routed_floor" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" д")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" 你好你好你好你好你好再見再見再見再見再見")).as("text")))
+      Dedup.exact(planted, routed = true, minLossFs = 100L)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
@@ -534,6 +555,19 @@ object SparkEntry {
       VocabTable.appendToVocabTable(s, "g_vocab", docs.filter(col("doc_id") % 2 === 1))
       VocabTable.vocabularyFromTable(s, "g_vocab")
     }),
+    // the ws-mode stored lifecycle E2E (r19): the seed write RECORDS
+    // ws in the vocab meta, the append carries NO flag (it tokenizes
+    // with the stored mode), and the read must equal the one-shot ws
+    // vocabulary over the full messy corpus — mode persistence pinned
+    // cross-engine, not just spec'd
+    "text_vocab_stored_ws" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit("\t"), col("text"), lit("  ")))
+      VocabTable.writeVocabTable(s, "g_vocab_ws", docs.filter(col("doc_id") % 2 === 0),
+        buckets = 8, ws = true)
+      VocabTable.appendToVocabTable(s, "g_vocab_ws", docs.filter(col("doc_id") % 2 === 1))
+      VocabTable.vocabularyFromTable(s, "g_vocab_ws")
+    }),
     "text_entropy" -> ((s, dir) => TextAnalysis.entropyScore(Tables.documents(s, dir))),
     // CCNet-style reference-LM scoring: the even-id half plays the
     // clean reference corpus, every doc scores against its unigram LM
@@ -732,6 +766,7 @@ object SparkEntry {
     "dedup_exact" -> Oracles.dedupExact,
     "dedup_exact_canon" -> Oracles.dedupExactCanon,
     "dedup_exact_routed" -> Oracles.dedupExactRouted,
+    "dedup_exact_routed_floor" -> Oracles.dedupExactRoutedFloor,
     "dedup_ngram_jaccard" -> Oracles.dedupNgramJaccard,
     "dedup_embed_cosine" -> Oracles.dedupEmbedCosine,
     "dedup_semantic" -> Oracles.dedupSemantic,
@@ -761,6 +796,7 @@ object SparkEntry {
     // the stored read is definitionally the same frame as the direct
     // vocabulary over the reunited halves — one oracle serves both
     "text_vocab_stored" -> Oracles.textVocabulary,
+    "text_vocab_stored_ws" -> Oracles.textVocabularyWs,
     // definitionally the one-shot tfidf over the reunited halves
     "text_tfidf_stored" -> Oracles.textTfidf,
     "text_lm_score" -> Oracles.textLmScore,

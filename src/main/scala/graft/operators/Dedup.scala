@@ -156,7 +156,8 @@ object Dedup {
   }
 
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-            canonical: Boolean = false, routed: Boolean = false): DataFrame = {
+            canonical: Boolean = false, routed: Boolean = false,
+            minLossFs: Long = 0L): DataFrame = {
     // routed (r18) supersedes canonical: the script router applies
     // canonicalKey ONLY to documents with zero non-Latin-script
     // signal (TextFunctions.hasNonLatinScript — the single source of
@@ -164,8 +165,12 @@ object Dedup {
     // EVERY script routes, not a named five) — the multilingual-safe
     // form of normalize-then-hash. canonical alone keeps the r17
     // contract (canonicalKey everywhere, empty-fallback as the only
-    // guard).
-    val key = if (routed) graft.functions.TextFunctions.routedKey(col(textCol))
+    // guard). `minLossFs` (r19, routed only) is the thresholded
+    // router: route raw only when canonical keying would strip more
+    // than minLossFs/1e4 of the doc's characters — a stray glyph
+    // keeps the case/punct collapse (TextFunctions.routedKey's
+    // two-arg form; 0 ≡ the default any-signal routing).
+    val key = if (routed) graft.functions.TextFunctions.routedKey(col(textCol), minLossFs)
               else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
               else col(textCol)
     docs.groupBy(md5(key).as("h"))

@@ -248,9 +248,8 @@ class DedupSpec extends SparkSpec {
       (1L, s"$long д"), (2L, s"${long.toUpperCase} д"),
       (3L, s"$long д"), (4L, s"$long ж"))
       .toDF("doc_id", "text")
-    def groups(floor: Long) = d
-      .groupBy(org.apache.spark.sql.functions.md5(routedKey(col("text"), floor)).as("h"))
-      .count().count()
+    // through the operator surface: Dedup.exact threads the floor
+    def groups(floor: Long) = Dedup.exact(d, routed = true, minLossFs = floor).count()
     // default: every doc carries the glyph -> all key raw -> the case
     // variant (2) separates from its base (1); only byte-identity
     // collapses (1,3)
