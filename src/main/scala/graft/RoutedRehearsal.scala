@@ -71,14 +71,22 @@ object RoutedRehearsal {
     def hanTail(prefix: String) =
       concat_ws(" ", transform(sequence(lit(0), lit(5)),
         j => concat(lit(prefix), g.cast("string"), lit("c"), j.cast("string"))))
-    val text =
+    def plantedText(prefixA: String, prefixB: String) =
       when(stripe === 0, base(g))
         .when(stripe === 1, concat(upper(base(g)), lit(" !!!")))
-        .when(stripe === 2, concat(base(g), lit(" "), hanTail("你好")))
-        .otherwise(concat(base(g), lit(" "), hanTail("再見")))
-    def docs: DataFrame = spark.range(0L, d).select(col("id").as("doc_id"))
-      .select(col("doc_id"), text.as("text"),
-        lit("xx").as("lang"), lit("plant").as("source"))
+        .when(stripe === 2, concat(base(g), lit(" "), hanTail(prefixA)))
+        .otherwise(concat(base(g), lit(" "), hanTail(prefixB)))
+    def planted(prefixA: String, prefixB: String): DataFrame =
+      spark.range(0L, d).select(col("id").as("doc_id"))
+        .select(col("doc_id"), plantedText(prefixA, prefixB).as("text"),
+          lit("xx").as("lang"), lit("plant").as("source"))
+    def docs: DataFrame = planted("你好", "再見")
+    // the r19 KANA twin corpus: stripes 2/3 differ only in their
+    // two-kana tail prefixes — through r18 the five-script router
+    // classified kana docs "pure Latin", so both stripes canonicalized
+    // and false-merged exactly like the canonical differential below;
+    // the inverted class must give kana the SAME closed form as Han
+    def docsKana: DataFrame = planted("かな", "カナ")
 
     var ok = true
     def check(name: String)(cond: => Boolean): Unit = {
@@ -122,6 +130,42 @@ object RoutedRehearsal {
       val mixedRaw = survivors.filter(col("doc_id") % 4 >= 2)
         .filter(!col("text").rlike("[\\p{IsHan}]")).count()
       check("survivor text raw")(mixedRaw == 0L)
+    }
+
+    // ---- r19: the kana tier at volume -----------------------------------
+    // same closed form as Han under the inverted class (through r18
+    // this read D/2 groups — the false-merge the class inversion
+    // closes); the canonical differential stays D/2 by construction
+    timed("exact-routed-kana") {
+      val byDups = Dedup.exact(docsKana, routed = true)
+        .groupBy(col("n_dups")).count().collect()
+        .map(r => r.getAs[Long]("n_dups") -> r.getAs[Long]("count")).toMap
+      check("kana routed groups")(
+        byDups == Map(1L -> d / 2, 2L -> d / 4))
+    }
+    timed("exact-canon-kana") {
+      check("kana canonical false-merge differential")(
+        Dedup.exact(docsKana, canonical = true).count() == d / 2)
+    }
+
+    // ---- r19: the thresholded router at volume ---------------------------
+    // the kana tails carry 12 kana chars on ~110-220-char docs — loss
+    // sits in [~540, ~1120] fs for EVERY group, so a 1% floor routes
+    // all of them (the Han closed form) and a 20% floor routes none
+    // (the documented trade: the canonical D/2 false-merge returns)
+    timed("floor-low") {
+      check("floor 1% keeps the routed closed form")(
+        Dedup.exact(docsKana, routed = true, minLossFs = 100L).count() == 3 * d / 4)
+    }
+    timed("floor-high") {
+      check("floor 20% hands the kana tails back to canonical keying")(
+        Dedup.exact(docsKana, routed = true, minLossFs = 2000L).count() == d / 2)
+    }
+
+    // ---- r19: the auto-keying steering wheel at volume -------------------
+    timed("auto-keying") {
+      check("scriptMix auto-picks routed on the mixed corpus")(
+        Pipeline.chooseKeying(docsKana) == "routed")
     }
 
     val total = phases.map(_._2).sum
