@@ -170,6 +170,9 @@ object Dedup {
     // than minLossFs/1e4 of the doc's characters — a stray glyph
     // keeps the case/punct collapse (TextFunctions.routedKey's
     // two-arg form; 0 ≡ the default any-signal routing).
+    require(minLossFs == 0L || routed,
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs " +
+        "with routed = false — pass routed = true, or drop the floor)")
     val key = if (routed) graft.functions.TextFunctions.routedKey(col(textCol), minLossFs)
               else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
               else col(textCol)

@@ -50,6 +50,15 @@ object Pipeline {
     * takes the full normalize-then-key collapse losslessly). `raw`
     * is never auto-picked — it is the explicit opt-out for corpora
     * where even case folding is unwanted.
+    *
+    * The share compare is EXACT integer cross-multiplication
+    * (`10⁴·nonNone > minRoutedShareFs·total`), not a fixed-point
+    * floor: flooring first reads 0 whenever non-Latin docs are rarer
+    * than 1 in 10⁴, so a large corpus with a sparse non-Latin tail
+    * would auto-pick canonical and false-merge exactly the documents
+    * routing exists to protect — the r19 ADVICE finding; with the
+    * exact compare the 0 default really does route on a single
+    * non-Latin document at any corpus size.
     */
   def chooseKeying(docs: DataFrame, minRoutedShareFs: Long = 0L): String = {
     val mix = TextAnalysis.scriptMix(docs).collect()
@@ -57,7 +66,7 @@ object Pipeline {
     val nonNone = mix.filter(_.getAs[String]("script") != "none")
       .map(_.getAs[Long]("n_docs")).sum
     if (total == 0L) "canonical"
-    else if (math.floor(10000.0 * nonNone / total).toLong > minRoutedShareFs) "routed"
+    else if (10000L * nonNone > minRoutedShareFs * total) "routed"
     else "canonical"
   }
 

@@ -40,9 +40,15 @@ object VocabTable {
     */
   def writeVocabTable(spark: SparkSession, name: String, docs: DataFrame,
                       buckets: Int = 16, ws: Boolean = false): Unit = {
+    // meta BEFORE counts (r20 ADVICE): a failure between the two
+    // steps must not leave a ws counts table with no meta — that
+    // state decodes as legacy naive, so the first append would mix
+    // tokenizations, the exact failure the recorded mode exists to
+    // prevent. A meta with no counts is harmless (the counts write
+    // below re-runs, or the table reads as absent).
+    writeTokenizerMeta(spark, name, ws)
     CountTable.write(spark, name, TextAnalysis.vocabulary(docs, ws),
       Seq("token"), Seq("doc_freq", "total_count"), buckets)
-    writeTokenizerMeta(spark, name, ws)
   }
 
   private def writeTokenizerMeta(spark: SparkSession, name: String, ws: Boolean): Unit = {
@@ -54,12 +60,24 @@ object VocabTable {
   /** The table's RECORDED tokenizer mode. LEGACY tables (written
     * before the mode meta existed) carry no `<name>_vocabmeta` and
     * decode as the naive single-space tokenizer they were built with.
+    * A meta table that EXISTS but is empty (a partially failed
+    * overwrite) raises a descriptive error instead of an index crash
+    * or a silent naive fallback — guessing a mode here could mix
+    * tokenizations in the very store the meta protects; repair by
+    * re-running [[writeVocabTable]] with the intended mode.
     */
   def tokenizerMode(spark: SparkSession, name: String): Boolean =
     if (!spark.catalog.tableExists(s"${name}_vocabmeta")) false
     else {
       spark.catalog.refreshTable(s"${name}_vocabmeta")
-      spark.table(s"${name}_vocabmeta").collect()(0).getAs[Boolean]("ws_tokens")
+      spark.table(s"${name}_vocabmeta").collect().headOption match {
+        case Some(row) => row.getAs[Boolean]("ws_tokens")
+        case None => throw new IllegalStateException(
+          s"${name}_vocabmeta exists but is empty (a partially failed write) — " +
+            s"re-run writeVocabTable('$name', ws = <intended mode>) before " +
+            "reading or appending; falling back to a guessed mode could " +
+            "silently mix tokenizations in the stored vocabulary")
+      }
     }
 
   /** Sum one whole-doc batch in ([[CountTable.append]]'s stamped

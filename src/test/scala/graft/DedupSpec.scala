@@ -268,6 +268,10 @@ class DedupSpec extends SparkSpec {
     val a = mixed.select(routedKey(col("text")).as("k")).collect().map(_.getString(0)).sorted
     val b = mixed.select(routedKey(col("text"), 0L).as("k")).collect().map(_.getString(0)).sorted
     assert(a.sameElements(b), "the 0-floor overload is byte-identical to routedKey")
+    // a positive floor without routed keying is a misconfiguration,
+    // refused eagerly instead of silently ignored (r20 ADVICE)
+    intercept[IllegalArgumentException] { Dedup.exact(d, minLossFs = 100L) }
+    intercept[IllegalArgumentException] { Dedup.exact(d, canonical = true, minLossFs = 100L) }
   }
 
   test("routed gram keying: mixed docs shingle raw, pure-Latin docs shingle canonically") {

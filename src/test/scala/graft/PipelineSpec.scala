@@ -735,4 +735,20 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
       Pipeline.curateFull(mixed, keying = "blended")
     }
   }
+
+  test("chooseKeying routes on a sparse non-Latin tail (exact compare, no fixed-point floor)") {
+    import org.apache.spark.sql.functions._
+    // 1 non-Latin doc in 10001: floor(1e4·1/10001) = 0, so the old
+    // fixed-point share read 0 and the 0 default picked canonical —
+    // false-merging exactly the doc routing exists to protect (r19
+    // ADVICE). The exact cross-multiplication routes it.
+    val sparse = spark.range(10001).select(col("id").as("doc_id"),
+      when(col("id") === 0L, lit("只有 one non latin doc"))
+        .otherwise(lit("plain ascii doc")).as("text"))
+    assert(Pipeline.chooseKeying(sparse) == "routed",
+      "a single non-Latin doc must route at the 0 default, at any corpus size")
+    // and the explicit floor still thresholds: share here is under
+    // 1fs per cross-multiplication (1e4·1 vs 1·10001)
+    assert(Pipeline.chooseKeying(sparse, minRoutedShareFs = 1L) == "canonical")
+  }
 }

@@ -69,6 +69,36 @@ class VocabTableSpec extends SparkSpec {
       "legacy stored ≡ direct naive vocabulary")
   }
 
+  test("meta write-order + empty-meta read: partial failures can't flip the recorded mode") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    // a counts write that fails mid-flight (induced via raise_error)
+    // must leave the ws meta ALREADY recorded — meta-before-counts
+    // (r20 ADVICE): the reverse order would leave a ws counts table
+    // decoding as legacy naive, and the first append would silently
+    // mix tokenizations
+    val poisoned = docs.withColumn("text",
+      expr("CASE WHEN doc_id >= 0 THEN raise_error('induced write failure') ELSE text END"))
+    intercept[Exception] {
+      VocabTable.writeVocabTable(spark, "vt_partial", poisoned, buckets = 2, ws = true)
+    }
+    assert(VocabTable.tokenizerMode(spark, "vt_partial"),
+      "the intended ws mode survives a failed counts write (meta is written first)")
+    // the state self-repairs: re-running the write lands both pieces
+    VocabTable.writeVocabTable(spark, "vt_partial", docs, buckets = 2, ws = true)
+    assert(VocabTable.vocabularyFromTable(spark, "vt_partial").collect().map(_.toSeq).toSeq
+      == TextAnalysis.vocabulary(docs, ws = true).collect().map(_.toSeq).toSeq)
+    // a meta table that exists but is EMPTY raises a descriptive
+    // error with the repair path, not an index crash or a silently
+    // guessed mode (r20 ADVICE)
+    spark.table("vt_partial_vocabmeta").filter(lit(false))
+      .write.mode("overwrite").saveAsTable("vt_emptymeta_vocabmeta")
+    val err = intercept[IllegalStateException] {
+      VocabTable.tokenizerMode(spark, "vt_emptymeta")
+    }
+    assert(err.getMessage.contains("writeVocabTable"),
+      s"the error must name the repair path, got: ${err.getMessage}")
+  }
+
   test("oov report counts occurrences under unseen tokens; retrain rule thresholds it") {
     VocabTable.writeVocabTable(spark, "vt_oov",
       Seq((1L, "alpha beta gamma"), (2L, "alpha delta")).toDF("doc_id", "text"), buckets = 2)
