@@ -17,7 +17,7 @@ import graft.streaming.StreamingPipeline
   *   tools/run.sh graft.PipelineJob batch    <docsParquet> <outDir>    [minQualityFs]
   *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs]
   *   tools/run.sh graft.PipelineJob training <docsParquet> <outDir>    [minQualityFs]
-  *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs]
+  *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs] [keying]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-vocab <batchParquet> <vocabName> <batchId>
@@ -76,11 +76,27 @@ object PipelineJob {
     * watermark clock: dedup state then lives `watermarkDelay` past
     * each content hash's last ARRIVAL — the natural horizon for an
     * ingest stream.
+    *
+    * `keying` (r20): raw / canonical / routed (+ `minLossFs`) key the
+    * stage-1 exact dedup exactly like the batch pipeline. "auto" is
+    * resolved HERE, before the stream starts, from the batch of files
+    * already present in the watch dir (the seed corpus — the same
+    * [[Pipeline.chooseKeying]] scan the batch auto runs): an auto
+    * inside the streaming plan would freeze whatever mix construction
+    * saw and silently mis-key later arrivals (see
+    * [[graft.streaming.StreamingDedup.exactDedup]]). The resolution
+    * is per-INVOCATION: successive AvailableNow runs re-read the
+    * accumulated dir, so the decision tracks the corpus as it grows —
+    * but within one run the mode is frozen, like every streaming plan
+    * choice. NOTE: changing the effective mode between runs re-keys
+    * only FUTURE arrivals (state from prior runs was keyed under the
+    * old mode); pin an explicit mode for a strict cross-run contract.
     */
   def runStream(spark: SparkSession, in: String, out: String,
                 minQualityFs: Long = 5000L,
                 maxRepetitionFs: Long = 9000L,
-                watermarkDelay: String = "10 minutes"): Unit = {
+                watermarkDelay: String = "10 minutes",
+                keying: String = "raw", minLossFs: Long = 0L): Unit = {
     // a file stream needs an explicit schema: seed it from the files
     // already present (cheap — footer read, no data scan). An empty
     // watch dir is the NORMAL bootstrap for an incremental ingest job
@@ -92,11 +108,18 @@ object PipelineJob {
           System.err.println(s"[pipeline] no parquet files in '$in' yet — nothing to consume")
           return
       }
+    val resolved =
+      if (keying == "auto") {
+        val mode = Pipeline.chooseKeying(spark.read.parquet(in))
+        println(s"[pipeline] keying=auto resolved to '$mode' from the seed corpus in '$in'")
+        mode
+      } else keying
     val docs = spark.readStream.schema(schema).parquet(in)
       .withColumn("ingest_ts", current_timestamp())
     val curated = StreamingPipeline
       .curateStream(docs, "ingest_ts", watermarkDelay,
-        minQualityFs = minQualityFs, maxRepetitionFs = maxRepetitionFs)
+        minQualityFs = minQualityFs, maxRepetitionFs = maxRepetitionFs,
+        keying = resolved, minLossFs = minLossFs)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
     val q = curated.writeStream
@@ -320,7 +343,9 @@ object PipelineJob {
           Pipeline.prepareTrainingPieces(spark.read.parquet(in), minQualityFs = minQ),
           out, Seq("split", "source"))
       case "stream" =>
-        runStream(spark, in, out, minQ)
+        // optional 5th arg: keying mode (raw/canonical/routed/auto —
+        // auto resolves from the seed corpus before the stream starts)
+        runStream(spark, in, out, minQ, keying = args.lift(4).getOrElse("raw"))
     }
 
     // a first stream run can legitimately land zero data files (empty

@@ -35,14 +35,62 @@ object StreamingDedup {
   // not private: Catalyst's generated encoder projections need access
   case class HashedDoc(doc_id: Long, h: String, ts: java.sql.Timestamp)
 
-  /** Declarative streaming exact-dedup: first doc per content hash
+  /** Declarative streaming exact-dedup: first doc per content KEY
     * inside the watermark horizon survives.
+    *
+    * `keying` (r20) is the batch [[graft.operators.Dedup.exact]]'s
+    * multilingual tier, applied to the state-store key: "raw" hashes
+    * the text byte-identically (the r6–r19 behavior and the default),
+    * "canonical" hashes [[graft.functions.TextFunctions.canonicalKey]]
+    * (case/punct variants of a doc collapse; the empty-canonical raw
+    * fallback rides along), "routed" hashes [[graft.functions
+    * .TextFunctions.routedKey]] with the optional `minLossFs` floor
+    * (non-Latin-script docs key raw so canonical keying can't strip
+    * what distinguishes them). The key expression is a pure column
+    * projection riding the micro-batch scan — state size and shuffle
+    * shape are unchanged (one 32-char hash per distinct key in the
+    * horizon).
+    *
+    * "auto" is deliberately REFUSED here: the batch auto rule
+    * aggregates the corpus script mix and picks once, but a stream's
+    * composition is unbounded and unknown at plan time — an in-stream
+    * auto would freeze whatever mix construction saw (the
+    * [[StreamingPipeline.flagKnownStream]] plan-freeze hazard) and
+    * silently mis-key everything after the mix drifts. Resolve BEFORE
+    * the stream starts: run [[graft.operators.Pipeline.chooseKeying]]
+    * on seed/accumulated data and pass the resolved mode.
     */
-  def exactDedup(docs: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =
+  def exactDedup(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                 keying: String = "raw", minLossFs: Long = 0L): DataFrame =
     docs
-      .withColumn("h", md5(col("text")))
+      .withColumn("h", md5(keyColumn(keying, minLossFs)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("h")
+
+  /** The dedup-key projection for a keying mode — shared by
+    * [[exactDedup]] and [[StreamingPipeline.curateStream]]'s
+    * signature docs; same mode names as [[graft.operators.Pipeline
+    * .curateFull]], minus "auto" (see [[exactDedup]] for why).
+    */
+  private[streaming] def keyColumn(keying: String,
+                                   minLossFs: Long): org.apache.spark.sql.Column = {
+    require(minLossFs == 0L || keying == "routed",
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs " +
+        s"with keying = '$keying')")
+    keying match {
+      case "raw"       => col("text")
+      case "canonical" => graft.functions.TextFunctions.canonicalKey(col("text"))
+      case "routed"    => graft.functions.TextFunctions.routedKey(col("text"), minLossFs)
+      case "auto" => throw new IllegalArgumentException(
+        "keying = 'auto' cannot resolve inside a stream: the auto rule aggregates " +
+          "the corpus script mix once, but a stream's composition is unbounded and " +
+          "unknown at plan time — an in-stream read would freeze whatever mix the " +
+          "plan saw and silently mis-key later arrivals. Resolve the mode BEFORE " +
+          "starting: Pipeline.chooseKeying(seedDocs) and pass the result")
+      case other => throw new IllegalArgumentException(
+        s"keying must be one of raw/canonical/routed, got '$other'")
+    }
+  }
 
   /** Stateful first-seen tagging via flatMapGroupsWithState: every doc
     * is emitted (append mode), tagged with whether its content hash

@@ -10,8 +10,13 @@ import graft.operators.Sampling
   * document stream (the ingest shape of a growing training corpus):
   *
   *   1. watermarked exact dedup ([[StreamingDedup.exactDedup]]: one
-  *      state-store row per distinct content hash inside the horizon,
-  *      bounded memory on an unbounded stream);
+  *      state-store row per distinct content KEY inside the horizon,
+  *      bounded memory on an unbounded stream — `keying` picks the
+  *      batch pipeline's key domain: raw / canonical / routed
+  *      (+ `minLossFs`), so a multilingual stream gets the same
+  *      case/punct collapse and script protection as
+  *      [[graft.operators.Pipeline.curateFull]]; "auto" must resolve
+  *      BEFORE the stream starts — see [[StreamingDedup.exactDedup]]);
   *   2. quality filter — the SAME composite fixed-point score as the
   *      batch pipeline, a pure column expression on the micro-batch;
   *   3. repetition gate — duplicated-bigram ratio via the one-pass
@@ -36,9 +41,10 @@ object StreamingPipeline {
   def curateStream(docs: DataFrame, tsCol: String, watermarkDelay: String,
                    minQualityFs: Long = 5000L,
                    maxRepetitionFs: Long = 9000L,
-                   salt: String = "graft#"): DataFrame = {
+                   salt: String = "graft#",
+                   keying: String = "raw", minLossFs: Long = 0L): DataFrame = {
     import graft.functions.TextFunctions._
-    val deduped = StreamingDedup.exactDedup(docs, tsCol, watermarkDelay)
+    val deduped = StreamingDedup.exactDedup(docs, tsCol, watermarkDelay, keying, minLossFs)
     val toks = tokens(col("text"))
     val rep = ngramStats(toks, 2)
     deduped
@@ -78,9 +84,11 @@ object StreamingPipeline {
                   chunkTokens: Int = 32, strideTokens: Int = 24,
                   minQualityFs: Long = 5000L,
                   maxRepetitionFs: Long = 9000L,
-                  salt: String = "graft#"): DataFrame =
+                  salt: String = "graft#",
+                  keying: String = "raw", minLossFs: Long = 0L): DataFrame =
     graft.operators.TextAnalysis.chunkPieces(
-      curateStream(docs, tsCol, watermarkDelay, minQualityFs, maxRepetitionFs, salt),
+      curateStream(docs, tsCol, watermarkDelay, minQualityFs, maxRepetitionFs, salt,
+        keying, minLossFs),
       chunkTokens, strideTokens, carryCols = Seq("source", "split"))
 
   /** Classify a DOC STREAM against a stored exact-dedup index

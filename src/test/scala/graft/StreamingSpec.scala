@@ -540,6 +540,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curate keying parity: canonical collapses case/kana-strip, routed protects") {
+    implicit val ctx = spark.sqlContext
+    // the multilingual plant, replayed as a stream across two
+    // micro-batches: a case pair (1, 2) and a kana-differing pair
+    // (3, 4) whose canonical forms are IDENTICAL to the base (kana
+    // strips) — the exact hazard ladder the batch pipeline's keying
+    // tiers close, now on the streaming twin (r20)
+    val base = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    val docsOf = Seq(
+      (1L, base), (2L, base.toUpperCase),
+      (3L, s"$base ぁ"), (4L, s"$base ゑ"))
+    def survivors(keying: String, minLossFs: Long = 0L): Set[Long] = {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val docs = ms.toDF().toDF("doc_id", "text", "ts")
+      val name = s"skeying_${keying}_$minLossFs"
+      val q = StreamingPipeline.curateStream(docs, "ts", "10 minutes",
+          minQualityFs = 0L, maxRepetitionFs = 10000L,
+          keying = keying, minLossFs = minLossFs)
+        .select("doc_id")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // split across micro-batches: 1, 3 first; their variants later
+        // (state-store dedup, not within-batch)
+        ms.addData(docsOf.filter(d => d._1 <= 2).map { case (id, t) =>
+          (id, t, Timestamp.valueOf(s"2024-01-01 00:0$id:00")) })
+        q.processAllAvailable()
+        ms.addData(docsOf.filter(d => d._1 > 2).map { case (id, t) =>
+          (id, t, Timestamp.valueOf(s"2024-01-01 00:0$id:00")) })
+        q.processAllAvailable()
+        spark.sql(s"SELECT doc_id FROM $name").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // raw: byte-identity only — all four survive
+    assert(survivors("raw") == Set(1L, 2L, 3L, 4L))
+    // canonical: case folds AND kana strips — everything collapses
+    // into the first arrival (the batch canonical hazard, replayed)
+    assert(survivors("canonical") == Set(1L))
+    // routed: the case pair still collapses (pure Latin), both kana
+    // variants route raw and survive — the false merges closed
+    assert(survivors("routed") == Set(1L, 3L, 4L))
+    // routed + floor: one kana glyph in a ~75-char doc is ~130fs of
+    // loss; a floor above that keeps canonical keying (collapse), a
+    // floor below routes (the dedup_exact_routed_floor trade, here)
+    assert(survivors("routed", minLossFs = 1000L) == Set(1L))
+    assert(survivors("routed", minLossFs = 50L) == Set(1L, 3L, 4L))
+    // BATCH PARITY: for each mode the streaming survivor set equals
+    // the batch operator's keep set on the same corpus in arrival
+    // order (Dedup.exact keeps the lowest id = the first arrival)
+    import spark.implicits._
+    val batchDocs = docsOf.toDF("doc_id", "text")
+    def batchKeeps(canonical: Boolean, routed: Boolean, minLossFs: Long = 0L): Set[Long] =
+      graft.operators.Dedup.exact(batchDocs, canonical = canonical, routed = routed,
+        minLossFs = minLossFs).collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(survivors("canonical") == batchKeeps(canonical = true, routed = false))
+    assert(survivors("routed") == batchKeeps(canonical = false, routed = true))
+    assert(survivors("routed", 1000L) == batchKeeps(canonical = false, routed = true, 1000L))
+    // auto must be resolved BEFORE the stream (plan-freeze hazard) —
+    // refused with guidance, like every misconfiguration
+    val msA = MemoryStream[(Long, String, Timestamp)]
+    val err = intercept[IllegalArgumentException] {
+      StreamingPipeline.curateStream(msA.toDF().toDF("doc_id", "text", "ts"),
+        "ts", "10 minutes", keying = "auto")
+    }
+    assert(err.getMessage.contains("chooseKeying"))
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.curateStream(msA.toDF().toDF("doc_id", "text", "ts"),
+        "ts", "10 minutes", keying = "canonical", minLossFs = 5L)
+    }
+  }
+
   test("streaming chunk fan-out emits exactly the batch pipeline's chunk rows") {
     implicit val ctx = spark.sqlContext
     val good = "the quick brown fox jumps over a lazy dog near the old river bank today"
@@ -634,6 +704,21 @@ class StreamingSpec extends SparkSpec {
     val second = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(second == Set(1L, 5L),
       s"run 2 must add only the new doc (cross-run dedup drops 4), got $second")
+    // keying=auto on the CLI path resolves from the SEED corpus before
+    // the stream starts (r20): a multilingual watch dir picks routed,
+    // so a kana-differing pair survives where canonical would merge it
+    val in2 = base.resolve("docs2").toString
+    val out2 = base.resolve("curated2").toString
+    Seq((1L, s"$good 你好", "zh", "src0", good.length + 3L),
+        (2L, s"$good ぁ", "ja", "src0", good.length + 2L),
+        (3L, s"$good ゑ", "ja", "src0", good.length + 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(in2)
+    PipelineJob.runStream(spark, in2, out2, minQualityFs = 0L, maxRepetitionFs = 10000L,
+      keying = "auto")
+    val autoSurv = spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(autoSurv == Set(1L, 2L, 3L),
+      s"auto must resolve routed on a multilingual seed (kana pair survives), got $autoSurv")
   }
 
   test("streaming curation bootstrap: an empty watch dir is a no-op, not a crash") {
