@@ -387,6 +387,18 @@ object SqlRecipes {
     s"""SELECT token, doc_freq, total_count FROM ${name}_counts
        |ORDER BY token""".stripMargin
 
+  /** The tokenizer expression a vocab recipe must embed — the SQL
+    * form of [[graft.operators.TextAnalysis.vocabTokens]]'s switch:
+    * naive single-space `split`, or the whitespace-ROBUST class with
+    * empties filtered ([[graft.functions.TextFunctions.tokensWs]] —
+    * the escaped class reaches Spark's parser as exactly
+    * TextFunctions.WsClass, spec-pinned by row-for-row parity with
+    * the readers on a ws-mode table).
+    */
+  private def vocabTokensSql(ws: Boolean): String =
+    if (ws) "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), x -> x != '')"
+    else "split(text, ' ')"
+
   /** [[graft.operators.VocabTable.tfidfFromTable]] at the engine
     * default (top-3 terms): the batch — a `documents(doc_id BIGINT,
     * text STRING)` view — computes its own term frequencies, the
@@ -394,10 +406,22 @@ object SqlRecipes {
     * token-bucketed counts table (unseen tokens score at the df = 1
     * ceiling), same integer `div` scoring and (score desc, token)
     * tie-break as the reader.
+    *
+    * PREFER the session overload: it reads the table's RECORDED
+    * tokenizer mode (`<name>_vocabmeta`) at render time, so the SQL
+    * tokenizes exactly like the reader it mirrors — the r19 "no flag
+    * to get wrong" contract, extended to the SQL surface (r20; the
+    * name-only form is the legacy-naive render and silently diverges
+    * on a ws-mode table).
     */
-  def tfidfFromTable(name: String): String =
+  def tfidfFromTable(spark: org.apache.spark.sql.SparkSession, name: String): String =
+    tfidfFromTable(name, graft.operators.VocabTable.tokenizerMode(spark, name))
+
+  def tfidfFromTable(name: String): String = tfidfFromTable(name, ws = false)
+
+  def tfidfFromTable(name: String, ws: Boolean): String =
     s"""WITH tf AS (SELECT doc_id, token, count(*) AS tf
-       |            FROM (SELECT doc_id, explode(split(text, ' ')) AS token
+       |            FROM (SELECT doc_id, explode(${vocabTokensSql(ws)}) AS token
        |                  FROM documents)
        |            GROUP BY doc_id, token),
        |s AS (SELECT tf.doc_id, tf.token,
@@ -415,28 +439,41 @@ object SqlRecipes {
     * (total_count desc, token) from the stored counts — the LIMIT
     * keeps the global sort a take-ordered and the id window bounded,
     * mirroring the reader's collect-then-broadcast — then the batch
-    * explode-encodes against the id map, OOV → −1.
+    * explode-encodes against the id map, OOV → −1. Mode rules as
+    * [[tfidfFromTable]]: prefer the session overload (render-time
+    * stored-mode read); the name-only form is the legacy-naive
+    * render.
     */
-  def encodeFromTable(name: String): String =
+  def encodeFromTable(spark: org.apache.spark.sql.SparkSession, name: String): String =
+    encodeFromTable(name, graft.operators.VocabTable.tokenizerMode(spark, name))
+
+  def encodeFromTable(name: String): String = encodeFromTable(name, ws = false)
+
+  def encodeFromTable(name: String, ws: Boolean): String =
     s"""WITH top AS (SELECT token, total_count FROM ${name}_counts
        |             ORDER BY total_count DESC, token LIMIT 1000),
        |ids AS (SELECT token,
        |          CAST(row_number() OVER (ORDER BY total_count DESC, token)
        |            AS BIGINT) AS token_id
        |        FROM top),
-       |p AS (SELECT doc_id, posexplode(split(text, ' ')) AS (pos0, token)
+       |p AS (SELECT doc_id, posexplode(${vocabTokensSql(ws)}) AS (pos0, token)
        |      FROM documents)
        |SELECT p.doc_id, CAST(p.pos0 + 1 AS BIGINT) AS pos,
        |  coalesce(i.token_id, -1L) AS token_id
        |FROM p LEFT JOIN ids i USING (token)
        |ORDER BY doc_id, pos""".stripMargin
 
-  /** Every stored-reader recipe keyed by the reader it mirrors. */
+  /** Every stored-reader recipe keyed by the reader it mirrors.
+    * NOTE: the vocab entries here are the name-only LEGACY-NAIVE
+    * renders; against a ws-mode store use the session overloads
+    * ([[tfidfFromTable(spark:org\.apache\.spark\.sql\.SparkSession,name:String)*]])
+    * which read the recorded tokenizer mode at render time.
+    */
   val storedReaders: Map[String, String => String] = Map(
     "span_flagAgainstIndex" -> spanFlagFromIndex,
     "vocab_vocabularyFromTable" -> vocabularyFromTable,
-    "vocab_tfidfFromTable" -> tfidfFromTable,
-    "vocab_encodeFromTable" -> encodeFromTable,
+    "vocab_tfidfFromTable" -> ((n: String) => tfidfFromTable(n)),
+    "vocab_encodeFromTable" -> ((n: String) => encodeFromTable(n)),
     "funnel_dailyFromTable" -> funnelFromTable,
     "path_topkFromTable" -> pathTopkFromTable,
     "path_transitionsFromTable" -> transitionsFromTable,
