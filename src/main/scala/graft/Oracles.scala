@@ -778,6 +778,35 @@ object Oracles {
        |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** dedup_minhash_md5_routed_floor: the banded generator + exact
+    * verify over the THRESHOLDED routed stream
+    * (Dedup.minhashMd5Pairs with routed = true, minLossFs = 100 —
+    * TextFunctions.routedText's two-arg form, r20): the planted
+    * corpus adds a 20-char Han suffix per 10th doc (loss far above
+    * the 1% floor → grams RAW, as in the 0-floor twin) and a ONE-GLYPH
+    * Cyrillic suffix per 7th doc (loss ≈ 0.2% → below the floor →
+    * canonical grams, so the variant's token set equals its base's
+    * and the J = 1 pair SURFACES — exactly the pair the 0-floor
+    * router would keep apart by keying the variant raw). The loss
+    * meter is the dedupExactRoutedFloor fixed-point expression, so
+    * floor crossings agree engine-for-engine.
+    */
+  val dedupMinhashMd5RoutedFloor: String = {
+    val canon = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    val rexpr =
+      s"""CASE WHEN CAST(floor(10000.0 * len(regexp_extract_all(text, '$NonLatinRe2'))
+         |       / greatest(length(text), 1)) AS BIGINT) > 100
+         |     THEN text ELSE $canon END""".stripMargin
+    s"""WITH pl AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' 你好你好你好你好你好再見再見再見再見再見'
+       |    FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 200000, text || ' д' FROM documents WHERE doc_id % 7 = 0),
+       |rdocs AS (SELECT doc_id, $rexpr AS text FROM pl
+       |          WHERE length($rexpr) > 0),
+       |${md5LshPairCtes(source = "rdocs")}
+       |SELECT id_a, id_b, jac_fs FROM p ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** dedup_simhash_md5 (the DuckDB twin of Dedup.simhashMd5Pairs):
     * per-token bits off the first 16 hex chars of md5(token), per-doc
     * bit sums over distinct tokens (ties → 0), the 64-bit fingerprint

@@ -453,6 +453,25 @@ object SparkEntry {
             concat(col("text"), lit(" 再見")).as("text")))
       Dedup.minhashMd5Pairs(planted, routed = true)
     }),
+    // the THRESHOLDED routed twin (r20): minLossFs = 100 threaded
+    // through the banding/verify machinery — a one-glyph Cyrillic
+    // suffix per 7th doc sits under the 1% floor, grams CANONICALLY,
+    // and its J = 1 pair with the base SURFACES (the 0-floor router
+    // keys it raw and keeps them apart); the 20-char Han suffix per
+    // 10th doc stays above the floor and grams raw. The family-wide
+    // floor, hash-verified cross-engine at gram grain (the
+    // dedup_exact_routed_floor pattern)
+    "dedup_minhash_md5_routed_floor" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" 你好你好你好你好你好再見再見再見再見再見")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" д")).as("text")))
+      Dedup.minhashMd5Pairs(planted, routed = true, minLossFs = 100L)
+    }),
     // the simhash family's oracle bridge (r11): md5-derived bits make
     // the fingerprints, the banded candidates, and the hamming verify
     // SQL-expressible — production path stays dedup_simhash
@@ -781,6 +800,7 @@ object SparkEntry {
     "dedup_minhash_md5" -> Oracles.dedupMinhashMd5,
     "dedup_minhash_md5_canon" -> Oracles.dedupMinhashMd5Canon,
     "dedup_minhash_md5_routed" -> Oracles.dedupMinhashMd5Routed,
+    "dedup_minhash_md5_routed_floor" -> Oracles.dedupMinhashMd5RoutedFloor,
     "dedup_simhash_md5" -> Oracles.dedupSimhashMd5,
     "dedup_simhash_md5_canon" -> Oracles.dedupSimhashMd5Canon,
     "dedup_simhash_md5_routed" -> Oracles.dedupSimhashMd5Routed,

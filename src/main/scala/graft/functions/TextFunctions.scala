@@ -208,6 +208,26 @@ object TextFunctions {
   def routedText(text: Column): Column =
     when(hasNonLatinScript(text), text).otherwise(canonicalText(text))
 
+  /** [[routedText]] with the LOSS FLOOR (r20) — [[routedKey]]'s
+    * two-arg thresholded rule in the gram form: a doc grams raw only
+    * when canonical keying would strip MORE than `minLossFs` / 10⁴ of
+    * its characters, so a stray non-Latin glyph keeps the canonical
+    * gram stream (the [[routedKey]] trade, identical meter and
+    * cross-engine contract); `minLossFs = 0` is EXACTLY [[routedText]].
+    * No empty-fallback either way — the gram families degrade to
+    * "never matches" on empty canonical forms.
+    */
+  def routedText(text: Column, minLossFs: Long): Column = {
+    require(minLossFs >= 0L, s"minLossFs must be >= 0, got $minLossFs")
+    if (minLossFs == 0L) routedText(text)
+    else {
+      val loss = floor(lit(10000.0) *
+        regexp_count(text, lit(NonLatinClassJava)) /
+        greatest(length(text), lit(1)))
+      when(loss > minLossFs, text).otherwise(canonicalText(text))
+    }
+  }
+
   /** Distinct token set (order preserved by first occurrence). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

@@ -146,12 +146,14 @@ object Dedup {
     * — one token yields no shingles).
     */
   private def canonDocs(docs0: DataFrame, canonical: Boolean,
-                        routed: Boolean = false): DataFrame = {
+                        routed: Boolean = false,
+                        minLossFs: Long = 0L): DataFrame = {
     // routed (r18): the script router's gram form — non-Latin docs
     // keep raw text, pure-Latin docs canonicalize; the empty-drop
     // applies the same way (a pure-Latin doc whose canonical form is
-    // empty has no token signal either)
-    val c = TextAnalysis.maybeKeyed(docs0, canonical, routed)
+    // empty has no token signal either). minLossFs (r20) thresholds
+    // the routing — maybeKeyed threads it and refuses misuse
+    val c = TextAnalysis.maybeKeyed(docs0, canonical, routed, minLossFs)
     if (canonical || routed) c.filter(length(col("text")) > 0) else c
   }
 
@@ -208,8 +210,8 @@ object Dedup {
   def minhashLsh(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                  shingleN: Int = 1, minJaccardFs: Long = 8400L,
                  canonical: Boolean = false,
-                 routed: Boolean = false): DataFrame = {
-    val docs = Par.spread(canonDocs(docs0, canonical, routed))
+                 routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
     val toks = array_distinct(tokens(col("text")))
     // persist: this frame feeds BOTH legs of the band self-join and
@@ -276,9 +278,9 @@ object Dedup {
   def minhashMd5Pairs(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
                       minJaccardFs: Long = 9000L,
                       canonical: Boolean = false,
-                      routed: Boolean = false): DataFrame = {
+                      routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
-    val docs = Par.spread(canonDocs(docs0, canonical, routed))
+    val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
     val toksCol = array_distinct(tokens(col("text")))
     // ONE md5 per token, materialized as a 56-bit long in its own
@@ -331,8 +333,9 @@ object Dedup {
     * tree); falls back to the pure-Column formulation otherwise.
     */
   def simhashFingerprints(docs0: DataFrame, canonical: Boolean = false,
-                          routed: Boolean = false): DataFrame = {
-    val docs = Par.spread(canonDocs(docs0, canonical, routed))
+                          routed: Boolean = false,
+                          minLossFs: Long = 0L): DataFrame = {
+    val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val sh =
       if (docs.sparkSession.catalog.functionExists("graft_simhash64"))
         call_function("graft_simhash64", tokens(col("text")))
@@ -366,10 +369,10 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    canonical: Boolean = false,
-                   routed: Boolean = false): DataFrame = {
+                   routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     import graft.functions.HashFunctions.{simhashBandKeys, simhashBandPlan}
     val (chunks, comboSize) = simhashBandPlan(maxHamming)
-    val fp = simhashFingerprints(docs, canonical, routed)
+    val fp = simhashFingerprints(docs, canonical, routed, minLossFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim (doc_id, band, bucket) rows — fingerprints don't ride the
     // band explode; they come back in the verify join below
@@ -445,11 +448,12 @@ object Dedup {
 
   def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3,
                       canonical: Boolean = false,
-                      routed: Boolean = false): DataFrame = {
+                      routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     require(maxHamming <= 3,
       s"simhashMd5Pairs pins the oracle-mirrored 4x16 banding, complete only for hamming <= 3; got $maxHamming")
     chunkBandedPairs(
-      simhashMd5Fingerprints(Par.spread(canonDocs(docs0, canonical, routed))), maxHamming)
+      simhashMd5Fingerprints(Par.spread(canonDocs(docs0, canonical, routed, minLossFs))),
+      maxHamming)
   }
 
   /** Hamming-banded pairs over ANY 64-bit fingerprint held as four
@@ -491,8 +495,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, thresholdFs: Long = 9000L,
                    canonical: Boolean = false,
-                   routed: Boolean = false): DataFrame =
-    ngramJaccardPairs(docs, thresholdFs, canonical, routed)
+                   routed: Boolean = false, minLossFs: Long = 0L): DataFrame =
+    ngramJaccardPairs(docs, thresholdFs, canonical, routed, minLossFs)
       .orderBy(col("id_a"), col("id_b"))
 
   /** [[ngramJaccard]] without the final global sort — the form
@@ -503,14 +507,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, thresholdFs: Long = 9000L,
                         canonical: Boolean = false,
-                        routed: Boolean = false): DataFrame = {
+                        routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     // canonical blocking must measure the CANONICAL text: the raw
     // n_chars of two punctuation-heavy variants of the same canonical
     // document can straddle a length-bucket boundary, and the pair —
     // the exact pair canonical keying exists to catch — would
     // silently never be compared (r18, ADVICE)
     val lenCol = if (canonical || routed) length(col("text")) else col("n_chars")
-    val d = Par.spread(canonDocs(docs, canonical, routed)).select(col("doc_id"), col("lang"),
+    val d = Par.spread(canonDocs(docs, canonical, routed, minLossFs))
+      .select(col("doc_id"), col("lang"),
       floor(lenCol / lit(100.0)).as("lb"),
       array_distinct(tokens(col("text"))).as("toks"))
     val a = d.as("a")
@@ -548,9 +553,9 @@ object Dedup {
     */
   def ngramLsh(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
                thresholdFs: Long = 9000L, canonical: Boolean = false,
-               routed: Boolean = false): DataFrame = {
+               routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     val (pairs, shingled) =
-      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed)
+      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed, minLossFs)
     // persist before the global sort (ORDER BY samples its input)
     val verified = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ScopedCache.releaseAfterAction(
@@ -568,9 +573,9 @@ object Dedup {
     */
   def ngramLshPairs(docs0: DataFrame, n: Int = 2, perms: Int = 32, bands: Int = 8,
                     thresholdFs: Long = 9000L, canonical: Boolean = false,
-                    routed: Boolean = false): DataFrame = {
+                    routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     val (pairs, shingled) =
-      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed)
+      ngramLshPairsAndCache(docs0, n, perms, bands, thresholdFs, canonical, routed, minLossFs)
     ScopedCache.releaseAfterAction(pairs, Seq(shingled))
   }
 
@@ -588,8 +593,9 @@ object Dedup {
   private def ngramLshPairsAndCache(docs0: DataFrame, n: Int, perms: Int, bands: Int,
                                     thresholdFs: Long,
                                     canonical: Boolean = false,
-                                    routed: Boolean = false): (DataFrame, DataFrame) = {
-    val docs = Par.spread(TextAnalysis.maybeKeyed(docs0, canonical, routed))
+                                    routed: Boolean = false,
+                                    minLossFs: Long = 0L): (DataFrame, DataFrame) = {
+    val docs = Par.spread(TextAnalysis.maybeKeyed(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds both legs of the band self-join and both sides

@@ -32,9 +32,11 @@ object Pipeline {
              spanTrimTokens: Int = 0,
              canonicalKeys: Boolean = false,
              routedKeys: Boolean = false,
-             keying: String = ""): DataFrame =
+             keying: String = "",
+             minLossFs: Long = 0L,
+             minRoutedShareFs: Long = 0L): DataFrame =
     curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt, spanTrimTokens,
-      canonicalKeys, routedKeys, keying)
+      canonicalKeys, routedKeys, keying, minLossFs, minRoutedShareFs)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("score_fs"), col("rep_fs"), col("split"))
       .orderBy(col("doc_id"))
@@ -106,6 +108,17 @@ object Pipeline {
     * [[chooseKeying]]'s rule, and "" (the default) defers to the
     * boolean flags above (back-compat). Non-empty `keying` supersedes
     * the booleans.
+    *
+    * `minLossFs` (r20) is the routed tier's loss floor, threaded to
+    * BOTH dedup stages (the digest key via [[Dedup.exact]], the gram
+    * stream via [[Dedup.ngramLshPairs]] — one keying rule per run):
+    * sub-floor glyph noise keeps the canonical collapse, the
+    * dedup_exact_routed_floor trade at pipeline grain. It applies
+    * only when the EFFECTIVE mode is routed — refused with canonical/
+    * raw modes (misconfiguration), silently unused when "auto"
+    * resolves to canonical (the caller said "IF routing, floor at
+    * this"). `minRoutedShareFs` (r20) passes through to
+    * [[chooseKeying]] under "auto".
     */
   def curateFull(docs: DataFrame,
                  minQualityFs: Long = 5000L,
@@ -115,7 +128,9 @@ object Pipeline {
                  spanTrimTokens: Int = 0,
                  canonicalKeys: Boolean = false,
                  routedKeys: Boolean = false,
-                 keying: String = ""): DataFrame = {
+                 keying: String = "",
+                 minLossFs: Long = 0L,
+                 minRoutedShareFs: Long = 0L): DataFrame = {
     // spanTrimTokens is a minimum span LENGTH and the trim stage
     // grams at n = 8, which floors the usable threshold — surface
     // that here by name rather than letting spanRegions throw its
@@ -124,14 +139,19 @@ object Pipeline {
       s"spanTrimTokens: pass 0 (trim off) or >= 8 (the 8-gram floor); got $spanTrimTokens")
     val mode = keying match {
       case ""     => if (routedKeys) "routed" else if (canonicalKeys) "canonical" else "raw"
-      case "auto" => chooseKeying(docs)
+      case "auto" => chooseKeying(docs, minRoutedShareFs)
       case m @ ("raw" | "canonical" | "routed") => m
       case other => throw new IllegalArgumentException(
         s"keying must be one of raw/canonical/routed/auto (or empty for the flags), got '$other'")
     }
+    require(minLossFs == 0L || mode == "routed" || keying == "auto",
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs " +
+        s"with mode '$mode'); it is conditionally unused only under keying = 'auto'")
     val (canonKeys, routeKeys) = (mode == "canonical", mode == "routed")
+    val effFloor = if (routeKeys) minLossFs else 0L
     // 1. exact dedup: survivors are each hash group's keep_id
-    val keep = Dedup.exact(docs, canonical = canonKeys, routed = routeKeys)
+    val keep = Dedup.exact(docs, canonical = canonKeys, routed = routeKeys,
+      minLossFs = effFloor)
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = docs.join(keep, Seq("doc_id"), "left_semi")
 
@@ -139,7 +159,7 @@ object Pipeline {
     // (the UNSORTED pair form: applyPairs shuffles the ids anyway, so
     // ngramLsh's global sort would only add a sampling double-run)
     val nearPairs = Dedup.ngramLshPairs(exactDeduped, thresholdFs = lshThresholdFs,
-      canonical = canonKeys, routed = routeKeys)
+      canonical = canonKeys, routed = routeKeys, minLossFs = effFloor)
     val deduped0 = Dedup.applyPairs(exactDeduped, nearPairs)
 
     // 2b. (opt-in, spanTrimTokens > 0) exact-substring trim: spans
@@ -194,8 +214,8 @@ object Pipeline {
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, maxContamFs: Long = 2000L,
                     n: Int = 3, canonical: Boolean = false,
-                    routed: Boolean = false): DataFrame = {
-    val flagged = TextAnalysis.contaminationAcct(docs, bench, n, canonical, routed)
+                    routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val flagged = TextAnalysis.contaminationAcct(docs, bench, n, canonical, routed, minLossFs)
       .filter(col("contam_fs") > maxContamFs)
       .select(col("doc_id"))
     docs.join(flagged, Seq("doc_id"), "left_anti")

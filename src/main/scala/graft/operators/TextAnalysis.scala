@@ -242,8 +242,8 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
                     canonical: Boolean = false,
-                    routed: Boolean = false): DataFrame =
-    contaminationAcct(docs, bench, n, canonical, routed).orderBy(col("doc_id"))
+                    routed: Boolean = false, minLossFs: Long = 0L): DataFrame =
+    contaminationAcct(docs, bench, n, canonical, routed, minLossFs).orderBy(col("doc_id"))
 
   /** [[contamination]] without the final global sort — the form
     * downstream consumers ([[Pipeline.decontaminate]]'s filter) take:
@@ -255,17 +255,19 @@ object TextAnalysis {
     */
   private[graft] def contaminationAcct(docs: DataFrame, bench: DataFrame, n: Int,
                                        canonical: Boolean,
-                                       routed: Boolean = false): DataFrame = {
+                                       routed: Boolean = false,
+                                       minLossFs: Long = 0L): DataFrame = {
     // routed (r18): corpus AND bench gram through the script router —
     // a mixed-script doc's overlap is judged on its raw grams (its
     // non-Latin content distinguishes it from a Latin bench member
     // canonical keying would falsely match), Latin docs keep the
-    // canonical robustness to case/punct paraphrase
+    // canonical robustness to case/punct paraphrase; the r20 floor
+    // applies to BOTH sides (one keying rule per comparison)
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val exploded = Par.spread(maybeKeyed(docs, canonical, routed))
+    val exploded = Par.spread(maybeKeyed(docs, canonical, routed, minLossFs))
       .select(col("doc_id"), explode(grams).as("gram"))
     val benchGrams = broadcast(
-      maybeKeyed(bench, canonical, routed)
+      maybeKeyed(bench, canonical, routed, minLossFs)
         .select(explode(grams).as("gram")).distinct().withColumn("hit", lit(1)))
     exploded.join(benchGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"))
@@ -724,14 +726,14 @@ object TextAnalysis {
     */
   def passageDedup(docs: DataFrame, chunkTokens: Int = 32, strideTokens: Int = 24,
                    minDocs: Int = 2, canonical: Boolean = false,
-                   routed: Boolean = false): DataFrame = {
+                   routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     require(minDocs >= 2, s"boilerplate needs at least 2 docs, got $minDocs")
     // canonical keying drops empty-canonical docs (fully non-ASCII):
     // their single token [""] would chunk to the SHARED md5("") key,
     // flagging every non-Latin doc's only chunk as "boilerplate" —
     // the digest families' empty-collapse hazard in passage form (the
     // n >= 2 gram families are immune: one token yields no grams)
-    val base = maybeKeyed(docs, canonical, routed)
+    val base = maybeKeyed(docs, canonical, routed, minLossFs)
     // the empty-drop applies to ANY keyed stream: under routing a
     // pure-Latin punctuation-only doc still canonicalizes to ""
     val cdocs = if (canonical || routed) base.filter(length(col("text")) > 0) else base
@@ -784,12 +786,13 @@ object TextAnalysis {
     */
   def spanDedup(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                 minSpanTokens: Int = 16, canonical: Boolean = false,
-                routed: Boolean = false): DataFrame = {
+                routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     // routed (r18): spans, token counts, and coordinates live in the
     // ROUTED stream — mixed-script docs keep raw positions (their
     // Han/Cyrillic/... tokens count and gram), pure-Latin docs get
-    // the canonical C4/RefinedWeb posture
-    val d = maybeKeyed(docs, canonical, routed)
+    // the canonical C4/RefinedWeb posture; minLossFs (r20) thresholds
+    // the routing like everywhere else in the family
+    val d = maybeKeyed(docs, canonical, routed, minLossFs)
     spanAccounting(d, spanRegions(d, n, minDocs, minSpanTokens))
   }
 
@@ -810,12 +813,23 @@ object TextAnalysis {
     * .routedText]] — non-Latin-script docs keep their raw text so
     * their shingles carry the signal canonical keying would strip,
     * pure-Latin docs canonicalize. routed supersedes canonical (it IS
-    * canonical keying, gated per-doc by script evidence).
+    * canonical keying, gated per-doc by script evidence). `minLossFs`
+    * (r20, routed only — misuse refused eagerly) is the thresholded
+    * router in gram form ([[graft.functions.TextFunctions.routedText]]
+    * two-arg): sub-floor glyph noise keeps the canonical gram stream,
+    * threading the dedup_exact_routed_floor knob through every gram
+    * family that keys here.
     */
   private[operators] def maybeKeyed(docs: DataFrame, canonical: Boolean,
-                                    routed: Boolean): DataFrame =
-    if (routed) docs.withColumn("text", graft.functions.TextFunctions.routedText(col("text")))
+                                    routed: Boolean,
+                                    minLossFs: Long = 0L): DataFrame = {
+    require(minLossFs == 0L || routed,
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs " +
+        "with routed = false)")
+    if (routed) docs.withColumn("text",
+      graft.functions.TextFunctions.routedText(col("text"), minLossFs))
     else maybeCanon(docs, canonical)
+  }
 
   /** The qualifying repeated-span coverage regions both span keys
     * derive from: (doc_id, span_start, span_end) token intervals,
@@ -907,8 +921,8 @@ object TextAnalysis {
     */
   def spanDedupApply(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                      minSpanTokens: Int = 16, canonical: Boolean = false,
-                     routed: Boolean = false): DataFrame = {
-    val d = maybeKeyed(docs, canonical, routed)
+                     routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val d = maybeKeyed(docs, canonical, routed, minLossFs)
     spanRewrite(d, spanRegions(d, n, minDocs, minSpanTokens))
   }
 
@@ -930,8 +944,9 @@ object TextAnalysis {
     */
   def spanTop(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
               minSpanTokens: Int = 16, k: Int = 20,
-              canonical: Boolean = false, routed: Boolean = false): DataFrame = {
-    val docs = maybeKeyed(docs0, canonical, routed)
+              canonical: Boolean = false, routed: Boolean = false,
+              minLossFs: Long = 0L): DataFrame = {
+    val docs = maybeKeyed(docs0, canonical, routed, minLossFs)
     val regions = spanRegions(docs, n, minDocs, minSpanTokens)
     regions
       .join(docs.select(col("doc_id"), tokens(col("text")).as("toks")), Seq("doc_id"))
@@ -966,8 +981,8 @@ object TextAnalysis {
     */
   def spanTrimmed(docs0: DataFrame, n: Int = 8, minDocs: Int = 2,
                   minSpanTokens: Int = 16, canonical: Boolean = false,
-                  routed: Boolean = false): DataFrame = {
-    val docs = maybeKeyed(docs0, canonical, routed)
+                  routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val docs = maybeKeyed(docs0, canonical, routed, minLossFs)
     trimByRegions(docs, spanRegions(docs, n, minDocs, minSpanTokens))
       .withColumn("span_dup_tokens",
         (size(tokens(col("text"))) - size(col("_kept"))).cast("long"))

@@ -274,6 +274,63 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.exact(d, canonical = true, minLossFs = 100L) }
   }
 
+  test("minLossFs threads the gram families: a stray glyph keeps canonical grams at a floor") {
+    import spark.implicits._
+    // base doc vs a CASE variant carrying one stray Cyrillic glyph
+    // (~0.2% loss in a ~420-char doc): at floor 0 the glyph routes
+    // the variant raw — its uppercase tokens share nothing with the
+    // base's canonical stream, so NO gram family pairs them; at a 1%
+    // floor the variant grams canonically and every family recovers
+    // the J = 1 / hamming-0 / full-span match. The r18 "every keying
+    // opt-in threads the WHOLE family" rule, floor edition (r20).
+    val long = (1 to 60).map(i => s"word$i").mkString(" ")
+    val d = Seq((1L, long), (2L, s"${long.toUpperCase} д"),
+        (3L, "unrelated filler text about boats"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def pairCounts(floor: Long): Seq[Long] = Seq(
+      Dedup.minhashMd5Pairs(d, routed = true, minLossFs = floor).count(),
+      Dedup.minhashLsh(d, minJaccardFs = 9000L, routed = true, minLossFs = floor).count(),
+      Dedup.simhashMd5Pairs(d, routed = true, minLossFs = floor).count(),
+      Dedup.simhashPairs(d, routed = true, minLossFs = floor).count(),
+      Dedup.ngramJaccardPairs(d, routed = true, minLossFs = floor).count(),
+      Dedup.ngramLshPairs(d, routed = true, minLossFs = floor).count())
+    assert(pairCounts(0L) == Seq(0L, 0L, 0L, 0L, 0L, 0L),
+      "floor 0 = the plain router: the glyph doc keys raw and pairs with nothing")
+    assert(pairCounts(100L) == Seq(1L, 1L, 1L, 1L, 1L, 1L),
+      "above-floor canonical grams recover the case-variant pair in EVERY family")
+    // the span family: the whole doc becomes a shared span only once
+    // the glyph doc grams canonically
+    val spans0 = graft.operators.TextAnalysis
+      .spanDedup(d, routed = true, minLossFs = 0L)
+      .filter(col("dup_tokens") > 0).count()
+    val spans1 = graft.operators.TextAnalysis
+      .spanDedup(d, routed = true, minLossFs = 100L)
+      .filter(col("dup_tokens") > 0).count()
+    assert(spans0 == 0L && spans1 == 2L,
+      s"span dedup must recover the shared span only above the floor, got $spans0/$spans1")
+    // curateFull threads the floor to BOTH dedup stages: at floor 0
+    // the glyph variant survives as its own doc, above it the case
+    // variant collapses into the base
+    def curatedIds(floor: Long): Set[Long] =
+      graft.operators.Pipeline.curateFull(
+        d.withColumn("source", lit("web")),
+        minQualityFs = 0L, maxRepetitionFs = 10000L,
+        keying = "routed", minLossFs = floor)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(curatedIds(0L) == Set(1L, 2L, 3L))
+    assert(curatedIds(100L) == Set(1L, 3L))
+    // misuse refused across the family (minLossFs without routed)
+    intercept[IllegalArgumentException] { Dedup.minhashMd5Pairs(d, minLossFs = 100L) }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.spanDedup(d, canonical = true, minLossFs = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.curateFull(d.withColumn("source", lit("web")),
+        keying = "canonical", minLossFs = 100L)
+    }
+  }
+
   test("routed gram keying: mixed docs shingle raw, pure-Latin docs shingle canonically") {
     import spark.implicits._
     // docs 1-2: shared Latin half, disjoint Han halves — canonical
