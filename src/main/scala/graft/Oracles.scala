@@ -1199,6 +1199,47 @@ object Oracles {
       |WHERE coalesce(c.contam_fs, 0) <= 2000
       |ORDER BY d.doc_id""".stripMargin
 
+  /** pipeline_keying_decision (Pipeline.chooseKeyingDecision over a
+    * Han-planted corpus, r20): one decision row per floor — the mode
+    * from the EXACT integer cross-multiplication
+    * (10⁴·nonlatin_docs > floor·n_docs, the sparse-tail-safe compare),
+    * plus the mix snapshot it read: routed-class doc count (any
+    * [[NonLatinRe2]] match), floored doc share, total/non-Latin char
+    * counts and the corpus canonical-loss share. Two floors union'd
+    * (0 → routed at the planted 20% share, 2500 → canonical) pin both
+    * decision branches cross-engine at any scale (the share is planted
+    * per doc_id modulus, so it is scale-independent).
+    */
+  val pipelineKeyingDecision: String = {
+    def one(floor: Long) =
+      s"""SELECT CASE WHEN n_docs > 0 AND 10000 * nonlatin_docs > $floor * n_docs
+         |            THEN 'routed' ELSE 'canonical' END AS mode,
+         |  n_docs, nonlatin_docs,
+         |  CASE WHEN n_docs > 0
+         |       THEN CAST(floor(10000.0 * nonlatin_docs / n_docs) AS BIGINT)
+         |       ELSE 0 END AS docs_share_fs,
+         |  n_chars, nonlatin_chars,
+         |  CASE WHEN n_chars > 0
+         |       THEN CAST(floor(10000.0 * nonlatin_chars / n_chars) AS BIGINT)
+         |       ELSE 0 END AS char_loss_fs,
+         |  CAST($floor AS BIGINT) AS min_routed_share_fs
+         |FROM a""".stripMargin
+    s"""WITH m AS (SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' 你好' ELSE text END AS text
+       |           FROM documents),
+       |s AS (SELECT CASE WHEN regexp_matches(text, '$NonLatinRe2') THEN 1 ELSE 0 END AS nl,
+       |        CAST(length(text) AS BIGINT) AS len,
+       |        CAST(len(regexp_extract_all(text, '$NonLatinRe2')) AS BIGINT) AS nlc
+       |      FROM m),
+       |a AS (SELECT count(*) AS n_docs, CAST(sum(nl) AS BIGINT) AS nonlatin_docs,
+       |        CAST(sum(len) AS BIGINT) AS n_chars,
+       |        CAST(sum(nlc) AS BIGINT) AS nonlatin_chars
+       |      FROM s)
+       |${one(0L)}
+       |UNION ALL
+       |${one(2500L)}
+       |ORDER BY min_routed_share_fs""".stripMargin
+  }
+
   /** text_contamination_canon: [[textContamination]] with both the
     * corpus and the benchmark folded through canonicalText's DuckDB
     * twin — built mechanically by swapping only the tokenizing CTE

@@ -14,9 +14,9 @@ import graft.streaming.StreamingPipeline
   *
   * Two arrival modes, mirroring the library's batch/stream twins:
   *
-  *   tools/run.sh graft.PipelineJob batch    <docsParquet> <outDir>    [minQualityFs]
-  *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs]
-  *   tools/run.sh graft.PipelineJob training <docsParquet> <outDir>    [minQualityFs]
+  *   tools/run.sh graft.PipelineJob batch    <docsParquet> <outDir>    [minQualityFs] [keying]
+  *   tools/run.sh graft.PipelineJob bucketed <docsParquet> <tableName> [minQualityFs] [keying]
+  *   tools/run.sh graft.PipelineJob training <docsParquet> <outDir>    [minQualityFs] [keying]
   *   tools/run.sh graft.PipelineJob stream   <docsDir>     <outDir>    [minQualityFs] [keying]
   *   tools/run.sh graft.PipelineJob maintain-ivf <batchParquet> <indexName>
   *   tools/run.sh graft.PipelineJob maintain-lsh <batchParquet> <indexName>
@@ -132,6 +132,27 @@ object PipelineJob {
       .start()
     q.awaitTermination()
   }
+
+  /** Resolve a CLI keying argument for the BATCH curation modes:
+    * explicit modes pass through (curateFull validates them), "auto"
+    * runs [[Pipeline.chooseKeyingDecision]] ONCE here and PRINTS the
+    * decision with the mix snapshot it read (mode, doc counts, the
+    * fixed-point share and corpus canonical-loss measures) — the
+    * observability the silent in-operator auto lacked (r20): a
+    * curation job's log now says WHY the corpus keyed the way it did.
+    * Returns the resolved mode so the pipeline itself doesn't rescan.
+    */
+  def resolveKeying(docs: org.apache.spark.sql.DataFrame, keying: String): String =
+    if (keying != "auto") keying
+    else {
+      val d = Pipeline.chooseKeyingDecision(docs).collect()(0)
+      println(s"[pipeline] keying=auto decision: mode=${d.getAs[String]("mode")} " +
+        s"n_docs=${d.getAs[Long]("n_docs")} nonlatin_docs=${d.getAs[Long]("nonlatin_docs")} " +
+        s"docs_share_fs=${d.getAs[Long]("docs_share_fs")} " +
+        s"char_loss_fs=${d.getAs[Long]("char_loss_fs")} " +
+        s"min_routed_share_fs=${d.getAs[Long]("min_routed_share_fs")}")
+      d.getAs[String]("mode")
+    }
 
   /** One job-level index-maintenance step: read the batch, dispatch
     * to the index family's append→maintain loop, report whether the
@@ -328,24 +349,33 @@ object PipelineJob {
       return
     }
 
+    // optional 5th arg on the curation modes: keying
+    // (raw/canonical/routed/auto — auto resolves ONCE up front, with
+    // the decision and its mix snapshot printed; stream resolves from
+    // the seed corpus before the stream starts)
+    val keyingArg = args.lift(4).getOrElse("")
     mode match {
       case "batch" =>
         val docs = spark.read.parquet(in)
-        val curated = Pipeline.curate(docs, minQualityFs = minQ)
+        val curated = Pipeline.curate(docs, minQualityFs = minQ,
+          keying = resolveKeying(docs, keyingArg))
         Sinks.writePartitioned(curated, out, Seq("split", "lang"))
       case "bucketed" =>
-        Pipeline.curateToBucketed(spark.read.parquet(in), out, minQualityFs = minQ)
+        val docs = spark.read.parquet(in)
+        Pipeline.curateToBucketed(docs, out, minQualityFs = minQ,
+          keying = resolveKeying(docs, keyingArg))
       case "training" =>
         // the UNSORTED pieces form: partitionBy discards row order,
         // and the sorted form's range-sampling pass would execute the
         // whole curate/LSH/pack chain twice
+        val docs = spark.read.parquet(in)
         Sinks.writePartitioned(
-          Pipeline.prepareTrainingPieces(spark.read.parquet(in), minQualityFs = minQ),
+          Pipeline.prepareTrainingPieces(docs, minQualityFs = minQ,
+            keying = resolveKeying(docs, keyingArg)),
           out, Seq("split", "source"))
       case "stream" =>
-        // optional 5th arg: keying mode (raw/canonical/routed/auto —
-        // auto resolves from the seed corpus before the stream starts)
-        runStream(spark, in, out, minQ, keying = args.lift(4).getOrElse("raw"))
+        runStream(spark, in, out, minQ,
+          keying = if (keyingArg.isEmpty) "raw" else keyingArg)
     }
 
     // a first stream run can legitimately land zero data files (empty

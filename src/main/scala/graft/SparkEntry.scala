@@ -696,6 +696,19 @@ object SparkEntry {
             concat(col("text"), lit(" v2"))).otherwise(col("text"))))
     }),
     "pipeline_curate" -> ((s, dir) => Pipeline.curate(Tables.documents(s, dir))),
+    // the auto-keying DECISION FRAME (r20): the gate corpus is ASCII,
+    // so a Han suffix is planted on every 5th doc (20% routed share);
+    // two decisions union'd — floor 0 reads routed, floor 2500 reads
+    // canonical — pinning BOTH branches of the exact integer
+    // cross-multiplication and the mix snapshot cross-engine
+    "pipeline_keying_decision" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" 你好")))
+          .otherwise(col("text")))
+      Pipeline.chooseKeyingDecision(planted, 0L)
+        .unionByName(Pipeline.chooseKeyingDecision(planted, 2500L))
+        .orderBy(col("min_routed_share_fs"))
+    }),
     // benchmark decontamination as a FILTER (r18): bench = the same
     // %50 sample text_contamination accounts against; survivors are
     // the docs whose trigram overlap stays <= 20% (verbatim bench
@@ -810,6 +823,7 @@ object SparkEntry {
     "text_repetition" -> Oracles.textRepetition,
     "text_contamination" -> Oracles.textContamination,
     "pipeline_decontaminate" -> Oracles.pipelineDecontaminate,
+    "pipeline_keying_decision" -> Oracles.pipelineKeyingDecision,
     "text_contamination_canon" -> Oracles.textContaminationCanon,
     "text_vocabulary" -> Oracles.textVocabulary,
     "text_vocabulary_ws" -> Oracles.textVocabularyWs,

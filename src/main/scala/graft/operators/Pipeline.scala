@@ -62,15 +62,47 @@ object Pipeline {
     * exact compare the 0 default really does route on a single
     * non-Latin document at any corpus size.
     */
-  def chooseKeying(docs: DataFrame, minRoutedShareFs: Long = 0L): String = {
-    val mix = TextAnalysis.scriptMix(docs).collect()
-    val total = mix.map(_.getAs[Long]("n_docs")).sum
-    val nonNone = mix.filter(_.getAs[String]("script") != "none")
-      .map(_.getAs[Long]("n_docs")).sum
-    if (total == 0L) "canonical"
-    else if (10000L * nonNone > minRoutedShareFs * total) "routed"
-    else "canonical"
-  }
+  def chooseKeying(docs: DataFrame, minRoutedShareFs: Long = 0L): String =
+    chooseKeyingDecision(docs, minRoutedShareFs).collect()(0).getAs[String]("mode")
+
+  /** The auto-keying DECISION FRAME (r20, verdict ask 4 — the rule
+    * previously picked silently): one row carrying the chosen mode
+    * TOGETHER WITH the corpus mix snapshot it read, so a pipeline can
+    * log/audit why a run keyed the way it did —
+    * `(mode, n_docs, nonlatin_docs, docs_share_fs, n_chars,
+    * nonlatin_chars, char_loss_fs, min_routed_share_fs)`:
+    * `nonlatin_docs` = docs carrying ANY routed-class signal (the
+    * non-'none' [[TextAnalysis.scriptMix]] groups), `docs_share_fs`
+    * their floored fixed-point share (display only — the DECISION
+    * compares exactly, 10⁴·nonlatin > floor·total, per the r20
+    * sparse-tail fix), and `char_loss_fs` the corpus-level canonical
+    * LOSS share (what fraction of all characters canonical keying
+    * would strip as signal — the loss-distribution summary a caller
+    * derives a [[curateFull]] `minLossFs` floor from). Same cost as
+    * the bare rule: one scan + the ≤(scripts+1)-row aggregate, here
+    * folded to one row. Empty corpus → canonical with zeroed stats.
+    */
+  def chooseKeyingDecision(docs: DataFrame, minRoutedShareFs: Long = 0L): DataFrame =
+    TextAnalysis.scriptMix(docs)
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(when(col("script") =!= "none", col("n_docs"))), lit(0L))
+          .as("nonlatin_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("nonlatin_chars")), lit(0L)).as("nonlatin_chars"))
+      .select(
+        when(col("n_docs") > 0 &&
+            lit(10000L) * col("nonlatin_docs") > lit(minRoutedShareFs) * col("n_docs"),
+          lit("routed")).otherwise(lit("canonical")).as("mode"),
+        col("n_docs"), col("nonlatin_docs"),
+        when(col("n_docs") > 0,
+          floor(lit(10000.0) * col("nonlatin_docs") / col("n_docs")))
+          .otherwise(lit(0L)).as("docs_share_fs"),
+        col("n_chars"), col("nonlatin_chars"),
+        when(col("n_chars") > 0,
+          floor(lit(10000.0) * col("nonlatin_chars") / col("n_chars")))
+          .otherwise(lit(0L)).as("char_loss_fs"),
+        lit(minRoutedShareFs).as("min_routed_share_fs"))
 
   /** [[curate]] keeping EVERY input column (text included) plus the
     * provenance columns, unordered — the form that lands in a sink
@@ -245,9 +277,11 @@ object Pipeline {
                       minQualityFs: Long = 5000L,
                       lshThresholdFs: Long = 9000L,
                       maxRepetitionFs: Long = 9000L,
-                      salt: String = "graft#"): DataFrame =
+                      salt: String = "graft#",
+                      keying: String = "",
+                      minLossFs: Long = 0L): DataFrame =
     prepareTrainingPieces(docs, binTokens, chunkTokens, strideTokens, groupDocs,
-      minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+      minQualityFs, lshThresholdFs, maxRepetitionFs, salt, keying, minLossFs)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** [[prepareTraining]] WITHOUT the final global sort — the form a
@@ -266,8 +300,11 @@ object Pipeline {
                             minQualityFs: Long = 5000L,
                             lshThresholdFs: Long = 9000L,
                             maxRepetitionFs: Long = 9000L,
-                            salt: String = "graft#"): DataFrame = {
-    val curated = curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt)
+                            salt: String = "graft#",
+                            keying: String = "",
+                            minLossFs: Long = 0L): DataFrame = {
+    val curated = curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt,
+      keying = keying, minLossFs = minLossFs)
     // the UNSORTED chunk form: the packer's window shuffle follows
     // immediately, and a mid-pipeline ORDER BY would re-execute the
     // whole curate/LSH chain for its range-partitioner sampling pass
@@ -298,9 +335,12 @@ object Pipeline {
                        minQualityFs: Long = 5000L,
                        lshThresholdFs: Long = 9000L,
                        maxRepetitionFs: Long = 9000L,
-                       salt: String = "graft#"): Unit =
+                       salt: String = "graft#",
+                       keying: String = "",
+                       minLossFs: Long = 0L): Unit =
     graft.sources.Sinks.writeBucketed(
-      curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt),
+      curateFull(docs, minQualityFs, lshThresholdFs, maxRepetitionFs, salt,
+        keying = keying, minLossFs = minLossFs),
       table, "doc_id", buckets)
 
   /** What one [[ingest]] step did — every count a crawl operator

@@ -736,6 +736,42 @@ test("curateFull canonicalKeys: case-variant dups collapse while survivor text s
     }
   }
 
+  test("chooseKeyingDecision: the mode ships WITH the mix snapshot it read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 docs, 1 carrying Han (9 of its 13 chars non-Latin): the
+    // decision frame must carry the audit trail — doc and char
+    // counts, floored shares — alongside the chosen mode (r20; the
+    // bare rule previously picked silently)
+    val d = Seq(
+      (1L, "abc 你好你好你好你好再"), (2L, "plain one"), (3L, "plain two"), (4L, "plain three"))
+      .toDF("doc_id", "text")
+    val row = Pipeline.chooseKeyingDecision(d).collect()(0)
+    assert(row.getAs[String]("mode") == "routed")
+    assert(row.getAs[Long]("n_docs") == 4L && row.getAs[Long]("nonlatin_docs") == 1L)
+    assert(row.getAs[Long]("docs_share_fs") == 2500L)
+    val nChars = d.select(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(col("text")))).collect()(0).getLong(0)
+    assert(row.getAs[Long]("n_chars") == nChars && row.getAs[Long]("nonlatin_chars") == 9L)
+    assert(row.getAs[Long]("char_loss_fs") ==
+      math.floor(10000.0 * 9 / nChars).toLong)
+    assert(row.getAs[Long]("min_routed_share_fs") == 0L)
+    // the decision IS the rule: chooseKeying delegates, both branches
+    assert(Pipeline.chooseKeying(d) == "routed")
+    assert(Pipeline.chooseKeyingDecision(d, 2500L).collect()(0)
+      .getAs[String]("mode") == "canonical",
+      "the boundary is exclusive: 10^4*1 > 2500*4 is false")
+    // empty corpus: canonical, zeroed stats (no NULL leaks)
+    val empty = Pipeline.chooseKeyingDecision(d.filter(col("doc_id") < 0L)).collect()(0)
+    assert(empty.getAs[String]("mode") == "canonical" && empty.getAs[Long]("n_docs") == 0L
+      && empty.getAs[Long]("char_loss_fs") == 0L)
+    // the CLI resolution helper: auto resolves (and logs) the mode,
+    // explicit modes pass through untouched
+    assert(PipelineJob.resolveKeying(d, "auto") == "routed")
+    assert(PipelineJob.resolveKeying(d, "canonical") == "canonical")
+    assert(PipelineJob.resolveKeying(d, "") == "")
+  }
+
   test("chooseKeying routes on a sparse non-Latin tail (exact compare, no fixed-point floor)") {
     import org.apache.spark.sql.functions._
     // 1 non-Latin doc in 10001: floor(1e4·1/10001) = 0, so the old
