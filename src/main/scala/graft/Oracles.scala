@@ -574,10 +574,12 @@ object Oracles {
   /** The planted multilingual text shared by text_script /
     * text_script_mix — one stripe per named script keyed off doc_id
     * moduli (the gate corpus is ASCII, so every routing case must be
-    * planted), r19 adding kana/Greek/Thai/Hebrew stripes plus a
-    * GEORGIAN stripe that exercises the `n_other` remainder bucket
-    * (Georgian is outside the named ten but inside the routing
-    * class). SparkEntry plants the same expression Spark-side.
+    * planted), r19 adding kana/Greek/Thai/Hebrew stripes, r20 adding
+    * the armenian/bengali/tamil ring (the %12 Georgian stripe is now
+    * a NAMED counter) plus a GUJARATI stripe that takes over
+    * exercising the `n_other` remainder bucket (outside the named
+    * fourteen but inside the routing class). SparkEntry plants the
+    * same expression Spark-side.
     */
   private[graft] val scriptPlantSql: String =
     """repeat('你好 ', CAST(doc_id % 4 AS INT)) || text ||
@@ -590,7 +592,11 @@ object Oracles {
       |  repeat(' γεια2', CAST(doc_id % 9 AS INT)) ||
       |  repeat(' สวัสดี', CAST(doc_id % 10 AS INT)) ||
       |  repeat(' שלום1', CAST(doc_id % 11 AS INT)) ||
-      |  repeat(' ჯა', CAST(doc_id % 12 AS INT))""".stripMargin
+      |  repeat(' ჯა', CAST(doc_id % 12 AS INT)) ||
+      |  repeat(' ગજ2', CAST(doc_id % 13 AS INT)) ||
+      |  repeat(' Հայ3', CAST(doc_id % 14 AS INT)) ||
+      |  repeat(' বাং', CAST(doc_id % 15 AS INT)) ||
+      |  repeat(' தமி', CAST(doc_id % 16 AS INT))""".stripMargin
 
   private def re2ScriptClass(s: String): String = s"\\p{${s.capitalize}}"
 
@@ -1000,15 +1006,17 @@ object Oracles {
     * the planted multilingual corpus): script-majority docs tag KANA
     * FIRST → 'ja' (r19 — kanji-majority Japanese must not read 'zh'),
     * then by the dominant-script argmax (scriptProfile's tie rules,
-    * mapped arabic → ar / cyrillic → ru / devanagari → hi / greek →
-    * el / han → zh / hangul → ko / hebrew → he / thai → th; an
-    * all-'other' majority reads 'unk'); Latin-majority docs
+    * generated from TextFunctions.ScriptLangTags — the same single
+    * source the Spark tagger renders from, r20; an all-'other'
+    * majority reads 'unk'); Latin-majority docs
     * fall through to the textLangid stopword CASE unchanged. The
-    * planted stripes: %12 ∈ {0..10} replace the text with pure
-    * per-script repeats — including kanji+kana Japanese (%12 = 7, the
-    * r18 'zh' mislabel showpiece) — %11 = 3 appends a 3-char Cyrillic
-    * token (minority — must STAY on the stopword path), everything
-    * else is the raw corpus.
+    * planted stripes: %17 ∈ {0..15} replace the text with pure
+    * per-script repeats — including kanji+kana Japanese (%17 = 7, the
+    * r18 'zh' mislabel showpiece), the r20 ring (Armenian/Bengali/
+    * Georgian/Tamil → hy/bn/ka/ta) and a GUJARATI stripe (%17 = 15)
+    * pinning the honest 'unk' beyond the named set — %11 = 3 appends
+    * a 3-char Cyrillic token (minority — must STAY on the stopword
+    * path), everything else is the raw corpus.
     */
   val textLangidScript: String = {
     val langs = TextFunctions.stopwords
@@ -1019,28 +1027,31 @@ object Oracles {
       val ge = langs.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $ge AND s_$l > 0 THEN '$l'"
     }.mkString("\n      ")
-    // the script→family argmax, in script-name alphabetical order
-    // (arabic, cyrillic, devanagari, greek, han, hangul, hebrew,
-    // thai) — kana is handled by its own presence rule above the fold
-    val fam = Seq("arabic" -> "ar", "cyrillic" -> "ru", "devanagari" -> "hi",
-      "greek" -> "el", "han" -> "zh", "hangul" -> "ko", "hebrew" -> "he",
-      "thai" -> "th")
+    // the script→family argmax, generated from the shared tag map
+    // (already script-name alphabetical) — kana is handled by its
+    // own presence rule above the fold
+    val fam = TextFunctions.ScriptLangTags
     val famCases = fam.map { case (s, tag) =>
       val ge = fam.map(_._1).filter(_ != s).map(o => s"n_$s >= n_$o").mkString(" AND ")
       s"WHEN $ge AND n_$s > 0 THEN '$tag'"
     }.mkString("\n             ")
     s"""WITH m AS (SELECT doc_id, lang,
-       |  CASE WHEN doc_id % 12 = 0 THEN repeat('你好', 40)
-       |       WHEN doc_id % 12 = 1 THEN repeat('привет ', 30)
-       |       WHEN doc_id % 12 = 2 THEN repeat('سلام ', 30)
-       |       WHEN doc_id % 12 = 3 THEN repeat('नमस्ते ', 30)
-       |       WHEN doc_id % 12 = 4 THEN repeat('안녕 ', 30)
-       |       WHEN doc_id % 12 = 5 THEN repeat('こんにちは ', 20)
-       |       WHEN doc_id % 12 = 6 THEN repeat('カタカナ ', 20)
-       |       WHEN doc_id % 12 = 7 THEN repeat('日本語の文 ', 20)
-       |       WHEN doc_id % 12 = 8 THEN repeat('γεια σου ', 20)
-       |       WHEN doc_id % 12 = 9 THEN repeat('สวัสดี ', 20)
-       |       WHEN doc_id % 12 = 10 THEN repeat('שלום ', 20)
+       |  CASE WHEN doc_id % 17 = 0 THEN repeat('你好', 40)
+       |       WHEN doc_id % 17 = 1 THEN repeat('привет ', 30)
+       |       WHEN doc_id % 17 = 2 THEN repeat('سلام ', 30)
+       |       WHEN doc_id % 17 = 3 THEN repeat('नमस्ते ', 30)
+       |       WHEN doc_id % 17 = 4 THEN repeat('안녕 ', 30)
+       |       WHEN doc_id % 17 = 5 THEN repeat('こんにちは ', 20)
+       |       WHEN doc_id % 17 = 6 THEN repeat('カタカナ ', 20)
+       |       WHEN doc_id % 17 = 7 THEN repeat('日本語の文 ', 20)
+       |       WHEN doc_id % 17 = 8 THEN repeat('γεια σου ', 20)
+       |       WHEN doc_id % 17 = 9 THEN repeat('สวัสดี ', 20)
+       |       WHEN doc_id % 17 = 10 THEN repeat('שלום ', 20)
+       |       WHEN doc_id % 17 = 11 THEN repeat('Հայերեն ', 20)
+       |       WHEN doc_id % 17 = 12 THEN repeat('বাংলা ', 20)
+       |       WHEN doc_id % 17 = 13 THEN repeat('ქართული ', 20)
+       |       WHEN doc_id % 17 = 14 THEN repeat('தமிழ் ', 20)
+       |       WHEN doc_id % 17 = 15 THEN repeat('ગુજરાતી ', 20)
        |       WHEN doc_id % 11 = 3 THEN text || ' мир'
        |       ELSE text END AS text FROM documents),
        |s AS (SELECT doc_id, lang, string_split(text,' ') AS toks,

@@ -32,9 +32,12 @@ object SparkEntry {
       toDoubleArray(col("embedding")).as("v"))
 
   /** The planted multilingual text for the text_script/_mix keys —
-    * one stripe per named script keyed off doc_id moduli, plus the
-    * Georgian `n_other` stripe; MUST stay expression-identical to
-    * Oracles.scriptPlantSql (same stripes, same moduli, same order).
+    * one stripe per named script keyed off doc_id moduli (the %12
+    * Georgian stripe became a NAMED counter in r20; the %13 Gujarati
+    * stripe takes over exercising the `n_other` remainder, and
+    * %14–%16 plant the other r20 ring: armenian/bengali/tamil); MUST
+    * stay expression-identical to Oracles.scriptPlantSql (same
+    * stripes, same moduli, same order).
     */
   private def scriptPlant: org.apache.spark.sql.Column =
     concat(expr("repeat('你好 ', CAST(doc_id % 4 AS INT))"), col("text"),
@@ -47,7 +50,11 @@ object SparkEntry {
       expr("repeat(' γεια2', CAST(doc_id % 9 AS INT))"),
       expr("repeat(' สวัสดี', CAST(doc_id % 10 AS INT))"),
       expr("repeat(' שלום1', CAST(doc_id % 11 AS INT))"),
-      expr("repeat(' ჯა', CAST(doc_id % 12 AS INT))"))
+      expr("repeat(' ჯა', CAST(doc_id % 12 AS INT))"),
+      expr("repeat(' ગજ2', CAST(doc_id % 13 AS INT))"),
+      expr("repeat(' Հայ3', CAST(doc_id % 14 AS INT))"),
+      expr("repeat(' বাং', CAST(doc_id % 15 AS INT))"),
+      expr("repeat(' தமி', CAST(doc_id % 16 AS INT))"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B-suite: relational core ----
@@ -371,25 +378,32 @@ object SparkEntry {
       Tables.documents(s, dir).withColumn("text", scriptPlant))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langIdPredictions(Tables.documents(s, dir))),
-    // script-aware language ID (r18, extended r19): script-majority
-    // docs planted from doc_id (text_script convention) tag kana
-    // FIRST → ja (the %12=7 kanji+kana stripe is the r18 'zh'
-    // mislabel showpiece), then by dominant script
-    // (zh/ru/ar/hi/ko/el/th/he); a minority-cyrillic suffix on the
+    // script-aware language ID (r18, extended r19 + r20):
+    // script-majority docs planted from doc_id (text_script
+    // convention) tag kana FIRST → ja (the %17=7 kanji+kana stripe is
+    // the r18 'zh' mislabel showpiece), then by dominant script via
+    // the ScriptLangTags argmax (zh/ru/ar/hi/ko/el/th/he + the r20
+    // ring hy/bn/ka/ta); the %17=15 GUJARATI stripe pins the honest
+    // 'unk' beyond the named set; a minority-cyrillic suffix on the
     // %11 stripe must NOT flip its doc off the stopword path
     "text_langid_script" -> ((s, dir) => TextAnalysis.langIdScriptPredictions(
       Tables.documents(s, dir).withColumn("text",
-        when(col("doc_id") % 12 === 0, expr("repeat('你好', 40)"))
-          .when(col("doc_id") % 12 === 1, expr("repeat('привет ', 30)"))
-          .when(col("doc_id") % 12 === 2, expr("repeat('سلام ', 30)"))
-          .when(col("doc_id") % 12 === 3, expr("repeat('नमस्ते ', 30)"))
-          .when(col("doc_id") % 12 === 4, expr("repeat('안녕 ', 30)"))
-          .when(col("doc_id") % 12 === 5, expr("repeat('こんにちは ', 20)"))
-          .when(col("doc_id") % 12 === 6, expr("repeat('カタカナ ', 20)"))
-          .when(col("doc_id") % 12 === 7, expr("repeat('日本語の文 ', 20)"))
-          .when(col("doc_id") % 12 === 8, expr("repeat('γεια σου ', 20)"))
-          .when(col("doc_id") % 12 === 9, expr("repeat('สวัสดี ', 20)"))
-          .when(col("doc_id") % 12 === 10, expr("repeat('שלום ', 20)"))
+        when(col("doc_id") % 17 === 0, expr("repeat('你好', 40)"))
+          .when(col("doc_id") % 17 === 1, expr("repeat('привет ', 30)"))
+          .when(col("doc_id") % 17 === 2, expr("repeat('سلام ', 30)"))
+          .when(col("doc_id") % 17 === 3, expr("repeat('नमस्ते ', 30)"))
+          .when(col("doc_id") % 17 === 4, expr("repeat('안녕 ', 30)"))
+          .when(col("doc_id") % 17 === 5, expr("repeat('こんにちは ', 20)"))
+          .when(col("doc_id") % 17 === 6, expr("repeat('カタカナ ', 20)"))
+          .when(col("doc_id") % 17 === 7, expr("repeat('日本語の文 ', 20)"))
+          .when(col("doc_id") % 17 === 8, expr("repeat('γεια σου ', 20)"))
+          .when(col("doc_id") % 17 === 9, expr("repeat('สวัสดี ', 20)"))
+          .when(col("doc_id") % 17 === 10, expr("repeat('שלום ', 20)"))
+          .when(col("doc_id") % 17 === 11, expr("repeat('Հայերեն ', 20)"))
+          .when(col("doc_id") % 17 === 12, expr("repeat('বাংলা ', 20)"))
+          .when(col("doc_id") % 17 === 13, expr("repeat('ქართული ', 20)"))
+          .when(col("doc_id") % 17 === 14, expr("repeat('தமிழ் ', 20)"))
+          .when(col("doc_id") % 17 === 15, expr("repeat('ગુજરાતી ', 20)"))
           .when(col("doc_id") % 11 === 3, concat(col("text"), lit(" мир")))
           .otherwise(col("text"))))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),

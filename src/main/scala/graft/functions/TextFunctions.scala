@@ -112,8 +112,8 @@ object TextFunctions {
     * (r19 — through r18 it named five scripts and a kana/Greek/Thai/
     * Hebrew document slipped through to canonical keying, falsely
     * merging pairs that differ only in that content): any script with
-    * actual content signal — the ten [[scriptCounts]] names and every
-    * script beyond them (Armenian, Georgian, Tamil, …) — routes raw.
+    * actual content signal — the [[scriptCounts]] names and every
+    * script beyond them (Gujarati, Sinhala, Khmer, …) — routes raw.
     * What deliberately does NOT route: accented Latin (é is script
     * Latin — case/accent collapse is the POINT of canonical keying),
     * digits/punctuation/emoji (script Common) and combining marks on
@@ -260,19 +260,40 @@ object TextFunctions {
   /** Count of regex-token matches (BPE-ish alnum runs). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 
-  /** The ten NAMED scripts the per-script counters track, in the
+  /** The fourteen NAMED scripts the per-script counters track, in the
     * alphabetical order every dominant-script argmax ties break in —
     * the single source of truth [[scriptCounts]], [[graft.operators
     * .TextAnalysis.scriptProfile]]/[[graft.operators.TextAnalysis
-    * .scriptMix]]'s argmax, and the oracle generators all derive
-    * from. The ROUTING class is broader ([[hasNonLatinScript]]'s
-    * inverted class — every script routes); these are the
-    * high-volume ones worth a dedicated counter, and everything
-    * beyond them lands in `n_other`.
+    * .scriptMix]]'s argmax, [[ScriptLangTags]], and the oracle
+    * generators all derive from. The ROUTING class is broader
+    * ([[hasNonLatinScript]]'s inverted class — every script routes);
+    * these are the high-volume ones worth a dedicated counter, and
+    * everything beyond them lands in `n_other`. r20 extends the tier
+    * one ring out (armenian/bengali/georgian/tamil — the
+    * highest-volume scripts that landed in 'other' through r19;
+    * labeling honesty, not correctness: the inverted class already
+    * routed them).
     */
   val NamedScripts: Seq[String] = Seq(
-    "arabic", "cyrillic", "devanagari", "greek", "han",
-    "hangul", "hebrew", "hiragana", "katakana", "thai")
+    "arabic", "armenian", "bengali", "cyrillic", "devanagari",
+    "georgian", "greek", "han", "hangul", "hebrew",
+    "hiragana", "katakana", "tamil", "thai")
+
+  /** script → ISO-639 tag for the script-majority language-ID tier
+    * ([[graft.operators.TextAnalysis.langIdScriptPredictions]] and
+    * its oracle twin both generate their argmax CASE from this, in
+    * this script-name-alphabetical order — the r19 single-source
+    * rule, extended to the tag map in r20): every [[NamedScripts]]
+    * entry except the kana pair, which the tagger handles with its
+    * own presence rule (kana → 'ja' BEFORE any argmax — kana occurs
+    * in no other living orthography, while kanji-majority Japanese
+    * would argmax to 'zh').
+    */
+  val ScriptLangTags: Seq[(String, String)] = Seq(
+    "arabic" -> "ar", "armenian" -> "hy", "bengali" -> "bn",
+    "cyrillic" -> "ru", "devanagari" -> "hi", "georgian" -> "ka",
+    "greek" -> "el", "han" -> "zh", "hangul" -> "ko",
+    "hebrew" -> "he", "tamil" -> "ta", "thai" -> "th")
 
   private def javaScriptClass(script: String) =
     s"\\p{Is${script.capitalize}}"
@@ -289,11 +310,12 @@ object TextFunctions {
     * counts in neither; digits are Common too, counted separately).
     *
     * Fields: `n_latin`, one `n_<script>` per [[NamedScripts]] entry
-    * (r19 adds greek/hebrew/hiragana/katakana/thai), `n_other` =
-    * characters [[hasNonLatinScript]]'s inverted class matches MINUS
-    * the named-script sum (Armenian, Georgian, Tamil, … — counted so
+    * (r19 added greek/hebrew/hiragana/katakana/thai, r20 adds
+    * armenian/bengali/georgian/tamil), `n_other` = characters
+    * [[hasNonLatinScript]]'s inverted class matches MINUS the
+    * named-script sum (Gujarati, Sinhala, Khmer, … — counted so
     * the canonical-loss meter sees EVERY script the router protects,
-    * not just the named ten; pure arithmetic, because RE2 has no
+    * not just the named set; pure arithmetic, because RE2 has no
     * class-subtraction syntax to express it directly), and `n_digit`.
     */
   def scriptCounts(text: Column): Column = {

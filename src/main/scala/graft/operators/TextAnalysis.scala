@@ -95,11 +95,12 @@ object TextAnalysis {
   /** The dominant-non-Latin-script argmax over a [[graft.functions
     * .TextFunctions.scriptCounts]] struct column — alphabetical
     * first-wins tie-break over [[graft.functions.TextFunctions
-    * .NamedScripts]] ∪ 'other' (arabic < cyrillic < devanagari <
-    * greek < han < hangul < hebrew < hiragana < katakana < other <
-    * thai), 'none' when no non-Latin signal. The deterministic CASE
-    * both engines evaluate identically; shared by [[scriptProfile]]
-    * and [[scriptMix]].
+    * .NamedScripts]] ∪ 'other' (arabic < armenian < bengali <
+    * cyrillic < devanagari < georgian < greek < han < hangul <
+    * hebrew < hiragana < katakana < other < tamil < thai), 'none'
+    * when no non-Latin signal. The deterministic CASE both engines
+    * evaluate identically; shared by [[scriptProfile]] and
+    * [[scriptMix]].
     */
   private def dominantScript(tags: Seq[(String, Column)]): Column =
     tags.foldLeft(when(lit(false), lit("none"))) {
@@ -108,16 +109,16 @@ object TextAnalysis {
           lit(name))
     }.otherwise(lit("none"))
 
-  /** The argmax domain, in tie-break (alphabetical) order: the ten
-    * named scripts plus the 'other' remainder bucket — 'other' sorts
-    * between katakana and thai.
+  /** The argmax domain, in tie-break (alphabetical) order: the named
+    * scripts plus the 'other' remainder bucket — 'other' sorts
+    * between katakana and tamil.
     */
   private def scriptTags: Seq[(String, Column)] =
     (graft.functions.TextFunctions.NamedScripts :+ "other")
       .sorted.map(s => s -> col(s"sc.n_$s"))
 
   /** The canonical-loss numerator: every character the router
-    * protects — the ten named scripts plus the 'other' remainder
+    * protects — the named scripts plus the 'other' remainder
     * (together = [[graft.functions.TextFunctions.hasNonLatinScript]]'s
     * inverted-class count).
     */
@@ -347,12 +348,14 @@ object TextAnalysis {
     *     kanji-majority Japanese doc 'zh' and kana-only docs fell to
     *     the stopword path → 'unk').
     *  2. Otherwise the dominant-script argmax, alphabetical-first tie
-    *     rule as [[scriptProfile]] pins: arabic → 'ar', cyrillic →
-    *     'ru', devanagari → 'hi', greek → 'el', han → 'zh', hangul →
-    *     'ko', hebrew → 'he', thai → 'th'. A doc whose non-Latin
-    *     majority is all 'other' scripts (Armenian, Georgian, …)
-    *     matches no branch and reads 'unk' — honest, the named tiers
-    *     are the coverage.
+    *     rule as [[scriptProfile]] pins, generated from
+    *     [[graft.functions.TextFunctions.ScriptLangTags]] (the single
+    *     source both this argmax and the oracle twin render from —
+    *     r20; every named script except the kana pair maps to its
+    *     family tag: ar/hy/bn/ru/hi/ka/el/zh/ko/he/ta/th). A doc whose
+    *     non-Latin majority is all 'other' scripts (Gujarati,
+    *     Sinhala, …) matches no branch and reads 'unk' — honest, the
+    *     named tiers are the coverage.
     *
     * Latin-majority documents (including mixed docs with minority
     * non-Latin content) fall through to the stopword argmax
@@ -365,12 +368,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         when(nonLatinSum > col("sc.n_latin"), {
           // kana first, then the alphabetical-first argmax mapped to
-          // the family tag (script-name order = arabic, cyrillic,
-          // devanagari, greek, han, hangul, hebrew, thai)
-          val all = Seq("ar" -> col("sc.n_arabic"), "ru" -> col("sc.n_cyrillic"),
-            "hi" -> col("sc.n_devanagari"), "el" -> col("sc.n_greek"),
-            "zh" -> col("sc.n_han"), "ko" -> col("sc.n_hangul"),
-            "he" -> col("sc.n_hebrew"), "th" -> col("sc.n_thai"))
+          // the family tag — generated from ScriptLangTags (already
+          // in script-name alphabetical order), so extending the
+          // named tier extends the tagger mechanically
+          val all = graft.functions.TextFunctions.ScriptLangTags
+            .map { case (script, tag) => tag -> col(s"sc.n_$script") }
           val argmax = all.foldLeft(when(lit(false), lit("none"))) {
             case (acc, (tag, c)) =>
               acc.when(all.filter(_._1 != tag).map(o => c >= o._2).reduce(_ && _) && c > 0,

@@ -66,7 +66,11 @@ class TextAnalysisSpec extends SparkSpec {
       (10L, "γεια x"),            // 4 greek over 6 chars -> loss 6666
       (11L, "สวัสดี"),             // 6 thai over 6 chars -> loss 10000
       (12L, "שלום y2"),           // 4 hebrew over 7 chars -> loss 5714
-      (13L, "ქართული x"))         // 7 GEORGIAN -> n_other (outside the named ten)
+      (13L, "ქართული x"),         // 7 georgian (NAMED since r20) -> loss 7777
+      (14L, "Հայերեն x"),          // 7 armenian over 9 -> loss 7777
+      (15L, "বাংলা ab"),            // 5 bengali over 8 -> loss 6250
+      (16L, "தமிழ் y"),             // 5 tamil over 7 -> loss 7142
+      (17L, "ગુજરાતી z"))           // 7 GUJARATI -> n_other (outside the named fourteen)
       .toDF("doc_id", "text")
     val got = TextAnalysis.scriptProfile(d).collect().map(r =>
       r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_han"),
@@ -91,11 +95,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wide(10L) == ((0L, 0L, 4L, 0L, 0L, 0L, "greek", 6666L)), s"got ${wide(10L)}")
     assert(wide(11L) == ((0L, 0L, 0L, 6L, 0L, 0L, "thai", 10000L)), s"got ${wide(11L)}")
     assert(wide(12L) == ((0L, 0L, 0L, 0L, 4L, 0L, "hebrew", 5714L)), s"got ${wide(12L)}")
-    // Georgian: every named counter 0, the remainder bucket carries
-    // it and the loss meter still sees it — the router
-    // (hasNonLatinScript's inverted class) and the meter agree on
-    // EVERY script, named or not
-    assert(wide(13L) == ((0L, 0L, 0L, 0L, 0L, 7L, "other", 7777L)), s"got ${wide(13L)}")
+    // the r20 ring via its named columns (georgian was 'other'
+    // through r19), plus Gujarati exercising the remainder bucket:
+    // every named counter 0, n_other carries it, and the loss meter
+    // still sees it — the router (hasNonLatinScript's inverted class)
+    // and the meter agree on EVERY script, named or not
+    val r20 = TextAnalysis.scriptProfile(d).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_armenian"), r.getAs[Long]("n_bengali"),
+        r.getAs[Long]("n_georgian"), r.getAs[Long]("n_tamil"), r.getAs[Long]("n_other"),
+        r.getAs[String]("nonlatin_script"), r.getAs[Long]("canon_loss_fs")))).toMap
+    assert(r20(13L) == ((0L, 0L, 7L, 0L, 0L, "georgian", 7777L)), s"got ${r20(13L)}")
+    assert(r20(14L) == ((7L, 0L, 0L, 0L, 0L, "armenian", 7777L)), s"got ${r20(14L)}")
+    assert(r20(15L) == ((0L, 5L, 0L, 0L, 0L, "bengali", 6250L)), s"got ${r20(15L)}")
+    assert(r20(16L) == ((0L, 0L, 0L, 5L, 0L, "tamil", 7142L)), s"got ${r20(16L)}")
+    assert(r20(17L) == ((0L, 0L, 0L, 0L, 7L, "other", 7777L)), s"got ${r20(17L)}")
+    // the langid tag map stays in lockstep with the named tier: every
+    // named script except the kana pair carries a tag, in order
+    assert(graft.functions.TextFunctions.ScriptLangTags.map(_._1) ==
+      graft.functions.TextFunctions.NamedScripts
+        .filterNot(Set("hiragana", "katakana")),
+      "ScriptLangTags must cover NamedScripts minus kana, in argmax order")
     // the router composition: only loss-free docs opt into canonical
     // keying; the rest stay raw — no doc ever reaches the md5("") path
     val safeIds = TextAnalysis.scriptProfile(d).filter(col("canon_loss_fs") === 0L)
@@ -142,16 +161,25 @@ class TextAnalysisSpec extends SparkSpec {
       (13L, "γεια σου κόσμε", "el"), // greek-majority -> el
       (14L, "สวัสดี ชาวโลก", "th"),   // thai-majority -> th
       (15L, "שלום עולם", "he"),      // hebrew-majority -> he
-      // non-Latin majority entirely OUTSIDE the named ten (Georgian):
-      // no family tag fires -> honest 'unk', not a false 'zh'
-      (16L, "ქართული ენა", "ka"))
+      // the r20 ring: scripts that read 'unk' through r19 now carry
+      // their family tags (the router protected them all along —
+      // labeling honesty, not correctness)
+      (16L, "ქართული ენა", "ka"),
+      (17L, "Հայերեն լեզու", "hy"),
+      (18L, "বাংলা ভাষা", "bn"),
+      (19L, "தமிழ் மொழி", "ta"),
+      // non-Latin majority entirely OUTSIDE the named fourteen
+      // (Gujarati): no family tag fires -> honest 'unk', never a
+      // false neighbor-script tag
+      (20L, "ગુજરાતી ભાષા", "gu"))
       .toDF("doc_id", "text", "lang")
     val got = TextAnalysis.langIdScriptPredictions(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "ru", 4L -> "ar",
       5L -> "en", 6L -> "ru", 7L -> "zh", 8L -> "hi", 9L -> "ko",
       10L -> "ja", 11L -> "ja", 12L -> "ja", 13L -> "el", 14L -> "th",
-      15L -> "he", 16L -> "unk"), s"got $got")
+      15L -> "he", 16L -> "ka", 17L -> "hy", 18L -> "bn", 19L -> "ta",
+      20L -> "unk"), s"got $got")
     // the plain heuristic reads every script-majority doc 'unk' —
     // the differential the script route exists to close
     val plain = TextAnalysis.langIdPredictions(d.select(col("doc_id"), col("text"), col("lang")))
