@@ -966,9 +966,9 @@ object Dedup {
   def ngramLshAgainst(incoming0: DataFrame, reference0: DataFrame, n: Int = 2,
                       perms: Int = 32, bands: Int = 8,
                       thresholdFs: Long = 9000L, canonical: Boolean = false,
-                      routed: Boolean = false): DataFrame = {
-    val incoming = TextAnalysis.maybeKeyed(incoming0, canonical, routed)
-    val reference = TextAnalysis.maybeKeyed(reference0, canonical, routed)
+                      routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val incoming = TextAnalysis.maybeKeyed(incoming0, canonical, routed, minLossFs)
+    val reference = TextAnalysis.maybeKeyed(reference0, canonical, routed, minLossFs)
     val rowsPerBand = perms / bands
     def shingled(df: DataFrame): DataFrame = {
       val grams = array_distinct(wordNgrams(tokens(col("text")), n))
@@ -1038,13 +1038,14 @@ object Dedup {
     */
   def writeNgramLshIndex(reference: DataFrame, name: String, n: Int = 2, perms: Int = 32,
                          bands: Int = 8, buckets: Int = 32, salt: Int = 8,
-                         canonical: Boolean = false, routed: Boolean = false): Unit = {
+                         canonical: Boolean = false, routed: Boolean = false,
+                         minLossFs: Long = 0L): Unit = {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     // persist: feeds the band explode and the grams projection
-    val shingled = Par.spread(TextAnalysis.maybeKeyed(reference, canonical, routed))
+    val shingled = Par.spread(TextAnalysis.maybeKeyed(reference, canonical, routed, minLossFs))
       .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
@@ -1059,8 +1060,8 @@ object Dedup {
       Seq("doc_id"), buckets, org.apache.spark.sql.SaveMode.Overwrite)
     shingled.unpersist(false)
     import spark.implicits._
-    Seq((n, perms, bands, buckets, salt, canonical, routed))
-      .toDF("n", "perms", "bands", "buckets", "salt", "canon", "routed")
+    Seq((n, perms, bands, buckets, salt, canonical, routed, minLossFs))
+      .toDF("n", "perms", "bands", "buckets", "salt", "canon", "routed", "min_loss_fs")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_meta")
   }
@@ -1081,17 +1082,20 @@ object Dedup {
       m.getAs[Int]("buckets"), m.getAs[Int]("salt"))
   }
 
-  /** Whether the index grams canonically ([[writeNgramLshIndex]]'s
-    * `canonical`) — an INDEX property like the span index's: append
-    * and against must shingle in the stored key domain or nothing
-    * matches. Pre-canonical metas (no `canon` column) decode raw.
+  /** The index's keying (canonical / routed / routed loss floor,
+    * [[writeNgramLshIndex]]'s flags) — INDEX properties like the span
+    * index's: append and against must shingle in the stored key
+    * domain or nothing matches. Legacy metas decode to what they
+    * stored (pre-canonical → raw, pre-routed → their canon flag,
+    * pre-floor → floor 0, r20).
     */
   private def indexKeying(spark: org.apache.spark.sql.SparkSession,
-                          name: String): (Boolean, Boolean) = {
+                          name: String): (Boolean, Boolean, Long) = {
     val df = spark.table(s"${name}_meta")
     val row = df.collect()(0)
     (df.columns.contains("canon") && row.getAs[Boolean]("canon"),
-      df.columns.contains("routed") && row.getAs[Boolean]("routed"))
+      df.columns.contains("routed") && row.getAs[Boolean]("routed"),
+      if (df.columns.contains("min_loss_fs")) row.getAs[Long]("min_loss_fs") else 0L)
   }
 
   /** Rewrite the index's bucketed tables in place, merging the
@@ -1170,8 +1174,8 @@ object Dedup {
     // rows (duplicated rows inflate every later candidate set). The
     // anti-join probes the doc_id-BUCKETED grams table — stored side
     // shuffle-free by layout, cost ∝ |newDocs|, never index size.
-    val (kc, kr) = indexKeying(spark, name)
-    val fresh = Par.spread(TextAnalysis.maybeKeyed(newDocs, kc, kr))
+    val (kc, kr, kf) = indexKeying(spark, name)
+    val fresh = Par.spread(TextAnalysis.maybeKeyed(newDocs, kc, kr, kf))
       .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
     val shingled = fresh.select(col("doc_id"), grams.as("grams"))
@@ -1249,8 +1253,8 @@ object Dedup {
     val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
     val grams = array_distinct(wordNgrams(tokens(col("text")), n))
-    val (kc, kr) = indexKeying(spark, name)
-    val si = Par.spread(TextAnalysis.maybeKeyed(incoming, kc, kr))
+    val (kc, kr, kf) = indexKeying(spark, name)
+    val si = Par.spread(TextAnalysis.maybeKeyed(incoming, kc, kr, kf))
       .select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))

@@ -52,16 +52,21 @@ object ExactIndex {
     * the raw digest) when the caller/index opted in — the
     * normalize-then-hash posture shared with [[Dedup.exact]].
     */
-  private def digest(textCol: String, canonical: Boolean, routed: Boolean = false) =
-    md5(if (routed) graft.functions.TextFunctions.routedKey(col(textCol))
+  private def digest(textCol: String, canonical: Boolean, routed: Boolean = false,
+                     minLossFs: Long = 0L) =
+    md5(if (routed) graft.functions.TextFunctions.routedKey(col(textCol), minLossFs)
         else if (canonical) graft.functions.TextFunctions.canonicalKey(col(textCol))
         else col(textCol))
 
   def flagKnown(batch: DataFrame, reference: DataFrame,
                 expectedItems: Long = 0L, fpp: Double = 0.03,
                 textCol: String = "text", idCol: String = "doc_id",
-                canonical: Boolean = false, routed: Boolean = false): DataFrame = {
-    val refDigests = reference.select(digest(textCol, canonical, routed).as("h")).distinct()
+                canonical: Boolean = false, routed: Boolean = false,
+                minLossFs: Long = 0L): DataFrame = {
+    require(minLossFs == 0L || routed,
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs)")
+    val refDigests =
+      reference.select(digest(textCol, canonical, routed, minLossFs).as("h")).distinct()
     val n = if (expectedItems > 0) expectedItems
       else math.max(1000L, refDigests.count())
     // one-shot form: an unmanaged per-call broadcast is fine (the
@@ -70,7 +75,8 @@ object ExactIndex {
     // [[BloomBroadcastCache]]
     val bloom = batch.sparkSession.sparkContext.broadcast(buildBloom(refDigests, n, fpp))
     classify(batch.sparkSession,
-      batch.select(col(idCol).as("doc_id"), digest(textCol, canonical, routed).as("h")),
+      batch.select(col(idCol).as("doc_id"),
+        digest(textCol, canonical, routed, minLossFs).as("h")),
       refDigests, bloom)
   }
 
@@ -120,36 +126,40 @@ object ExactIndex {
   def write(docs: DataFrame, name: String, buckets: Int = 64,
             expectedItems: Long = 0L, fpp: Double = 0.03,
             textCol: String = "text", canonical: Boolean = false,
-            routed: Boolean = false): Unit = {
+            routed: Boolean = false, minLossFs: Long = 0L): Unit = {
+    require(minLossFs == 0L || routed,
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs)")
     val spark = docs.sparkSession
     import graft.sources.Sinks
-    val digests = docs.select(digest(textCol, canonical, routed).as("h")).distinct()
+    val digests = docs.select(digest(textCol, canonical, routed, minLossFs).as("h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = digests.count()
     val n = if (expectedItems > 0) expectedItems else math.max(1000L, nItems * 4)
     Sinks.writeBucketed(digests, s"${name}_digests", "h", buckets)
     writeBloomAndMeta(spark, name, buildBloom(digests, n, fpp), n, fpp, nItems, buckets,
-      canonical, routed)
+      canonical, routed, minLossFs)
     digests.unpersist()
   }
 
   private def writeBloomAndMeta(spark: SparkSession, name: String, bloom: Array[Byte],
                                 expectedItems: Long, fpp: Double, nItems: Long,
                                 buckets: Int, canonical: Boolean,
-                                routed: Boolean): Unit = {
+                                routed: Boolean, minLossFs: Long): Unit = {
     import spark.implicits._
-    Seq((bloom, expectedItems, fpp, nItems, buckets, canonical, routed))
-      .toDF("bloom", "expected_items", "fpp", "n_items", "buckets", "canon", "routed")
+    Seq((bloom, expectedItems, fpp, nItems, buckets, canonical, routed, minLossFs))
+      .toDF("bloom", "expected_items", "fpp", "n_items", "buckets", "canon", "routed",
+        "min_loss_fs")
       .coalesce(1).write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_bloom")
   }
 
-  // the canon/routed flags are INDEX properties (the span/LSH-index
-  // rule: probes and appends must digest in the stored key domain or
-  // nothing matches); pre-canonical metas decode raw, pre-routed
-  // metas decode to their canon flag
+  // the canon/routed/floor flags are INDEX properties (the
+  // span/LSH-index rule: probes and appends must digest in the stored
+  // key domain or nothing matches); legacy metas decode to what they
+  // stored — pre-canonical raw, pre-routed their canon flag,
+  // pre-floor (r20) floor 0
   private def readBloomMeta(spark: SparkSession, name: String)
-  : (Array[Byte], Long, Double, Long, Int, Boolean, Boolean) = {
+  : (Array[Byte], Long, Double, Long, Int, Boolean, Boolean, Long) = {
     val df = spark.table(s"${name}_bloom")
     val rows = df.collect()
     require(rows.length == 1, s"${name}_bloom must hold exactly one row, got ${rows.length}")
@@ -157,7 +167,8 @@ object ExactIndex {
     (r.getAs[Array[Byte]]("bloom"), r.getAs[Long]("expected_items"),
       r.getAs[Double]("fpp"), r.getAs[Long]("n_items"), r.getAs[Int]("buckets"),
       df.columns.contains("canon") && r.getAs[Boolean]("canon"),
-      df.columns.contains("routed") && r.getAs[Boolean]("routed"))
+      df.columns.contains("routed") && r.getAs[Boolean]("routed"),
+      if (df.columns.contains("min_loss_fs")) r.getAs[Long]("min_loss_fs") else 0L)
   }
 
   /** Classify a batch against the STORED index: same exact semantics
@@ -176,9 +187,9 @@ object ExactIndex {
     // flagKnownStream spec, where foreachBatch clones the session.
     spark.catalog.refreshTable(s"${name}_bloom")
     spark.catalog.refreshTable(s"${name}_digests")
-    val (_, _, _, _, _, canon, routed) = readBloomMeta(spark, name)
+    val (_, _, _, _, _, canon, routed, floor) = readBloomMeta(spark, name)
     classify(spark,
-      batch.select(col(idCol).as("doc_id"), digest(textCol, canon, routed).as("h")),
+      batch.select(col(idCol).as("doc_id"), digest(textCol, canon, routed, floor).as("h")),
       spark.table(s"${name}_digests"), BloomBroadcastCache.bloomFor(spark, name))
   }
 
@@ -191,9 +202,9 @@ object ExactIndex {
     */
   def append(docs: DataFrame, name: String, textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val (bloomBytes, expectedItems, fpp, nItems, buckets, canon, routed) =
+    val (bloomBytes, expectedItems, fpp, nItems, buckets, canon, routed, floor) =
       readBloomMeta(spark, name)
-    val fresh = docs.select(digest(textCol, canon, routed).as("h")).distinct()
+    val fresh = docs.select(digest(textCol, canon, routed, floor).as("h")).distinct()
       .join(spark.table(s"${name}_digests"), Seq("h"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNew = fresh.count()
@@ -214,7 +225,7 @@ object ExactIndex {
       val bos = new java.io.ByteArrayOutputStream()
       stored.writeTo(bos)
       writeBloomAndMeta(spark, name, bos.toByteArray, expectedItems, fpp,
-        nItems + nNew, buckets, canon, routed)
+        nItems + nNew, buckets, canon, routed, floor)
     }
     fresh.unpersist()
   }

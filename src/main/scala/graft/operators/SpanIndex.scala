@@ -51,8 +51,8 @@ object SpanIndex {
     * was written that way).
     */
   private def gramSet(docs: DataFrame, n: Int, canonical: Boolean,
-                      routed: Boolean = false): DataFrame =
-    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed), n)
+                      routed: Boolean = false, minLossFs: Long = 0L): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed, minLossFs), n)
       .select(col("gram_md5")).distinct()
 
   /** Per-doc distinct gram arrays — the `<name>_spandocs` companion
@@ -61,8 +61,8 @@ object SpanIndex {
     * must not remove what a later contributor still holds.
     */
   private def docGrams(docs: DataFrame, n: Int, canonical: Boolean,
-                       routed: Boolean = false): DataFrame =
-    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed), n)
+                       routed: Boolean = false, minLossFs: Long = 0L): DataFrame =
+    TextAnalysis.gramFrame(TextAnalysis.maybeKeyed(docs, canonical, routed, minLossFs), n)
       .groupBy(col("doc_id")).agg(collect_set(col("gram_md5")).as("grams"))
 
   /** Create/replace the index from a seed corpus (possibly empty — a
@@ -76,26 +76,32 @@ object SpanIndex {
     */
   def writeIndex(spark: SparkSession, name: String, docs: DataFrame,
                  n: Int = 8, buckets: Int = 16, canonical: Boolean = false,
-                 routed: Boolean = false): Unit = {
+                 routed: Boolean = false, minLossFs: Long = 0L): Unit = {
     require(n >= 2, s"need gram size ≥ 2, got $n")
-    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical, routed),
+    require(minLossFs == 0L || routed,
+      s"minLossFs applies only to routed keying (got minLossFs = $minLossFs)")
+    graft.sources.Sinks.replaceBucketed(spark, gramSet(docs, n, canonical, routed, minLossFs),
       s"${name}_grams", Seq("gram_md5"), buckets)
-    graft.sources.Sinks.replaceBucketed(spark, docGrams(docs, n, canonical, routed),
+    graft.sources.Sinks.replaceBucketed(spark, docGrams(docs, n, canonical, routed, minLossFs),
       s"${name}_spandocs", Seq("doc_id"), buckets)
     import spark.implicits._
-    Seq((n, buckets, canonical, routed)).toDF("gram_n", "buckets", "canon", "routed")
+    Seq((n, buckets, canonical, routed, minLossFs))
+      .toDF("gram_n", "buckets", "canon", "routed", "min_loss_fs")
       .write.mode("overwrite").saveAsTable(s"${name}_spanmeta")
   }
 
-  private def meta(spark: SparkSession, name: String): (Int, Int, Boolean, Boolean) = {
+  private def meta(spark: SparkSession, name: String): (Int, Int, Boolean, Boolean, Long) = {
     val df = spark.table(s"${name}_spanmeta")
     val rows = df.collect()
     require(rows.length == 1, s"span index $name: corrupt meta (${rows.length} rows)")
     // legacy metas decode to what they stored: pre-canonical as
-    // raw-keyed, pre-routed to their canon flag
+    // raw-keyed, pre-routed to their canon flag, pre-floor (r20) to
+    // floor 0
     val canon = df.columns.contains("canon") && rows(0).getAs[Boolean]("canon")
     val routed = df.columns.contains("routed") && rows(0).getAs[Boolean]("routed")
-    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon, routed)
+    val floor =
+      if (df.columns.contains("min_loss_fs")) rows(0).getAs[Long]("min_loss_fs") else 0L
+    (rows(0).getAs[Int]("gram_n"), rows(0).getAs[Int]("buckets"), canon, routed, floor)
   }
 
   private def refresh(spark: SparkSession, name: String): Unit = {
@@ -129,16 +135,17 @@ object SpanIndex {
     */
   def appendToIndex(spark: SparkSession, name: String, batch: DataFrame): Unit = {
     refresh(spark, name)
-    val (n, buckets, canon, routed) = meta(spark, name)
+    val (n, buckets, canon, routed, floor) = meta(spark, name)
     if (!spark.catalog.tableExists(s"${name}_spandocs"))
-      graft.sources.Sinks.replaceBucketed(spark, docGrams(batch.limit(0), n, canon, routed),
+      graft.sources.Sinks.replaceBucketed(spark,
+        docGrams(batch.limit(0), n, canon, routed, floor),
         s"${name}_spandocs", Seq("doc_id"), buckets)
     val fresh = batch
       .join(spark.table(s"${name}_spandocs").select(col("doc_id")), Seq("doc_id"), "left_anti")
     // localCheckpoint (eager): the frame reads the companion table
     // the second write inserts into — detach before writing (the
     // ExactIndex cached-plan-re-materializes-empty lesson)
-    val dg = docGrams(fresh, n, canon, routed).localCheckpoint()
+    val dg = docGrams(fresh, n, canon, routed, floor).localCheckpoint()
     dg.select(explode(col("grams")).as("gram_md5")).distinct()
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"), "left_anti")
       .write.mode(SaveMode.Append)
@@ -176,7 +183,7 @@ object SpanIndex {
     require(spark.catalog.tableExists(s"${name}_spandocs"),
       s"span index $name has no doc→grams companion (pre-retraction index): " +
         "rebuild via writeIndex to enable retraction")
-    val (_, buckets, _, _) = meta(spark, name)
+    val (_, buckets, _, _, _) = meta(spark, name)
     val ids = broadcast(docIds.select(col("doc_id")).distinct())
     val spandocs = spark.table(s"${name}_spandocs")
     val retractedGrams = broadcast(
@@ -206,7 +213,7 @@ object SpanIndex {
   def maintainIndex(spark: SparkSession, name: String, batch: DataFrame,
                     maxFilesPerBucket: Int = 16): Boolean = {
     appendToIndex(spark, name, batch)
-    val (_, buckets, _, _) = meta(spark, name)
+    val (_, buckets, _, _, _) = meta(spark, name)
     val files = spark.table(s"${name}_grams").inputFiles.length
     val fires = files > buckets.toLong * maxFilesPerBucket
     if (fires) {
@@ -255,9 +262,9 @@ object SpanIndex {
   private def batchRegions(spark: SparkSession, name: String, batch: DataFrame,
                            minSpanTokens: Int): (DataFrame, DataFrame) = {
     refresh(spark, name)
-    val (n, _, canon, routed) = meta(spark, name)
+    val (n, _, canon, routed, floor) = meta(spark, name)
     require(minSpanTokens >= n, s"minSpanTokens ≥ n required, got $minSpanTokens < $n")
-    val b = TextAnalysis.maybeKeyed(batch, canon, routed)
+    val b = TextAnalysis.maybeKeyed(batch, canon, routed, floor)
     val hits = TextAnalysis.gramFrame(b, n)
       .join(spark.table(s"${name}_grams"), Seq("gram_md5"))
     (b, TextAnalysis.coalesceRegions(hits, n, minSpanTokens))

@@ -138,6 +138,38 @@ class DedupSpec extends SparkSpec {
     assert(direct == Set((12L, 2L)), s"got $direct")
   }
 
+  test("stored LSH index floor: sub-floor glyph probes shingle canonically under the meta") {
+    import spark.implicits._
+    // a probe that is a CASE variant of the reference plus one stray
+    // Cyrillic glyph (~35fs of loss in ~280 chars): a 0-floor routed
+    // index shingles it raw (no match); a floor-100 routed index
+    // shingles it canonically and the J = 1 pair surfaces — the r20
+    // floor as an INDEX property riding the meta
+    val latin = (1 to 40).map(i => s"asc$i").mkString(" ")
+    val seed = Seq((2L, latin)).toDF("doc_id", "text")
+    val probe = Seq((12L, s"${latin.toUpperCase} д")).toDF("doc_id", "text")
+    Dedup.writeNgramLshIndex(seed, "lshr_floor0", buckets = 4, routed = true)
+    assert(Dedup.ngramLshAgainstIndex(probe, "lshr_floor0").count() == 0L,
+      "the 0-floor index keys the glyph probe raw — no pair")
+    Dedup.writeNgramLshIndex(seed, "lshr_floor", buckets = 4, routed = true,
+      minLossFs = 100L)
+    val hits = Dedup.ngramLshAgainstIndex(probe, "lshr_floor").collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(hits == Set((12L, 2L)), s"sub-floor probe matches canonically, got $hits")
+    // append shingles with the STORED floor: fold the glyph variant
+    // in, then another sub-floor variant pairs with BOTH
+    Dedup.appendToNgramLshIndex(probe, "lshr_floor")
+    val again = Dedup.ngramLshAgainstIndex(
+      Seq((22L, s"$latin ж")).toDF("doc_id", "text"), "lshr_floor").collect()
+      .map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(again == Set((22L, 2L), (22L, 12L)),
+      s"appended docs gram under the stored floor, got $again")
+    // the in-memory cross-corpus form takes the same floor
+    val direct = Dedup.ngramLshAgainst(probe, seed, routed = true, minLossFs = 100L)
+      .collect().map(r => (r.getAs[Long]("id_in"), r.getAs[Long]("id_ref"))).toSet
+    assert(direct == Set((12L, 2L)), s"got $direct")
+  }
+
   test("exact dedup canonical: case/punct variants collapse into one hash group") {
     import spark.implicits._
     val d = Seq(

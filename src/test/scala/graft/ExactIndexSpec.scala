@@ -230,4 +230,42 @@ test("canonical index: the digest key domain rides the bloom meta") {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
     assert(oneShot == Map(11L -> false, 12L -> true, 13L -> true, 14L -> false))
   }
+
+  test("routed index with a loss floor: the STORED floor keys probes and appends (r20)") {
+    import spark.implicits._
+    // one stray Cyrillic glyph in a ~420-char doc (~20fs of loss):
+    // under a floor-100 routed index it digests CANONICALLY, so case
+    // variants and sub-floor glyph variants flag known — the
+    // dedup_exact_routed_floor trade at stored-index grain. The floor
+    // is an INDEX property riding the meta, like canon/routed.
+    val long = (1 to 60).map(i => s"word$i").mkString(" ")
+    val seed = Seq((1L, s"$long д"), (2L, "plain ascii doc")).toDF("doc_id", "text")
+    ExactIndex.write(seed, "exc_floor", buckets = 4, routed = true, minLossFs = 100L)
+    val probe = Seq(
+      (11L, s"${long.toUpperCase} д"), // case variant, sub-floor glyph -> known
+      (12L, s"$long ж"),               // glyph DIFFERENCE under the floor -> known (the trade)
+      (13L, "never seen")).toDF("doc_id", "text")
+    def flagsOf(name: String) = ExactIndex.flagAgainstIndex(probe, name)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    assert(flagsOf("exc_floor") == Map(11L -> true, 12L -> true, 13L -> false),
+      s"sub-floor glyph docs digest canonically under the stored floor, got ${flagsOf("exc_floor")}")
+    // the same probes against a 0-floor routed index: the glyph doc
+    // keyed RAW at write time, so neither variant flags
+    ExactIndex.write(seed, "exc_floor0", buckets = 4, routed = true)
+    assert(flagsOf("exc_floor0") == Map(11L -> false, 12L -> false, 13L -> false),
+      s"the 0-floor index keys the glyph doc raw, got ${flagsOf("exc_floor0")}")
+    // append digests with the STORED floor (no flag to get wrong)
+    ExactIndex.append(Seq((21L, s"fresh $long д")).toDF("doc_id", "text"), "exc_floor")
+    val again = ExactIndex.flagAgainstIndex(
+      Seq((31L, s"FRESH ${long.toUpperCase} ж")).toDF("doc_id", "text"), "exc_floor")
+      .collect().map(r => r.getAs[Boolean]("is_known"))
+    assert(again.toSeq == Seq(true), "appended digests keep the stored floor")
+    // misuse refused eagerly, like the whole family
+    intercept[IllegalArgumentException] {
+      ExactIndex.write(seed, "exc_bad", minLossFs = 5L)
+    }
+    intercept[IllegalArgumentException] {
+      ExactIndex.flagKnown(probe, seed, canonical = true, minLossFs = 5L)
+    }
+  }
 }

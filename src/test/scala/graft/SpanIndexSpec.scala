@@ -188,6 +188,31 @@ test("routed index: Han-differing blocks never hallucinate a span; ASCII keeps c
     assert(again == Map(21L -> 0L, 23L -> 5L),
       s"appended grams stay routed-keyed under the meta flag, got $again")
   }
+
+  test("routed span index with a loss floor: sub-floor glyphs keep canonical spans (r20)") {
+    // the probe is a case/punct variant of the seed block carrying one
+    // stray Cyrillic glyph (~260fs of loss in this short doc): a
+    // 0-floor routed index grams it raw (no span), a floor-500 routed
+    // index grams it canonically and the block flags — the r20 floor
+    // as an INDEX property riding the spanmeta
+    val seed = Seq((2L, "t1 this program is free software t2")).toDF("doc_id", "text")
+    val batch = Seq((11L, "c1 THIS Program IS free (software) ж c2")).toDF("doc_id", "text")
+    SpanIndex.writeIndex(spark, "sir_floor0", seed, n = 3, buckets = 2, routed = true)
+    val floor0 = SpanIndex.flagAgainstIndex(spark, "sir_floor0", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(floor0 == Map(11L -> 0L),
+      s"the 0-floor index grams the glyph probe raw — no span, got $floor0")
+    SpanIndex.writeIndex(spark, "sir_floor", seed, n = 3, buckets = 2, routed = true,
+      minLossFs = 500L)
+    val floored = SpanIndex.flagAgainstIndex(spark, "sir_floor", batch, minSpanTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(floored == Map(11L -> 5L),
+      s"the sub-floor probe grams canonically and the block flags, got $floored")
+    // misuse refused eagerly, like the whole family
+    intercept[IllegalArgumentException] {
+      SpanIndex.writeIndex(spark, "sir_bad", seed, canonical = true, minLossFs = 5L)
+    }
+  }
 test("retraction: grams leave only with their LAST contributor; delete is idempotent") {
     val blockA = "a1 a2 a3 a4 a5"
     val blockB = "b1 b2 b3 b4 b5"
