@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain,
-  FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, MinHashSig, NgramStats,
-  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery, SimHash64,
-  ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg,
+  FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, Md5MinHashSig, MinHashSig, NgramStats,
+  QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery, ScriptCounts, SimHash64,
+  SimhashMd5Chunks, ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg,
   WindowFunnelAgg}
 import graft.operators.Sketches
 
@@ -106,6 +106,15 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "graft_minhash_sig"),
       arity("graft_minhash_sig", 2)(c => MinHashSig(c(0), c(1)))),
+    (FunctionIdentifier("graft_md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinHashSig].getCanonicalName, "graft_md5_minhash_sig"),
+      arity("graft_md5_minhash_sig", 2)(c => Md5MinHashSig(c(0), c(1)))),
+    (FunctionIdentifier("graft_simhash_md5_chunks"),
+      new ExpressionInfo(classOf[SimhashMd5Chunks].getCanonicalName, "graft_simhash_md5_chunks"),
+      arity("graft_simhash_md5_chunks", 1)(c => SimhashMd5Chunks(c.head))),
+    (FunctionIdentifier("graft_script_counts"),
+      new ExpressionInfo(classOf[ScriptCounts].getCanonicalName, "graft_script_counts"),
+      arity("graft_script_counts", 1)(c => ScriptCounts(c.head))),
     (FunctionIdentifier("graft_ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getCanonicalName, "graft_ngram_stats"),
       arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))),

@@ -106,6 +106,41 @@ object HashFunctions {
       }: _*)), lit(0))
   }
 
+  /** The cross-engine md5-minhash signature (the Carter-Wegman family
+    * over one md5 digest per token, [[md5CwParams]]) as ONE array
+    * column: native one-pass kernel when the session has
+    * GraftExtensions, the interpreted HOF twin otherwise. Both
+    * compute sig[p] = min over tokens of (a_p·h1 + b_p·h2) mod Prime
+    * bit-identically (parity spec in ExpressionsSpec) — this is the
+    * signature [[graft.operators.Dedup.minhashMd5Pairs]] and its
+    * DuckDB oracle twin band on.
+    */
+  def md5MinhashSig(shingles: Column, perms: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_md5_minhash_sig"))
+      .map(_ => call_function("graft_md5_minhash_sig", shingles, lit(perms)))
+      .getOrElse(md5MinhashSigColumns(shingles, perms))
+
+  /** The pure-Column twin of graft_md5_minhash_sig: one interpreted
+    * pass materializing the 56-bit digests (md5 → hex → substring →
+    * conv per element, let-bound once via the singleton-array trick,
+    * same as [[minhashSignatureColumns]]), then `perms` array_min
+    * passes of the affine maps. NULL-array input → SQL NULL on both
+    * paths (HOFs are null-intolerant); a null ELEMENT digests to null
+    * and drops out of every array_min, exactly like the native
+    * kernel skips it.
+    */
+  private[graft] def md5MinhashSigColumns(shingles: Column, perms: Int): Column = {
+    val params = md5CwParams(perms)
+    val half = 1L << 28
+    val th = transform(shingles, t => conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
+    get(transform(filter(array(th), a => a.isNotNull), a =>
+      array(params.map { case (pa, pb) =>
+        array_min(transform(a, h =>
+          (lit(pa) * shiftright(h, 28) + lit(pb) * (h % lit(half))) % lit(Prime)))
+      }: _*)), lit(0))
+  }
+
   /** LSH band keys: hash each band (contiguous slice of the
     * signature) to one bucket key. Join key = (band_index, band_hash)
     * — candidate pairs only ever meet inside a bucket, never via a

@@ -113,7 +113,23 @@ object Dedup {
       .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
       .select(col("doc_id").as("id_a"), col("band"), col("bucket"), col("pg"))
     val b = salted.select(col("doc_id").as("id_b"), col("band"), col("bucket"), col("g").as("pg"))
-    a.join(b, Seq("band", "bucket", "pg"))
+    // PIN the pair join's parallelism (r21): AQE sizes post-shuffle
+    // reads by INPUT bytes, but this join's output is the pair
+    // expansion — Σ bucket² over slim (id, band, bucket) rows,
+    // routinely orders of magnitude above its input — so AQE folds
+    // the sub-advisory-size shuffle to ONE partition and the whole
+    // expansion plus the distinct's partial aggregate run serially
+    // (measured: a 6–10 s single-task WholeStageCodegen stage
+    // dominating every planted routed bench key). An explicit
+    // partition count (REPARTITION_BY_NUM) is exempt from AQE
+    // coalescing and satisfies the join's clustering requirement, so
+    // the exchange count is unchanged — the expansion just stays
+    // parallel. defaultParallelism scales with the cluster; at real
+    // scale the band shuffle exceeds the advisory size and this pin
+    // is a no-op in effect.
+    val keys = Seq(col("band"), col("bucket"), col("pg"))
+    val n = banded0.sparkSession.sparkContext.defaultParallelism
+    a.repartition(n, keys: _*).join(b.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -283,31 +299,19 @@ object Dedup {
     val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
     val toksCol = array_distinct(tokens(col("text")))
-    // ONE md5 per token, materialized as a 56-bit long in its own
-    // projection step (a single md5 node — inside a HOF lambda there
-    // is no subexpression elimination, so a reused `md5(t)` Column
-    // would still evaluate per reference); the 32 per-perm minima
-    // below split the halves with shift/mod, cheap affine maps over
-    // the same materialized array
-    val tokDigest = transform(col("toks"), t =>
-      conv(substring(md5(t), 1, 14), 16, 10).cast("long"))
-    val P = graft.functions.HashFunctions.Prime
-    val half = 1L << 28
-    val hs = graft.functions.HashFunctions.md5CwParams(perms).zipWithIndex.map {
-      case ((a, b), p) =>
-        array_min(transform(col("th"), h =>
-          (lit(a) * shiftright(h, 28) + lit(b) * (h % lit(half))) % lit(P))).as(s"h$p")
-    }
     // persist: feeds both legs of the band self-join and both verify
-    // sides (the md5 digest pass is the expensive stage here)
+    // sides (the md5 digest pass is the expensive stage here — one
+    // native pass per row via HashFunctions.md5MinhashSig, r21; the
+    // previous form ran 33 interpreted HOF passes per row)
     val shingled = docs.select(col("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("th", tokDigest)
-      .select(Seq(col("doc_id"), col("toks")) ++ hs: _*)
+      .select(col("doc_id"), col("toks"),
+        graft.functions.HashFunctions.md5MinhashSig(col("toks"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("#", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        concat_ws("#", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
           .as("bucket"))
     }: _*)
     val banded = shingled.select(col("doc_id"), explode(bandStructs).as("bk"))
@@ -428,23 +432,44 @@ object Dedup {
     * full pairwise hamming matrix on a fixture and assert
     * [[simhashMd5Pairs]] recalls EXACTLY the ≤ maxHamming pairs.
     */
-  private[graft] def simhashMd5Fingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      val nib = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
-      val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
-      sum(bit * lit(2) - lit(1)).as(s"s$j")
+  private[graft] def simhashMd5Fingerprints(docs: DataFrame): DataFrame =
+    if (docs.sparkSession.catalog.functionExists("graft_simhash_md5_chunks")) {
+      // native per-doc kernel (r21): the token array is already
+      // per-doc in the scan projection, so the whole fingerprint is
+      // computable map-side — the explode + 64-column groupBy
+      // Exchange of the Column twin collapses into one scan-speed
+      // projection with bit-identical chunk values (parity
+      // spec-pinned). The isNotNull filter reproduces the twin's
+      // row set exactly: explode of a null doc emits no row.
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          call_function("graft_simhash_md5_chunks",
+            array_distinct(tokens(col("text")))).as("ch"))
+        .select(col("doc_id") +:
+          (0 until SimhashMd5Chunks).map(c => col(s"ch.c$c").as(s"c$c")): _*)
+    } else simhashMd5FingerprintsColumns(docs)
+
+  /** The explode + 64-bit-sum groupBy twin of the native fingerprint
+    * path — the fallback when the session lacks GraftExtensions, and
+    * the parity reference ExpressionsSpec pins the kernel against.
+    */
+  private[graft] def simhashMd5FingerprintsColumns(docs: DataFrame): DataFrame = {
+      val tok = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+      val bitSums = (0 until 64).map { j =>
+        val nib = conv(substring(col("h"), 1 + j / 4, 1), 16, 10).cast("int")
+        val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
+        sum(bit * lit(2) - lit(1)).as(s"s$j")
+      }
+      val chunkCols = (0 until SimhashMd5Chunks).map { c =>
+        (0 until 16).map { i =>
+          when(col(s"s${c * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"c$c")
+      }
+      tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id") +: chunkCols: _*)
     }
-    val chunkCols = (0 until SimhashMd5Chunks).map { c =>
-      (0 until 16).map { i =>
-        when(col(s"s${c * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"c$c")
-    }
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id") +: chunkCols: _*)
-  }
 
   def simhashMd5Pairs(docs0: DataFrame, maxHamming: Int = 3,
                       canonical: Boolean = false,
@@ -945,7 +970,11 @@ object Dedup {
       .join(widths, Seq("band", "bucket"))
       .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
       .select(col("id_in"), col("band"), col("bucket"), col("pg"))
-    in.join(salted, Seq("band", "bucket", "pg"))
+    // pinned parallelism for the output-exploding pair join — same
+    // AQE-coalescing hazard and same fix as [[candidatePairs]] (r21)
+    val keys = Seq(col("band"), col("bucket"), col("pg"))
+    val n = bandedIn.sparkSession.sparkContext.defaultParallelism
+    in.repartition(n, keys: _*).join(salted.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
       .select(col("id_in"), col("id_ref"))
       .distinct()
   }

@@ -137,6 +137,90 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native script counts are bit-identical to the 17-regex Column twin, incl. edges") {
+    import graft.functions.TextFunctions
+    // every named script + beyond-the-named-set (Gujarati → other), a
+    // SUPPLEMENTARY-PLANE Han char (U+20000, arrives as a surrogate
+    // pair — must count ONCE in n_han, the code-point-loop parity
+    // trap), emoji/punct (Common — counted nowhere), combining mark
+    // on Latin (Inherited), digits, and the empty string
+    val plants = Seq(
+      "hello World 42!", "", "你好 мир سلام नमस्ते 안녕 あい アイ γεια สวัสดี שלום",
+      "ჯა ગજ Հայ বাং தமி", "𠀀 kanji-ext", "é combining", "🙂🙂 7",
+      "mixed: The Licence—Block, v2.0! 你好 д ぁ ゑ")
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"), concat(col("text"), lit(" "),
+        element_at(typedlit(plants), (col("doc_id") % plants.length + 1).cast("int"))).as("text"))
+      .unionByName(spark.range(plants.length).select(
+        (col("id") + 900000L).as("doc_id"),
+        element_at(typedlit(plants), (col("id") + 1).cast("int")).as("text")))
+    val both = docs.select(
+      call_function("graft_script_counts", col("text")).as("native"),
+      TextFunctions.scriptCountsColumns(col("text")).as("columnar"))
+    val diff = both.filter(col("native") =!= col("columnar")).count()
+    assert(diff == 0, s"$diff rows disagree between native and regex script counts")
+    // null input: native → NULL struct, twin → struct of NULL fields;
+    // every consumer reads FIELDS, where both forms agree (null)
+    val nulls = spark.range(1).select(
+      call_function("graft_script_counts", lit(null).cast("string")).getField("n_han").as("n"),
+      TextFunctions.scriptCountsColumns(lit(null).cast("string")).getField("n_han").as("c"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), s"null text → null fields on both paths: $nulls")
+    // supplementary-plane pin: U+20000 is ONE Han code point
+    val supp = spark.sql("SELECT graft_script_counts('𠀀') AS sc")
+      .select(col("sc.n_han"), col("sc.n_other"), col("sc.n_latin")).collect()(0)
+    assert(supp.getLong(0) == 1L && supp.getLong(1) == 0L && supp.getLong(2) == 0L,
+      s"U+20000 must count once in n_han, got $supp")
+  }
+
+  test("native md5 minhash signature is bit-identical to the Column twin on real docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = array_distinct(tokens(col("text")))
+    val both = docs.select(
+      call_function("graft_md5_minhash_sig", toks, lit(32)).as("native"),
+      HashFunctions.md5MinhashSigColumns(toks, 32).as("columnar"))
+    val diff = both.filter(col("native") =!= col("columnar")).count()
+    assert(diff == 0, s"$diff docs disagree between native and Column md5 minhash signature")
+    // empty array → all-null signature (array_min of empty per perm)
+    val empty = spark.sql(
+      "SELECT graft_md5_minhash_sig(array(), 4) AS sig").collect()(0).getSeq[Any](0)
+    assert(empty.size == 4 && empty.forall(_ == null), s"empty input → all-null sig, got $empty")
+    // null ELEMENT drops out of every minimum on both paths
+    val withNull = spark.range(1).select(
+      call_function("graft_md5_minhash_sig",
+        array(lit("a"), lit(null).cast("string"), lit("b")), lit(8)).as("native"),
+      HashFunctions.md5MinhashSigColumns(
+        array(lit("a"), lit(null).cast("string"), lit("b")), 8).as("columnar"),
+      call_function("graft_md5_minhash_sig", array(lit("a"), lit("b")), lit(8)).as("clean"))
+      .collect()(0)
+    assert(withNull.getSeq[Any](0) == withNull.getSeq[Any](1), "null element: native ≠ twin")
+    assert(withNull.getSeq[Any](0) == withNull.getSeq[Any](2), "null element must not vote")
+    // NULL array → SQL NULL on both paths
+    val nulls = spark.range(1).select(
+      call_function("graft_md5_minhash_sig", lit(null).cast("array<string>"), lit(4)).as("n"),
+      HashFunctions.md5MinhashSigColumns(lit(null).cast("array<string>"), 4).as("c"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), s"null array → SQL NULL both paths: $nulls")
+  }
+
+  test("native simhash md5 fingerprints match the explode+groupBy twin doc-for-doc") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val native = graft.operators.Dedup.simhashMd5Fingerprints(docs)
+    val twin = graft.operators.Dedup.simhashMd5FingerprintsColumns(docs)
+    assert(native.count() == twin.count(), "fingerprint row sets differ")
+    val joined = native.as("n").join(twin.as("t"), "doc_id")
+    val diff = joined.filter((0 until 4).map(c =>
+      col(s"n.c$c") =!= col(s"t.c$c")).reduce(_ || _)).count()
+    assert(diff == 0, s"$diff docs disagree between native and groupBy md5-simhash chunks")
+    // ties (empty vote sum) clear the bit: empty token array → all-zero
+    // chunks from the kernel (the twin emits no row — the operator
+    // filters null docs identically; empty ARRAYS never reach either
+    // path because split() yields at least one token)
+    val z = spark.sql("SELECT graft_simhash_md5_chunks(array()) AS ch")
+      .select(col("ch.c0"), col("ch.c1"), col("ch.c2"), col("ch.c3")).collect()(0)
+    assert((0 until 4).forall(z.getLong(_) == 0L), s"empty array → zero chunks, got $z")
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))
