@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 import graft.functions.expressions.{ArrayDot, ArrayJaccardFs, ArrayL2Sq, BloomMightContain,
-  FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, Md5MinHashSig, MinHashSig, NgramStats,
+  DistinctNgrams, FreqSketchAgg, FreqSketchMergeAgg, FreqSketchTopK, Md5MinHashSig, MinHashSig, NgramStats,
   QuantileSketchAgg, QuantileSketchMergeAgg, QuantileSketchQuery, ScriptCounts, SimHash64,
   SimhashMd5Chunks, ThetaAnotB, ThetaIntersect, ThetaSketchAgg, ThetaSummary, ThetaUnionAgg,
   WindowFunnelAgg}
@@ -115,6 +115,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getCanonicalName, "graft_script_counts"),
       arity("graft_script_counts", 1)(c => ScriptCounts(c.head))),
+    (FunctionIdentifier("graft_distinct_ngrams"),
+      new ExpressionInfo(classOf[DistinctNgrams].getCanonicalName, "graft_distinct_ngrams"),
+      arity("graft_distinct_ngrams", 2)(c => DistinctNgrams(c(0), c(1)))),
     (FunctionIdentifier("graft_ngram_stats"),
       new ExpressionInfo(classOf[NgramStats].getCanonicalName, "graft_ngram_stats"),
       arity("graft_ngram_stats", 2)(c => NgramStats(c(0), c(1)))),

@@ -240,6 +240,23 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** The DISTINCT gram stream (`array_distinct(wordNgrams(toks, n))`)
+    * as one expression: the native one-pass kernel when the session
+    * has GraftExtensions (each gram materialized once into an
+    * insertion-ordered set — first-occurrence order and binary
+    * equality, exactly array_distinct's), the four-layer HOF chain
+    * otherwise. Identical gram arrays on non-null input (parity spec
+    * in ExpressionsSpec); on a NULL token array the kernel is SQL
+    * NULL where the HOF chain yields an empty array — every consumer
+    * either filters `size(grams) > 0` or explodes, both of which
+    * drop the row on BOTH paths.
+    */
+  def distinctWordNgrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .filter(_.catalog.functionExists("graft_distinct_ngrams"))
+      .map(_ => call_function("graft_distinct_ngrams", toks, lit(n)))
+      .getOrElse(array_distinct(wordNgrams(toks, n)))
+
   /** Total and distinct word-n-gram counts as struct(n_grams, n_uniq):
     * the native one-pass kernel when the session has GraftExtensions
     * (one token-array walk, grams materialized once into a hash set),

@@ -622,7 +622,7 @@ object Dedup {
                                     minLossFs: Long = 0L): (DataFrame, DataFrame) = {
     val docs = Par.spread(TextAnalysis.maybeKeyed(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
-    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
     // persist: feeds both legs of the band self-join and both sides
     // of the verify join (same reason as minhashLsh)
     val shingled = docs.select(col("doc_id"), grams.as("grams"))
@@ -886,15 +886,9 @@ object Dedup {
         i.toLong -> r.getAs[scala.collection.Seq[Long]]("q").toArray }.toSeq
     // the argmin over the current centroid set: distances in cid
     // order, first-min position = lowest cid (the oracle's
-    // ORDER BY d, cid tie rule)
-    def clusterCol(cs: Seq[(Long, Array[Long])]): Column = {
-      val ds = cs.map { case (_, c) =>
-        aggregate(zip_with(col("q"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x) }
-      val dArr = array(ds: _*)
-      val cidArr = typedlit(cs.map(_._1))
-      element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
-    }
+    // ORDER BY d, cid tie rule) — native kernel (r21), twin pinned
+    // in ExpressionsSpec
+    def clusterCol(cs: Seq[(Long, Array[Long])]): Column = latticeClusterCol(col("q"), cs)
     (1 to trainIters).foreach { _ =>
       val sums = pts.select(clusterCol(cents).as("cluster"),
           posexplode(col("q")).as(Seq("i", "v")))
@@ -917,10 +911,10 @@ object Dedup {
     // fixed-point cosine on the unshifted grid: integer dp/norm sums;
     // the norm-square is computed ONCE PER VECTOR (an exact BIGINT —
     // joining it in costs nothing and saves two 64-element folds per
-    // candidate pair)
+    // candidate pair). Native Long-dot kernel (r21), twin pinned in
+    // ExpressionsSpec.
     def fs(c: Column): Column = transform(c, x => x - lit(offset))
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def idot(a: Column, b: Column): Column = latticeDot(a, b)
     val withFs = assigned.select(col("id"), fs(col("q")).as("v"))
       .select(col("id"), col("v"), idot(col("v"), col("v")).as("n2"))
     val ea = withFs.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
@@ -938,6 +932,40 @@ object Dedup {
       .orderBy(col("vec_id"))
     ScopedCache.releaseAfterAction(out, Seq(pts, assigned))
   }
+
+  /** The lattice gate's cluster argmin as ONE plan node — distances
+    * in ascending-cid order, first strict minimum wins (identical to
+    * the HOF twin's array_position-of-array_min rule, spec-pinned).
+    */
+  private[graft] def latticeClusterCol(q: Column, cs: Seq[(Long, Array[Long])]): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.LatticeArgmin(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(q),
+        cs.map(_._1).toArray, cs.map(_._2).toArray))
+
+  /** The interpreted-HOF twin of [[latticeClusterCol]] — the parity
+    * reference ExpressionsSpec pins the kernel against.
+    */
+  private[graft] def latticeClusterColColumns(q: Column, cs: Seq[(Long, Array[Long])]): Column = {
+    val ds = cs.map { case (_, c) =>
+      aggregate(zip_with(q, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x) }
+    val dArr = array(ds: _*)
+    val cidArr = typedlit(cs.map(_._1))
+    element_at(cidArr, array_position(dArr, array_min(dArr)).cast("int"))
+  }
+
+  /** Exact integer dot over array<long> — native kernel with the HOF
+    * twin alongside for the parity spec.
+    */
+  private[graft] def latticeDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.ArrayLDot(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
+  private[graft] def latticeDotColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cross-corpus candidate pairs from two banded frames: the
     * incoming×reference equi-join on (band, bucket) — the two-corpus
@@ -1000,7 +1028,7 @@ object Dedup {
     val reference = TextAnalysis.maybeKeyed(reference0, canonical, routed, minLossFs)
     val rowsPerBand = perms / bands
     def shingled(df: DataFrame): DataFrame = {
-      val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+      val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
       // persist: each side feeds its banding leg and its verify side
       Par.spread(df).select(col("doc_id"), grams.as("grams"))
         .filter(size(col("grams")) > 0)
@@ -1072,7 +1100,7 @@ object Dedup {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
-    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
     // persist: feeds the band explode and the grams projection
     val shingled = Par.spread(TextAnalysis.maybeKeyed(reference, canonical, routed, minLossFs))
       .select(col("doc_id"), grams.as("grams"))
@@ -1206,7 +1234,7 @@ object Dedup {
     val (kc, kr, kf) = indexKeying(spark, name)
     val fresh = Par.spread(TextAnalysis.maybeKeyed(newDocs, kc, kr, kf))
       .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
     val shingled = fresh.select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
@@ -1281,7 +1309,7 @@ object Dedup {
     val spark = incoming.sparkSession
     val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
-    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
     val (kc, kr, kf) = indexKeying(spark, name)
     val si = Par.spread(TextAnalysis.maybeKeyed(incoming, kc, kr, kf))
       .select(col("doc_id"), grams.as("grams"))

@@ -200,11 +200,31 @@ object Pq {
   private def encodeNormalized(pts: DataFrame, cb: Codebooks): DataFrame =
     pts.select(col("vec_id"), codesExpr(col("v"), cb).as("codes"))
 
-  /** The m-argmin code array for one vector column — a pure codegen'd
-    * expression (no shuffle, no state): `codes(s)` is the nearest
-    * centroid of subspace s.
+  /** The codebook in the native kernels' flat layout:
+    * entry s·ks + c = centroid c of subspace s.
+    */
+  private def flatBooks(cb: Codebooks): Array[Array[Double]] =
+    cb.books.flatten.toArray
+
+  /** The m-argmin code array for one vector column — ONE plan node
+    * (no shuffle, no state): `codes(s)` is the nearest centroid of
+    * subspace s. Native kernel (r21): the previous literal-centroid
+    * form built an m·ks-leaf l2sq tree that cost seconds of
+    * analyzer + Janino time PER QUERY (driver gaps, re-paid every
+    * run); the codebook now rides the expression instance and the
+    * argmin is a tight loop with the identical first-min tie rule
+    * (parity spec in ExpressionsSpec).
     */
   private[graft] def codesExpr(v: Column, cb: Codebooks): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.PqCodes(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(v),
+        cb.dsub, cb.ks, flatBooks(cb)))
+
+  /** The literal-centroid Column twin of [[codesExpr]] — the parity
+    * reference ExpressionsSpec pins the native kernel against.
+    */
+  private[graft] def codesExprColumns(v: Column, cb: Codebooks): Column =
     array((0 until cb.m).map { s =>
       val cents: KMeans.Centroids =
         cb.books(s).zipWithIndex.map { case (c, i) => (i.toLong, c) }
@@ -214,9 +234,19 @@ object Pq {
   /** The per-query ADC lookup table: all m·ks subspace distances of
     * `v` to every codebook centroid, flattened as `s·ks + code`.
     * Computed ONCE per (query[, probed cluster]) row; candidates then
-    * score with [[adcScoreExpr]]'s m array lookups.
+    * score with [[adcScoreExpr]]'s m array lookups. Native kernel
+    * (r21) — same collapse and parity story as [[codesExpr]].
     */
   private[graft] def adcTableExpr(v: Column, cb: Codebooks): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.expressions.PqAdcTable(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(v),
+        cb.dsub, cb.ks, flatBooks(cb)))
+
+  /** The literal-centroid Column twin of [[adcTableExpr]] — the
+    * parity reference ExpressionsSpec pins the native kernel against.
+    */
+  private[graft] def adcTableExprColumns(v: Column, cb: Codebooks): Column =
     array((0 until cb.m).flatMap { s =>
       (0 until cb.ks).map { c =>
         l2sq(subvec(v, s, cb.dsub), typedlit(cb.books(s)(c)))

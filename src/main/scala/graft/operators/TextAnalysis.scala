@@ -264,7 +264,7 @@ object TextAnalysis {
     // canonical keying would falsely match), Latin docs keep the
     // canonical robustness to case/punct paraphrase; the r20 floor
     // applies to BOTH sides (one keying rule per comparison)
-    val grams = array_distinct(wordNgrams(tokens(col("text")), n))
+    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
     val exploded = Par.spread(maybeKeyed(docs, canonical, routed, minLossFs))
       .select(col("doc_id"), explode(grams).as("gram"))
     val benchGrams = broadcast(

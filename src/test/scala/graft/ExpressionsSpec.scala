@@ -221,6 +221,83 @@ class ExpressionsSpec extends SparkSpec {
     assert((0 until 4).forall(z.getLong(_) == 0L), s"empty array → zero chunks, got $z")
   }
 
+  test("native PQ codes and ADC table are bit-identical to the literal-centroid twins") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = Pq.train(emb)
+    val pts = Pq.normalized(emb)
+    val both = pts.select(
+      Pq.codesExpr(col("v"), cb).as("nc"),
+      Pq.codesExprColumns(col("v"), cb).as("cc"),
+      Pq.adcTableExpr(col("v"), cb).as("nt"),
+      Pq.adcTableExprColumns(col("v"), cb).as("ct"))
+    val diff = both.filter(col("nc") =!= col("cc") || col("nt") =!= col("ct")).count()
+    assert(diff == 0, s"$diff vectors disagree between native and literal-centroid PQ kernels")
+    // null vector → SQL NULL from the native kernels
+    val nulls = spark.range(1).select(
+      Pq.codesExpr(lit(null).cast("array<double>"), cb).as("c"),
+      Pq.adcTableExpr(lit(null).cast("array<double>"), cb).as("t")).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), s"null vector → NULL codes/table: $nulls")
+  }
+
+  test("native lattice argmin and integer dot match the HOF twins on quantized embeddings") {
+    import graft.operators.Dedup
+    import graft.functions.VectorFunctions.toDoubleArray
+    val offset = 1048576L
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("id"),
+        transform(toDoubleArray(col("embedding")),
+          x => round(x * lit(1000000.0)).cast("long") + lit(offset)).as("q"))
+    // centroids = the k lowest ids, the gate's init convention
+    val cents = pts.orderBy(col("id")).limit(7).collect()
+      .sortBy(_.getAs[Long]("id")).zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getAs[scala.collection.Seq[Long]]("q").toArray }.toSeq
+    val both = pts.select(
+      Dedup.latticeClusterCol(col("q"), cents).as("nc"),
+      Dedup.latticeClusterColColumns(col("q"), cents).as("cc"),
+      Dedup.latticeDot(col("q"), col("q")).as("nd"),
+      Dedup.latticeDotColumns(col("q"), col("q")).as("cd"))
+    val diff = both.filter(col("nc") =!= col("cc") || col("nd") =!= col("cd")).count()
+    assert(diff == 0, s"$diff rows disagree between native and HOF lattice kernels")
+    // exact-tie pin: a point equidistant to two centroids takes the
+    // LOWER cid on both paths (first-min rule)
+    val twoCents = Seq(0L -> Array(0L, 0L), 1L -> Array(2L, 0L))
+    val tie = spark.range(1).select(typedlit(Seq(1L, 0L)).as("q"))
+      .select(Dedup.latticeClusterCol(col("q"), twoCents).as("n"),
+        Dedup.latticeClusterColColumns(col("q"), twoCents).as("c")).collect()(0)
+    assert(tie.getLong(0) == 0L && tie.getLong(1) == 0L, s"tie must take cid 0: $tie")
+  }
+
+  test("native distinct ngrams match the HOF chain on real docs, plus edges") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val both = docs.select(
+      call_function("graft_distinct_ngrams", toks, lit(2)).as("native"),
+      array_distinct(TextFunctions.wordNgrams(toks, 2)).as("columnar"))
+    val diff = both.filter(col("native") =!= col("columnar")).count()
+    assert(diff == 0, s"$diff docs disagree between native and HOF distinct ngrams")
+    // edges: short doc → empty; duplicates keep FIRST position; null
+    // window members skipped like concat_ws
+    val r = spark.sql(
+      """SELECT graft_distinct_ngrams(array('solo'), 2) AS short,
+        |       graft_distinct_ngrams(array('b','a','b','a','b'), 2) AS rep,
+        |       graft_distinct_ngrams(array('a', CAST(NULL AS STRING), 'b'), 2) AS nul
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0).isEmpty, "fewer than n tokens → empty array")
+    assert(r.getSeq[String](1) == Seq("b a", "a b"), s"first-occurrence order: ${r.getSeq[String](1)}")
+    assert(r.getSeq[String](2) == Seq("a", "b"), s"null member skipped like concat_ws: ${r.getSeq[String](2)}")
+    // NULL array: kernel → SQL NULL, HOF chain → empty array; the
+    // consumer filter/explode drops the row on both paths — pin that
+    val nulls = spark.range(1).select(
+      call_function("graft_distinct_ngrams", lit(null).cast("array<string>"), lit(2)).as("n"),
+      array_distinct(TextFunctions.wordNgrams(lit(null).cast("array<string>"), 2)).as("c"))
+    val survivors = nulls.select(
+      (size(col("n")) > 0).as("nk"), (size(col("c")) > 0).as("ck")).collect()(0)
+    assert(survivors.isNullAt(0) || !survivors.getBoolean(0), "null input must not survive the size filter (native)")
+    assert(!survivors.getBoolean(1), "null input must not survive the size filter (twin)")
+  }
+
   test("native simhash stays inside whole-stage codegen") {
     val docs = Tables.documents(spark, sfDir)
     val plan = docs.select(call_function("graft_simhash64", tokens(col("text"))))
