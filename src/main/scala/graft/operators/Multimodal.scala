@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO defaults to FILE-backed stream caches: every
+    * `ImageIO.read`/`write` call creates (and deletes) a temp file on
+    * local disk just to buffer a payload that is already a byte
+    * array — measured as the dominant per-row cost of the PNG
+    * encode/decode stages (r21). Memory-backed caches produce
+    * byte-identical codec output; this runs once per JVM at class
+    * init, which covers executors too (the codec closures reference
+    * this object, so its static init precedes first use on every
+    * JVM).
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Wrap documents into a multimodal layout: binary payload + typed
     * metadata struct (mime, n_bytes, fake width/height).
     */
@@ -101,17 +113,22 @@ object Multimodal {
     val w = (16 + math.floorMod(id, 13L)).toInt
     val h = (16 + math.floorMod(id, 7L)).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // one bulk setRGB instead of w·h per-pixel calls (each of which
+    // pays a ColorModel dispatch): identical pixel values, ~one array
+    // copy (r21)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         // cheap deterministic pixel mix — full 24-bit coverage
         val m = id * 1000003L + y.toLong * 65599L + x.toLong * 31L
-        img.setRGB(x, y, ((m ^ (m >>> 17)) & 0xffffff).toInt)
+        px(y * w + x) = ((m ^ (m >>> 17)) & 0xffffff).toInt
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
@@ -168,21 +185,21 @@ object Multimodal {
           require(img != null, s"doc $id: payload is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
+          // one bulk getRGB instead of w·h per-pixel calls — same
+          // sRGB conversion, same values, one raster pass (r21)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sumLumaMilli = 0L // Σ (299R + 587G + 114B), 0..255000 per px
           var crc = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              sumLumaMilli += 299L * r + 587L * g + 114L * b
-              crc = (crc * 31 + (rgb & 0xffffff)) % 1000000007L
-              x += 1
-            }
-            y += 1
+          var i = 0
+          val n0 = w * h
+          while (i < n0) {
+            val rgb = px(i)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sumLumaMilli += 299L * r + 587L * g + 114L * b
+            crc = (crc * 31 + (rgb & 0xffffff)) % 1000000007L
+            i += 1
           }
           val n = w.toLong * h
           DecodedImage(id, w.toLong, h.toLong, n,
@@ -518,12 +535,16 @@ object Multimodal {
           val h = img.getHeight
           val cellSum = new Array[Long](64)  // Σ luma-milli per 8×8 cell
           val cellN = new Array[Long](64)
+          // bulk getRGB — same values, one raster pass (r21, see
+          // decodeImages)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var y = 0
           while (y < h) {
             val cy = y * 8 / h
+            val row = y * w
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = px(row + x)
               val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
                 114L * (rgb & 0xff)
               val c = cy * 8 + x * 8 / w
