@@ -148,7 +148,20 @@ object Sinks {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int,
                     mode: SaveMode): Unit =
-    df.write.mode(mode)
+    // align write tasks to buckets BEFORE the bucketed write (r21):
+    // without it every input task writes up to `buckets` files —
+    // tasks × buckets tiny files whose open/commit cost dominates the
+    // write for the bounded stored frames, and whose count is exactly
+    // what the maintenance rewrite exists to undo. The repartition is
+    // the same murmur3 `hash pmod buckets` routing the bucketed
+    // writer applies, so each task holds exactly one bucket and emits
+    // exactly one file — [[rewriteBucketed]] already writes through
+    // this shape; this makes first creation match it. Scale-correct:
+    // `buckets` is the table's layout contract (the caller's scale
+    // knob), and one-file-per-bucket is the layout's maintained
+    // steady state.
+    df.repartition(buckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(mode)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
