@@ -1400,11 +1400,20 @@ object Dedup {
       .withColumn("lbl", col("doc_id"))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val nbrMin = edges.join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
-        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
-        .withColumnRenamed("u", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // label(x) ← min(label(x), min over neighbor labels) as ONE
+      // aggregate over the neighbor-label stream UNIONED with the
+      // self rows (r21): every vertex contributes its own label, so
+      // the min over the union IS least(lbl, min-neighbor-lbl) — the
+      // previous form's separate left join back to `labels` (a second
+      // exchange of the frontier plus a join operator per round) is
+      // folded into the same groupBy. Identical labels by
+      // construction; per-round plan is join + aggregate instead of
+      // join + aggregate + join.
+      val next = edges
+        .join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
+        .select(col("u").as("doc_id"), col("nlbl"))
+        .unionByName(labels.select(col("doc_id"), col("lbl").as("nlbl")))
+        .groupBy(col("doc_id")).agg(min(col("nlbl")).as("lbl"))
         .persist(MEMORY_AND_DISK)
       // materialize EAGERLY: `labels` appears twice in each next-round
       // plan (the outer join AND nbrMin), so an unbroken lazy lineage
@@ -1460,12 +1469,17 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val nbrMin = edges.join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
-        .groupBy(col("u")).agg(min(col("nlbl")).as("nmin"))
-        .withColumnRenamed("u", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("old_lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // same one-aggregate round as [[ccLabels]] (r21): min over the
+      // neighbor-label stream ∪ self rows. The convergence check
+      // needs the PREVIOUS label alongside: only the self row carries
+      // it (non-null), so max(old) recovers it in the SAME aggregate
+      // — no join back to the frontier.
+      val next = edges
+        .join(labels.select(col("doc_id").as("v"), col("lbl").as("nlbl")), "v")
+        .select(col("u").as("doc_id"), col("nlbl"), lit(null).cast("long").as("old"))
+        .unionByName(labels.select(col("doc_id"), col("lbl").as("nlbl"), col("lbl").as("old")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("nlbl")).as("lbl"), max(col("old")).as("old_lbl"))
         .persist(MEMORY_AND_DISK)
       // one action does double duty: eager frontier materialization
       // (the 2^iters lineage guard, see ccLabels) AND the convergence
