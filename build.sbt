@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r21: this host exposes THP as madvise-only (AnonHugePages was 0 —
+  // the heap sat on 4 KiB pages) and the allocation-heavy dedup verify
+  // stages measured young GCs of ~1 s each under kernel page-fault
+  // overhead; madvised huge pages are the standard large-heap JVM fix
+  // and a no-op where THP is unavailable
+  "-XX:+UseTransparentHugePages",
 )

@@ -229,7 +229,7 @@ object Dedup {
                  routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
     val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
-    val toks = array_distinct(tokens(col("text")))
+    val toks = sort_array(array_distinct(tokens(col("text")))) // sorted per doc (r21): graft_jaccard_fs merge path
     // persist: this frame feeds BOTH legs of the band self-join and
     // BOTH sides of the verify join — without it the signature pass
     // runs 2× and the token pass 2× more (4 scan legs in the plan)
@@ -298,7 +298,7 @@ object Dedup {
     require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
     val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
-    val toksCol = array_distinct(tokens(col("text")))
+    val toksCol = sort_array(array_distinct(tokens(col("text")))) // sorted per doc (r21): graft_jaccard_fs merge path
     // persist: feeds both legs of the band self-join and both verify
     // sides (the md5 digest pass is the expensive stage here — one
     // native pass per row via HashFunctions.md5MinhashSig, r21; the
@@ -542,7 +542,7 @@ object Dedup {
     val d = Par.spread(canonDocs(docs, canonical, routed, minLossFs))
       .select(col("doc_id"), col("lang"),
       floor(lenCol / lit(100.0)).as("lb"),
-      array_distinct(tokens(col("text"))).as("toks"))
+      sort_array(array_distinct(tokens(col("text")))).as("toks")) // sorted per doc (r21): graft_jaccard_fs merge path
     val a = d.as("a")
     val b = d.as("b")
     a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
@@ -622,7 +622,7 @@ object Dedup {
                                     minLossFs: Long = 0L): (DataFrame, DataFrame) = {
     val docs = Par.spread(TextAnalysis.maybeKeyed(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
-    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
+    val grams = sort_array(graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)) // sorted per doc (r21): graft_jaccard_fs merge path
     // persist: feeds both legs of the band self-join and both sides
     // of the verify join (same reason as minhashLsh)
     val shingled = docs.select(col("doc_id"), grams.as("grams"))
@@ -1028,7 +1028,7 @@ object Dedup {
     val reference = TextAnalysis.maybeKeyed(reference0, canonical, routed, minLossFs)
     val rowsPerBand = perms / bands
     def shingled(df: DataFrame): DataFrame = {
-      val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
+      val grams = sort_array(graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)) // sorted per doc (r21): graft_jaccard_fs merge path
       // persist: each side feeds its banding leg and its verify side
       Par.spread(df).select(col("doc_id"), grams.as("grams"))
         .filter(size(col("grams")) > 0)
@@ -1100,7 +1100,7 @@ object Dedup {
     import graft.sources.Sinks
     val spark = reference.sparkSession
     val rowsPerBand = perms / bands
-    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
+    val grams = sort_array(graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)) // sorted per doc (r21): graft_jaccard_fs merge path
     // persist: feeds the band explode and the grams projection
     val shingled = Par.spread(TextAnalysis.maybeKeyed(reference, canonical, routed, minLossFs))
       .select(col("doc_id"), grams.as("grams"))
@@ -1234,7 +1234,7 @@ object Dedup {
     val (kc, kr, kf) = indexKeying(spark, name)
     val fresh = Par.spread(TextAnalysis.maybeKeyed(newDocs, kc, kr, kf))
       .join(spark.table(s"${name}_grams").select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
+    val grams = sort_array(graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)) // sorted per doc (r21): graft_jaccard_fs merge path
     val shingled = fresh.select(col("doc_id"), grams.as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
@@ -1309,7 +1309,7 @@ object Dedup {
     val spark = incoming.sparkSession
     val (n, perms, bands, _, _) = indexMeta(spark, name)
     val rowsPerBand = perms / bands
-    val grams = graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)
+    val grams = sort_array(graft.functions.TextFunctions.distinctWordNgrams(tokens(col("text")), n)) // sorted per doc (r21): graft_jaccard_fs merge path
     val (kc, kr, kf) = indexKeying(spark, name)
     val si = Par.spread(TextAnalysis.maybeKeyed(incoming, kc, kr, kf))
       .select(col("doc_id"), grams.as("grams"))

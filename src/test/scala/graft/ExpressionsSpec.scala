@@ -40,6 +40,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs disagree between native and Column jaccard")
   }
 
+  test("jaccard_fs merge path is pinned to the hash path on random sorted/unsorted/dup/null arrays") {
+    // the r21 merge fast path engages on sorted inputs and must agree
+    // with the hash pass (the pre-r21 semantics) on EVERY input shape:
+    // sorted, unsorted (fallback), duplicates (left dups inflate the
+    // left count only; right dups probe repeatedly), interior nulls,
+    // empties — including the degenerate >1.0 ratios duplicate probes
+    // can produce, which are part of the pinned behavior
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.ArrayJaccardFs
+    def arr(xs: Seq[String]): ArrayData =
+      ArrayData.toArrayData(xs.map(x => if (x == null) null else UTF8String.fromString(x)).toArray)
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("a", "b", "c", "aa", "ab", "b1", "", "zz", "日本", "x")
+    val cases = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "a"), Seq("a")),
+      (Seq("a"), Seq("a", "a")),
+      (Seq("a", "x", "y"), Seq("a", "a", "x")),
+      (Seq(null, "a", "b"), Seq("a", null, "b")),
+      (Seq(null, null), Seq(null.asInstanceOf[String])),
+      (Seq("b", "a"), Seq("a", "b")), // unsorted left → fallback
+      (Seq("a", "b"), Seq("b", "a"))  // unsorted right → fallback
+    ) ++ (1 to 300).map { _ =>
+      def side = Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+      val l = if (rnd.nextBoolean()) side.sorted else side
+      val r = if (rnd.nextBoolean()) side.sorted else Seq.fill(rnd.nextInt(8))(pool(rnd.nextInt(pool.size))).sorted
+      (l, r)
+    }
+    cases.foreach { case (l, r) =>
+      val m = ArrayJaccardFs.compute(arr(l), arr(r))
+      val h = ArrayJaccardFs.computeHash(arr(l), arr(r))
+      assert(m == h, s"merge=$m hash=$h for l=$l r=$r")
+    }
+  }
+
   test("graft_jaccard_fs edge cases: identical, disjoint, empty") {
     val r = spark.sql(
       """SELECT graft_jaccard_fs(array('a','b'), array('a','b')) AS same,
