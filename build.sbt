@@ -27,10 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // r21: this host exposes THP as madvise-only (AnonHugePages was 0 —
-  // the heap sat on 4 KiB pages) and the allocation-heavy dedup verify
-  // stages measured young GCs of ~1 s each under kernel page-fault
-  // overhead; madvised huge pages are the standard large-heap JVM fix
-  // and a no-op where THP is unavailable
-  "-XX:+UseTransparentHugePages",
+  // r21 note: -XX:+UseTransparentHugePages was trialed against the
+  // ~1 s young GCs measured on this host's 4 KiB-page heap, but after
+  // the allocation fix (sorted-merge jaccard) three on/off A/Bs showed
+  // no win (one read slightly negative), so it is NOT enabled —
+  // OPTIMIZATION_r21.md item 11 has the numbers
 )
