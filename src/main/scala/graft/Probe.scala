@@ -91,10 +91,15 @@ object Probe {
         val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
         val verifyWork = cands.join(ta, "id_a").join(tb, "id_b")
           .select((size(col("toks_a")) + size(col("toks_b"))).as("w"),
+            size(col("toks_a")).as("sa"), size(col("toks_b")).as("sb"),
             call_function("graft_jaccard_fs", col("toks_a"), col("toks_b")).as("j"))
           .persist()
         println("verify token work=" + verifyWork.agg(sum(col("w")), count(lit(1))).first())
         println("verified=" + verifyWork.filter(col("j") >= 9000).count())
+        // selectivity of the provable size bound J <= min/max: candidates
+        // the bound rejects can never reach jac_fs >= 9000
+        println("size-bound keeps=" + verifyWork.filter(
+          lit(10000L) * least(col("sa"), col("sb")) >= lit(9000L) * greatest(col("sa"), col("sb"))).count())
       case other =>
         SparkEntry.queries.get(other).foreach { fn =>
           seg(other) { fn(spark, sfDir) }

@@ -54,8 +54,6 @@ object Dedup {
     * join-back shares the (band, bucket) shuffle key; replication
     * touches only mega-bucket rows.
     */
-  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024): DataFrame =
-    candidatePairs(banded0, maxBucket, sketchDiscovery = true)
 
   /** Two interchangeable mega-bucket DISCOVERY strategies (the pair
     * set is identical either way — spec-pinned on the forced-skew
@@ -83,10 +81,28 @@ object Dedup {
     *    split sizes. The fallback when the banded frame is about to
     *    shuffle on (band, bucket) anyway.
     */
-  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int,
-                                    sketchDiscovery: Boolean): DataFrame = {
+  /** `szBoundFs` > 0 turns on the SET-SIZE pre-filter (r21, guide
+    * §2.3 — verify fewer rows): `banded0` must then carry a `sz`
+    * column (the doc's DISTINCT token/gram set size). Jaccard is
+    * bounded by the size ratio — |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+    * max(|A|,|B|), so floor(10⁴·J) ≥ t requires 10⁴·min ≥ t·max —
+    * which means a pair failing the integer cross-multiplication
+    * can NEVER pass the downstream `jac_fs ≥ t` verify: dropping it
+    * here (BEFORE the distinct and the token-array attach joins)
+    * leaves the verified pair set bit-identical while cutting the
+    * distinct's input and the verify join's volume by the rejected
+    * share (measured 36% of candidates at sf0.1's default geometry).
+    * Size riding the slim band rows costs 4 bytes/row and no extra
+    * join or shuffle. Only meaningful for the JACCARD families over
+    * distinct element sets; hamming/cosine verifies pass 0 (off).
+    */
+  private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024,
+                                    sketchDiscovery: Boolean = true,
+                                    szBoundFs: Long = 0L): DataFrame = {
     val maxMapSize = 4096
-    val banded = banded0.select(col("doc_id"), col("band"), col("bucket"))
+    val szCols = if (szBoundFs > 0) Seq(col("sz")) else Seq.empty
+    val banded = banded0.select(
+      (Seq(col("doc_id"), col("band"), col("bucket")) ++ szCols): _*)
     val salted =
       if (sketchDiscovery) {
         val bandT = banded.schema("band").dataType
@@ -111,8 +127,11 @@ object Dedup {
       }
     val a = salted
       .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
-      .select(col("doc_id").as("id_a"), col("band"), col("bucket"), col("pg"))
-    val b = salted.select(col("doc_id").as("id_b"), col("band"), col("bucket"), col("g").as("pg"))
+      .select((Seq(col("doc_id").as("id_a"), col("band"), col("bucket"), col("pg")) ++
+        (if (szBoundFs > 0) Seq(col("sz").as("sz_a")) else Seq.empty)): _*)
+    val b = salted.select((Seq(col("doc_id").as("id_b"), col("band"), col("bucket"),
+      col("g").as("pg")) ++
+      (if (szBoundFs > 0) Seq(col("sz").as("sz_b")) else Seq.empty)): _*)
     // PIN the pair join's parallelism (r21): AQE sizes post-shuffle
     // reads by INPUT bytes, but this join's output is the pair
     // expansion — Σ bucket² over slim (id, band, bucket) rows,
@@ -129,9 +148,15 @@ object Dedup {
     // is a no-op in effect.
     val keys = Seq(col("band"), col("bucket"), col("pg"))
     val n = banded0.sparkSession.sparkContext.defaultParallelism
-    a.repartition(n, keys: _*).join(b.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
+    val joined = a.repartition(n, keys: _*)
+      .join(b.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val bounded =
+      if (szBoundFs > 0)
+        joined.filter(lit(10000L) * least(col("sz_a"), col("sz_b")) >=
+          lit(szBoundFs) * greatest(col("sz_a"), col("sz_b")))
+      else joined
+    bounded.select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -241,9 +266,11 @@ object Dedup {
     // band rows are SLIM (doc_id, band, bucket) — token arrays never
     // ride through the 8-way explode or the bucket shuffle
     val banded = shingled
-      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = candidatePairs(banded)
+      .select(col("doc_id"), size(col("toks")).as("sz"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("sz"))
+    val candidates = candidatePairs(banded, szBoundFs = minJaccardFs)
     // exact-Jaccard verify: one set-intersection per UNIQUE candidate
     val ta = shingled.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
@@ -314,9 +341,11 @@ object Dedup {
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
           .as("bucket"))
     }: _*)
-    val banded = shingled.select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = candidatePairs(banded)
+    val banded = shingled.select(col("doc_id"), size(col("toks")).as("sz"),
+        explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("sz"))
+    val candidates = candidatePairs(banded, szBoundFs = minJaccardFs)
     val ta = shingled.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
     val tb = shingled.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
     val verified = candidates.join(ta, "id_a").join(tb, "id_b")
@@ -630,11 +659,13 @@ object Dedup {
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
-      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("sz"))
     val ga = shingled.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val gb = shingled.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
-    val pairs = candidatePairs(banded).join(ga, "id_a").join(gb, "id_b")
+    val pairs = candidatePairs(banded, szBoundFs = thresholdFs).join(ga, "id_a").join(gb, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccardFs(docs0.sparkSession, col("grams_a"), col("grams_b")).as("jac_fs"))
       .filter(col("jac_fs") >= thresholdFs)
@@ -981,9 +1012,17 @@ object Dedup {
     * join against the bucket widths) — a bucket with no reference
     * docs can produce no candidates.
     */
+  /** `szBoundFs` > 0: same provable Jaccard size-ratio pre-filter as
+    * [[candidatePairs]] (both banded inputs must carry `sz`) — rejects
+    * cross-corpus candidates before the distinct and the gram attach.
+    */
   private[graft] def crossCandidatePairs(bandedIn: DataFrame, bandedRef: DataFrame,
-                                         maxBucket: Int = 1024): DataFrame = {
-    val ref = bandedRef.select(col("doc_id").as("id_ref"), col("band"), col("bucket"))
+                                         maxBucket: Int = 1024,
+                                         szBoundFs: Long = 0L): DataFrame = {
+    val refSz = if (szBoundFs > 0) Seq(col("sz").as("sz_ref")) else Seq.empty
+    val inSz = if (szBoundFs > 0) Seq(col("sz").as("sz_in")) else Seq.empty
+    val ref = bandedRef.select(
+      (Seq(col("doc_id").as("id_ref"), col("band"), col("bucket")) ++ refSz): _*)
     // the bucket-width aggregate appears in BOTH joins below and is
     // re-evaluated per leg; deliberate — it is a slim partial agg
     // (one row per occupied (band, bucket)) over the caller's
@@ -992,18 +1031,26 @@ object Dedup {
     val widths = ref.groupBy(col("band"), col("bucket"))
       .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("int").as("s"))
     val salted = ref.join(widths, Seq("band", "bucket"))
-      .select(col("id_ref"), col("band"), col("bucket"),
-        pmod(xxhash64(col("id_ref")), col("s")).cast("int").as("pg"))
-    val in = bandedIn.select(col("doc_id").as("id_in"), col("band"), col("bucket"))
+      .select((Seq(col("id_ref"), col("band"), col("bucket"),
+        pmod(xxhash64(col("id_ref")), col("s")).cast("int").as("pg")) ++ refSz.map(_ => col("sz_ref"))): _*)
+    val in = bandedIn.select(
+        (Seq(col("doc_id").as("id_in"), col("band"), col("bucket")) ++ inSz): _*)
       .join(widths, Seq("band", "bucket"))
       .withColumn("pg", explode(sequence(lit(0), col("s") - 1)))
-      .select(col("id_in"), col("band"), col("bucket"), col("pg"))
+      .select((Seq(col("id_in"), col("band"), col("bucket"), col("pg")) ++
+        inSz.map(_ => col("sz_in"))): _*)
     // pinned parallelism for the output-exploding pair join — same
     // AQE-coalescing hazard and same fix as [[candidatePairs]] (r21)
     val keys = Seq(col("band"), col("bucket"), col("pg"))
     val n = bandedIn.sparkSession.sparkContext.defaultParallelism
-    in.repartition(n, keys: _*).join(salted.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
-      .select(col("id_in"), col("id_ref"))
+    val joined = in.repartition(n, keys: _*)
+      .join(salted.repartition(n, keys: _*), Seq("band", "bucket", "pg"))
+    val bounded =
+      if (szBoundFs > 0)
+        joined.filter(lit(10000L) * least(col("sz_in"), col("sz_ref")) >=
+          lit(szBoundFs) * greatest(col("sz_in"), col("sz_ref")))
+      else joined
+    bounded.select(col("id_in"), col("id_ref"))
       .distinct()
   }
 
@@ -1036,13 +1083,15 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     def banded(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("sz"))
     val si = shingled(incoming)
     val sr = shingled(reference)
     val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
     val gr = sr.select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
-    val verified = crossCandidatePairs(banded(si), banded(sr))
+    val verified = crossCandidatePairs(banded(si), banded(sr), szBoundFs = thresholdFs)
       .join(gi, "id_in").join(gr, "id_ref")
       .select(col("id_in"), col("id_ref"),
         jaccardFs(incoming.sparkSession, col("grams_in"), col("grams_ref")).as("jac_fs"))

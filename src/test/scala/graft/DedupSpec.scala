@@ -887,6 +887,44 @@ class DedupSpec extends SparkSpec {
         s"(${exchanges(sketchPlan)} vs ${exchanges(countsPlan)})")
   }
 
+  test("size-bound pre-filter: drops exactly the candidates the Jaccard bound excludes, verified pairs unchanged") {
+    // candidatePairs grain: the bounded generator must equal the
+    // unbounded one filtered by the provable bound 10⁴·min ≥ t·max
+    // (J ≤ min/max, so a bound-failing pair can never verify at t)
+    val sizes = Map(1L -> 100, 2L -> 95, 3L -> 89, 4L -> 50, 5L -> 100)
+    val banded = Seq((1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L), (4L, 0, 7L), (5L, 0, 7L),
+      (1L, 1, 9L), (4L, 1, 9L))
+      .toDF("doc_id", "band", "bucket")
+      .withColumn("sz", udf((id: Long) => sizes(id)).apply(col("doc_id")))
+    val bounded = Dedup.candidatePairs(banded, szBoundFs = 9000L)
+    val unbounded = Dedup.candidatePairs(banded.drop("sz"))
+    val szDf = sizes.toSeq.toDF("id", "sz")
+    val expected = unbounded
+      .join(szDf.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(szDf.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(lit(10000L) * least(col("sz_a"), col("sz_b")) >=
+        lit(9000L) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+    assert(bounded.exceptAll(expected).isEmpty && expected.exceptAll(bounded).isEmpty,
+      "bounded generator must equal unbounded ∩ size bound")
+    // spot values: ratios 95/100, 100/100, 89/95, 95/100 pass;
+    // (1,3) 89/100 fails, (1,4) 50/100 fails (in BOTH its buckets)
+    val got = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 3L), (2L, 5L)))
+
+    // end-to-end grain: a superset doc (J = 20/30 ≈ 0.66, size ratio
+    // 20/30 — bound-rejected) must stay out and an exact dup pair
+    // must still verify, so the family's output is unchanged by the
+    // pre-filter riding its band rows
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val superset = base + " " + (21 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, superset)).toDF("doc_id", "text")
+    val verified = Dedup.minhashMd5Pairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L)),
+      "exact dup verifies; the size-rejected superset candidate stays out")
+  }
+
   test("applyPairs drops exactly the higher-id members of dup pairs") {
     val pairs = Dedup.ngramJaccard(docs, thresholdFs = 9000L)
     val survivors = Dedup.applyPairs(docs, pairs).select("doc_id").collect().map(_.getLong(0)).toSet
