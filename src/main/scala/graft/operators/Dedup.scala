@@ -263,6 +263,10 @@ object Dedup {
       minhashSignature(if (shingleN == 1) toks else wordNgrams(tokens(col("text")), shingleN), perms)
         .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): AQE runs the banding/discovery/verify legs
+    // concurrently, and legs racing an unmaterialized cache re-run
+    // the token+signature subtree once each — see chunkBandedPairs
+    shingled.count()
     // band rows are SLIM (doc_id, band, bucket) — token arrays never
     // ride through the 8-way explode or the bucket shuffle
     val banded = shingled
@@ -335,6 +339,9 @@ object Dedup {
       .select(col("doc_id"), col("toks"),
         graft.functions.HashFunctions.md5MinhashSig(col("toks"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): see chunkBandedPairs — stops the concurrent
+    // downstream legs from re-running the md5 digest subtree
+    shingled.count()
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("#", (0 until rowsPerBand).map(r =>
@@ -407,6 +414,8 @@ object Dedup {
     val (chunks, comboSize) = simhashBandPlan(maxHamming)
     val fp = simhashFingerprints(docs, canonical, routed, minLossFs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): see chunkBandedPairs
+    fp.count()
     // slim (doc_id, band, bucket) rows — fingerprints don't ride the
     // band explode; they come back in the verify join below
     val banded = fp
@@ -521,9 +530,15 @@ object Dedup {
   private[graft] def chunkBandedPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = SimhashMd5Chunks
     // persist: the 4-chunk fingerprint frame feeds the band explode
-    // AND both verify sides — the upstream fingerprint pass runs once
+    // AND both verify sides — the upstream fingerprint pass runs once.
+    // The count() materializes it EAGERLY (r21): AQE submits the
+    // independent downstream legs concurrently, and each leg that
+    // races an unmaterialized cache re-runs the whole fingerprint
+    // subtree (measured: 6 duplicate codec stages under
+    // multimodal_phash) — one bounded job pins the frame first
     val fp = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count()
     val bandStructs = array((0 until chunks).map { c =>
       struct(lit(c).as("band"), col(s"c$c").cast("string").as("bucket"))
     }: _*)
@@ -658,6 +673,9 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), col("grams"), minhashSignature(col("grams"), perms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): see chunkBandedPairs — stops the concurrent
+    // downstream legs from re-running the gram+signature subtree
+    shingled.count()
     val banded = shingled
       .select(col("doc_id"), size(col("grams")).as("sz"),
         explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
@@ -753,9 +771,14 @@ object Dedup {
     val e = Par.spread(embeddings).select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count doubles as the eager cache pin (r21): the explicit-
+    // geometry path previously left `e` unmaterialized, so AQE's
+    // concurrent bucket/verify legs each re-ran the scan+norm subtree
+    // — see chunkBandedPairs
+    val nVecs = math.max(2L, e.count())
     val (pl, tb, pr) =
       if (explicitGeometry == 3) (planes, tables, probes)
-      else Sim.suggestSrpGeometry(math.max(2L, e.count()), thresholdFs / 10000.0)
+      else Sim.suggestSrpGeometry(nVecs, thresholdFs / 10000.0)
     require(pr >= 1 && pr <= pl + 1, s"probes must be in [1, planes+1], got $pr")
     // slim (id, table, bucket) rows — vectors never ride the explode
     val bucketStructs = array((0 until tb).map { t =>
@@ -852,6 +875,9 @@ object Dedup {
           .select(col("id"), col("v"), col("cluster")))
       .withColumn("nrm", l2norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): see chunkBandedPairs — the pair generator and
+    // both verify sides race the cache under AQE otherwise
+    assigned.count()
     val pairs = candidatePairs(assigned.select(col("id").as("doc_id"),
       lit(0).as("band"), col("cluster").as("bucket")))
     val ea = assigned.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -937,6 +963,8 @@ object Dedup {
     val assigned = pts
       .select(col("id"), col("q"), clusterCol(cents).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager pin (r21): see chunkBandedPairs
+    assigned.count()
     val pairs = candidatePairs(assigned.select(col("id").as("doc_id"),
       lit(0).as("band"), col("cluster").as("bucket")))
     // fixed-point cosine on the unshifted grid: integer dp/norm sums;
@@ -1089,6 +1117,10 @@ object Dedup {
         col("sz"))
     val si = shingled(incoming)
     val sr = shingled(reference)
+    // eager pins (r21): see chunkBandedPairs — each side feeds its
+    // banding leg, the widths aggregate, and its verify side
+    // concurrently under AQE
+    si.count(); sr.count()
     val gi = si.select(col("doc_id").as("id_in"), col("grams").as("grams_in"))
     val gr = sr.select(col("doc_id").as("id_ref"), col("grams").as("grams_ref"))
     val verified = crossCandidatePairs(banded(si), banded(sr), szBoundFs = thresholdFs)

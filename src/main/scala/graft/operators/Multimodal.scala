@@ -144,7 +144,12 @@ object Multimodal {
   def imagePayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Par.spread BEFORE the codec stage (r21, guide §2): the slim
+    // doc_id scan of a single bench file plans 1-2 splits, which
+    // would run the PNG encode AND every downstream decode on 1-2
+    // cores; spreading the 8-byte id rows is free and a no-op on
+    // multi-split production inputs
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, synthesizePng(id))))
       .toDF("doc_id", "payload")
       .select(
@@ -253,7 +258,8 @@ object Multimodal {
   def audioPayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread the slim id scan before the codec stage — see imagePayloads
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, synthesizeWav(id))))
       .toDF("doc_id", "payload")
       .select(
@@ -382,7 +388,8 @@ object Multimodal {
   def videoPayloads(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread the slim id scan before the codec stage — see imagePayloads
+    Par.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => (id, synthesizeY4m(id))))
       .toDF("doc_id", "payload")
       .select(
