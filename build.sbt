@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked process's stdout/stderr VERBATIM. sbt's default
+// LoggedOutput prefixes every forked stdout line with "[info] " (and
+// stderr with "[error] "), which defeats any line-anchored parse of
+// the bench's metrics JSON — the round driver recorded "parsed": null
+// every single round (r01–r21) because the contract line never
+// started at column 0. StdoutOutput passes lines through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

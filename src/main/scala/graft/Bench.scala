@@ -73,20 +73,17 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] metrics file write failed: $e") }
-    // The driver keeps only the last ~2000 chars of the log, and at
-    // 99 keys the full per-key line above (~2.4 KB) no longer fits —
-    // its FRONT truncates out of the tail and the driver's own parse
-    // records null (r11, r12). The LAST line is therefore a compact
-    // twin that always fits: same envelope, "queries" rolled up to
-    // operator families (granularity declared, per-key detail in the
-    // committed file above).
-    val fam = results.groupBy { case (k, _) =>
-      if (k.matches("^q\\d.*")) "q" else k.takeWhile(_ != '_')
-    }.toSeq.sortBy(_._1).map { case (f, kvs) =>
-      "\"" + f + "\":" + fmt(kvs.collect { case (_, v) if v >= 0 => v }.sum)
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fam,""" +
-      s""""granularity":"family","detail":"$out","errors":$errs,"sf":"$sfDir","runs":$runs}""")
+    // r22 measurement-bug fix (documented in OPTIMIZATION_r22.md): the
+    // driver's parse recorded "parsed": null EVERY round. r11/r15
+    // blamed tail truncation and appended a second, family-rolled-up
+    // JSON line — but r10's tail held a COMPLETE per-key line and
+    // still parsed null. The actual breaker was sbt's LoggedOutput
+    // "[info] " prefix on every forked stdout line (fixed in
+    // build.sbt via run/outputStrategy := StdoutOutput). The family
+    // line is therefore retired: it never parsed, and if it ever did
+    // it would present renamed query keys to the driver, which the
+    // contract forbids. stdout now carries exactly ONE JSON line —
+    // the per-key contract line above — starting at column 0.
     spark.stop()
   }
 }
