@@ -100,6 +100,14 @@ object Probe {
         // the bound rejects can never reach jac_fs >= 9000
         println("size-bound keeps=" + verifyWork.filter(
           lit(10000L) * least(col("sa"), col("sb")) >= lit(9000L) * greatest(col("sa"), col("sb"))).count())
+      case "cc_edges_plan" =>
+        // does the generator's ORDER BY survive into the edges union's
+        // executed plan (i.e. run once per union leg)?
+        val docs = Tables.documents(spark, sfDir)
+        val pairs = operators.Dedup.minhashMd5Pairs(docs)
+        val edges0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        println(edges0.queryExecution.executedPlan.toString.take(8000))
       case other =>
         SparkEntry.queries.get(other).foreach { fn =>
           seg(other) { fn(spark, sfDir) }

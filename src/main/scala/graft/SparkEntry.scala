@@ -507,13 +507,19 @@ object SparkEntry {
     }),
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.applyPairs(docs, Dedup.minhashMd5Pairs(docs))
+      // unsorted pair form (r22): applyPairs only reads the id_b SET,
+      // and the sorted form's ORDER BY survives into the consumer leg
+      // — same drops, one sample+sort pass less
+      Dedup.applyPairs(docs, Dedup.minhashMd5PairsUnsorted(docs))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
     "dedup_apply_cc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.ccLabels(docs, Dedup.minhashMd5Pairs(docs))
+      // unsorted pair form (r22): the CC edges union carried the
+      // generator's ORDER BY in BOTH legs and re-ran the verify stage
+      // twice racing its lazy cache — labels identical by construction
+      Dedup.ccLabels(docs, Dedup.minhashMd5PairsUnsorted(docs))
     }),
     // the xxhash-LSH apply compositions: same greedy/cc application,
     // pairs from the BIGRAM ngram-LSH generator (rows-only keys — the

@@ -326,6 +326,52 @@ object Dedup {
                       minJaccardFs: Long = 9000L,
                       canonical: Boolean = false,
                       routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val (pairs, shingled) =
+      minhashMd5PairsAndCache(docs0, perms, bands, minJaccardFs, canonical, routed, minLossFs)
+    // persist before the global sort: range-partitioned ORDER BY runs
+    // a sampling pass over its input — without the persist the whole
+    // pair-verify map stage executes twice
+    val verified = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ScopedCache.releaseAfterAction(
+      verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
+  }
+
+  /** [[minhashMd5Pairs]] without the final global sort — the form
+    * downstream consumers ([[applyPairs]], [[ccLabels]]) should take,
+    * mirroring [[ngramLshPairs]] (r22): the sorted form's
+    * range-partitioned ORDER BY survives into every consumer leg the
+    * optimizer can't prove order-irrelevant — measured in
+    * dedup_apply_cc's edges union, where BOTH legs carried the
+    * sample-then-sort pass. Like [[ngramLshPairs]], the verified frame
+    * is NOT persisted here: a consumer that reads the pairs more than
+    * once (the CC edges union) must materialize them once itself —
+    * [[ccLabels]]/[[convergedCcLabels]] do (and an operator-side
+    * eager pin is NOT an option: the scoped-release listener bus is
+    * asynchronous, so a pin action completed just before registration
+    * is delivered to the fresh listener and self-releases the caches
+    * it was meant to protect — measured as full generator recomputes
+    * on every downstream leg).
+    */
+  def minhashMd5PairsUnsorted(docs0: DataFrame, perms: Int = 32, bands: Int = 4,
+                              minJaccardFs: Long = 9000L,
+                              canonical: Boolean = false,
+                              routed: Boolean = false, minLossFs: Long = 0L): DataFrame = {
+    val (pairs, shingled) =
+      minhashMd5PairsAndCache(docs0, perms, bands, minJaccardFs, canonical, routed, minLossFs)
+    ScopedCache.releaseAfterAction(pairs, Seq(shingled))
+  }
+
+  /** Shared body of [[minhashMd5Pairs]]/[[minhashMd5PairsUnsorted]],
+    * returning the verified pairs UNPERSISTED plus the operator-owned
+    * shingle persist, so each public entry scopes exactly the caches
+    * it creates (the [[ngramLshPairsAndCache]] pattern — the sorted
+    * wrapper persists the pairs itself for its ORDER BY double pass).
+    */
+  private def minhashMd5PairsAndCache(docs0: DataFrame, perms: Int, bands: Int,
+                                      minJaccardFs: Long,
+                                      canonical: Boolean,
+                                      routed: Boolean, minLossFs: Long)
+  : (DataFrame, DataFrame) = {
     require(perms % bands == 0, s"bands must divide perms, got $perms/$bands")
     val docs = Par.spread(canonDocs(docs0, canonical, routed, minLossFs))
     val rowsPerBand = perms / bands
@@ -359,9 +405,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardFs(docs0.sparkSession, col("toks_a"), col("toks_b")).as("jac_fs"))
       .filter(col("jac_fs") >= minJaccardFs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ScopedCache.releaseAfterAction(
-      verified.orderBy(col("id_a"), col("id_b")), Seq(shingled, verified))
+    (verified, shingled)
   }
 
   /** SimHash fingerprints: one 64-bit sketch per doc. [[simhashPairs]]
@@ -1456,6 +1500,18 @@ object Dedup {
     * not |corpus|: at a production dup rate (a few %) the iterated
     * frame is 50× smaller than the corpus.
     */
+  /** Partition count for a CC edge checkpoint, derived from the
+    * measured edge count (available for free — every CC variant counts
+    * its edges to pin the cache): ~2M (u, v) long-pair rows ≈ 32–100 MB
+    * per map task, the guide §2's partition-sizing band. Never grows
+    * the producing layout (coalesce-only), so a corpus-scale edge set
+    * keeps its parallelism while a gate-scale one stops paying a
+    * 64-empty-task scheduling floor per propagation round.
+    */
+  private def ccEdgeParts(edgeCount: Long): Int =
+    math.max(1L, (edgeCount + 1999999L) / 2000000L)
+      .min(Int.MaxValue.toLong).toInt
+
   def ccLabels(docs: DataFrame, pairs: DataFrame, iters: Int = 4,
                idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1470,12 +1526,29 @@ object Dedup {
     // alone (measured: 46 s → 12 s for the full cc at sf0.1 from this
     // truncation; data-path cost was never the problem — the same
     // plan-explosion lesson starCcLabels documents at 16×/round)
-    val edges0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(MEMORY_AND_DISK)
-    edges0.count()
-    val edges = edges0.localCheckpoint(true)
-    edges0.unpersist(false)
+    // materialize the PAIR set once, BEFORE the two-leg union (r22):
+    // the union's legs each embed the whole pair-generation pipeline,
+    // and AQE submits both concurrently — with a lazily-cached (or
+    // uncached, for the ngram generator) pair source, the expensive
+    // verify stage ran once PER LEG (measured: twin 1.3 s stages for
+    // one 1.3 s verify). One slim persist + count consumes the
+    // generator exactly once (its scoped caches release here) and the
+    // union reads this operator's own cache.
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
+    val nPairs = p0.count()
+    val edges0 = p0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p0.select(col("id_b").as("u"), col("id_a").as("v")))
+    // size the checkpoint's partitioning from the MEASURED edge count
+    // (r22, guide §2 — derive partitioning from data, not from the
+    // producing plan): the union inherits 2× the generator's shuffle
+    // partitions, and that layout rides the checkpoint into EVERY
+    // round's map side — at gate scale, 64–96 near-empty tasks per
+    // round whose scheduling floor dominates the round (measured:
+    // round-1 map stages 0.5–1.8 s over 17k rows). coalesce never
+    // raises the count, so a genuinely large edge set keeps its
+    // parallelism.
+    val edges = edges0.coalesce(ccEdgeParts(2L * nPairs)).localCheckpoint(true)
+    p0.unpersist(false)
     // both edge directions are present, so `u` alone covers every vertex
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
@@ -1538,12 +1611,15 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one eager pipeline run + lineage truncation — see ccLabels for
     // the measured plan-explosion rationale
-    val edges0 = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(MEMORY_AND_DISK)
-    edges0.count()
-    val edges = edges0.localCheckpoint(true)
-    edges0.unpersist(false)
+    // one slim persist + count consumes the pair generator exactly
+    // once before the two-leg union — see ccLabels (r22)
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist(MEMORY_AND_DISK)
+    val nPairs = p0.count()
+    val edges0 = p0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p0.select(col("id_b").as("u"), col("id_a").as("v")))
+    // measured-size checkpoint partitioning — see ccLabels (r22)
+    val edges = edges0.coalesce(ccEdgeParts(2L * nPairs)).localCheckpoint(true)
+    p0.unpersist(false)
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
     var prevCached: DataFrame = null
@@ -1644,7 +1720,9 @@ object Dedup {
     // RDD job), so a scoped-cache pair generator upstream sees its
     // plan consumed here and releases its own persists
     var edgeCount = edges0.count()
-    var edges = edges0.localCheckpoint(true) // slim copy off the cache, lineage truncated
+    // measured-size checkpoint partitioning — see ccLabels (r22)
+    var edges = edges0.coalesce(ccEdgeParts(edgeCount))
+      .localCheckpoint(true) // slim copy off the cache, lineage truncated
     edges0.unpersist(false)
     var changed = edgeCount > 0
     var it = 0
