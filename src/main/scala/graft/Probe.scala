@@ -100,6 +100,26 @@ object Probe {
         // the bound rejects can never reach jac_fs >= 9000
         println("size-bound keeps=" + verifyWork.filter(
           lit(10000L) * least(col("sa"), col("sb")) >= lit(9000L) * greatest(col("sa"), col("sb"))).count())
+      case "audio_micro" =>
+        // per-payload cost split of the WAV path (guide §1): synthesis
+        // (AudioSystem.write) vs decode (AudioSystem.getAudioInputStream)
+        // — both run one SPI provider scan per CALL unless hoisted
+        def time(name: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime(); f
+          println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        }
+        val ids = (0L until 5000L).toArray
+        time("synth_5000_warmup") { ids.take(500).foreach(operators.Multimodal.synthesizeWav) }
+        val wavs = new Array[Array[Byte]](ids.length)
+        time("synth_5000") { ids.foreach(i => wavs(i.toInt) = operators.Multimodal.synthesizeWav(i)) }
+        time("decode_5000") {
+          wavs.foreach { b =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(b))
+            val d = ais.readAllBytes(); ais.close()
+            if (d.length == 0) throw new IllegalStateException("empty")
+          }
+        }
       case "cc_edges_plan" =>
         // does the generator's ORDER BY survive into the edges union's
         // executed plan (i.e. run once per union leg)?

@@ -50,6 +50,42 @@ object Multimodal {
     */
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** The WAV reader/writer providers, resolved ONCE per JVM (r22).
+    * The `AudioSystem` facade re-resolves its provider list on EVERY
+    * `write`/`getAudioInputStream` call through a synchronized static
+    * registry lookup (`JDK13Services.getProviders`), so 32 concurrent
+    * codec tasks serialize on that lock: the 5000-payload WAV stage
+    * measured 0.8 s single-threaded but 1.9–2.1 s PER 32-task STAGE
+    * (audio_micro probe vs the multimodal_audio stage listing).
+    * Calling the resolved provider directly is the same code path
+    * minus the per-call registry walk; output bytes are identical
+    * (spec-pinned sample truths unchanged). Resolution probes each
+    * discovered reader with a real synthesized container rather than
+    * trusting class names, mirroring the facade's own
+    * try-each-provider semantics.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException(
+        "no WAVE-capable javax.sound.sampled.spi.AudioFileWriter provider on this JVM"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val sample = synthesizeWavBytes(0L, wavWriter)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(sample)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException(
+        "no WAV-capable javax.sound.sampled.spi.AudioFileReader provider on this JVM"))
+  }
+
   /** Wrap documents into a multimodal layout: binary payload + typed
     * metadata struct (mime, n_bytes, fake width/height).
     */
@@ -225,7 +261,15 @@ object Multimodal {
     * Length varies with id (512 + id mod 512 samples) so duration is
     * a per-row decoded fact, not a constant.
     */
-  private[graft] def synthesizeWav(id: Long): Array[Byte] = {
+  private[graft] def synthesizeWav(id: Long): Array[Byte] =
+    synthesizeWavBytes(id, wavWriter)
+
+  /** [[synthesizeWav]] body with the writer passed in, so
+    * [[wavReader]]'s init probe can synthesize its sample container
+    * without touching the reader lazy val it is initializing.
+    */
+  private def synthesizeWavBytes(id: Long,
+                                 writer: javax.sound.sampled.spi.AudioFileWriter): Array[Byte] = {
     val n = (512 + math.floorMod(id, 512L)).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -244,8 +288,9 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    // the resolved provider directly — not AudioSystem.write, whose
+    // per-call synchronized provider lookup serializes codec tasks
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
@@ -301,7 +346,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          // the resolved provider directly — not AudioSystem, whose
+          // per-call synchronized provider lookup serializes codec tasks
+          val ais = wavReader.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
