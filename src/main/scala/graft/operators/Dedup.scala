@@ -99,6 +99,12 @@ object Dedup {
   private[graft] def candidatePairs(banded0: DataFrame, maxBucket: Int = 1024,
                                     sketchDiscovery: Boolean = true,
                                     szBoundFs: Long = 0L): DataFrame = {
+    // name the scaladoc contract instead of failing with an opaque
+    // unresolved-column AnalysisException deep in the select (ADVICE)
+    require(szBoundFs == 0L || banded0.columns.contains("sz"),
+      s"szBoundFs = $szBoundFs needs a `sz` column (the doc's distinct " +
+        "token/gram set size) on the banded frame; it carries " +
+        banded0.columns.mkString("(", ", ", ")"))
     val maxMapSize = 4096
     val szCols = if (szBoundFs > 0) Seq(col("sz")) else Seq.empty
     val banded = banded0.select(
@@ -1091,6 +1097,12 @@ object Dedup {
   private[graft] def crossCandidatePairs(bandedIn: DataFrame, bandedRef: DataFrame,
                                          maxBucket: Int = 1024,
                                          szBoundFs: Long = 0L): DataFrame = {
+    // same named contract as candidatePairs (ADVICE), both inputs
+    require(szBoundFs == 0L ||
+        (bandedIn.columns.contains("sz") && bandedRef.columns.contains("sz")),
+      s"szBoundFs = $szBoundFs needs a `sz` column on BOTH banded frames; " +
+        s"incoming carries ${bandedIn.columns.mkString("(", ", ", ")")}, " +
+        s"reference carries ${bandedRef.columns.mkString("(", ", ", ")")}")
     val refSz = if (szBoundFs > 0) Seq(col("sz").as("sz_ref")) else Seq.empty
     val inSz = if (szBoundFs > 0) Seq(col("sz").as("sz_in")) else Seq.empty
     val ref = bandedRef.select(

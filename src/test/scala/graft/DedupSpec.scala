@@ -911,6 +911,14 @@ class DedupSpec extends SparkSpec {
     // (1,3) 89/100 fails, (1,4) 50/100 fails (in BOTH its buckets)
     val got = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 5L), (2L, 3L), (2L, 5L)))
+    // the bound must REJECT a known non-empty set (ADVICE r21): if the
+    // pre-filter were silently disconnected, bounded == unbounded and
+    // the equality assertions above would still pass — pin the exact
+    // rejected pairs so a dropped filter fails loudly
+    val all = unbounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size == 10, s"fixture plants all C(5,2) candidates, got ${all.size}")
+    assert(all -- got == Set((1L, 3L), (1L, 4L), (2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L)),
+      s"bound must reject exactly the ratio-failing pairs, rejected ${all -- got}")
 
     // end-to-end grain: a superset doc (J = 20/30 ≈ 0.66, size ratio
     // 20/30 — bound-rejected) must stay out and an exact dup pair
